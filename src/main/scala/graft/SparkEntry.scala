@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2 appears as a named query; each
+  * SQL-expressible one has a DuckDB oracle in [[oracleSql]] with *matching
+  * column names and types* (the driver sorts columns by name before
+  * hashing). Non-SQL-expressible ops (iterative seeding, MLlib fit, sketch
+  * pipelines) get a rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full Lloyd K-Means (deterministic init, k=8) over the embeddings table
+    * → per-cluster size + RMS distance. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    KMeansOps.queries("kmeans_lloyd")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    KMeansOps.queries ++ RelationalOps.queries ++ DedupOps.queries ++
+      SimilarityOps.queries ++ TextOps.queries ++ MultimodalOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    KMeansOps.oracles ++ RelationalOps.oracles ++ DedupOps.oracles ++
+      SimilarityOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles
 }

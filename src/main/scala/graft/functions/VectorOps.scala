@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<double>` columns, expression-first (no UDFs).
+  *
+  * Re-expresses the reference's missing `Point` class contract
+  * (`/root/reference/SparKMeansGroupBy.java:80-113` call sites — see
+  * SURVEY.md §1.2): Minkowski distances, norms, element-wise add/divide.
+  * Every function here stays inside whole-stage codegen via higher-order
+  * functions (`aggregate`/`zip_with`/`transform`); the reference instead
+  * re-parses strings inside the innermost loop
+  * (`/root/reference/SparKMeansGroupBy.java:87`, O(n·k) parses/iteration).
+  */
+object VectorOps {
+
+  /** Cast a float/any numeric array to array<double> once, up front. */
+  def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** L1 norm — `Point.point_abs_sum`
+    * (`/root/reference/SparKMeansGroupByPlusPlusInitMaxFarthestManhattan.java:80`). */
+  def l1Norm(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + abs(x))
+
+  /** Squared L2 norm (fold, no intermediate array). */
+  def l2NormSq(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+
+  /** L2 norm — `Point.point_distance_with_zero`
+    * (`/root/reference/SparKMeansGroupByPlusPlusInitMax.java:80`). */
+  def l2Norm(v: Column): Column = sqrt(l2NormSq(v))
+
+  /** Dot product of two equal-arity vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared Euclidean distance. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Euclidean distance — `Point.distance_paradigm(p, q, 2)`
+    * (`/root/reference/SparKMeansGroupBy.java:88`). */
+  def euclidean(a: Column, b: Column): Column = sqrt(sqDist(a, b))
+
+  /** Manhattan distance — `Point.distance_paradigm(p, q, 1)`. */
+  def manhattan(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Minkowski distance of order p (reference `--paradigm` CLI knob,
+    * `/root/reference/SparKMeansGroupBy.java:44`). */
+  def minkowski(a: Column, b: Column, p: Double): Column =
+    pow(aggregate(zip_with(a, b, (x, y) => pow(abs(x - y), p)), lit(0.0),
+      (acc, x) => acc + x), 1.0 / p)
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Deterministic pseudo-random permutation of a non-negative int64 id
+    * (Knuth multiplicative hash mod 2^32). Used instead of `rand(seed)`
+    * everywhere a "random" sample must hash-match the DuckDB oracle:
+    * `ORDER BY (id * 2654435761) % 4294967296` is computable identically in
+    * both engines. Replaces the reference's `takeSample(false, k)`
+    * (`/root/reference/SparKMeansGroupBy.java:68`).
+    */
+  def perm(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(4294967296L))
+
+  /** Uniform (0,1) deterministic per-row draw derived from [[perm]]. */
+  def unitUniform(id: Column): Column =
+    (perm(id) + lit(0.5)) / lit(4294967296.0)
+
+  /** Round to 4 decimals — the float tolerance for oracle hash-compare. */
+  def r4(c: Column): Column = round(c, 4)
+}
+
+/** DuckDB-SQL fragments mirroring [[VectorOps]] exactly (same fold order,
+  * double math on float32 inputs) so oracle strings stay in lock-step with
+  * the Spark expressions they verify.
+  */
+object VectorSql {
+  def asDouble(c: String): String = s"$c::DOUBLE[]"
+  def l1(c: String): String =
+    s"list_aggregate(list_transform(${asDouble(c)}, x -> abs(x)), 'sum')"
+  def l2sq(c: String): String =
+    s"list_aggregate(list_transform(${asDouble(c)}, x -> x*x), 'sum')"
+  def l2(c: String): String = s"sqrt(${l2sq(c)})"
+  def dot(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip(${asDouble(a)}, ${asDouble(b)}), p -> p[1]*p[2]), 'sum')"
+  def sqDist(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip(${asDouble(a)}, ${asDouble(b)}), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')"
+  def euclidean(a: String, b: String): String = s"sqrt(${sqDist(a, b)})"
+  def cosine(a: String, b: String): String =
+    s"(${dot(a, b)} / (${l2(a)} * ${l2(b)}))"
+  def perm(id: String): String = s"(($id * 2654435761) % 4294967296)"
+}

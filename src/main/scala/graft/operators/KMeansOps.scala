@@ -1,0 +1,384 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorOps._
+import graft.functions.VectorSql
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K-Means pipeline operators — the reference's entire query surface
+  * (SURVEY.md §2.3–§2.5), re-architected for Spark SQL.
+  *
+  * Reference shape (`/root/reference/SparKMeansGroupBy.java:73-151`):
+  * broadcast center strings → per-point argmin closure → `groupByKey`
+  * (materializes every point of a cluster on one node — the scaling flaw)
+  * → driver-side mean → collect → re-broadcast.
+  *
+  * Rebuild shape: centers are a k-row driver array embedded as *literal
+  * expressions*, so assignment is a narrow codegen'd projection (no shuffle,
+  * no crossJoin); recompute is a partial+final hash aggregate of per-dimension
+  * `avg` (map-side combine reduces each partition to k rows before the
+  * shuffle). Per Lloyd iteration: exactly one job, one k×d-row shuffle,
+  * one k-row driver collect — the same topology MLlib's KMeans uses
+  * (`treeAggregate` of sufficient statistics), which is the 1000-executor
+  * scale path: driver traffic is O(k·d) per iteration regardless of input
+  * rows.
+  */
+object KMeansOps {
+
+  /** Embeddings table → (id, v: array<double>) — canonical points input
+    * (replaces `Point.StringToPoint` parse,
+    * `/root/reference/SparKMeansGroupBy.java:80`). */
+  def points(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
+
+  /** Deterministic "random" k-sample: first k ids of the multiplicative-hash
+    * permutation (reference `takeSample(false,k)`,
+    * `/root/reference/SparKMeansGroupBy.java:68`). Distributed top-k
+    * (`TakeOrderedAndProjectExec`), not a driver sample. */
+  def sampleK(df: DataFrame, k: Int, idCol: String = "id"): DataFrame =
+    df.orderBy(perm(col(idCol)), col(idCol)).limit(k)
+
+  /** Collect a k-row center set to the driver as (cid, vector) — the only
+    * permissible driver materialization (O(k·d)). */
+  def collectCenters(df: DataFrame, idCol: String = "id",
+      vCol: String = "v"): Array[(Int, Array[Double])] =
+    df.select(col(idCol), col(vCol)).collect().zipWithIndex.map {
+      case (row, i) => (i, row.getSeq[Double](1).toArray)
+    }
+
+  /** Squared-distance columns from a point column to each literal center. */
+  private def distCols(v: Column, centers: Array[(Int, Array[Double])])
+      : Array[Column] =
+    centers.map { case (cid, c) =>
+      struct(sqDist(v, typedlit(c)).as("d"), lit(cid).as("cid"))
+    }
+
+  /** Min squared distance to a literal center set (seeding metric;
+    * reference `/root/reference/SparKMeansGroupByPlusPlus.java:82-96`). */
+  def minSqDistCol(v: Column, centers: Array[(Int, Array[Double])]): Column =
+    array_min(array(centers.map(c => sqDist(v, typedlit(c._2))): _*))
+
+  /** Nearest-center id (argmin) as a single codegen'd expression —
+    * the reference's broadcast nested-loop assignment
+    * (`/root/reference/SparKMeansGroupBy.java:77-98`,
+    * `/root/reference/BeamKmeansSideInput.java:79-101`) with integer cluster
+    * ids instead of `Point.toString()` keys (quirk §8.8). Ties break to the
+    * lower cid via struct ordering — deterministic. */
+  def nearestCol(v: Column, centers: Array[(Int, Array[Double])]): Column =
+    array_min(array(distCols(v, centers): _*)).getField("cid")
+
+  /** One recompute step: per-cluster count + per-dimension mean as a
+    * partial+final hash aggregate (the reference's `groupByKey` + driver
+    * mean, `/root/reference/SparKMeansGroupBy.java:102-114`, made
+    * map-side-combinable — SURVEY.md §4's "single biggest perf delta"). */
+  def recompute(assigned: DataFrame, dim: Int): DataFrame = {
+    val avgs = (0 until dim).map(i => avg(element_at(col("v"), i + 1)))
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), array(avgs: _*).as("centroid"))
+  }
+
+  /** Full Lloyd loop with fixed iteration count (Beam variant semantics,
+    * `/root/reference/BeamKmeansSideInput.java:77`) plus the convergence test
+    * done *right* (per-cid old/new pairing — the reference compares
+    * random-index pairs, quirk §8.1,
+    * `/root/reference/SparKMeansGroupBy.java:128-135`).
+    * Returns (finalCenters, iterationsRun).
+    */
+  def lloyd(pts: DataFrame, init: Array[(Int, Array[Double])], maxIter: Int,
+      tol: Double): (Array[(Int, Array[Double])], Int) = {
+    val dim = init.head._2.length
+    var centers = init
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < maxIter && moved >= tol) {
+      val assigned = pts.withColumn("cid", nearestCol(col("v"), centers))
+      val fresh = recompute(assigned, dim).collect().map { row =>
+        (row.getInt(0), row.getSeq[Double](2).toArray)
+      }.toMap
+      // empty clusters keep their previous center (MLlib-style; the
+      // reference silently shrinks k — quirk §8.3)
+      val next = centers.map { case (cid, old) =>
+        (cid, fresh.getOrElse(cid, old))
+      }
+      moved = centers.zip(next).map { case ((_, a), (_, b)) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
+      centers = next
+      it += 1
+    }
+    (centers, it)
+  }
+
+  /** Per-cluster summary of a finished clustering: size + RMS distance. */
+  def clusterStats(pts: DataFrame, centers: Array[(Int, Array[Double])])
+      : DataFrame = {
+    val d2 = array_min(array(centers.map(c => sqDist(col("v"), typedlit(c._2))): _*))
+    pts.withColumn("cid", nearestCol(col("v"), centers))
+      .withColumn("d2", d2)
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_points"), r4(sqrt(avg(col("d2")))).as("rmse"))
+      .orderBy("cluster_id")
+  }
+
+  // ---------------------------------------------------------------- seeding
+
+  /** Farthest-point ("maximin") seeding, first seed = extremal norm
+    * (`/root/reference/SparKMeansGroupByPlusPlusInitMaxFarthest.java:91-120`,
+    * `...Manhattan.java:92-121`). Deterministic: no randomness at all.
+    * Each round is one distributed argmax (TakeOrdered of 1). */
+  def farthestInit(pts: DataFrame, k: Int, manhattanFirst: Boolean)
+      : Array[(Int, Array[Double])] = {
+    val firstNorm =
+      if (manhattanFirst) l1Norm(col("v")) else l2Norm(col("v"))
+    val first = pts
+      .withColumn("norm", firstNorm)
+      .orderBy(col("norm").desc, col("id")).limit(1)
+      .select(col("id"), col("v"))
+    var centers = collectCenters(first)
+    var next = 1
+    while (next < k) {
+      val cand = pts
+        .withColumn("md", minSqDistCol(col("v"), centers))
+        .orderBy(col("md").desc, col("id")).limit(1)
+      centers = centers ++ collectCenters(cand).map { case (_, v) => (next, v) }
+      next += 1
+    }
+    centers
+  }
+
+  /** K-Means++ seeding with D² weighting
+    * (`/root/reference/SparKMeansGroupByPlusPlus.java:80-123`). The reference
+    * collects the ENTIRE dataset to the driver per seed (`:105`, quirk §8.5);
+    * here each seed is ONE distributed weighted draw via the exponential-race
+    * trick: seed = argmin over points of -ln(u_id)/D²(point), with u_id the
+    * deterministic per-row uniform — an order-statistics-correct weighted
+    * sample (Efraimidis-Spirakis A-Res) that needs no global cumsum, no
+    * window, no driver O(n) materialization. Driver traffic: O(d) per seed.
+    */
+  def plusPlusInit(pts: DataFrame, k: Int): Array[(Int, Array[Double])] = {
+    val first = sampleK(pts, 1)
+    var centers = collectCenters(first)
+    var next = 1
+    while (next < k) {
+      val key = -log(unitUniform(col("id"))) /
+        greatest(minSqDistCol(col("v"), centers), lit(1e-300))
+      val cand = pts.withColumn("race", key)
+        .orderBy(col("race").asc, col("id")).limit(1)
+      centers = centers ++ collectCenters(cand).map { case (_, v) => (next, v) }
+      next += 1
+    }
+    centers
+  }
+
+  // ------------------------------------------------------------- queries
+
+  private val K = 4          // matches the fixtures' 4 generating centers
+  private val FLAGSHIP_K = 8
+
+  /** Frozen deterministic center set shared by the oracle-checked
+    * assignment queries: first K points of the id permutation — the same
+    * set `ORDER BY (vec_id*2654435761)%4294967296, vec_id LIMIT K` yields
+    * in DuckDB. */
+  def frozenCenters(spark: SparkSession, sfDir: String,
+      k: Int = K): Array[(Int, Array[Double])] = {
+    val idx = collectCenters(sampleK(points(spark, sfDir), k))
+    idx
+  }
+
+  /** DuckDB view of the same frozen centers, with the same 0-based cid. */
+  def frozenCentersSql(k: Int = K): String =
+    s"""(SELECT (row_number() OVER (ORDER BY ${VectorSql.perm("vec_id")}, vec_id) - 1)::INT AS cid,
+       |        embedding
+       |   FROM embeddings
+       |  ORDER BY ${VectorSql.perm("vec_id")}, vec_id LIMIT $k)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "point_norms" -> { (s, d) =>
+      points(s, d).select(col("id").as("vec_id"),
+        r4(l1Norm(col("v"))).as("l1_norm"),
+        r4(l2Norm(col("v"))).as("l2_norm"))
+    },
+    "sample_k" -> { (s, d) =>
+      sampleK(points(s, d), 10)
+        .select(col("id").as("vec_id"), r4(l2Norm(col("v"))).as("l2_norm"))
+    },
+    "sort_by_norm" -> { (s, d) =>
+      points(s, d)
+        .select(col("id").as("vec_id"), r4(l1Norm(col("v"))).as("l1_norm"))
+        .orderBy(col("l1_norm").desc, col("vec_id")).limit(100)
+    },
+    "top1_by_norm" -> { (s, d) =>
+      points(s, d)
+        .select(col("id").as("vec_id"), r4(l2Norm(col("v"))).as("l2_norm"))
+        .orderBy(col("l2_norm").desc, col("vec_id")).limit(1)
+    },
+    "global_max_norm" -> { (s, d) =>
+      points(s, d).agg(max(r4(l2Norm(col("v")))).as("max_norm"))
+    },
+    "min_dist_to_centers" -> { (s, d) =>
+      val c = frozenCenters(s, d)
+      points(s, d).select(col("id").as("vec_id"),
+        r4(sqrt(minSqDistCol(col("v"), c))).as("min_dist"))
+    },
+    "sum_min_dist" -> { (s, d) =>
+      val c = frozenCenters(s, d)
+      points(s, d)
+        .select(r4(sqrt(minSqDistCol(col("v"), c))).as("md"))
+        .agg(round(sum(col("md")), 2).as("total_min_dist"))
+    },
+    "assign_nearest" -> { (s, d) =>
+      val c = frozenCenters(s, d)
+      points(s, d).select(col("id").as("vec_id"),
+        nearestCol(col("v"), c).as("cluster_id"))
+    },
+    "recompute_centers" -> { (s, d) =>
+      val c = frozenCenters(s, d)
+      val assigned = points(s, d).withColumn("cid", nearestCol(col("v"), c))
+      assigned.groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n_points"),
+          r4(avg(element_at(col("v"), 1))).as("d0"),
+          r4(avg(element_at(col("v"), 2))).as("d1"),
+          r4(avg(element_at(col("v"), 3))).as("d2"),
+          r4(avg(element_at(col("v"), 4))).as("d3"))
+    },
+    "format_clusters" -> { (s, d) =>
+      val c = frozenCenters(s, d)
+      points(s, d).withColumn("cid", nearestCol(col("v"), c))
+        .groupBy(col("cid").as("cluster_id"))
+        .agg(concat(col("cid").cast("string"), lit(":"),
+          array_join(sort_array(collect_list(col("id"))), ";")).as("members"))
+        .select(col("cluster_id"), col("members"))
+    },
+    "explode_centers" -> { (s, d) =>
+      val centers = sampleK(points(s, d), K)
+      centers.select(col("id").as("vec_id"),
+          posexplode(col("v")).as(Seq("pos", "value")))
+        .select(col("vec_id"), col("pos"), r4(col("value")).as("value"))
+    },
+    "union_centers" -> { (s, d) =>
+      val a = sampleK(points(s, d), K)
+      val b = points(s, d).where(col("id") < 4)
+      a.union(b).select(col("id").as("vec_id"),
+        r4(l2Norm(col("v"))).as("l2_norm"))
+    },
+    "init_random" -> { (s, d) =>
+      sampleK(points(s, d), FLAGSHIP_K)
+        .select(col("id").as("vec_id"), r4(element_at(col("v"), 1)).as("d0"))
+    },
+    "init_extremal" -> { (s, d) =>
+      // InitMax + InitMin first-seed rules in one result
+      // (/root/reference/SparKMeansGroupByPlusPlusInitMax.java:78-87, InitMin :78-87)
+      val n = points(s, d)
+        .select(col("id").as("vec_id"), r4(l2Norm(col("v"))).as("l2_norm"))
+      val mx = n.orderBy(col("l2_norm").desc, col("vec_id")).limit(1)
+        .select(lit("max").as("which"), col("vec_id"), col("l2_norm"))
+      val mn = n.orderBy(col("l2_norm").asc, col("vec_id")).limit(1)
+        .select(lit("min").as("which"), col("vec_id"), col("l2_norm"))
+      mx.union(mn)
+    },
+    "init_farthest" -> { (s, d) =>
+      val c = farthestInit(points(s, d).cache(), K, manhattanFirst = true)
+      val rows = c.map { case (cid, v) =>
+        (cid, r4d(v.map(math.abs).sum), r4d(math.sqrt(v.map(x => x * x).sum)))
+      }
+      s.createDataFrame(rows.toSeq).toDF("seed_rank", "l1_norm", "l2_norm")
+    },
+    "init_plusplus" -> { (s, d) =>
+      val c = plusPlusInit(points(s, d).cache(), FLAGSHIP_K)
+      val rows = c.map { case (cid, v) =>
+        (cid, r4d(math.sqrt(v.map(x => x * x).sum)))
+      }
+      s.createDataFrame(rows.toSeq).toDF("seed_rank", "l2_norm")
+    },
+    "kmeans_lloyd" -> { (s, d) =>
+      val pts = points(s, d).cache()
+      val init = collectCenters(sampleK(pts, FLAGSHIP_K))
+      val (centers, _) = lloyd(pts, init, maxIter = 5, tol = 1e-4)
+      clusterStats(pts, centers)
+    },
+    "kmeans_fit" -> { (s, d) => MLlibKMeans.fit(s, d, FLAGSHIP_K) }
+  )
+
+  private def r4d(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  val oracles: Map[String, String] = {
+    import graft.functions.{VectorSql => V}
+    val P = V.perm("vec_id")
+    Map(
+      "point_norms" ->
+        s"""SELECT vec_id, round(${V.l1("embedding")},4) AS l1_norm,
+           |       round(${V.l2("embedding")},4) AS l2_norm FROM embeddings""".stripMargin,
+      "sample_k" ->
+        s"""SELECT vec_id, round(${V.l2("embedding")},4) AS l2_norm
+           |FROM embeddings ORDER BY $P, vec_id LIMIT 10""".stripMargin,
+      "sort_by_norm" ->
+        s"""SELECT vec_id, l1_norm FROM
+           |(SELECT vec_id, round(${V.l1("embedding")},4) AS l1_norm FROM embeddings)
+           |ORDER BY l1_norm DESC, vec_id LIMIT 100""".stripMargin,
+      "top1_by_norm" ->
+        s"""SELECT vec_id, l2_norm FROM
+           |(SELECT vec_id, round(${V.l2("embedding")},4) AS l2_norm FROM embeddings)
+           |ORDER BY l2_norm DESC, vec_id LIMIT 1""".stripMargin,
+      "global_max_norm" ->
+        s"SELECT max(round(${V.l2("embedding")},4)) AS max_norm FROM embeddings",
+      "min_dist_to_centers" ->
+        s"""SELECT e.vec_id,
+           |       round(sqrt(min(${V.sqDist("e.embedding", "c.embedding")})),4) AS min_dist
+           |FROM embeddings e CROSS JOIN ${frozenCentersSql()} c
+           |GROUP BY e.vec_id""".stripMargin,
+      "sum_min_dist" ->
+        s"""SELECT round(sum(md),2) AS total_min_dist FROM (
+           |  SELECT round(sqrt(min(${V.sqDist("e.embedding", "c.embedding")})),4) AS md
+           |  FROM embeddings e CROSS JOIN ${frozenCentersSql()} c
+           |  GROUP BY e.vec_id)""".stripMargin,
+      "assign_nearest" -> assignSql,
+      "recompute_centers" ->
+        s"""SELECT a.cluster_id, count(*)::BIGINT AS n_points,
+           |       round(avg(e.embedding[1]::DOUBLE),4) AS d0,
+           |       round(avg(e.embedding[2]::DOUBLE),4) AS d1,
+           |       round(avg(e.embedding[3]::DOUBLE),4) AS d2,
+           |       round(avg(e.embedding[4]::DOUBLE),4) AS d3
+           |FROM ($assignSql) a JOIN embeddings e ON a.vec_id = e.vec_id
+           |GROUP BY a.cluster_id""".stripMargin,
+      "format_clusters" ->
+        s"""SELECT cluster_id,
+           |       cluster_id::VARCHAR || ':' || string_agg(vec_id::VARCHAR, ';' ORDER BY vec_id) AS members
+           |FROM ($assignSql) GROUP BY cluster_id""".stripMargin,
+      "explode_centers" ->
+        s"""SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::INT AS pos,
+           |       round(unnest(embedding)::DOUBLE, 4) AS value
+           |FROM (SELECT vec_id, embedding FROM embeddings ORDER BY $P, vec_id LIMIT 4)""".stripMargin,
+      "union_centers" ->
+        s"""SELECT vec_id, round(${V.l2("embedding")},4) AS l2_norm
+           |FROM ((SELECT vec_id, embedding FROM embeddings ORDER BY $P, vec_id LIMIT 4)
+           |      UNION ALL
+           |      (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4))""".stripMargin,
+      "init_random" ->
+        s"""SELECT vec_id, round(embedding[1]::DOUBLE,4) AS d0
+           |FROM embeddings ORDER BY $P, vec_id LIMIT 8""".stripMargin,
+      "init_extremal" ->
+        s"""(SELECT 'max' AS which, vec_id, l2_norm FROM
+           |  (SELECT vec_id, round(${V.l2("embedding")},4) AS l2_norm FROM embeddings)
+           |  ORDER BY l2_norm DESC, vec_id LIMIT 1)
+           |UNION ALL
+           |(SELECT 'min' AS which, vec_id, l2_norm FROM
+           |  (SELECT vec_id, round(${V.l2("embedding")},4) AS l2_norm FROM embeddings)
+           |  ORDER BY l2_norm ASC, vec_id LIMIT 1)""".stripMargin
+    )
+  }
+
+  /** Shared assignment SQL (argmin with min-dist window + low-cid tiebreak —
+    * same semantics as the struct-ordering argmin on the Spark side). */
+  private lazy val assignSql: String = {
+    import graft.functions.{VectorSql => V}
+    s"""SELECT vec_id, min(cid)::INT AS cluster_id FROM (
+       |  SELECT vec_id, cid, dr, min(dr) OVER (PARTITION BY vec_id) AS mdr FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           ${V.sqDist("e.embedding", "c.embedding")} AS dr
+       |    FROM embeddings e CROSS JOIN ${frozenCentersSql()} c))
+       |WHERE dr = mdr GROUP BY vec_id""".stripMargin
+  }
+}

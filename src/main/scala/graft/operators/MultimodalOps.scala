@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata; decode/feature-extract runs as a typed
+  * `mapPartitions` stage (the Scala analogue of a batched decode UDF —
+  * one codec init per partition, streaming iterator, no per-row setup).
+  *
+  * The decode itself is a clearly-marked deterministic STUB — image/audio
+  * codec libraries are not in this container — but the Spark-side plumbing
+  * (schema, binary payload, partitioning, batch shape, feature fan-out)
+  * is real and tested. Swapping `StubCodec.decode` for a real decoder is
+  * the only change needed.
+  */
+object MultimodalOps {
+
+  /** An ingested media row: payload is an opaque byte blob. */
+  case class MediaRecord(doc_id: Long, media_type: String,
+      payload: Array[Byte], source: String)
+
+  /** Decoded, feature-extracted output. */
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+      width: Int, height: Int, f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /** STUB decoder: a real implementation would decode the payload with an
+    * image/audio codec; this deterministic fake derives "dimensions" and a
+    * 4-dim feature vector from the bytes so the pipeline shape is testable
+    * end-to-end. */
+  object StubCodec {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val bytes = r.payload
+      val n = bytes.length
+      var h = 1125899906842597L
+      var s0, s1, s2, s3 = 0.0
+      var i = 0
+      while (i < n) {
+        val b = bytes(i) & 0xff
+        h = h * 31 + b
+        (i & 3) match {
+          case 0 => s0 += b
+          case 1 => s1 += b
+          case 2 => s2 += b
+          case 3 => s3 += b
+        }
+        i += 1
+      }
+      val width = 64 + (math.abs(h) % 512).toInt
+      val height = 64 + (math.abs(h >> 16) % 512).toInt
+      def norm(s: Double) = if (n == 0) 0.0 else s / (64.0 * n)
+      MediaFeatures(r.doc_id, r.media_type, n, width, height,
+        norm(s0), norm(s1), norm(s2), norm(s3))
+    }
+  }
+
+  /** Build the media table from documents: utf-8 payload bytes + a media
+    * type cycled by id (the container has no real media files; the binary
+    * column plumbing is what's under test). */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"))
+      .as[MediaRecord]
+  }
+
+  /** The decode stage: typed mapPartitions — batch-shaped, partition-local,
+    * no driver involvement. At scale, `repartition` by a size-balanced key
+    * before this stage if payload sizes are skewed. */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(StubCodec.decode))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_features" -> { (s, d) =>
+      decodeFeatures(mediaTable(s, d)).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"),
+          round(col("f0"), 4).as("f0"), round(col("f1"), 4).as("f1"))
+    },
+    "multimodal_stats" -> { (s, d) =>
+      decodeFeatures(mediaTable(s, d)).toDF()
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(col("f0")), 4).as("avg_f0"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the byte-sum feature math is reproducible from the utf-8 text in SQL;
+    // media_type cycles doc_id % 3 → image/audio/video
+    "multimodal_stats" ->
+      """SELECT media_type, count(*)::BIGINT AS n,
+        |       sum(length(text))::BIGINT AS total_bytes,
+        |       round(avg(f0), 4) AS avg_f0
+        |FROM (SELECT doc_id,
+        |             ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+        |             CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |               list_aggregate(
+        |                 list_transform(generate_series(1, length(text)),
+        |                   i -> CASE WHEN (i - 1) % 4 = 0
+        |                        THEN ascii(text[i]) ELSE 0 END),
+        |                 'sum')::DOUBLE / (64.0 * length(text)) END AS f0,
+        |             text
+        |      FROM documents)
+        |GROUP BY media_type""".stripMargin
+  )
+}

@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.4 built-ins + §2.6 extended
+  * ops): joins, distinct aggregation, windows, set ops, JSON extraction,
+  * time-window aggregation, rollup.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension sides (`nation`, `region`, frozen filters of `customer`)
+  *    are `broadcast()` hinted; fact-fact joins are left to Catalyst/AQE
+  *    (sort-merge with AQE skew splitting).
+  *  - every aggregate is partial-aggregable (no `collect_list` on unbounded
+  *    groups in this module).
+  *  - windows partition by high-cardinality keys (`o_custkey`, `user_id`) —
+  *    no single-partition global windows.
+  */
+object RelationalOps {
+
+  /** events with `ts` (epoch nanos, see [[graft.Tables.table]]) plus an
+    * epoch-hour bucket — the tumbling-window key used by batch + oracle. */
+  private def eventsWithHour(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / filters / parse (SURVEY.md §2.1–2.2) ------------------
+    "scan_docs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    },
+    "filter_nonempty" -> { (s, d) =>
+      // reference guards empty lines via map→null (quirk §8.4,
+      // /root/reference/SparKMeansGroupBy.java:78,95-97); here: a real filter.
+      Tables.documents(s, d)
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("n_chars"))
+    },
+    "parse_points" -> { (s, d) =>
+      // CSV point-line parse (Point.StringToPoint,
+      // /root/reference/SparKMeansGroupBy.java:80): render a csv line, parse
+      // it back to array<double>; output parsed values so double→string
+      // formatting differences between engines cancel.
+      Tables.lineitem(s, d)
+        .withColumn("line",
+          concat_ws(",", col("l_quantity"), col("l_discount"), col("l_tax")))
+        .withColumn("pt", split(col("line"), ",").cast("array<double>"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(element_at(col("pt"), 1) + element_at(col("pt"), 2) +
+            element_at(col("pt"), 3), 4).as("pt_sum"),
+          size(col("pt")).as("arity"))
+    },
+
+    // --- joins (§2.6: generalization of the broadcast assignment §2.3) --
+    "join_equi" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    "join_semi" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    "join_anti" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+    },
+
+    // --- aggregation (§2.4 / §2.6) -------------------------------------
+    "agg_distinct" -> { (s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
+    "approx_distinct" -> { (s, d) =>
+      // HLL++ sketch — algorithm-specific estimate, rows-only check
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+    },
+    "agg_stats" -> { (s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(min(col("l_discount")), 2).as("min_disc"),
+          round(max(col("l_tax")), 2).as("max_tax"),
+          count(lit(1)).as("n"))
+    },
+    "rollup_agg" -> { (s, d) =>
+      Tables.documents(s, d).rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+    "set_ops" -> { (s, d) =>
+      // INTERSECT / EXCEPT (absent from the reference — SURVEY.md §2.4 last row)
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      cn.intersect(sn).withColumn("op", lit("both"))
+        .union(cn.except(sn).withColumn("op", lit("customer_only")))
+        .select(col("op"), col("nationkey"))
+    },
+
+    // --- windows (§2.6; ancestor = roulette cumsum §2.5) ----------------
+    "window_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("rnk"), round(col("o_totalprice"), 2).as("price"))
+    },
+    "window_cumsum" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("running_value"))
+    },
+
+    // --- JSON / time (§2.6) --------------------------------------------
+    "json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+    },
+    "time_window_agg" -> { (s, d) =>
+      eventsWithHour(s, d)
+        .groupBy(col("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    },
+    "time_window_sliding" -> { (s, d) =>
+      // 2h windows sliding 1h via Spark's window() over the reconstructed
+      // timestamp; output = window start in epoch seconds (engine-neutral).
+      val ev = Tables.events(s, d)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(window(col("tstamp"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_docs" -> "SELECT doc_id, lang, source, n_chars FROM documents",
+    "filter_nonempty" ->
+      "SELECT doc_id, n_chars FROM documents WHERE length(trim(text)) > 0",
+    "parse_points" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(pt[1] + pt[2] + pt[3], 4) AS pt_sum,
+        |       len(pt)::INT AS arity
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |             list_transform(string_split(
+        |               concat_ws(',', l_quantity, l_discount, l_tax), ','),
+        |               s -> s::DOUBLE) AS pt
+        |      FROM lineitem)""".stripMargin,
+    "join_equi" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*)::BIGINT AS n_rows
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+        |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(min(l_discount), 2) AS min_disc,
+        |       round(max(l_tax), 2) AS max_tax,
+        |       count(*)::BIGINT AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "rollup_agg" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "set_ops" ->
+      """(SELECT 'both' AS op, nationkey FROM
+        |   (SELECT c_nationkey::INT AS nationkey FROM customer
+        |    INTERSECT SELECT s_nationkey::INT FROM supplier))
+        |UNION ALL
+        |(SELECT 'customer_only' AS op, nationkey FROM
+        |   (SELECT c_nationkey::INT AS nationkey FROM customer
+        |    EXCEPT SELECT s_nationkey::INT FROM supplier))""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk, price FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey)::INT AS rnk,
+        |         round(o_totalprice, 2) AS price
+        |  FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+    "window_cumsum" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        |FROM events""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+        |FROM events""".stripMargin,
+    "time_window_agg" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |       count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "time_window_sliding" ->
+      """SELECT win_start, event_type, count(*)::BIGINT AS n FROM (
+        |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS win_start,
+        |         event_type FROM events
+        |  UNION ALL
+        |  SELECT ((epoch_ns(ts) // 3600000000000) - 1) * 3600 AS win_start,
+        |         event_type FROM events)
+        |GROUP BY win_start, event_type""".stripMargin
+  )
+}

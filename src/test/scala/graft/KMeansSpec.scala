@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.KMeansOps
+import org.apache.spark.sql.functions._
+
+/** Lloyd-loop invariants (SURVEY.md §5): cost monotonicity (the reference's
+  * implicit theorem), centroid-mean correctness, empty-cluster handling,
+  * and known-k recovery on blob-shaped data.
+  */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blobs: org.apache.spark.sql.DataFrame = {
+    // 4 well-separated 2-D blobs, 50 pts each — the reference's
+    // "<n>_point_4_center_2_feature" fixture shape, deterministic
+    val centers = Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0))
+    val pts = for {
+      (cx, cy) <- centers
+      i <- 0 until 50
+    } yield {
+      val dx = ((i * 2654435761L) % 1000).toDouble / 1000.0 - 0.5
+      val dy = ((i * 40503L) % 1000).toDouble / 1000.0 - 0.5
+      (centers.indexOf((cx, cy)) * 50L + i, Seq(cx + dx, cy + dy))
+    }
+    pts.toDF("id", "v")
+  }
+
+  private def cost(pts: org.apache.spark.sql.DataFrame,
+      centers: Array[(Int, Array[Double])]): Double =
+    pts.select(sum(KMeansOps.minSqDistCol(col("v"), centers)))
+      .head.getDouble(0)
+
+  test("lloyd converges on 4 blobs and recovers the generating centers") {
+    val pts = blobs.cache()
+    val init = KMeansOps.collectCenters(KMeansOps.sampleK(pts, 4))
+    val (centers, iters) = KMeansOps.lloyd(pts, init, maxIter = 20, tol = 1e-6)
+    assert(iters <= 20)
+    // every recovered center within 1.0 of a generating center
+    val gen = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(10.0, 10.0))
+    centers.foreach { case (_, c) =>
+      val nearest = gen.map(g =>
+        math.sqrt(g.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(nearest < 1.0, s"center ${c.toSeq} too far from any blob center")
+    }
+  }
+
+  test("lloyd cost is monotonically non-increasing per iteration") {
+    val pts = blobs.cache()
+    var centers = KMeansOps.collectCenters(KMeansOps.sampleK(pts, 4))
+    var prev = cost(pts, centers)
+    for (_ <- 1 to 5) {
+      val (next, _) = KMeansOps.lloyd(pts, centers, maxIter = 1, tol = 0.0)
+      val c = cost(pts, next)
+      assert(c <= prev + 1e-9, s"cost increased: $prev -> $c")
+      prev = c
+      centers = next
+    }
+  }
+
+  test("recompute = per-dimension mean (hand check)") {
+    val df = Seq((0, Seq(0.0, 0.0)), (0, Seq(2.0, 4.0)), (1, Seq(1.0, 1.0)))
+      .toDF("cid", "v")
+    val got = KMeansOps.recompute(df, 2).orderBy("cid")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(got(0) === ((0, 2L, Seq(1.0, 2.0))))
+    assert(got(1) === ((1, 1L, Seq(0.5, 0.5))))
+  }
+
+  test("assignment ties break to the lower cluster id") {
+    val centers = Array((0, Array(0.0)), (1, Array(2.0)))
+    val got = Seq(Tuple1(Seq(1.0))).toDF("v")
+      .select(KMeansOps.nearestCol(col("v"), centers)).head.getInt(0)
+    assert(got === 0)
+  }
+
+  test("farthest-point init picks spread seeds (one per blob)") {
+    val pts = blobs.cache()
+    val centers = KMeansOps.farthestInit(pts, 4, manhattanFirst = true)
+    // 4 seeds should land in 4 distinct blobs
+    val blobsHit = centers.map { case (_, c) =>
+      (math.round(c(0) / 10.0), math.round(c(1) / 10.0))
+    }.toSet
+    assert(blobsHit.size === 4)
+  }
+
+  test("plus-plus init produces k distinct seeds") {
+    val pts = blobs.cache()
+    val centers = KMeansOps.plusPlusInit(pts, 4)
+    assert(centers.map(_._2.toSeq).toSet.size === 4)
+  }
+
+  test("deterministic: same init twice gives identical centers") {
+    val pts = KMeansOps.points(spark, sf).cache()
+    val init = KMeansOps.collectCenters(KMeansOps.sampleK(pts, 4))
+    val (c1, _) = KMeansOps.lloyd(pts, init, 3, 0.0)
+    val (c2, _) = KMeansOps.lloyd(pts, init, 3, 0.0)
+    assert(c1.map(_._2.toSeq).toSeq === c2.map(_._2.toSeq).toSeq)
+  }
+}

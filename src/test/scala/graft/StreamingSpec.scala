@@ -1,0 +1,25 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+
+/** Stream/batch equivalence: the streaming tumbling-window aggregation over
+  * the finite events fixture must produce exactly the batch `window()`
+  * result (same aggregation expressions, watermark can't drop anything when
+  * the whole fixture is one micro-batch).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming 1h tumbling window matches batch time_window_agg") {
+    val streamed = StreamingOps.runToMemorySink(
+      StreamingOps.windowedCounts(spark, sf), "stream_win")
+      .select(col("hour_start"), col("event_type"), col("n"),
+        col("sum_value"))
+    val batch = SparkEntry.queries("time_window_agg")(spark, sf)
+      .select((col("hour_bucket") * 3600).as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+}
