@@ -13,16 +13,43 @@ import org.apache.spark.sql.functions._
   * (MinHash) as the sketch cousin of the reference's min-dist-to-center-set
   * map (`/root/reference/SparKMeansGroupByPlusPlus.java:82-96`).
   *
-  * Scale notes: every pipeline is groupBy/join on bounded keys — no all-pairs
-  * comparison ever materializes. MinHash banding turns O(n²) similarity into
-  * an equi-join on (band_id, band_hash); signatures are fixed-width arrays
-  * computed in one narrow projection (whole-stage codegen, no UDFs).
+  * Scale design (100 TB discipline):
+  *  - every pipeline is explode → hash-aggregate → equi-join on bounded keys;
+  *    no all-pairs comparison ever materializes.
+  *  - sketch computation is *flat codegen expressions over exploded rows*,
+  *    never nested higher-order functions: HOF lambdas are CodegenFallback in
+  *    Spark, and inlining a shingle subtree into 32 per-permutation HOF
+  *    expressions re-evaluates it 32× interpreted (measured 425 s at sf0.1 —
+  *    rewritten here it is ~2 s). MinHash signatures are 32 plain `min`
+  *    aggregates with map-side partial aggregation: the shuffle carries
+  *    32 longs per doc regardless of doc length.
+  *  - band hashes derive from signature columns directly (one narrow
+  *    projection) — no posexplode/collect_list re-shuffle.
+  *  - all hashes are md5-prefix-derived so the DuckDB oracle reproduces every
+  *    sketch bit-for-bit: these queries are hash-verified, not rows-only.
   */
 object DedupOps {
+
+  /** 60-bit base hash of a string, identical in both engines:
+    * Spark `conv(substring(md5(s),1,15),16,10)::long` ==
+    * DuckDB `('0x' || substring(md5(s),1,15))::BIGINT`. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[h60]]. */
+  def h60Sql(e: String): String =
+    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
 
   /** Whitespace tokens with empties dropped (docs have trailing spaces). */
   def wordsCol(text: Column): Column =
     filter(split(text, " "), w => length(w) > 0)
+
+  /** Re-spread rows before a high-fan-out generator stage. A 30-70× shingle
+    * explode concentrates all generator work (and its memory) on the scan
+    * tasks; at 100 TB this bounds per-task fan-out, and on the local harness
+    * it breaks the one-small-parquet-file = one-task serialization. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
 
   /** Word 3-gram shingles (distinct). Guarded: <3 words → empty array
     * (Spark's `sequence(1,0)` would DESCEND, not return empty). */
@@ -34,36 +61,77 @@ object DedupOps {
       .otherwise(array().cast("array<string>")))
   }
 
+  private val wSql = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+  private val shSql =
+    s"""list_distinct(CASE WHEN len(w) >= 3
+       |  THEN list_transform(generate_series(1, len(w) - 2),
+       |       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+       |  ELSE [] END)""".stripMargin
+
+  // ------------------------------------------------------------- MinHash
+
   private val MINHASH_PERMS = 32
   private val BANDS = 8 // 8 bands × 4 rows
+  private val ROWS_PER_BAND = MINHASH_PERMS / BANDS
+  private val M = 2147483647L // Mersenne prime 2^31-1
 
-  /** MinHash signature as a fixed-width array column: for permutation j,
-    * min over shingles of an affine rehash of xxhash64(shingle). Java-long
-    * wraparound is deterministic; only within-Spark stability is needed
-    * (sketch output is judged rows-only). */
-  def minhashSigCol(shingles: Column): Column = {
-    val sigs = (0 until MINHASH_PERMS).map { j =>
-      val a = 2L * j + 1
-      val b = j * 2654435761L
-      // base hash reduced to 31 bits first: a*h+b then stays far from the
-      // long range (Spark 4 runs ANSI mode — overflow would throw)
-      array_min(transform(shingles, sh =>
-        pmod(pmod(xxhash64(sh), lit(2147483647L)) * a + b, lit(2147483647L))))
-    }
-    array(sigs: _*)
+  private def permA(j: Int): Long = 2L * j + 1
+  private def permB(j: Int): Long = j * 2654435761L
+
+  /** (doc_id, m0..m31) MinHash signatures. Explode shingles once, reduce the
+    * 60-bit hash to 31 bits, then 32 affine-rehash `min` aggregates — a
+    * single codegen'd HashAggregate with map-side combine. Docs with no
+    * shingles (<3 words) drop out, which is the right dedup semantics. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = spread(docs)
+      .select(col("doc_id"), explode(shinglesCol(wordsCol(col("text")))).as("sh"))
+      .select(col("doc_id"), pmod(h60(col("sh")), lit(M)).as("h"))
+    val mins = (0 until MINHASH_PERMS).map(j =>
+      min(pmod(col("h") * permA(j) + permB(j), lit(M))).as(s"m$j"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** (doc_id, band_id, band_hash) rows — the LSH bucketing relation. */
+  /** (doc_id, band_id, band_hash) LSH bucketing relation: band hash = h60 of
+    * the comma-joined 4-row signature slice, computed straight from the
+    * signature columns (narrow projection + one explode, no extra shuffle). */
   def minhashBands(docs: DataFrame): DataFrame = {
-    val rowsPerBand = MINHASH_PERMS / BANDS
-    val sig = minhashSigCol(shinglesCol(wordsCol(col("text"))))
-    val banded = docs.select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "h")))
-      .withColumn("band_id", col("j") / rowsPerBand cast "int")
-      .groupBy(col("doc_id"), col("band_id"))
-      .agg(xxhash64(concat_ws(",", collect_list(col("h")))).as("band_hash"))
-    banded
+    val bandStructs = (0 until BANDS).map { b =>
+      val slice = (0 until ROWS_PER_BAND)
+        .map(r => col(s"m${b * ROWS_PER_BAND + r}"))
+      struct(lit(b).as("band_id"),
+        h60(concat_ws(",", slice: _*)).as("band_hash"))
+    }
+    minhashSignatures(docs)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
   }
+
+  // ------------------------------------------------------------- SimHash
+
+  private val SIMHASH_BITS = 60 // h60 provides 60 usable bits
+  private val CHUNKS = 4 // 4 × 15-bit chunks for the pairs candidate join
+  private val CHUNK_BITS = SIMHASH_BITS / CHUNKS
+
+  /** 60-bit SimHash per doc. Explode words → per-bit popcount as 60
+    * partial-aggregable sums (literal shift per aggregate column) → sign →
+    * fingerprint. No UDFs/HOFs; map-side combine keeps the shuffle at
+    * 61 longs × docs. */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val tok = spread(docs)
+      .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+      .select(col("doc_id"), h60(col("w")).as("h"))
+    val bitSums = (0 until SIMHASH_BITS).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+    val aggCols = count(lit(1)).as("n") +: bitSums
+    val counted = tok.groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val fp = (0 until SIMHASH_BITS).map(j =>
+      when(col(s"b$j") * 2 >= col("n"), shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_ + _)
+    counted.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  // ------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, d) =>
@@ -96,12 +164,13 @@ object DedupOps {
       simhashFingerprints(Tables.documents(s, d))
     },
     "dedup_simhash_pairs" -> { (s, d) =>
-      // near-dup candidates: any of four 16-bit chunks equal → hamming check
+      // near-dup candidates: any of four 15-bit chunks equal → hamming check
       val fp = simhashFingerprints(Tables.documents(s, d)).cache()
       val chunks = fp.select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until 4).map(c =>
-            shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL))): _*))
-            .as(Seq("chunk_id", "chunk")))
+        posexplode(array((0 until CHUNKS).map(c =>
+          shiftright(col("simhash"), CHUNK_BITS * c)
+            .bitwiseAND(lit((1L << CHUNK_BITS) - 1))): _*))
+          .as(Seq("chunk_id", "chunk")))
       val a = chunks.select(col("doc_id").as("doc_a"),
         col("simhash").as("sim_a"), col("chunk_id"), col("chunk"))
       val b = chunks.select(col("doc_id").as("doc_b"),
@@ -114,39 +183,74 @@ object DedupOps {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     "dedup_ngram" -> { (s, d) =>
-      // n-gram Jaccard of every doc against a fixed 10-doc query set
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), shinglesCol(wordsCol(col("text"))).as("sh"))
-        .where(size(col("sh")) > 0)
-      val q = docs.where(col("doc_id") < 10)
-        .select(col("doc_id").as("q_id"), col("sh").as("q_sh"))
-      docs.crossJoin(broadcast(q))
+      // n-gram Jaccard of every doc against a fixed 10-doc query set.
+      // Inverted-index join: |A∩B| = match count of the exploded shingle
+      // equi-join (the 10-doc side broadcasts), |A∪B| = na+nb−inter. Never
+      // computes per-pair array_intersect — the 100 TB shape is
+      // explode → broadcast-hash-join → pair aggregate. Shingle sizes come
+      // from re-aggregating the exploded rows (shingles are distinct per
+      // doc), so the shingle expression evaluates exactly once per doc.
+      val ex = spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(shinglesCol(wordsCol(col("text")))).as("s"))
+        .cache()
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val qex = ex.where(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("s"))
+      val inter = ex.join(broadcast(qex), "s")
         .where(col("doc_id") > col("q_id"))
-        .withColumn("jac", round(
-          size(array_intersect(col("sh"), col("q_sh"))).cast("double") /
-            size(array_union(col("sh"), col("q_sh"))), 4))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.where(col("doc_id") < 10)
+          .select(col("doc_id").as("q_id"), col("nsh").as("na"))), "q_id")
+        .join(sizes.select(col("doc_id"), col("nsh").as("nb")), "doc_id")
+        .withColumn("jac", round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4))
         .where(col("jac") >= 0.05)
         .select(col("q_id"), col("doc_id"), col("jac"))
     }
   )
 
-  /** 64-bit SimHash per doc. Design: explode words → per-bit popcount as 64
-    * partial-aggregable sums (literal shift per aggregate column) → sign →
-    * fingerprint. No UDFs, map-side combine keeps the shuffle at
-    * 64 longs × docs. */
-  def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val bitSums = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
-    val aggCols = count(lit(1)).as("n") +: bitSums
-    val counted = tok.groupBy(col("doc_id"))
-      .agg(aggCols.head, aggCols.tail: _*)
-    val fp = (0 until 64).map(j =>
-      when(col(s"b$j") * 2 >= col("n"), shiftleft(lit(1L), j)).otherwise(0L))
-      .reduce(_ + _)
-    counted.select(col("doc_id"), fp.as("simhash"))
+  // ------------------------------------------------------------- oracles
+
+  /** DuckDB CTE computing the 32-column MinHash signature table. */
+  private lazy val sigSql: String = {
+    val minExprs = (0 until MINHASH_PERMS).map(j =>
+      s"min((h * ${permA(j)} + ${permB(j)}) % $M) AS m$j").mkString(",\n       ")
+    s"""w AS (SELECT doc_id, $wSql AS w FROM documents),
+       |s AS (SELECT doc_id, unnest($shSql) AS sh FROM w),
+       |h AS (SELECT doc_id, ${h60Sql("sh")} % $M AS h FROM s),
+       |sig AS (SELECT doc_id,
+       |       $minExprs
+       |       FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB CTE computing (doc_id, band_id, band_hash) from `sig`. */
+  private lazy val bandsSql: String = {
+    val bands = (0 until BANDS).map { b =>
+      val slice = (0 until ROWS_PER_BAND)
+        .map(r => s"m${b * ROWS_PER_BAND + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_id, ${h60Sql(s"concat_ws(',', $slice)")} AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"bands AS (\n  $bands)"
+  }
+
+  /** DuckDB CTE computing (doc_id, simhash) fingerprints. */
+  private lazy val simhashSql: String = {
+    val bitSums = (0 until SIMHASH_BITS).map(j =>
+      s"sum((h >> $j) & 1) AS b$j").mkString(",\n       ")
+    val fp = (0 until SIMHASH_BITS).map(j =>
+      s"(CASE WHEN b$j * 2 >= n THEN (1::BIGINT << $j) ELSE 0 END)")
+      .mkString(" +\n       ")
+    s"""tok AS (SELECT doc_id, unnest($wSql) AS w FROM documents),
+       |th AS (SELECT doc_id, ${h60Sql("w")} AS h FROM tok),
+       |bits AS (SELECT doc_id, count(*) AS n,
+       |       $bitSums
+       |       FROM th GROUP BY doc_id),
+       |fp AS (SELECT doc_id,
+       |       ($fp)::BIGINT AS simhash
+       |       FROM bits)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -155,23 +259,39 @@ object DedupOps {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_exact_docs" ->
       "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)",
+    "dedup_minhash" ->
+      s"""WITH $sigSql,
+         |$bandsSql
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |WHERE a.doc_id < b.doc_id""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $simhashSql
+         |SELECT doc_id, simhash FROM fp""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashSql,
+         |chunks AS (
+         |  SELECT doc_id, simhash, c.c AS chunk_id,
+         |         (simhash >> (${CHUNK_BITS} * c.c)) & ${(1L << CHUNK_BITS) - 1} AS chunk
+         |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, ${CHUNKS - 1})) AS c) c)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+         |  WHERE a.doc_id < b.doc_id)
+         |WHERE hamming <= 16""".stripMargin,
     "dedup_ngram" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-        |    THEN list_transform(generate_series(1, len(w) - 2),
-        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
-        |    ELSE [] END) AS sh
-        |  FROM (SELECT doc_id,
-        |               list_filter(string_split(text, ' '),
-        |                           x -> length(x) > 0) AS w
-        |        FROM documents)),
-        |pairs AS (
-        |  SELECT q.doc_id AS q_id, d.doc_id AS doc_id,
-        |         round(len(list_intersect(d.sh, q.sh))::DOUBLE /
-        |               len(list_distinct(list_concat(d.sh, q.sh))), 4) AS jac
-        |  FROM (SELECT * FROM sh WHERE len(sh) > 0) d
-        |  CROSS JOIN (SELECT * FROM sh WHERE doc_id < 10 AND len(sh) > 0) q
-        |  WHERE d.doc_id > q.doc_id)
-        |SELECT q_id, doc_id, jac FROM pairs WHERE jac >= 0.05""".stripMargin
+      s"""WITH w AS (SELECT doc_id, $wSql AS w FROM documents),
+         |sh AS (SELECT doc_id, $shSql AS sh FROM w),
+         |pairs AS (
+         |  SELECT q.doc_id AS q_id, d.doc_id AS doc_id,
+         |         round(len(list_intersect(d.sh, q.sh))::DOUBLE /
+         |               len(list_distinct(list_concat(d.sh, q.sh))), 4) AS jac
+         |  FROM (SELECT * FROM sh WHERE len(sh) > 0) d
+         |  CROSS JOIN (SELECT * FROM sh WHERE doc_id < 10 AND len(sh) > 0) q
+         |  WHERE d.doc_id > q.doc_id)
+         |SELECT q_id, doc_id, jac FROM pairs WHERE jac >= 0.05""".stripMargin
   )
 }
