@@ -4,21 +4,36 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // bench mode: sketch hashes switch md5 -> xxhash64 (same plan shape and
+    // cardinalities, ~5x less hash cost); oracle runs (Verify) keep md5 so
+    // DuckDB can reproduce every bit.
+    System.setProperty("graft.fastHash", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var failed = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop-sink write: every row is fully materialized through the whole
+      // plan (count() lets Catalyst prune unreferenced projections, benching
+      // narrow per-row queries as bare scans), but nothing is persisted.
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch {
+        case e: Throwable =>
+          failed += 1
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.printStackTrace()
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}""")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }
