@@ -22,11 +22,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KMeansOps.queries ++ RelationalOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ TextOps.queries ++ MultimodalOps.queries
+      SimilarityOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
+      graft.sources.TextIO.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     KMeansOps.oracles ++ RelationalOps.oracles ++ DedupOps.oracles ++
-      SimilarityOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles
+      SimilarityOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
+      graft.sources.TextIO.oracles
 }

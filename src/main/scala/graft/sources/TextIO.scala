@@ -1,0 +1,97 @@
+package graft.sources
+
+import graft.Tables
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Line-oriented text ingestion and single-file text sink — the reference's
+  * ONLY source and sink:
+  *  - scan: `TextIO.read().from(path)` (`/root/reference/BeamKmeansSideInput.java:70`)
+  *    and `spark.read().textFile(f)` (`/root/reference/SparKMeansGroupBy.java:66`),
+  *    lines of comma-separated decimal features parsed by `Point.StringToPoint`
+  *    (`/root/reference/SparKMeansGroupBy.java:80`).
+  *  - sink: `TextIO.write().withoutSharding().to(out)`
+  *    (`/root/reference/BeamKmeansSideInput.java:125`) — a single text shard.
+  *
+  * The fixture layout is parquet-only, so the text fixture is generated ONCE
+  * per scale factor from the embeddings table (under target/ — the read-only
+  * fixtures are never touched) and the oracle verifies the round-trip against
+  * the parquet source of truth: text formatting and parsing must be lossless
+  * (Java double rendering round-trips exactly; the oracle compares at the
+  * usual r4 tolerance).
+  *
+  * Scale note: `coalesce(1)` on the sink mirrors the reference's
+  * `withoutSharding()` single-file contract; at 100 TB a real export drops
+  * the coalesce and writes one shard per task — the query shape is otherwise
+  * identical, and the scan side is a plain distributed `FileSourceScanExec`
+  * over however many line files exist.
+  */
+object TextIO {
+
+  private def sfName(sfDir: String): String =
+    java.nio.file.Paths.get(sfDir).getFileName.toString
+
+  /** Text rendering of the embeddings table: "vec_id,f1,...,f64" per line. */
+  private def pointLines(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      concat_ws(",", col("vec_id").cast("string"),
+        transform(asDouble(col("embedding")), _.cast("string"))).as("value"))
+
+  /** Write the canonical points text fixture once per scale factor. */
+  def ensurePointsText(s: SparkSession, d: String): String = {
+    val dir = s"target/text-fixtures/${sfName(d)}/points"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS")))
+      pointLines(s, d).coalesce(1).write.mode("overwrite").text(dir)
+    dir
+  }
+
+  /** Parse text lines back to (vec_id, d0..d3) — `Point.StringToPoint` with
+    * the reference's empty-line guard folded in
+    * (`/root/reference/SparKMeansGroupBy.java:78-97`). `try_cast` (not
+    * `cast`): under Spark 4's default ANSI mode a malformed line would
+    * abort the whole scan; a line scanner must instead drop bad records
+    * like the reference's null-guard does. */
+  private def parseLines(s: SparkSession, dir: String): DataFrame = {
+    val parts = split(col("value"), ",")
+    def tryCast(c: org.apache.spark.sql.Column, t: String) =
+      c.try_cast(org.apache.spark.sql.types.DataType.fromDDL(t))
+    val cols = tryCast(element_at(parts, 1), "bigint").as("vec_id") +:
+      (0 until 4).map(i =>
+        r4(tryCast(element_at(parts, i + 2), "double")).as(s"d$i"))
+    s.read.textFile(dir).toDF("value")
+      .filter(length(col("value")) > 0)
+      .select(cols: _*)
+      .filter(col("vec_id").isNotNull)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_text" -> { (s, d) =>
+      parseLines(s, ensurePointsText(s, d))
+    },
+    "sink_text" -> { (s, d) =>
+      // full round-trip through the single-shard sink: write, read back,
+      // reduce to an aggregate fingerprint the oracle computes from parquet
+      val out = s"target/text-fixtures/${sfName(d)}/points_sink"
+      pointLines(s, d).coalesce(1).write.mode("overwrite").text(out)
+      parseLines(s, out)
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("d0")), 2).as("sum_d0"),
+          round(sum(col("d3")), 2).as("sum_d3"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_text" ->
+      """SELECT vec_id, round(embedding[1]::DOUBLE,4) AS d0,
+        |       round(embedding[2]::DOUBLE,4) AS d1,
+        |       round(embedding[3]::DOUBLE,4) AS d2,
+        |       round(embedding[4]::DOUBLE,4) AS d3
+        |FROM embeddings""".stripMargin,
+    "sink_text" ->
+      """SELECT count(*)::BIGINT AS n_lines,
+        |       round(sum(round(embedding[1]::DOUBLE,4)),2) AS sum_d0,
+        |       round(sum(round(embedding[4]::DOUBLE,4)),2) AS sum_d3
+        |FROM embeddings""".stripMargin
+  )
+}
