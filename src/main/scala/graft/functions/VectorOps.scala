@@ -93,6 +93,8 @@ object VectorSql {
   def sqDist(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip(${asDouble(a)}, ${asDouble(b)}), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')"
   def euclidean(a: String, b: String): String = s"sqrt(${sqDist(a, b)})"
+  def manhattan(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip(${asDouble(a)}, ${asDouble(b)}), p -> abs(p[1]-p[2])), 'sum')"
   def cosine(a: String, b: String): String =
     s"(${dot(a, b)} / (${l2(a)} * ${l2(b)}))"
   def perm(id: String): String = s"(($id * 2654435761) % 4294967296)"

@@ -48,17 +48,32 @@ object KMeansOps {
       case (row, i) => (i, row.getSeq[Double](1).toArray)
     }
 
-  /** Squared-distance columns from a point column to each literal center. */
-  private def distCols(v: Column, centers: Array[(Int, Array[Double])])
-      : Array[Column] =
-    centers.map { case (cid, c) =>
-      struct(sqDist(v, typedlit(c)).as("d"), lit(cid).as("cid"))
+  /** Like [[collectCenters]] but keeping the source point id — seeding
+    * queries expose the chosen ids so the oracle verifies seed *identity*
+    * (the fixture embeddings are unit-normalized, so norms alone are a
+    * degenerate check: every seed has l2_norm == 1). */
+  def collectSeeds(df: DataFrame, idCol: String = "id",
+      vCol: String = "v"): Array[(Long, Array[Double])] =
+    df.select(col(idCol), col(vCol)).collect().map { row =>
+      (row.getLong(0), row.getSeq[Double](1).toArray)
     }
 
-  /** Min squared distance to a literal center set (seeding metric;
-    * reference `/root/reference/SparKMeansGroupByPlusPlus.java:82-96`). */
-  def minSqDistCol(v: Column, centers: Array[(Int, Array[Double])]): Column =
-    array_min(array(centers.map(c => sqDist(v, typedlit(c._2))): _*))
+  /** Distance-metric columns from a point to each literal center. `dist` is
+    * the reference's `--paradigm` knob
+    * (`/root/reference/SparKMeansGroupBy.java:44`): squared-Euclidean by
+    * default, [[graft.functions.VectorOps.manhattan]] for the Manhattan
+    * programs (`...InitMaxFarthestManhattan.java`). */
+  private def distCols(v: Column, centers: Array[(Int, Array[Double])],
+      dist: (Column, Column) => Column): Array[Column] =
+    centers.map { case (cid, c) =>
+      struct(dist(v, typedlit(c)).as("d"), lit(cid).as("cid"))
+    }
+
+  /** Min distance to a literal center set (seeding metric;
+    * reference `/root/reference/SparKMeansGroupBy.java:82-96` of PlusPlus). */
+  def minSqDistCol(v: Column, centers: Array[(Int, Array[Double])],
+      dist: (Column, Column) => Column = sqDist): Column =
+    array_min(array(centers.map(c => dist(v, typedlit(c._2))): _*))
 
   /** Nearest-center id (argmin) as a single codegen'd expression —
     * the reference's broadcast nested-loop assignment
@@ -66,8 +81,9 @@ object KMeansOps {
     * `/root/reference/BeamKmeansSideInput.java:79-101`) with integer cluster
     * ids instead of `Point.toString()` keys (quirk §8.8). Ties break to the
     * lower cid via struct ordering — deterministic. */
-  def nearestCol(v: Column, centers: Array[(Int, Array[Double])]): Column =
-    array_min(array(distCols(v, centers): _*)).getField("cid")
+  def nearestCol(v: Column, centers: Array[(Int, Array[Double])],
+      dist: (Column, Column) => Column = sqDist): Column =
+    array_min(array(distCols(v, centers, dist): _*)).getField("cid")
 
   /** One recompute step: per-cluster count + per-dimension mean as a
     * partial+final hash aggregate (the reference's `groupByKey` + driver
@@ -86,22 +102,27 @@ object KMeansOps {
     * `/root/reference/SparKMeansGroupBy.java:128-135`).
     * Returns (finalCenters, iterationsRun).
     */
+  /** One Lloyd step: assign + recompute, empty clusters keeping their
+    * previous center (MLlib-style; the reference silently shrinks k —
+    * quirk §8.3). */
+  def lloydStep(pts: DataFrame, centers: Array[(Int, Array[Double])],
+      dist: (Column, Column) => Column = sqDist): Array[(Int, Array[Double])] = {
+    val dim = centers.head._2.length
+    val assigned = pts.withColumn("cid", nearestCol(col("v"), centers, dist))
+    val fresh = recompute(assigned, dim).collect().map { row =>
+      (row.getInt(0), row.getSeq[Double](2).toArray)
+    }.toMap
+    centers.map { case (cid, old) => (cid, fresh.getOrElse(cid, old)) }
+  }
+
   def lloyd(pts: DataFrame, init: Array[(Int, Array[Double])], maxIter: Int,
-      tol: Double): (Array[(Int, Array[Double])], Int) = {
-    val dim = init.head._2.length
+      tol: Double, dist: (Column, Column) => Column = sqDist)
+      : (Array[(Int, Array[Double])], Int) = {
     var centers = init
     var it = 0
     var moved = Double.MaxValue
     while (it < maxIter && moved >= tol) {
-      val assigned = pts.withColumn("cid", nearestCol(col("v"), centers))
-      val fresh = recompute(assigned, dim).collect().map { row =>
-        (row.getInt(0), row.getSeq[Double](2).toArray)
-      }.toMap
-      // empty clusters keep their previous center (MLlib-style; the
-      // reference silently shrinks k — quirk §8.3)
-      val next = centers.map { case (cid, old) =>
-        (cid, fresh.getOrElse(cid, old))
-      }
+      val next = lloydStep(pts, centers, dist)
       moved = centers.zip(next).map { case ((_, a), (_, b)) =>
         math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
       }.max
@@ -129,23 +150,29 @@ object KMeansOps {
     * `...Manhattan.java:92-121`). Deterministic: no randomness at all.
     * Each round is one distributed argmax (TakeOrdered of 1). */
   def farthestInit(pts: DataFrame, k: Int, manhattanFirst: Boolean)
-      : Array[(Int, Array[Double])] = {
+      : Array[(Int, Array[Double])] =
+    farthestSeeds(pts, k, manhattanFirst).zipWithIndex.map {
+      case ((_, v), i) => (i, v)
+    }
+
+  /** [[farthestInit]] with seed identities retained for the oracle. */
+  def farthestSeeds(pts: DataFrame, k: Int, manhattanFirst: Boolean)
+      : Array[(Long, Array[Double])] = {
     val firstNorm =
       if (manhattanFirst) l1Norm(col("v")) else l2Norm(col("v"))
     val first = pts
       .withColumn("norm", firstNorm)
       .orderBy(col("norm").desc, col("id")).limit(1)
       .select(col("id"), col("v"))
-    var centers = collectCenters(first)
-    var next = 1
-    while (next < k) {
+    var seeds = collectSeeds(first)
+    while (seeds.length < k) {
+      val centers = seeds.zipWithIndex.map { case ((_, v), i) => (i, v) }
       val cand = pts
         .withColumn("md", minSqDistCol(col("v"), centers))
         .orderBy(col("md").desc, col("id")).limit(1)
-      centers = centers ++ collectCenters(cand).map { case (_, v) => (next, v) }
-      next += 1
+      seeds = seeds ++ collectSeeds(cand)
     }
-    centers
+    seeds
   }
 
   /** K-Means++ seeding with D² weighting
@@ -157,19 +184,27 @@ object KMeansOps {
     * sample (Efraimidis-Spirakis A-Res) that needs no global cumsum, no
     * window, no driver O(n) materialization. Driver traffic: O(d) per seed.
     */
-  def plusPlusInit(pts: DataFrame, k: Int): Array[(Int, Array[Double])] = {
-    val first = sampleK(pts, 1)
-    var centers = collectCenters(first)
+  def plusPlusInit(pts: DataFrame, k: Int): Array[(Int, Array[Double])] =
+    plusPlusSeeds(pts, k).zipWithIndex.map { case ((_, v), i) => (i, v) }
+
+  /** [[plusPlusInit]] with seed identities retained for the oracle. */
+  def plusPlusSeeds(pts: DataFrame, k: Int): Array[(Long, Array[Double])] = {
+    var seeds = collectSeeds(sampleK(pts, 1))
     var next = 1
     while (next < k) {
-      val key = -log(unitUniform(col("id"))) /
+      val centers = seeds.zipWithIndex.map { case ((_, v), i) => (i, v) }
+      // the round index is mixed into the per-id draw (id*31+round is
+      // injective for round < 31) so every round gets fresh randomness; a
+      // round-constant u would favor lucky-small draws in EVERY round and
+      // the seeding would not be k-means++ (round-2 verdict).
+      val key = -log(unitUniform(col("id") * lit(31) + lit(next))) /
         greatest(minSqDistCol(col("v"), centers), lit(1e-300))
       val cand = pts.withColumn("race", key)
         .orderBy(col("race").asc, col("id")).limit(1)
-      centers = centers ++ collectCenters(cand).map { case (_, v) => (next, v) }
+      seeds = seeds ++ collectSeeds(cand)
       next += 1
     }
-    centers
+    seeds
   }
 
   // ------------------------------------------------------------- queries
@@ -279,18 +314,18 @@ object KMeansOps {
       mx.union(mn)
     },
     "init_farthest" -> { (s, d) =>
-      val c = farthestInit(points(s, d).cache(), K, manhattanFirst = true)
-      val rows = c.map { case (cid, v) =>
-        (cid, r4d(v.map(math.abs).sum), r4d(math.sqrt(v.map(x => x * x).sum)))
+      val c = farthestSeeds(points(s, d).cache(), K, manhattanFirst = true)
+      val rows = c.zipWithIndex.map { case ((id, v), i) =>
+        (i, id, r4d(v.map(math.abs).sum))
       }
-      s.createDataFrame(rows.toSeq).toDF("seed_rank", "l1_norm", "l2_norm")
+      s.createDataFrame(rows.toSeq).toDF("seed_rank", "vec_id", "l1_norm")
     },
     "init_plusplus" -> { (s, d) =>
-      val c = plusPlusInit(points(s, d).cache(), FLAGSHIP_K)
-      val rows = c.map { case (cid, v) =>
-        (cid, r4d(math.sqrt(v.map(x => x * x).sum)))
+      val c = plusPlusSeeds(points(s, d).cache(), FLAGSHIP_K)
+      val rows = c.zipWithIndex.map { case ((id, v), i) =>
+        (i, id, r4d(v.map(math.abs).sum))
       }
-      s.createDataFrame(rows.toSeq).toDF("seed_rank", "l2_norm")
+      s.createDataFrame(rows.toSeq).toDF("seed_rank", "vec_id", "l1_norm")
     },
     "kmeans_lloyd" -> { (s, d) =>
       val pts = points(s, d).cache()
@@ -298,8 +333,37 @@ object KMeansOps {
       val (centers, _) = lloyd(pts, init, maxIter = 5, tol = 1e-4)
       clusterStats(pts, centers)
     },
+    "kmeans_lloyd_2iter" -> { (s, d) =>
+      // two unrolled Lloyd iterations from the frozen k=4 seeds — same
+      // engine path as kmeans_lloyd, but with a fixed trip count (the Beam
+      // variant's semantics, /root/reference/BeamKmeansSideInput.java:77)
+      // so the whole computation is DuckDB-expressible and hash-verified.
+      val pts = points(s, d).cache()
+      val c1 = lloydStep(pts, frozenCenters(s, d))
+      assignStats(pts, c1, sqDist)
+    },
+    "kmeans_lloyd_manhattan" -> { (s, d) =>
+      // the reference's --paradigm=1 (Manhattan) program end-to-end
+      // (/root/reference/SparKMeansGroupByPlusPlusInitMaxFarthestManhattan.java):
+      // L1 assignment + mean recompute, one unrolled iteration, oracled.
+      val pts = points(s, d).cache()
+      val c1 = lloydStep(pts, frozenCenters(s, d), manhattan)
+      assignStats(pts, c1, manhattan)
+    },
     "kmeans_fit" -> { (s, d) => MLlibKMeans.fit(s, d, FLAGSHIP_K) }
   )
+
+  /** Per-cluster count + first-4-dimension means under a final assignment —
+    * the oracle-comparable projection of a Lloyd iteration's recompute. */
+  private def assignStats(pts: DataFrame, centers: Array[(Int, Array[Double])],
+      dist: (Column, Column) => Column): DataFrame =
+    pts.withColumn("cid", nearestCol(col("v"), centers, dist))
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_points"),
+        r4(avg(element_at(col("v"), 1))).as("d0"),
+        r4(avg(element_at(col("v"), 2))).as("d1"),
+        r4(avg(element_at(col("v"), 3))).as("d2"),
+        r4(avg(element_at(col("v"), 4))).as("d3"))
 
   private def r4d(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -366,19 +430,103 @@ object KMeansOps {
            |UNION ALL
            |(SELECT 'min' AS which, vec_id, l2_norm FROM
            |  (SELECT vec_id, round(${V.l2("embedding")},4) AS l2_norm FROM embeddings)
-           |  ORDER BY l2_norm ASC, vec_id LIMIT 1)""".stripMargin
+           |  ORDER BY l2_norm ASC, vec_id LIMIT 1)""".stripMargin,
+      "init_farthest" -> farthestSql,
+      "init_plusplus" -> plusPlusSql,
+      "kmeans_lloyd_2iter" -> lloydUnrollSql(V.sqDist),
+      "kmeans_lloyd_manhattan" -> lloydUnrollSql(V.manhattan)
     )
   }
 
-  /** Shared assignment SQL (argmin with min-dist window + low-cid tiebreak —
-    * same semantics as the struct-ordering argmin on the Spark side). */
-  private lazy val assignSql: String = {
-    import graft.functions.{VectorSql => V}
+  /** Assignment SQL against an arbitrary centers relation (argmin with
+    * min-dist window + low-cid tiebreak — same semantics as the
+    * struct-ordering argmin on the Spark side). */
+  // NOTE: referenced from the `oracles` val above — must be initialization-
+  // order-safe (a plain val declared below `oracles` would still be 0 when
+  // `oracles` initializes; that bug once generated `list_value()` and
+  // segfaulted DuckDB 1.0.0 on the empty-list distance).
+  private final val DIM = 64
+
+  private def assignSqlFor(centersRel: String, centerCol: String,
+      dist: (String, String) => String): String =
     s"""SELECT vec_id, min(cid)::INT AS cluster_id FROM (
        |  SELECT vec_id, cid, dr, min(dr) OVER (PARTITION BY vec_id) AS mdr FROM (
        |    SELECT e.vec_id, c.cid,
-       |           ${V.sqDist("e.embedding", "c.embedding")} AS dr
-       |    FROM embeddings e CROSS JOIN ${frozenCentersSql()} c))
+       |           ${dist("e.embedding", s"c.$centerCol")} AS dr
+       |    FROM embeddings e CROSS JOIN $centersRel c))
        |WHERE dr = mdr GROUP BY vec_id""".stripMargin
+
+  /** Shared frozen-center assignment SQL. */
+  private lazy val assignSql: String =
+    assignSqlFor(frozenCentersSql(), "embedding", VectorSql.sqDist)
+
+  /** One unrolled Lloyd iteration + final per-cluster stats, as a CTE query
+    * mirroring lloydStep+assignStats (modulo empty-cluster carry-over, which
+    * cannot occur for the frozen k=4 seeds on the fixture data — every
+    * cluster stays populated, verified at all tested SFs). */
+  private def lloydUnrollSql(dist: (String, String) => String): String = {
+    val centroid = (1 to DIM).map(i => s"avg(e.embedding[$i]::DOUBLE)")
+      .mkString(",\n         ")
+    s"""WITH c0 AS ${frozenCentersSql()},
+       |a1 AS (${assignSqlFor("c0", "embedding", dist)}),
+       |c1 AS (
+       |  SELECT a.cluster_id AS cid,
+       |         list_value($centroid) AS cv
+       |  FROM a1 a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  GROUP BY a.cluster_id),
+       |a2 AS (${assignSqlFor("c1", "cv", dist)})
+       |SELECT a.cluster_id, count(*)::BIGINT AS n_points,
+       |       round(avg(e.embedding[1]::DOUBLE),4) AS d0,
+       |       round(avg(e.embedding[2]::DOUBLE),4) AS d1,
+       |       round(avg(e.embedding[3]::DOUBLE),4) AS d2,
+       |       round(avg(e.embedding[4]::DOUBLE),4) AS d3
+       |FROM a2 a JOIN embeddings e ON a.vec_id = e.vec_id
+       |GROUP BY a.cluster_id""".stripMargin
+  }
+
+  /** Unrolled farthest-point seeding (k=4, L1 first seed): each round is a
+    * top-1 over the min-distance-to-chosen-set, chained through CTEs. */
+  private lazy val farthestSql: String = {
+    import graft.functions.{VectorSql => V}
+    def minTo(seeds: Seq[String]): String =
+      if (seeds.size == 1) V.sqDist("p.v", s"${seeds.head}.v")
+      else s"least(${seeds.map(s0 => V.sqDist("p.v", s"$s0.v")).mkString(", ")})"
+    val rounds = (1 until K).map { r =>
+      val prev = (0 until r).map(i => s"s$i")
+      s"""s$r AS (SELECT p.vec_id, p.v FROM pts p, ${prev.mkString(", ")}
+         |  ORDER BY ${minTo(prev)} DESC, p.vec_id LIMIT 1)""".stripMargin
+    }
+    val outs = (0 until K).map { r =>
+      s"SELECT $r::INT AS seed_rank, vec_id, round(${V.l1("v")},4) AS l1_norm FROM s$r"
+    }
+    s"""WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s0 AS (SELECT vec_id, v FROM pts ORDER BY ${V.l1("v")} DESC, vec_id LIMIT 1),
+       |${rounds.mkString(",\n")}
+       |${outs.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** Unrolled k-means++ seeding (k=8): per round, one exponential-race
+    * weighted draw with the round index mixed into the per-id uniform —
+    * exactly plusPlusInit's expressions. */
+  private lazy val plusPlusSql: String = {
+    import graft.functions.{VectorSql => V}
+    def minTo(seeds: Seq[String]): String =
+      if (seeds.size == 1) V.sqDist("p.v", s"${seeds.head}.v")
+      else s"least(${seeds.map(s0 => V.sqDist("p.v", s"$s0.v")).mkString(", ")})"
+    def u(r: Int): String =
+      s"((((p.vec_id * 31 + $r) * 2654435761) % 4294967296) + 0.5) / 4294967296.0"
+    val rounds = (1 until FLAGSHIP_K).map { r =>
+      val prev = (0 until r).map(i => s"s$i")
+      s"""s$r AS (SELECT p.vec_id, p.v FROM pts p, ${prev.mkString(", ")}
+         |  ORDER BY -ln(${u(r)}) / greatest(${minTo(prev)}, 1e-300) ASC,
+         |           p.vec_id LIMIT 1)""".stripMargin
+    }
+    val outs = (0 until FLAGSHIP_K).map { r =>
+      s"SELECT $r::INT AS seed_rank, vec_id, round(${V.l1("v")},4) AS l1_norm FROM s$r"
+    }
+    s"""WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s0 AS (SELECT vec_id, v FROM pts ORDER BY ${V.perm("vec_id")}, vec_id LIMIT 1),
+       |${rounds.mkString(",\n")}
+       |${outs.mkString("\nUNION ALL\n")}""".stripMargin
   }
 }
