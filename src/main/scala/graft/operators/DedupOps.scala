@@ -91,8 +91,20 @@ object DedupOps {
   private val ROWS_PER_BAND = MINHASH_PERMS / BANDS
   private val M = 2147483647L // Mersenne prime 2^31-1
 
-  private def permA(j: Int): Long = 2L * j + 1
-  private def permB(j: Int): Long = j * 2654435761L
+  /** splitmix64 finalizer — full-avalanche mixing for the permutation
+    * constants (the round-2 "2j+1" multipliers were small correlated odd
+    * numbers, weakening LSH independence). Pure integer function, so the
+    * Spark expressions and the generated oracle SQL stay in lockstep. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D4ECB967945235L
+    z ^ (z >>> 31)
+  }
+
+  // affine rehash mod prime M is a bijection for any a in [1, M)
+  private def permA(j: Int): Long = Math.floorMod(mix64(2L * j + 1), M - 1) + 1
+  private def permB(j: Int): Long = Math.floorMod(mix64(2L * j + 2), M)
 
   /** (doc_id, m0..m31) MinHash signatures. Explode shingles once, reduce the
     * 60-bit hash to 31 bits, then 32 affine-rehash `min` aggregates — a
@@ -127,6 +139,9 @@ object DedupOps {
   private val SIMHASH_BITS = 60 // h60 provides 60 usable bits
   private val CHUNKS = 4 // 4 × 15-bit chunks for the pairs candidate join
   private val CHUNK_BITS = SIMHASH_BITS / CHUNKS
+  // pigeonhole over 4 chunks GUARANTEES recall only to hamming <= 3
+  private val HAMMING_MAX = 3
+  private val CHUNK_CAP = 1000 // max docs per (chunk_id, chunk) cell
 
   /** 60-bit SimHash per doc. Explode words → per-bit popcount as 60
     * partial-aggregable sums (literal shift per aggregate column) → sign →
@@ -180,22 +195,34 @@ object DedupOps {
       simhashFingerprints(Tables.documents(s, d))
     },
     "dedup_simhash_pairs" -> { (s, d) =>
-      // near-dup candidates: any of four 15-bit chunks equal → hamming check
+      // near-dup candidates via the 4×15-bit chunk pigeonhole: a pair within
+      // hamming distance ≤ 3 differs in at most 3 chunks, so at least one
+      // chunk matches exactly — candidate generation is COMPLETE for the
+      // ≤ 3 threshold (the round-2 claim of ≤ 16 was only heuristic; 17
+      // chunks of <4 bits would be needed to *guarantee* 16, with useless
+      // 8-value buckets). A per-(chunk_id, chunk) population cap bounds the
+      // within-bucket self-join under skew (near-constant docs collapsing
+      // to one fingerprint), trading recall only on those degenerate cells.
       val fp = simhashFingerprints(Tables.documents(s, d)).cache()
       val chunks = fp.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until CHUNKS).map(c =>
           shiftright(col("simhash"), CHUNK_BITS * c)
             .bitwiseAND(lit((1L << CHUNK_BITS) - 1))): _*))
           .as(Seq("chunk_id", "chunk")))
-      val a = chunks.select(col("doc_id").as("doc_a"),
+      val keep = chunks.groupBy(col("chunk_id"), col("chunk"))
+        .agg(count(lit(1)).as("bcnt"))
+        .where(col("bcnt") <= CHUNK_CAP)
+        .select(col("chunk_id"), col("chunk"))
+      val capped = chunks.join(broadcast(keep), Seq("chunk_id", "chunk"))
+      val a = capped.select(col("doc_id").as("doc_a"),
         col("simhash").as("sim_a"), col("chunk_id"), col("chunk"))
-      val b = chunks.select(col("doc_id").as("doc_b"),
+      val b = capped.select(col("doc_id").as("doc_b"),
         col("simhash").as("sim_b"), col("chunk_id"), col("chunk"))
       a.join(b, Seq("chunk_id", "chunk")).where(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
         .distinct()
-        .where(col("hamming") <= 16)
+        .where(col("hamming") <= HAMMING_MAX)
         .orderBy(col("doc_a"), col("doc_b"))
     },
     "dedup_ngram" -> { (s, d) =>
@@ -203,16 +230,20 @@ object DedupOps {
       // Inverted-index join: |A∩B| = match count of the exploded shingle
       // equi-join (the 10-doc side broadcasts), |A∪B| = na+nb−inter. Never
       // computes per-pair array_intersect — the 100 TB shape is
-      // explode → broadcast-hash-join → pair aggregate. Shingle sizes come
-      // from re-aggregating the exploded rows (shingles are distinct per
-      // doc), so the shingle expression evaluates exactly once per doc.
-      val ex = spread(Tables.documents(s, d))
-        .select(col("doc_id"),
-          explode(shinglesCol(wordsCol(col("text")))).as("s"))
-        .cache()
-      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val qex = ex.where(col("doc_id") < 10)
-        .select(col("doc_id").as("q_id"), col("s"))
+      // explode → broadcast-hash-join → pair aggregate. NO caching of the
+      // exploded relation (30-70× input rows; round-2 cached it and leaked
+      // the storage): per-doc shingle COUNTS come from a narrow
+      // `size(shingles)` projection that never explodes, and the query side
+      // explodes only the 10 filter-pushed query docs.
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+        shinglesCol(wordsCol(col("text"))).as("sh"))
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+        .where(col("nsh") > 0)
+      val qex = sh.where(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), explode(col("sh")).as("s"))
+      val ex = spread(docs).select(col("doc_id"),
+        explode(shinglesCol(wordsCol(col("text")))).as("s"))
       val inter = ex.join(broadcast(qex), "s")
         .where(col("doc_id") > col("q_id"))
         .groupBy(col("q_id"), col("doc_id"))
@@ -290,14 +321,20 @@ object DedupOps {
          |chunks AS (
          |  SELECT doc_id, simhash, c.c AS chunk_id,
          |         (simhash >> (${CHUNK_BITS} * c.c)) & ${(1L << CHUNK_BITS) - 1} AS chunk
-         |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, ${CHUNKS - 1})) AS c) c)
+         |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, ${CHUNKS - 1})) AS c) c),
+         |keep AS (
+         |  SELECT chunk_id, chunk FROM chunks
+         |  GROUP BY chunk_id, chunk HAVING count(*) <= $CHUNK_CAP),
+         |capped AS (
+         |  SELECT c.* FROM chunks c JOIN keep k
+         |    ON c.chunk_id = k.chunk_id AND c.chunk = k.chunk)
          |SELECT doc_a, doc_b, hamming FROM (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-         |  FROM chunks a JOIN chunks b
+         |  FROM capped a JOIN capped b
          |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
          |  WHERE a.doc_id < b.doc_id)
-         |WHERE hamming <= 16""".stripMargin,
+         |WHERE hamming <= $HAMMING_MAX""".stripMargin,
     "dedup_ngram" ->
       s"""WITH w AS (SELECT doc_id, $wSql AS w FROM documents),
          |sh AS (SELECT doc_id, $shSql AS sh FROM w),

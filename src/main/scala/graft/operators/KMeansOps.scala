@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.VectorOps._
 import graft.functions.VectorSql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** K-Means pipeline operators — the reference's entire query surface
@@ -211,6 +212,7 @@ object KMeansOps {
 
   private val K = 4          // matches the fixtures' 4 generating centers
   private val FLAGSHIP_K = 8
+  private val MEMBER_CAP = 100 // bounded member sample in format_clusters
 
   /** Frozen deterministic center set shared by the oracle-checked
     * assignment queries: first K points of the id permutation — the same
@@ -279,12 +281,23 @@ object KMeansOps {
           r4(avg(element_at(col("v"), 4))).as("d3"))
     },
     "format_clusters" -> { (s, d) =>
+      // "<center>:<p1>;<p2>;…" rendering (reference FormatAsTextFn,
+      // /root/reference/BeamKmeansSideInput.java:22-32) — but with the
+      // member list CAPPED at MEMBER_CAP: an uncapped collect_list
+      // materializes every member of a cluster in one aggregation buffer
+      // (OOM at scale; a cluster can hold billions of rows). The window
+      // rank is sort-based (spills), and collect_list then buffers at most
+      // MEMBER_CAP ids per cluster; total size stays exact via count.
       val c = frozenCenters(s, d)
+      val w = Window.partitionBy(col("cid")).orderBy(col("id"))
       points(s, d).withColumn("cid", nearestCol(col("v"), c))
+        .withColumn("rn", row_number().over(w))
         .groupBy(col("cid").as("cluster_id"))
-        .agg(concat(col("cid").cast("string"), lit(":"),
-          array_join(sort_array(collect_list(col("id"))), ";")).as("members"))
-        .select(col("cluster_id"), col("members"))
+        .agg(count(lit(1)).as("n_members"),
+          concat(col("cid").cast("string"), lit(":"),
+            array_join(sort_array(collect_list(
+              when(col("rn") <= MEMBER_CAP, col("id")))), ";")).as("members"))
+        .select(col("cluster_id"), col("n_members"), col("members"))
     },
     "explode_centers" -> { (s, d) =>
       val centers = sampleK(points(s, d), K)
@@ -408,9 +421,14 @@ object KMeansOps {
            |FROM ($assignSql) a JOIN embeddings e ON a.vec_id = e.vec_id
            |GROUP BY a.cluster_id""".stripMargin,
       "format_clusters" ->
-        s"""SELECT cluster_id,
-           |       cluster_id::VARCHAR || ':' || string_agg(vec_id::VARCHAR, ';' ORDER BY vec_id) AS members
-           |FROM ($assignSql) GROUP BY cluster_id""".stripMargin,
+        s"""SELECT cluster_id, count(*)::BIGINT AS n_members,
+           |       cluster_id::VARCHAR || ':' || string_agg(
+           |         CASE WHEN rn <= $MEMBER_CAP THEN vec_id::VARCHAR END,
+           |         ';' ORDER BY vec_id) AS members
+           |FROM (SELECT cluster_id, vec_id,
+           |        row_number() OVER (PARTITION BY cluster_id ORDER BY vec_id) AS rn
+           |      FROM ($assignSql))
+           |GROUP BY cluster_id""".stripMargin,
       "explode_centers" ->
         s"""SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::INT AS pos,
            |       round(unnest(embedding)::DOUBLE, 4) AS value

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.Tables
 import graft.functions.VectorOps._
 import graft.functions.VectorSql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -13,35 +12,84 @@ import org.apache.spark.sql.functions._
   * (`/root/reference/SparKMeansGroupBy.java:77-98`) — generalized from
   * "1 nearest of k centers" to "top-k nearest of n vectors for q queries".
   *
-  * Two paths:
-  *  - `similarity_topk`: brute-force cosine baseline. Queries are a small
-  *    broadcast relation; sims are codegen'd HOF expressions; per-query
-  *    top-k via window over the query id. Exact; oracle-checked.
-  *  - `sim_topk_lsh`: scale path. Random-hyperplane LSH buckets (deterministic
-  *    literal planes) shrink the candidate set to matching buckets before
-  *    scoring — the candidate join is an equi-join on bucket id, so at 100 TB
-  *    the crossJoin never happens.
+  * Scale design:
+  *  - `similarity_topk` (exact baseline): scoring is a broadcast cross join
+  *    (n×q rows, embarrassingly parallel); the top-k reduction is SALTED
+  *    two-phase — rank within (q_id, vec_id%SALT) first, then rank the
+  *    SALT×k survivors per query. No stage's task count collapses to the
+  *    number of queries (a 10-query window over all n×q scored rows would
+  *    funnel everything into ≤10 reducer tasks at any scale).
+  *  - `sim_topk_lsh` / `dedup_embedding` (approximate scale path):
+  *    MULTI-TABLE random-hyperplane LSH — T independent tables of P planes
+  *    each. P bounds bucket population (2^P buckets per table; the round-2
+  *    single-table 8-plane variant had 256 buckets total → quadratic
+  *    within-bucket joins at scale), T recovers recall (a near-dup pair
+  *    colliding in ANY table becomes a candidate: for cos≥0.99 pairs,
+  *    P=12/T=4 gives ~97% recall; unrelated pairs collide at ~2^-12 per
+  *    table). A per-(table,bucket) population cap bounds the worst-case
+  *    self-join even under adversarial skew (e.g. a degenerate all-zeros
+  *    embedding cluster).
   */
 object SimilarityOps {
 
   private val NQ = 10 // fixed query set: vec_id < 10
   private val TOPK = 5
-  private val NPLANES = 8
+  private val SALT = 16 // first-phase top-k fan-out per query
+  private val TABLES = 4
+  private val PLANES_DEDUP = 12 // 4096 buckets/table: near-dup detection
+  private val PLANES_TOPK = 10 // 1024 buckets/table: broader-recall search
+  private val BUCKET_CAP = 1000 // max docs per (table, bucket) in self-joins
 
   /** Deterministic pseudo-random hyperplanes (integer-arithmetic formula —
-    * reproducible anywhere, no RNG state). */
-  def planes(dim: Int): Array[Array[Double]] =
-    Array.tabulate(NPLANES) { b =>
+    * reproducible anywhere, no RNG state), distinct per (table, plane). */
+  def planes(dim: Int, nPlanes: Int, table: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { b =>
       Array.tabulate(dim) { dd =>
-        ((2654435761L * (b * dim + dd + 1)) % 1000003L).toDouble / 1000003.0 - 0.5
+        ((2654435761L * ((table * 97 + b) * dim + dd + 1)) % 1000003L)
+          .toDouble / 1000003.0 - 0.5
       }
     }
 
-  /** Sign-bit bucket id of a vector column against the literal planes. */
-  def bucketCol(v: Column, dim: Int): Column =
-    planes(dim).zipWithIndex.map { case (p, b) =>
+  /** Sign-bit bucket id of a vector column for one LSH table. */
+  def bucketCol(v: Column, dim: Int, nPlanes: Int, table: Int): Column =
+    planes(dim, nPlanes, table).zipWithIndex.map { case (p, b) =>
       when(dot(v, typedlit(p)) >= 0, shiftleft(lit(1), b)).otherwise(0)
     }.reduce(_ + _)
+
+  /** (id, v, t, b): each vector exploded to its bucket in each of the T
+    * tables — the candidate-join key is the (table, bucket) pair. */
+  private def bucketedAllTables(pts: DataFrame, dim: Int,
+      nPlanes: Int): DataFrame = {
+    val tb = array((0 until TABLES).map(t =>
+      struct(lit(t).as("t"), bucketCol(col("v"), dim, nPlanes, t).as("b"))): _*)
+    pts.select(col("id"), col("v"), explode(tb).as("tb"))
+      .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.b").as("b"))
+  }
+
+  /** Drop rows in over-populated (table, bucket) cells before a self-join;
+    * the count relation is tiny (≤ T·2^P rows) and broadcasts. */
+  private def capBuckets(bucketed: DataFrame): DataFrame = {
+    val counts = bucketed.groupBy(col("t"), col("b"))
+      .agg(count(lit(1)).as("bcnt"))
+    bucketed.join(broadcast(counts.where(col("bcnt") <= BUCKET_CAP)
+      .select(col("t"), col("b"))), Seq("t", "b"))
+  }
+
+  /** Salted two-phase per-query top-k: phase 1 ranks within
+    * (q_id, vec_id % SALT) — SALT·|queries| independent partitions — and
+    * keeps k per salt; phase 2 ranks the ≤ SALT·k survivors per query.
+    * Identical result to a single global window, but no reducer funnel. */
+  private def topKPerQuery(scored: DataFrame): DataFrame = {
+    val w1 = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(SALT)))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk1", row_number().over(w1))
+      .where(col("rnk1") <= TOPK)
+      .withColumn("rnk", row_number().over(w2))
+      .where(col("rnk") <= TOPK)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("sim"))
+  }
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     KMeansOps.points(s, d).where(col("id") < NQ)
@@ -54,40 +102,35 @@ object SimilarityOps {
         .where(col("id") =!= col("q_id"))
         .select(col("q_id"), col("id").as("vec_id"),
           r4(cosine(col("v"), col("qv"))).as("sim"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      sims.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= TOPK)
-        .select(col("q_id"), col("vec_id"), col("rnk"), col("sim"))
+      topKPerQuery(sims)
     },
     "sim_topk_lsh" -> { (s, d) =>
-      val docs = KMeansOps.points(s, d)
       val dim = 64
-      val bucketed = docs
-        .select(col("id"), col("v"), bucketCol(col("v"), dim).as("bucket"))
+      val bucketed = bucketedAllTables(KMeansOps.points(s, d), dim, PLANES_TOPK)
       val q = bucketed.where(col("id") < NQ)
         .select(col("id").as("q_id"), col("v").as("qv"),
-          col("bucket").as("q_bucket"))
-      val cands = bucketed.join(broadcast(q),
-          col("bucket") === col("q_bucket") && col("id") =!= col("q_id"))
-        .select(col("q_id"), col("id").as("vec_id"),
+          col("t"), col("b"))
+      val cands = capBuckets(bucketed).join(broadcast(q),
+          Seq("t", "b")).where(col("id") =!= col("q_id"))
+        .select(col("q_id"), col("id").as("vec_id"), col("v"), col("qv"))
+        .distinct() // a pair colliding in several tables scores once
+        .select(col("q_id"), col("vec_id"),
           r4(cosine(col("v"), col("qv"))).as("sim"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      cands.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= TOPK)
-        .select(col("q_id"), col("vec_id"), col("rnk"), col("sim"))
+      topKPerQuery(cands)
     },
     "dedup_embedding" -> { (s, d) =>
-      // embedding-cosine near-dup: LSH bucket → within-bucket pairs → verify
+      // embedding-cosine near-dup: multi-table LSH bucket -> capped
+      // within-bucket pairs -> cosine verify
       val dim = 64
-      val bucketed = KMeansOps.points(s, d)
-        .select(col("id"), col("v"), bucketCol(col("v"), dim).as("bucket"))
+      val bucketed = capBuckets(
+        bucketedAllTables(KMeansOps.points(s, d), dim, PLANES_DEDUP))
       val a = bucketed.select(col("id").as("id_a"), col("v").as("va"),
-        col("bucket"))
+        col("t"), col("b"))
       val b = bucketed.select(col("id").as("id_b"), col("v").as("vb"),
-        col("bucket"))
-      a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+        col("t"), col("b"))
+      a.join(b, Seq("t", "b")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+        .distinct()
         .select(col("id_a"), col("id_b"),
           r4(cosine(col("va"), col("vb"))).as("sim"))
         .where(col("sim") >= 0.3)
