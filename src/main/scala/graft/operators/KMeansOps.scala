@@ -280,6 +280,21 @@ object KMeansOps {
           r4(avg(element_at(col("v"), 3))).as("d2"),
           r4(avg(element_at(col("v"), 4))).as("d3"))
     },
+    "recompute_centers_agg" -> { (s, d) =>
+      // same result as recompute_centers, computed through the typed
+      // Aggregator (UDAF surface) instead of per-dimension avg columns —
+      // shares the recompute_centers oracle.
+      val c = frozenCenters(s, d)
+      val centroid = udaf(graft.functions.CentroidAgg)
+      points(s, d).withColumn("cid", nearestCol(col("v"), c))
+        .groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n_points"), centroid(col("v")).as("ctr"))
+        .select(col("cluster_id"), col("n_points"),
+          r4(element_at(col("ctr"), 1)).as("d0"),
+          r4(element_at(col("ctr"), 2)).as("d1"),
+          r4(element_at(col("ctr"), 3)).as("d2"),
+          r4(element_at(col("ctr"), 4)).as("d3"))
+    },
     "format_clusters" -> { (s, d) =>
       // "<center>:<p1>;<p2>;…" rendering (reference FormatAsTextFn,
       // /root/reference/BeamKmeansSideInput.java:22-32) — but with the
@@ -413,6 +428,14 @@ object KMeansOps {
            |  GROUP BY e.vec_id)""".stripMargin,
       "assign_nearest" -> assignSql,
       "recompute_centers" ->
+        s"""SELECT a.cluster_id, count(*)::BIGINT AS n_points,
+           |       round(avg(e.embedding[1]::DOUBLE),4) AS d0,
+           |       round(avg(e.embedding[2]::DOUBLE),4) AS d1,
+           |       round(avg(e.embedding[3]::DOUBLE),4) AS d2,
+           |       round(avg(e.embedding[4]::DOUBLE),4) AS d3
+           |FROM ($assignSql) a JOIN embeddings e ON a.vec_id = e.vec_id
+           |GROUP BY a.cluster_id""".stripMargin,
+      "recompute_centers_agg" ->
         s"""SELECT a.cluster_id, count(*)::BIGINT AS n_points,
            |       round(avg(e.embedding[1]::DOUBLE),4) AS d0,
            |       round(avg(e.embedding[2]::DOUBLE),4) AS d1,

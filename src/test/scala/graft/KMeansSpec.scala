@@ -69,6 +69,16 @@ class KMeansSpec extends SparkSpec {
     assert(got(1) === ((1, 1L, Seq(1.0, 1.0))))
   }
 
+  test("centroid Aggregator matches the per-dimension avg expansion") {
+    val df = Seq((0, Seq(0.0, 4.0)), (0, Seq(2.0, 0.0)), (1, Seq(1.0, 1.0)))
+      .toDF("cid", "v").repartition(3) // force cross-partition merge
+    val centroid = udaf(graft.functions.CentroidAgg)
+    val got = df.groupBy("cid").agg(centroid($"v").as("c")).orderBy("cid")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(got(0) === ((0, Seq(1.0, 2.0))))
+    assert(got(1) === ((1, Seq(1.0, 1.0))))
+  }
+
   test("assignment ties break to the lower cluster id") {
     val centers = Array((0, Array(0.0)), (1, Array(2.0)))
     val got = Seq(Tuple1(Seq(1.0))).toDF("v")
