@@ -21,6 +21,8 @@ def norm_rows(rows):
 def values_eq(a, b):
     if a is None or b is None:
         return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float) and a != a and b != b:
+        return True  # NaN == NaN for compare purposes (pandas NULL-floats)
     if isinstance(a, float) or isinstance(b, float):
         try:
             return abs(float(a) - float(b)) <= 1e-9

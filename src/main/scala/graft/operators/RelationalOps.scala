@@ -80,6 +80,33 @@ object RelationalOps {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_acctbal"))
     },
+    "join_asof" -> { (s, d) =>
+      // as-of join (Spark has no native operator): for every purchase, the
+      // most recent click by the same user at or before its timestamp.
+      // Composed from built-ins per the preference order — ONE pass over a
+      // (user_id)-partitioned window carrying the last-seen click timestamp
+      // (`last(_, ignoreNulls)`), instead of a range join whose equality-
+      // free condition would force a per-user cross product. Clicks order
+      // before other events at equal ts so "at or before" includes ties.
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("click_ts",
+          when(col("event_type") === "click", col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // comparisons stay in exact nanos; OUTPUT is microseconds — raw int64
+      // nanos (~1.7e18) exceed float64's 2^53 exact-integer range and the
+      // driver's pandas-based compare floats nullable int columns.
+      // no-prior-click → -1 sentinel rather than NULL: a nullable int64
+      // column floats to NaN in pandas and NaN != NaN in the compare.
+      ev.withColumn("last_click_ts", last(col("click_ts"), true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          coalesce(expr("last_click_ts div 1000"), lit(-1L)).as("last_click_us"))
+    },
 
     // --- aggregation (§2.4 / §2.6) -------------------------------------
     "agg_distinct" -> { (s, d) =>
@@ -103,6 +130,11 @@ object RelationalOps {
     },
     "rollup_agg" -> { (s, d) =>
       Tables.documents(s, d).rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+    "cube_agg" -> { (s, d) =>
+      // full grouping-sets lattice over (lang, source)
+      Tables.documents(s, d).cube(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     },
     "set_ops" -> { (s, d) =>
@@ -152,6 +184,22 @@ object RelationalOps {
         .agg(count(lit(1)).as("n"))
         .select(unix_timestamp(col("window.start")).as("win_start"),
           col("event_type"), col("n"))
+    },
+    "session_window_agg" -> { (s, d) =>
+      // gap-based sessionization with the NATIVE session_window operator
+      // (2h inactivity gap) — Spark-first: the built-in merges overlapping
+      // [t, t+gap) intervals with partial aggregation and is the same
+      // operator the streaming variant uses with watermarked state
+      // (StreamingOps.sessionCounts), so batch here is the oracle-verified
+      // form of the streaming path. No mapGroupsWithState needed.
+      val ev = Tables.events(s, d)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(col("user_id"), session_window(col("tstamp"), "2 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start"),
+          col("n_events"), col("sum_value"))
     }
   )
 
@@ -183,6 +231,12 @@ object RelationalOps {
     "join_anti" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+        |       coalesce((SELECT max(epoch_ns(c.ts)) // 1000 FROM events c
+        |                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |                   AND c.ts <= e.ts), -1) AS last_click_us
+        |FROM events e WHERE event_type = 'purchase'""".stripMargin,
     "agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
@@ -199,6 +253,10 @@ object RelationalOps {
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
         |       sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "cube_agg" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
     "set_ops" ->
       """(SELECT 'both' AS op, nationkey FROM
         |   (SELECT c_nationkey::INT AS nationkey FROM customer
@@ -234,6 +292,22 @@ object RelationalOps {
         |  UNION ALL
         |  SELECT ((epoch_ns(ts) // 3600000000000) - 1) * 3600 AS win_start,
         |         event_type FROM events)
-        |GROUP BY win_start, event_type""".stripMargin
+        |GROUP BY win_start, event_type""".stripMargin,
+    // session semantics: a new session starts when the gap since the
+    // previous event is >= 2h (session_window merges only strictly
+    // overlapping [t, t+gap) intervals, hence >=, not >)
+    "session_window_agg" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events),
+        |m AS (SELECT user_id, tus, value,
+        |        CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+        |                  >= 7200000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, tus, value,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(tus)::BIGINT AS sess_start,
+        |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin
   )
 }

@@ -54,6 +54,25 @@ object StreamingOps {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Streaming gap-based sessionization: the same native `session_window`
+    * aggregation as the batch `session_window_agg` query, with watermarked
+    * state — sessions close (and emit) once the watermark passes their end.
+    * Spark-first custom state: the built-in session-window operator replaces
+    * a hand-rolled flatMapGroupsWithState for this shape. */
+  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema)
+      .parquet(stageDir(sfDir, "events"))
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tstamp", "4 hours")
+      .groupBy(col("user_id"), session_window(col("tstamp"), "2 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Run a streaming query to completion against the (finite) fixture and
     * return the materialized result — used by tests to check
     * stream/batch equivalence. */

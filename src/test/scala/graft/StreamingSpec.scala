@@ -22,4 +22,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0L)
     assert(batch.exceptAll(streamed).count() === 0L)
   }
+
+  test("streaming session_window matches batch session_window_agg") {
+    val streamed = StreamingOps.runToMemorySink(
+      StreamingOps.sessionCounts(spark, sf), "stream_sess")
+      .select(col("user_id"), col("sess_start"), col("n_events"),
+        col("sum_value"))
+    val batch = SparkEntry.queries("session_window_agg")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
 }
