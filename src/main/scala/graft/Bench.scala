@@ -16,6 +16,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     var failed = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // isolate measurements: caches built inside one query (iterative
+      // k-means loops, LSH band self-joins) must not linger into the next
+      // query's timing or accumulate storage across the 58-query sequence
+      // (dedup_ngram measured 12 s mid-sequence vs 5 s isolated before this)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop-sink write: every row is fully materialized through the whole
       // plan (count() lets Catalyst prune unreferenced projections, benching
