@@ -28,17 +28,18 @@ object MultimodalOps {
   /** STUB decoder: a real implementation would decode the payload with an
     * image/audio codec; this deterministic fake derives "dimensions" and a
     * 4-dim feature vector from the bytes so the pipeline shape is testable
-    * end-to-end. */
+    * end-to-end — and every formula is plain integer/double arithmetic so
+    * the DuckDB oracle reproduces the whole output bit-for-bit (a wrapping
+    * 64-bit rolling hash here would be unverifiable in SQL, which is why
+    * the dimensions derive from (length, first byte, last byte) instead). */
   object StubCodec {
     def decode(r: MediaRecord): MediaFeatures = {
       val bytes = r.payload
       val n = bytes.length
-      var h = 1125899906842597L
       var s0, s1, s2, s3 = 0.0
       var i = 0
       while (i < n) {
         val b = bytes(i) & 0xff
-        h = h * 31 + b
         (i & 3) match {
           case 0 => s0 += b
           case 1 => s1 += b
@@ -47,8 +48,10 @@ object MultimodalOps {
         }
         i += 1
       }
-      val width = 64 + (math.abs(h) % 512).toInt
-      val height = 64 + (math.abs(h >> 16) % 512).toInt
+      val first = if (n > 0) bytes(0) & 0xff else 0
+      val last = if (n > 0) bytes(n - 1) & 0xff else 0
+      val width = 64 + (31 * n + first) % 512
+      val height = 64 + (17 * n + last) % 512
       def norm(s: Double) = if (n == 0) 0.0 else s / (64.0 * n)
       MediaFeatures(r.doc_id, r.media_type, n, width, height,
         norm(s0), norm(s1), norm(s2), norm(s3))
@@ -94,8 +97,26 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
-    // the byte-sum feature math is reproducible from the utf-8 text in SQL;
+    // the byte-sum feature math is reproducible from the utf-8 text in SQL
+    // (the fixture docs are ASCII, so char positions == byte positions);
     // media_type cycles doc_id % 3 → image/audio/video
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |       ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+        |       length(text)::INT AS n_bytes,
+        |       (64 + (31 * length(text) + CASE WHEN length(text) > 0
+        |          THEN ascii(text[1]) ELSE 0 END) % 512)::INT AS width,
+        |       (64 + (17 * length(text) + CASE WHEN length(text) > 0
+        |          THEN ascii(text[length(text)]) ELSE 0 END) % 512)::INT AS height,
+        |       round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |         list_aggregate(list_transform(generate_series(1, length(text)),
+        |           i -> CASE WHEN (i - 1) % 4 = 0 THEN ascii(text[i]) ELSE 0 END),
+        |           'sum')::DOUBLE / (64.0 * length(text)) END, 4) AS f0,
+        |       round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |         list_aggregate(list_transform(generate_series(1, length(text)),
+        |           i -> CASE WHEN (i - 1) % 4 = 1 THEN ascii(text[i]) ELSE 0 END),
+        |           'sum')::DOUBLE / (64.0 * length(text)) END, 4) AS f1
+        |FROM documents""".stripMargin,
     "multimodal_stats" ->
       """SELECT media_type, count(*)::BIGINT AS n,
         |       sum(length(text))::BIGINT AS total_bytes,
