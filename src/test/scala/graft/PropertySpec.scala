@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.VectorOps._
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Property-style invariants over generated inputs (SURVEY.md §5.3).
+  * Plain ScalaTest with a deterministic case generator — the offline cache
+  * has no scalatest↔scalacheck bridge, and reproducibility beats shrinking
+  * here: every case is a pure function of its index.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 200
+  private val DIMS = 5
+
+  /** Deterministic pseudo-random vector for case i, stream s. */
+  private def vec(i: Int, s: Int): Seq[Double] =
+    Seq.tabulate(DIMS) { j =>
+      val h = (i * 2654435761L + s * 40503L + j * 69069L) % 2000003L
+      h.toDouble / 1000003.0 - 1.0
+    }
+
+  private lazy val triples = (0 until N)
+    .map(i => (vec(i, 1), vec(i, 2), vec(i, 3)))
+    .toDF("a", "b", "c").cache()
+
+  for (p <- Seq(1.0, 2.0, 3.0)) {
+    test(s"minkowski p=$p: symmetry, identity, triangle inequality") {
+      val bad = triples.select(
+        minkowski(col("a"), col("b"), p).as("dab"),
+        minkowski(col("b"), col("a"), p).as("dba"),
+        minkowski(col("a"), col("a"), p).as("daa"),
+        minkowski(col("a"), col("c"), p).as("dac"),
+        minkowski(col("b"), col("c"), p).as("dbc"))
+        .where(abs(col("dab") - col("dba")) > 1e-12 ||
+          col("daa") > 1e-12 ||
+          col("dac") > col("dab") + col("dbc") + 1e-9 ||
+          col("dab") < 0)
+      assert(bad.count() === 0L)
+    }
+  }
+
+  test("manhattan/euclidean agree with minkowski p=1/p=2") {
+    val bad = triples.select(
+      abs(manhattan(col("a"), col("b")) - minkowski(col("a"), col("b"), 1.0))
+        .as("e1"),
+      abs(euclidean(col("a"), col("b")) - minkowski(col("a"), col("b"), 2.0))
+        .as("e2"))
+      .where(col("e1") > 1e-12 || col("e2") > 1e-12)
+    assert(bad.count() === 0L)
+  }
+
+  test("cosine is bounded and self-similarity is 1") {
+    val bad = triples.select(
+      cosine(col("a"), col("b")).as("sab"),
+      cosine(col("a"), col("a")).as("saa"))
+      .where(col("sab") < -1.000000001 || col("sab") > 1.000000001 ||
+        abs(col("saa") - 1.0) > 1e-9)
+    assert(bad.count() === 0L)
+  }
+
+  test("centroid mean is partition-merge invariant") {
+    // the same rows under 1 partition and 7 partitions must aggregate to
+    // identical centroids through CentroidAgg's reduce/merge paths
+    val rows = (0 until N).map(i => (i % 4, vec(i, 1))).toDF("cid", "v")
+    val centroid = udaf(graft.functions.CentroidAgg)
+    def agg(parts: Int) = rows.repartition(parts).groupBy("cid")
+      .agg(centroid($"v").as("c")).orderBy("cid")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).map(x =>
+        BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP))))
+    assert(agg(1).toSeq === agg(7).toSeq)
+  }
+
+  test("h60 is deterministic, non-negative, and 60-bit bounded") {
+    val words = (0 until N).map(i => s"w$i t${i * 31}").toDF("w")
+    val h = words.select(DedupOps.h60(col("w")).as("h"),
+      DedupOps.h60(col("w")).as("h2"))
+    val bad = h.where(col("h") =!= col("h2") || col("h") < 0 ||
+      col("h") >= (1L << 60))
+    assert(bad.count() === 0L)
+  }
+
+  test("lloyd cost never increases across a step (generated blobs)") {
+    import graft.operators.KMeansOps
+    val pts = (0 until N).map(i => (i.toLong, vec(i, 1))).toDF("id", "v")
+      .cache()
+    var centers = KMeansOps.collectCenters(KMeansOps.sampleK(pts, 3))
+    def cost(cs: Array[(Int, Array[Double])]): Double =
+      pts.select(sum(KMeansOps.minSqDistCol(col("v"), cs))).head.getDouble(0)
+    var prev = cost(centers)
+    for (_ <- 1 to 4) {
+      centers = KMeansOps.lloydStep(pts, centers)
+      val c = cost(centers)
+      assert(c <= prev + 1e-9)
+      prev = c
+    }
+  }
+}
