@@ -59,32 +59,34 @@ object KMeansOps {
       (row.getLong(0), row.getSeq[Double](1).toArray)
     }
 
-  /** Distance-metric columns from a point to each literal center. `dist` is
-    * the reference's `--paradigm` knob
-    * (`/root/reference/SparKMeansGroupBy.java:44`): squared-Euclidean by
-    * default, [[graft.functions.VectorOps.manhattan]] for the Manhattan
-    * programs (`...InitMaxFarthestManhattan.java`). */
-  private def distCols(v: Column, centers: Array[(Int, Array[Double])],
-      dist: (Column, Column) => Column): Array[Column] =
-    centers.map { case (cid, c) =>
-      struct(dist(v, typedlit(c)).as("d"), lit(cid).as("cid"))
-    }
+  /** Distance paradigm — the reference's `--paradigm` knob
+    * (`/root/reference/SparKMeansGroupBy.java:44`): squared-Euclidean for
+    * paradigm 2 argmins, L1 for the Manhattan programs
+    * (`...InitMaxFarthestManhattan.java`). */
+  sealed trait Metric { def manhattan: Boolean }
+  case object SqEuclid extends Metric { val manhattan = false }
+  case object L1 extends Metric { val manhattan = true }
 
   /** Min distance to a literal center set (seeding metric;
-    * reference `/root/reference/SparKMeansGroupBy.java:82-96` of PlusPlus). */
+    * reference `/root/reference/SparKMeansGroupByPlusPlus.java:82-96`),
+    * via the native codegen'd [[org.apache.spark.sql.graft.NearestCenter]]
+    * expression (the HOF form it replaces is CodegenFallback). */
   def minSqDistCol(v: Column, centers: Array[(Int, Array[Double])],
-      dist: (Column, Column) => Column = sqDist): Column =
-    array_min(array(centers.map(c => dist(v, typedlit(c._2))): _*))
+      metric: Metric = SqEuclid): Column =
+    org.apache.spark.sql.graft.NearestCenter
+      .struct(v, centers, metric.manhattan).getField("dist")
 
   /** Nearest-center id (argmin) as a single codegen'd expression —
     * the reference's broadcast nested-loop assignment
     * (`/root/reference/SparKMeansGroupBy.java:77-98`,
     * `/root/reference/BeamKmeansSideInput.java:79-101`) with integer cluster
     * ids instead of `Point.toString()` keys (quirk §8.8). Ties break to the
-    * lower cid via struct ordering — deterministic. */
+    * lower cid — deterministic, and bit-identical to the struct-ordering
+    * argmin over per-center HOF distances it replaces. */
   def nearestCol(v: Column, centers: Array[(Int, Array[Double])],
-      dist: (Column, Column) => Column = sqDist): Column =
-    array_min(array(distCols(v, centers, dist): _*)).getField("cid")
+      metric: Metric = SqEuclid): Column =
+    org.apache.spark.sql.graft.NearestCenter
+      .struct(v, centers, metric.manhattan).getField("cid")
 
   /** One recompute step: per-cluster count + per-dimension mean as a
     * partial+final hash aggregate (the reference's `groupByKey` + driver
@@ -107,9 +109,9 @@ object KMeansOps {
     * previous center (MLlib-style; the reference silently shrinks k —
     * quirk §8.3). */
   def lloydStep(pts: DataFrame, centers: Array[(Int, Array[Double])],
-      dist: (Column, Column) => Column = sqDist): Array[(Int, Array[Double])] = {
+      metric: Metric = SqEuclid): Array[(Int, Array[Double])] = {
     val dim = centers.head._2.length
-    val assigned = pts.withColumn("cid", nearestCol(col("v"), centers, dist))
+    val assigned = pts.withColumn("cid", nearestCol(col("v"), centers, metric))
     val fresh = recompute(assigned, dim).collect().map { row =>
       (row.getInt(0), row.getSeq[Double](2).toArray)
     }.toMap
@@ -117,13 +119,13 @@ object KMeansOps {
   }
 
   def lloyd(pts: DataFrame, init: Array[(Int, Array[Double])], maxIter: Int,
-      tol: Double, dist: (Column, Column) => Column = sqDist)
+      tol: Double, metric: Metric = SqEuclid)
       : (Array[(Int, Array[Double])], Int) = {
     var centers = init
     var it = 0
     var moved = Double.MaxValue
     while (it < maxIter && moved >= tol) {
-      val next = lloydStep(pts, centers, dist)
+      val next = lloydStep(pts, centers, metric)
       moved = centers.zip(next).map { case ((_, a), (_, b)) =>
         math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
       }.max
@@ -136,7 +138,7 @@ object KMeansOps {
   /** Per-cluster summary of a finished clustering: size + RMS distance. */
   def clusterStats(pts: DataFrame, centers: Array[(Int, Array[Double])])
       : DataFrame = {
-    val d2 = array_min(array(centers.map(c => sqDist(col("v"), typedlit(c._2))): _*))
+    val d2 = minSqDistCol(col("v"), centers)
     pts.withColumn("cid", nearestCol(col("v"), centers))
       .withColumn("d2", d2)
       .groupBy(col("cid").as("cluster_id"))
@@ -368,15 +370,15 @@ object KMeansOps {
       // so the whole computation is DuckDB-expressible and hash-verified.
       val pts = points(s, d).cache()
       val c1 = lloydStep(pts, frozenCenters(s, d))
-      assignStats(pts, c1, sqDist)
+      assignStats(pts, c1, SqEuclid)
     },
     "kmeans_lloyd_manhattan" -> { (s, d) =>
       // the reference's --paradigm=1 (Manhattan) program end-to-end
       // (/root/reference/SparKMeansGroupByPlusPlusInitMaxFarthestManhattan.java):
       // L1 assignment + mean recompute, one unrolled iteration, oracled.
       val pts = points(s, d).cache()
-      val c1 = lloydStep(pts, frozenCenters(s, d), manhattan)
-      assignStats(pts, c1, manhattan)
+      val c1 = lloydStep(pts, frozenCenters(s, d), L1)
+      assignStats(pts, c1, L1)
     },
     "kmeans_fit" -> { (s, d) => MLlibKMeans.fit(s, d, FLAGSHIP_K) }
   )
@@ -384,8 +386,8 @@ object KMeansOps {
   /** Per-cluster count + first-4-dimension means under a final assignment —
     * the oracle-comparable projection of a Lloyd iteration's recompute. */
   private def assignStats(pts: DataFrame, centers: Array[(Int, Array[Double])],
-      dist: (Column, Column) => Column): DataFrame =
-    pts.withColumn("cid", nearestCol(col("v"), centers, dist))
+      metric: Metric): DataFrame =
+    pts.withColumn("cid", nearestCol(col("v"), centers, metric))
       .groupBy(col("cid").as("cluster_id"))
       .agg(count(lit(1)).as("n_points"),
         r4(avg(element_at(col("v"), 1))).as("d0"),
