@@ -73,6 +73,20 @@ object StreamingOps {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` on the event id
+    * — the streaming form of `dedup_exact`'s digest-groupBy. State holds
+    * one key per id and the watermark bounds its lifetime (an unbounded
+    * `dropDuplicates` would accumulate state forever on a real stream). */
+  def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema)
+      .parquet(stageDir(sfDir, "events"))
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tstamp", "24 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
   /** Run a streaming query to completion against the (finite) fixture and
     * return the materialized result — used by tests to check
     * stream/batch equivalence. */

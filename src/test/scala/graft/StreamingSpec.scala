@@ -23,6 +23,17 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming dedup emits each event id exactly once") {
+    val q = StreamingOps.dedupStream(spark, sf).writeStream
+      .outputMode("append").format("memory").queryName("stream_dedup").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_dedup")
+    val batchIds = graft.Tables.events(spark, sf).select("event_id").distinct()
+    assert(streamed.count() === batchIds.count())
+    assert(streamed.select("event_id").distinct().count() === streamed.count())
+  }
+
   test("streaming session_window matches batch session_window_agg") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.sessionCounts(spark, sf), "stream_sess")
