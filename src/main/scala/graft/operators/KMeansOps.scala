@@ -98,13 +98,6 @@ object KMeansOps {
       .agg(count(lit(1)).as("n"), array(avgs: _*).as("centroid"))
   }
 
-  /** Full Lloyd loop with fixed iteration count (Beam variant semantics,
-    * `/root/reference/BeamKmeansSideInput.java:77`) plus the convergence test
-    * done *right* (per-cid old/new pairing — the reference compares
-    * random-index pairs, quirk §8.1,
-    * `/root/reference/SparKMeansGroupBy.java:128-135`).
-    * Returns (finalCenters, iterationsRun).
-    */
   /** One Lloyd step: assign + recompute, empty clusters keeping their
     * previous center (MLlib-style; the reference silently shrinks k —
     * quirk §8.3). */
@@ -118,6 +111,12 @@ object KMeansOps {
     centers.map { case (cid, old) => (cid, fresh.getOrElse(cid, old)) }
   }
 
+  /** Full Lloyd loop with iteration cap + tolerance (Beam fixed-trip
+    * semantics at tol=0, `/root/reference/BeamKmeansSideInput.java:77`),
+    * with the convergence test done *right* (per-cid old/new pairing — the
+    * reference compares random-index pairs, quirk §8.1,
+    * `/root/reference/SparKMeansGroupBy.java:128-135`).
+    * Returns (finalCenters, iterationsRun). */
   def lloyd(pts: DataFrame, init: Array[(Int, Array[Double])], maxIter: Int,
       tol: Double, metric: Metric = SqEuclid)
       : (Array[(Int, Array[Double])], Int) = {
