@@ -118,6 +118,21 @@ object SimilarityOps {
           r4(cosine(col("v"), col("qv"))).as("sim"))
       topKPerQuery(cands)
     },
+    "embed_quantize" -> { (s, d) =>
+      // symmetric int8 quantization (the storage/serving format for
+      // billion-scale ANN): per-vector scale = 127/max|x|, emitted as
+      // scalar (vec_id, pos, q) rows. Narrow one-pass projection — the
+      // 100 TB shape is a columnar rewrite with no shuffle at all.
+      val pts = KMeansOps.points(s, d)
+      val scale = lit(127.0) /
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12))
+      pts.withColumn("scale", scale)
+        .select(col("id").as("vec_id"), col("scale"),
+          posexplode(transform(col("v"),
+            x => round(x * col("scale")).cast("int"))).as(Seq("pos", "q")))
+        .select(col("vec_id"), col("pos"), col("q"),
+          r4(col("scale")).as("scale"))
+    },
     "dedup_embedding" -> { (s, d) =>
       // embedding-cosine near-dup: multi-table LSH bucket -> capped
       // within-bucket pairs -> cosine verify
@@ -139,6 +154,17 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "embed_quantize" ->
+      """SELECT vec_id, pos, round(val * scale)::INT AS q,
+        |       round(scale, 4) AS scale
+        |FROM (SELECT vec_id, (generate_subscripts(v, 1) - 1)::INT AS pos,
+        |             unnest(v)::DOUBLE AS val, scale
+        |      FROM (SELECT vec_id, v,
+        |              127.0 / greatest(
+        |                list_aggregate(list_transform(v, x -> abs(x)), 'max'),
+        |                1e-12) AS scale
+        |            FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+        |                  FROM embeddings)))""".stripMargin,
     "similarity_topk" ->
       s"""SELECT q_id, vec_id, rnk, sim FROM (
          |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,

@@ -87,6 +87,26 @@ object TextOps {
           round(avg(col("n_chars")), 2).as("avg_chars"),
           round(avg(length(col("text"))), 2).as("avg_len"),
           countDistinct(col("source")).as("n_sources"))
+    },
+    "token_topk" -> { (s, d) =>
+      // corpus-wide heavy hitters: explode → hash aggregate (map-side
+      // combine reduces each partition to its distinct tokens before the
+      // shuffle) → TakeOrderedAndProject. The 100 TB shape for vocabulary /
+      // stopword-candidate extraction; ties broken lexically.
+      DedupOps.spread(Tables.documents(s, d))
+        .select(explode(wordsCol(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(100)
+    },
+    "sample_stratified" -> { (s, d) =>
+      // deterministic per-stratum downsampling: each language keeps a fixed
+      // rate via the multiplicative-hash uniform (no RNG state, exactly
+      // reproducible on any cluster layout — sampleBy would not be).
+      val rate = when(col("lang") === "en", 0.5)
+        .when(col("lang") === "es", 0.25).otherwise(1.0)
+      Tables.documents(s, d)
+        .where(graft.functions.VectorOps.unitUniform(col("doc_id")) < rate)
+        .select(col("doc_id"), col("lang"))
     }
   )
 
@@ -136,6 +156,15 @@ object TextOps {
         |       round(avg(n_chars), 2) AS avg_chars,
         |       round(avg(length(text)), 2) AS avg_len,
         |       count(DISTINCT source)::BIGINT AS n_sources
-        |FROM documents GROUP BY lang""".stripMargin
+        |FROM documents GROUP BY lang""".stripMargin,
+    "token_topk" ->
+      s"""SELECT w, count(*)::BIGINT AS n
+         |FROM (SELECT unnest($wSql) AS w FROM documents)
+         |GROUP BY w ORDER BY n DESC, w LIMIT 100""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 <
+        |      CASE WHEN lang = 'en' THEN 0.5
+        |           WHEN lang = 'es' THEN 0.25 ELSE 1.0 END""".stripMargin
   )
 }
