@@ -105,15 +105,23 @@ object SimilarityOps {
       topKPerQuery(sims)
     },
     "sim_topk_lsh" -> { (s, d) =>
+      // candidate generation dedups on BARE ID PAIRS (a pair colliding in
+      // several tables scores once); vectors rejoin only for the surviving
+      // candidates — the distinct's shuffle carries 2 longs per row, not
+      // 2×64 doubles.
       val dim = 64
-      val bucketed = bucketedAllTables(KMeansOps.points(s, d), dim, PLANES_TOPK)
+      val pts = KMeansOps.points(s, d)
+      val bucketed = bucketedAllTables(pts, dim, PLANES_TOPK)
       val q = bucketed.where(col("id") < NQ)
-        .select(col("id").as("q_id"), col("v").as("qv"),
-          col("t"), col("b"))
-      val cands = capBuckets(bucketed).join(broadcast(q),
-          Seq("t", "b")).where(col("id") =!= col("q_id"))
-        .select(col("q_id"), col("id").as("vec_id"), col("v"), col("qv"))
-        .distinct() // a pair colliding in several tables scores once
+        .select(col("id").as("q_id"), col("t"), col("b"))
+      val candIds = capBuckets(bucketed).join(broadcast(q), Seq("t", "b"))
+        .where(col("id") =!= col("q_id"))
+        .select(col("q_id"), col("id").as("vec_id"))
+        .distinct()
+      val cands = candIds
+        .join(pts.select(col("id").as("vec_id"), col("v")), "vec_id")
+        .join(broadcast(pts.where(col("id") < NQ)
+          .select(col("id").as("q_id"), col("v").as("qv"))), "q_id")
         .select(col("q_id"), col("vec_id"),
           r4(cosine(col("v"), col("qv"))).as("sim"))
       topKPerQuery(cands)
@@ -135,17 +143,21 @@ object SimilarityOps {
     },
     "dedup_embedding" -> { (s, d) =>
       // embedding-cosine near-dup: multi-table LSH bucket -> capped
-      // within-bucket pairs -> cosine verify
+      // within-bucket pairs (deduped as BARE ID PAIRS — 2 longs through the
+      // distinct, not 2×64-double payloads) -> vector rejoin -> cosine
+      // verify
       val dim = 64
-      val bucketed = capBuckets(
-        bucketedAllTables(KMeansOps.points(s, d), dim, PLANES_DEDUP))
-      val a = bucketed.select(col("id").as("id_a"), col("v").as("va"),
-        col("t"), col("b"))
-      val b = bucketed.select(col("id").as("id_b"), col("v").as("vb"),
-        col("t"), col("b"))
-      a.join(b, Seq("t", "b")).where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-        .distinct()
+      val pts = KMeansOps.points(s, d)
+      val bucketed = capBuckets(bucketedAllTables(pts, dim, PLANES_DEDUP))
+        .select(col("id"), col("t"), col("b"))
+      val a = bucketed.select(col("id").as("id_a"), col("t"), col("b"))
+      val b = bucketed.select(col("id").as("id_b"), col("t"), col("b"))
+      val candIds = a.join(b, Seq("t", "b"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      candIds
+        .join(pts.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+        .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
         .select(col("id_a"), col("id_b"),
           r4(cosine(col("va"), col("vb"))).as("sim"))
         .where(col("sim") >= 0.3)
