@@ -95,6 +95,8 @@ object VectorSql {
   def euclidean(a: String, b: String): String = s"sqrt(${sqDist(a, b)})"
   def manhattan(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip(${asDouble(a)}, ${asDouble(b)}), p -> abs(p[1]-p[2])), 'sum')"
+  def minkowski(a: String, b: String, p: Double): String =
+    s"pow(list_aggregate(list_transform(list_zip(${asDouble(a)}, ${asDouble(b)}), q -> pow(abs(q[1]-q[2]), $p)), 'sum'), ${1.0 / p})"
   def cosine(a: String, b: String): String =
     s"(${dot(a, b)} / (${l2(a)} * ${l2(b)}))"
   def perm(id: String): String = s"(($id * 2654435761) % 4294967296)"

@@ -255,6 +255,15 @@ object KMeansOps {
     "global_max_norm" -> { (s, d) =>
       points(s, d).agg(max(r4(l2Norm(col("v")))).as("max_norm"))
     },
+    "minkowski_dist" -> { (s, d) =>
+      // the generic --paradigm order (p=3 here) exercised in the pipeline,
+      // not just unit-tested: distance from every point to the first frozen
+      // seed (p=1/p=2 have dedicated argmin paths; arbitrary p composes the
+      // HOF expression — a narrow projection, so CodegenFallback is fine).
+      val c0 = frozenCenters(s, d, 1).head._2
+      points(s, d).select(col("id").as("vec_id"),
+        r4(minkowski(col("v"), typedlit(c0), 3.0)).as("mink3"))
+    },
     "min_dist_to_centers" -> { (s, d) =>
       val c = frozenCenters(s, d)
       points(s, d).select(col("id").as("vec_id"),
@@ -417,6 +426,9 @@ object KMeansOps {
            |ORDER BY l2_norm DESC, vec_id LIMIT 1""".stripMargin,
       "global_max_norm" ->
         s"SELECT max(round(${V.l2("embedding")},4)) AS max_norm FROM embeddings",
+      "minkowski_dist" ->
+        s"""SELECT e.vec_id, round(${V.minkowski("e.embedding", "c.embedding", 3.0)}, 4) AS mink3
+           |FROM embeddings e CROSS JOIN ${frozenCentersSql(1)} c""".stripMargin,
       "min_dist_to_centers" ->
         s"""SELECT e.vec_id,
            |       round(sqrt(min(${V.sqDist("e.embedding", "c.embedding")})),4) AS min_dist

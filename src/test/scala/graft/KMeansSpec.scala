@@ -102,6 +102,27 @@ class KMeansSpec extends SparkSpec {
     assert(centers.map(_._2.toSeq).toSet.size === 4)
   }
 
+  test("MLlib KMeans and our Lloyd agree on blob-fixture cost") {
+    // SURVEY §7 step 4: cross-check the flagship MLlib path against the
+    // expression-based loop. On well-separated blobs both must reach the
+    // (unambiguous) global optimum, so final costs agree closely even
+    // though the seeding strategies differ.
+    import org.apache.spark.ml.functions.array_to_vector
+    val pts = blobs.cache()
+    val ours = {
+      val init = KMeansOps.farthestInit(pts, 4, manhattanFirst = true)
+      val (centers, _) = KMeansOps.lloyd(pts, init, maxIter = 20, tol = 1e-9)
+      cost(pts, centers)
+    }
+    val mllib = new org.apache.spark.ml.clustering.KMeans()
+      .setK(4).setSeed(42L).setMaxIter(20).setTol(1e-9)
+      .setFeaturesCol("features")
+      .fit(pts.select(array_to_vector(col("v")).as("features")))
+      .summary.trainingCost
+    assert(math.abs(ours - mllib) / mllib < 0.05,
+      s"cost mismatch: ours=$ours mllib=$mllib")
+  }
+
   test("deterministic: same init twice gives identical centers") {
     val pts = KMeansOps.points(spark, sf).cache()
     val init = KMeansOps.collectCenters(KMeansOps.sampleK(pts, 4))
