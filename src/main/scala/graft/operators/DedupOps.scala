@@ -167,7 +167,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, d) =>
       // hash-groupBy dedup: at 100 TB you group by a digest, never the raw
-      // text; md5 is used (vs xxhash64) so the DuckDB oracle can reproduce it.
+      // text; see digest() for the md5-oracle vs xxhash64-bench split.
       Tables.documents(s, d)
         .groupBy(digest(col("text")).as("text_hash"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))

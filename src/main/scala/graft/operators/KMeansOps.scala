@@ -134,14 +134,17 @@ object KMeansOps {
     (centers, it)
   }
 
-  /** Per-cluster summary of a finished clustering: size + RMS distance. */
+  /** Per-cluster summary of a finished clustering: size + RMS distance.
+    * The NearestCenter struct materializes ONCE per row (cid and dist read
+    * from the same column) — two separate expression instances would each
+    * run the k×d loop, and their Array fields defeat Catalyst CSE. */
   def clusterStats(pts: DataFrame, centers: Array[(Int, Array[Double])])
       : DataFrame = {
-    val d2 = minSqDistCol(col("v"), centers)
-    pts.withColumn("cid", nearestCol(col("v"), centers))
-      .withColumn("d2", d2)
-      .groupBy(col("cid").as("cluster_id"))
-      .agg(count(lit(1)).as("n_points"), r4(sqrt(avg(col("d2")))).as("rmse"))
+    pts.withColumn("nc",
+        org.apache.spark.sql.graft.NearestCenter.struct(col("v"), centers))
+      .groupBy(col("nc.cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_points"),
+        r4(sqrt(avg(col("nc.dist")))).as("rmse"))
       .orderBy("cluster_id")
   }
 
@@ -281,14 +284,7 @@ object KMeansOps {
         nearestCol(col("v"), c).as("cluster_id"))
     },
     "recompute_centers" -> { (s, d) =>
-      val c = frozenCenters(s, d)
-      val assigned = points(s, d).withColumn("cid", nearestCol(col("v"), c))
-      assigned.groupBy(col("cid").as("cluster_id"))
-        .agg(count(lit(1)).as("n_points"),
-          r4(avg(element_at(col("v"), 1))).as("d0"),
-          r4(avg(element_at(col("v"), 2))).as("d1"),
-          r4(avg(element_at(col("v"), 3))).as("d2"),
-          r4(avg(element_at(col("v"), 4))).as("d3"))
+      assignStats(points(s, d), frozenCenters(s, d), SqEuclid)
     },
     "recompute_centers_agg" -> { (s, d) =>
       // same result as recompute_centers, computed through the typed
@@ -310,18 +306,33 @@ object KMeansOps {
       // /root/reference/BeamKmeansSideInput.java:22-32) — but with the
       // member list CAPPED at MEMBER_CAP: an uncapped collect_list
       // materializes every member of a cluster in one aggregation buffer
-      // (OOM at scale; a cluster can hold billions of rows). The window
-      // rank is sort-based (spills), and collect_list then buffers at most
-      // MEMBER_CAP ids per cluster; total size stays exact via count.
+      // (OOM at scale; a cluster can hold billions of rows). The rank is
+      // SALTED two-phase (like topKPerQuery): a plain Window.partitionBy(
+      // cid) would funnel the whole table into k reducer tasks; phase 1
+      // ranks within (cid, id%SALT) and keeps MEMBER_CAP per salt, phase 2
+      // ranks the ≤ SALT·MEMBER_CAP survivors per cluster — the smallest
+      // MEMBER_CAP ids per cluster, identical to the unsalted result.
+      // (total size is a separate map-side-combined count — the sample
+      // branch drops rows in phase 1, and a second narrow scan beats
+      // sorting the whole table in k tasks)
+      val SALT = 16
       val c = frozenCenters(s, d)
-      val w = Window.partitionBy(col("cid")).orderBy(col("id"))
-      points(s, d).withColumn("cid", nearestCol(col("v"), c))
-        .withColumn("rn", row_number().over(w))
+      val assigned = points(s, d)
+        .select(col("id"), nearestCol(col("v"), c).as("cid"))
+      val w1 = Window.partitionBy(col("cid"), pmod(col("id"), lit(SALT)))
+        .orderBy(col("id"))
+      val w2 = Window.partitionBy(col("cid")).orderBy(col("id"))
+      val sample = assigned
+        .withColumn("rn1", row_number().over(w1))
+        .where(col("rn1") <= MEMBER_CAP)
+        .withColumn("rn", row_number().over(w2))
         .groupBy(col("cid").as("cluster_id"))
-        .agg(count(lit(1)).as("n_members"),
-          concat(col("cid").cast("string"), lit(":"),
-            array_join(sort_array(collect_list(
-              when(col("rn") <= MEMBER_CAP, col("id")))), ";")).as("members"))
+        .agg(concat(col("cid").cast("string"), lit(":"),
+          array_join(sort_array(collect_list(
+            when(col("rn") <= MEMBER_CAP, col("id")))), ";")).as("members"))
+      val totals = assigned.groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      sample.join(totals, Seq("cluster_id"))
         .select(col("cluster_id"), col("n_members"), col("members"))
     },
     "explode_centers" -> { (s, d) =>

@@ -67,11 +67,15 @@ object SimilarityOps {
   }
 
   /** Drop rows in over-populated (table, bucket) cells before a self-join;
-    * the count relation is tiny (≤ T·2^P rows) and broadcasts. */
+    * the count relation is tiny (≤ T·2^P rows) and broadcasts. The input is
+    * cached: it feeds both the count aggregation and the join probe, and
+    * recomputing it would evaluate the T×P interpreted hyperplane dot
+    * products per row twice. */
   private def capBuckets(bucketed: DataFrame): DataFrame = {
-    val counts = bucketed.groupBy(col("t"), col("b"))
+    val cached = bucketed.cache()
+    val counts = cached.groupBy(col("t"), col("b"))
       .agg(count(lit(1)).as("bcnt"))
-    bucketed.join(broadcast(counts.where(col("bcnt") <= BUCKET_CAP)
+    cached.join(broadcast(counts.where(col("bcnt") <= BUCKET_CAP)
       .select(col("t"), col("b"))), Seq("t", "b"))
   }
 

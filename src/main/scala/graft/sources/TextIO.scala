@@ -48,17 +48,18 @@ object TextIO {
 
   /** Parse text lines back to (vec_id, d0..d3) — `Point.StringToPoint` with
     * the reference's empty-line guard folded in
-    * (`/root/reference/SparKMeansGroupBy.java:78-97`). `try_cast` (not
-    * `cast`): under Spark 4's default ANSI mode a malformed line would
-    * abort the whole scan; a line scanner must instead drop bad records
-    * like the reference's null-guard does. */
+    * (`/root/reference/SparKMeansGroupBy.java:78-97`). `try_element_at` +
+    * `try_cast` (not the plain forms): under Spark 4's default ANSI mode a
+    * short line would throw INVALID_ARRAY_INDEX and a malformed value
+    * CAST_INVALID_INPUT, each aborting the whole scan; a line scanner must
+    * instead drop bad records like the reference's null-guard does. */
   private def parseLines(s: SparkSession, dir: String): DataFrame = {
     val parts = split(col("value"), ",")
     def tryCast(c: org.apache.spark.sql.Column, t: String) =
       c.try_cast(org.apache.spark.sql.types.DataType.fromDDL(t))
-    val cols = tryCast(element_at(parts, 1), "bigint").as("vec_id") +:
+    val cols = tryCast(try_element_at(parts, lit(1)), "bigint").as("vec_id") +:
       (0 until 4).map(i =>
-        r4(tryCast(element_at(parts, i + 2), "double")).as(s"d$i"))
+        r4(tryCast(try_element_at(parts, lit(i + 2)), "double")).as(s"d$i"))
     s.read.textFile(dir).toDF("value")
       .filter(length(col("value")) > 0)
       .select(cols: _*)
