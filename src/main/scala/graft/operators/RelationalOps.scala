@@ -132,6 +132,15 @@ object RelationalOps {
       Tables.documents(s, d).rollup(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     },
+    "percentile_agg" -> { (s, d) =>
+      // exact interpolated percentiles (sort-based aggregate; for sketched
+      // quantiles at scale the approx_percentile path mirrors
+      // approx_distinct's HLL — this is the exact, oracle-able form)
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
+          count(lit(1)).as("n"))
+    },
     "cube_agg" -> { (s, d) =>
       // full grouping-sets lattice over (lang, source)
       Tables.documents(s, d).cube(col("lang"), col("source"))
@@ -155,6 +164,21 @@ object RelationalOps {
         .where(col("rnk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
           col("rnk"), round(col("o_totalprice"), 2).as("price"))
+    },
+    "window_lag_delta" -> { (s, d) =>
+      // per-user inter-event gap (lag) and next-type peek (lead) — the
+      // sequence-feature shape for behavioral training data. Each
+      // timestamp truncates to MICROS before the diff: DuckDB reads
+      // parquet TIMESTAMP(NANOS) at µs resolution, so a raw-nano gap has
+      // sub-µs digits the oracle can never reproduce (and gap DIFFS, unlike
+      // absolute epoch values, then fit float64's exact-int range).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val tsUs = expr("ts div 1000")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          coalesce(tsUs - lag(tsUs, 1).over(w), lit(-1L)).as("gap_us"),
+          coalesce(lead(col("event_type"), 1).over(w), lit("none"))
+            .as("next_type"))
     },
     "window_cumsum" -> { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -253,6 +277,12 @@ object RelationalOps {
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
         |       sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "percentile_agg" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |       count(*)::BIGINT AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "cube_agg" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
         |       sum(n_chars)::BIGINT AS sum_chars
@@ -273,6 +303,14 @@ object RelationalOps {
         |         round(o_totalprice, 2) AS price
         |  FROM orders)
         |WHERE rnk <= 3""".stripMargin,
+    "window_lag_delta" ->
+      """SELECT event_id, user_id,
+        |       coalesce(epoch_us(ts) -
+        |                lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts),
+        |                -1) AS gap_us,
+        |       coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts),
+        |                'none') AS next_type
+        |FROM events""".stripMargin,
     "window_cumsum" ->
       """SELECT event_id, user_id,
         |       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
