@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators: hive-style partitioned sinks and bucketed
+  * tables — the two layout levers that matter most at 100 TB (partition
+  * pruning on the read path; shuffle-free co-located joins on hot keys).
+  * The reference's only sink is a single text file
+  * (`/root/reference/BeamKmeansSideInput.java:125`); these are its
+  * data-lake generalizations. Layouts land under target/ (the fixture dirs
+  * are read-only), keyed by scale factor.
+  */
+object StorageOps {
+
+  private def sfName(d: String): String =
+    java.nio.file.Paths.get(d).getFileName.toString.replace(".", "_")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_partitioned" -> { (s, d) =>
+      // write documents hive-partitioned by lang, read back through
+      // partition discovery, and reduce to per-partition stats the oracle
+      // computes from the source table. At scale this is the layout that
+      // makes `WHERE lang = 'en'` a directory prune instead of a scan.
+      val out = s"target/part-fixtures/${sfName(d)}/docs_by_lang"
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+    "join_bucketed" -> { (s, d) =>
+      // co-located join: both sides bucketed (and sorted) by the join key
+      // into 8 buckets, so the SortMergeJoin consumes bucket layout
+      // directly — NO Exchange on either side (PlanSpec asserts this).
+      // At 100 TB this is the difference between joining in place and
+      // re-shuffling both fact tables on every query.
+      val tag = sfName(d)
+      def ensure(table: String, df: DataFrame, key: String): Unit =
+        if (!s.catalog.tableExists(table))
+          df.write.mode("overwrite")
+            // absolute path: a relative one resolves under spark-warehouse
+            .option("path", new java.io.File(
+              s"target/bucketed/$tag/$table").getAbsolutePath)
+            .bucketBy(8, key).sortBy(key).saveAsTable(table)
+      ensure(s"li_b_$tag", Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "l_orderkey")
+      ensure(s"o_b_$tag", Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus")), "o_orderkey")
+      // merge hint: fact-fact joins at scale are sort-merge (neither side
+      // broadcasts at 100 TB); without it the tiny test fixtures would let
+      // AQE broadcast and never exercise the bucket layout
+      s.table(s"li_b_$tag").hint("merge")
+        .join(s.table(s"o_b_$tag"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sink_partitioned" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "join_bucketed" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_items,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin
+  )
+}

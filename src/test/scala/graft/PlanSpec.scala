@@ -41,6 +41,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("join_bucketed consumes bucket layout with no exchange on the join") {
+    val plan = executed("join_bucketed")
+    assert(plan.contains("SortMergeJoin"))
+    assert(plan.contains("SelectedBucketsCount"), "bucketed scan not used")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "join must not reshuffle bucketed sides")
+  }
+
   test("dedup_ngram inverted-index side is a broadcast join") {
     val plan = executed("dedup_ngram")
     assert(plan.contains("BroadcastHashJoin"))
