@@ -39,11 +39,17 @@ object DedupOps {
     *    bucket cardinalities, ~5x cheaper per token (md5-per-word was a 5x
     *    bench regression in round 2). Results differ bit-wise between modes;
     *    only Verify's md5 output is oracle-compared. */
+  // Captured ONCE at first use: reading the property per call would let a
+  // mode flip mid-JVM silently mix hash functions between plans (or flip
+  // later queries to bench hashes while the emitted oracle SQL stays md5).
+  // Bench.main sets the property before anything touches this object;
+  // everywhere else the mode is frozen to the oracle-reproducible default.
+  private lazy val fastHash: Boolean =
+    sys.props.get("graft.fastHash").contains("true")
+
   def h60(c: Column): Column =
-    if (sys.props.get("graft.fastHash").contains("true"))
-      xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
-    else
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    if (fastHash) xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
+    else conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** DuckDB rendering of [[h60]] (oracle mode only). */
   def h60Sql(e: String): String =
@@ -53,8 +59,7 @@ object DedupOps {
     * xxhash64 in bench mode (grouping by a 64-bit digest has the same
     * shuffle shape; only hash cost differs). */
   def digest(c: Column): Column =
-    if (sys.props.get("graft.fastHash").contains("true")) xxhash64(c).cast("string")
-    else md5(c)
+    if (fastHash) xxhash64(c).cast("string") else md5(c)
 
   /** Whitespace tokens with empties dropped (docs have trailing spaces). */
   def wordsCol(text: Column): Column =

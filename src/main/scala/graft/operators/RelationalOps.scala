@@ -88,24 +88,26 @@ object RelationalOps {
       // (`last(_, ignoreNulls)`), instead of a range join whose equality-
       // free condition would force a per-user cross product. Clicks order
       // before other events at equal ts so "at or before" includes ties.
+      // ALL time math runs at microsecond resolution: DuckDB reads parquet
+      // TIMESTAMP(NANOS) truncated to µs, so a nano-resolution ordering on
+      // the Spark side would disagree with the oracle's "c.ts <= e.ts"
+      // whenever two events of one user share a microsecond. µs outputs
+      // also stay inside float64's 2^53 exact-int range (raw nanos don't,
+      // and the driver's pandas-based compare floats nullable ints — hence
+      // also the -1 sentinel instead of NULL, since NaN != NaN there).
       val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-        .withColumn("click_ts",
-          when(col("event_type") === "click", col("ts")))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+        .withColumn("click_us",
+          when(col("event_type") === "click", col("ts_us")))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"),
+        .orderBy(col("ts_us"),
           when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // comparisons stay in exact nanos; OUTPUT is microseconds — raw int64
-      // nanos (~1.7e18) exceed float64's 2^53 exact-integer range and the
-      // driver's pandas-based compare floats nullable int columns.
-      // no-prior-click → -1 sentinel rather than NULL: a nullable int64
-      // column floats to NaN in pandas and NaN != NaN in the compare.
-      ev.withColumn("last_click_ts", last(col("click_ts"), true).over(w))
+      ev.withColumn("last_click_us", last(col("click_us"), true).over(w))
         .where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"),
-          coalesce(expr("last_click_ts div 1000"), lit(-1L)).as("last_click_us"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("last_click_us"), lit(-1L)).as("last_click_us"))
     },
 
     // --- aggregation (§2.4 / §2.6) -------------------------------------
@@ -167,13 +169,15 @@ object RelationalOps {
     },
     "window_lag_delta" -> { (s, d) =>
       // per-user inter-event gap (lag) and next-type peek (lead) — the
-      // sequence-feature shape for behavioral training data. Each
-      // timestamp truncates to MICROS before the diff: DuckDB reads
-      // parquet TIMESTAMP(NANOS) at µs resolution, so a raw-nano gap has
-      // sub-µs digits the oracle can never reproduce (and gap DIFFS, unlike
-      // absolute epoch values, then fit float64's exact-int range).
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      // sequence-feature shape for behavioral training data. Timestamps
+      // truncate to MICROS before the window AND its ordering: DuckDB
+      // reads parquet TIMESTAMP(NANOS) at µs resolution, so both the gap
+      // values and the lag/lead partners must be decided at µs (with an
+      // event_id tie-break both engines share); gap DIFFS, unlike absolute
+      // epoch values, also fit float64's exact-int range.
       val tsUs = expr("ts div 1000")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(tsUs, col("event_id"))
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
           coalesce(tsUs - lag(tsUs, 1).over(w), lit(-1L)).as("gap_us"),
@@ -256,10 +260,11 @@ object RelationalOps {
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "join_asof" ->
-      """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
-        |       coalesce((SELECT max(epoch_ns(c.ts)) // 1000 FROM events c
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       coalesce((SELECT max(epoch_us(c.ts)) FROM events c
         |                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
-        |                   AND c.ts <= e.ts), -1) AS last_click_us
+        |                   AND epoch_us(c.ts) <= epoch_us(e.ts)), -1)
+        |         AS last_click_us
         |FROM events e WHERE event_type = 'purchase'""".stripMargin,
     "agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
@@ -305,10 +310,11 @@ object RelationalOps {
         |WHERE rnk <= 3""".stripMargin,
     "window_lag_delta" ->
       """SELECT event_id, user_id,
-        |       coalesce(epoch_us(ts) -
-        |                lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts),
+        |       coalesce(epoch_us(ts) - lag(epoch_us(ts))
+        |                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
         |                -1) AS gap_us,
-        |       coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts),
+        |       coalesce(lead(event_type)
+        |                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
         |                'none') AS next_type
         |FROM events""".stripMargin,
     "window_cumsum" ->

@@ -70,7 +70,10 @@ object SimilarityOps {
     * the count relation is tiny (≤ T·2^P rows) and broadcasts. The input is
     * cached: it feeds both the count aggregation and the join probe, and
     * recomputing it would evaluate the T×P interpreted hyperplane dot
-    * products per row twice. */
+    * products per row twice. CACHE CONTRACT: the cache lives until the
+    * session's next `spark.catalog.clearCache()` — Bench and Verify clear
+    * between queries; long-lived embedders invoking the LSH queries
+    * repeatedly should do the same (or accept LRU eviction). */
   private def capBuckets(bucketed: DataFrame): DataFrame = {
     val cached = bucketed.cache()
     val counts = cached.groupBy(col("t"), col("b"))

@@ -72,13 +72,13 @@ object TextIO {
     },
     "sink_text" -> { (s, d) =>
       // full round-trip through the single-shard sink: write, read back,
-      // reduce to an aggregate fingerprint the oracle computes from parquet
+      // and compare PER ROW against the parquet source of truth. (An
+      // aggregate fingerprint like round(sum(round(x,4)),2) is a latent
+      // flake: the grid sum can land on a .005 boundary where Spark's and
+      // DuckDB's different summation orders round apart.)
       val out = s"target/text-fixtures/${sfName(d)}/points_sink"
       pointLines(s, d).coalesce(1).write.mode("overwrite").text(out)
       parseLines(s, out)
-        .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("d0")), 2).as("sum_d0"),
-          round(sum(col("d3")), 2).as("sum_d3"))
     }
   )
 
@@ -90,9 +90,10 @@ object TextIO {
         |       round(embedding[4]::DOUBLE,4) AS d3
         |FROM embeddings""".stripMargin,
     "sink_text" ->
-      """SELECT count(*)::BIGINT AS n_lines,
-        |       round(sum(round(embedding[1]::DOUBLE,4)),2) AS sum_d0,
-        |       round(sum(round(embedding[4]::DOUBLE,4)),2) AS sum_d3
+      """SELECT vec_id, round(embedding[1]::DOUBLE,4) AS d0,
+        |       round(embedding[2]::DOUBLE,4) AS d1,
+        |       round(embedding[3]::DOUBLE,4) AS d2,
+        |       round(embedding[4]::DOUBLE,4) AS d3
         |FROM embeddings""".stripMargin
   )
 }
