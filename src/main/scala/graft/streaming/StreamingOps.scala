@@ -87,6 +87,24 @@ object StreamingOps {
       .select(col("event_id"), col("user_id"), col("event_type"))
   }
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * broadcast-sized dimension (per-user event counts from the batch
+    * table — stand-in for any profile/catalog dim). The static side is
+    * planned as a broadcast hash join per micro-batch; no stream-stream
+    * state is involved, which is why this is the FIRST tool to reach for
+    * before a stateful stream-stream join. */
+  def enrichStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val userDim = graft.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_total_events"))
+    spark.readStream.schema(eventsSchema)
+      .parquet(stageDir(sfDir, "events"))
+      .join(org.apache.spark.sql.functions.broadcast(userDim), "user_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("user_total_events"))
+  }
+
   /** Run a streaming query to completion against the (finite) fixture and
     * return the materialized result — used by tests to check
     * stream/batch equivalence. */

@@ -34,6 +34,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() === streamed.count())
   }
 
+  test("stream-static enrichment joins every event to its user dim row") {
+    val q = StreamingOps.enrichStream(spark, sf).writeStream
+      .outputMode("append").format("memory").queryName("stream_enrich").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("stream_enrich")
+    val events = graft.Tables.events(spark, sf)
+    assert(out.count() === events.count()) // inner join loses no event
+    // the enriched count matches the batch aggregate for every row
+    val bad = out.join(
+        events.groupBy("user_id").count().withColumnRenamed("count", "exp"),
+        "user_id")
+      .where(col("user_total_events") =!= col("exp"))
+    assert(bad.count() === 0L)
+  }
+
   test("streaming session_window matches batch session_window_agg") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.sessionCounts(spark, sf), "stream_sess")
