@@ -13,11 +13,13 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Full Lloyd K-Means (deterministic init, k=8) over the embeddings table
-    * → per-cluster size + RMS distance. */
+  /** Flagship query; driver smoke-checks rows>0. Full Lloyd K-Means
+    * (deterministic init, k=8) over the embeddings table → per-cluster
+    * size + RMS distance. Defaults to the driver's smoke fixture
+    * (sf0.001); `SPARK_GRAFT_SF_DIR` points it at any other sfDir. */
   def entry(spark: SparkSession): DataFrame =
-    KMeansOps.queries("kmeans_lloyd")(spark, "/root/testdata/sf0.001")
+    KMeansOps.queries("kmeans_lloyd")(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

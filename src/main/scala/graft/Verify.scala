@@ -6,6 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Pin the sketch hashes to oracle mode BEFORE anything touches
+    // DedupOps: its hash-mode switch freezes at first use, and a JVM that
+    // somehow ran Bench first (fork disabled, ad-hoc harness) would
+    // otherwise dump xxhash64 results while emitting md5 oracle SQL —
+    // an unexplained hash-compare failure.
+    System.setProperty("graft.fastHash", "false")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

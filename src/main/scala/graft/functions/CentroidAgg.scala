@@ -23,10 +23,11 @@ object CentroidAgg extends Aggregator[Seq[Double], CentroidBuf, Seq[Double]] {
   def zero: CentroidBuf = CentroidBuf(Array.emptyDoubleArray, 0L)
 
   def reduce(b: CentroidBuf, v: Seq[Double]): CentroidBuf = {
-    // zero-length vectors contribute nothing and must not count toward n:
-    // an empty-sums-but-counted buffer would be dropped by merge's
+    // null/zero-length vectors contribute nothing and must not count toward
+    // n: an empty-sums-but-counted buffer would be dropped by merge's
     // isEmpty short-circuit and skew the divisor partition-dependently
-    if (v.isEmpty) return b
+    // (and a null row reaching the udaf must skip, not NPE the query)
+    if (v == null || v.isEmpty) return b
     if (b.sums.isEmpty) b.sums = new Array[Double](v.length)
     var i = 0
     while (i < b.sums.length) { b.sums(i) += v(i); i += 1 }

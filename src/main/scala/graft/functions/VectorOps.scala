@@ -73,6 +73,16 @@ object VectorOps {
   def unitUniform(id: Column): Column =
     (perm(id) + lit(0.5)) / lit(4294967296.0)
 
+  /** Per-(id, round) uniform draw for multi-round seeding: the round index
+    * is mixed in (id·31+r is injective per round for r < 31) and the mixed
+    * key reduces mod 2^31 BEFORE the Knuth multiply so the product stays
+    * inside int64 for any id < 2^63/31 ≈ 3e17 — the raw (id·31+r)·Knuth
+    * product overflowed (DuckDB errors; ANSI Spark throws) once id
+    * exceeded ~1.1e8, a 31× lower ceiling than [[perm]] itself. */
+  def roundUniform(id: Column, round: Int): Column =
+    (pmod(pmod(id * lit(31L) + lit(round.toLong), lit(2147483648L)) *
+      lit(2654435761L), lit(4294967296L)) + lit(0.5)) / lit(4294967296.0)
+
   /** Round to 4 decimals — the float tolerance for oracle hash-compare. */
   def r4(c: Column): Column = round(c, 4)
 }
@@ -100,4 +110,6 @@ object VectorSql {
   def cosine(a: String, b: String): String =
     s"(${dot(a, b)} / (${l2(a)} * ${l2(b)}))"
   def perm(id: String): String = s"(($id * 2654435761) % 4294967296)"
+  def roundUniform(id: String, r: Int): String =
+    s"((((($id * 31 + $r) % 2147483648) * 2654435761) % 4294967296) + 0.5) / 4294967296.0"
 }

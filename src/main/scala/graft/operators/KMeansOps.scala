@@ -98,15 +98,27 @@ object KMeansOps {
       .agg(count(lit(1)).as("n"), array(avgs: _*).as("centroid"))
   }
 
+  /** Snap a centroid component to 12 decimals (exact decimal HALF_UP —
+    * away from zero, same convention as DuckDB's `round`). Both engines
+    * snap their recomputed means to this shared grid before the NEXT
+    * assignment: partial-aggregate summation order is partition-dependent
+    * and differs between Spark and DuckDB in the last float bits, so an
+    * unsnapped near-tie point could be assigned differently between
+    * engines (or across runs), flipping n_points nondeterministically
+    * (round-3 ADVICE). 12 decimals is far below any real centroid
+    * movement and far above float-associativity noise. */
+  private def snap12(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** One Lloyd step: assign + recompute, empty clusters keeping their
     * previous center (MLlib-style; the reference silently shrinks k —
-    * quirk §8.3). */
+    * quirk §8.3). Recomputed means are [[snap12]]-snapped. */
   def lloydStep(pts: DataFrame, centers: Array[(Int, Array[Double])],
       metric: Metric = SqEuclid): Array[(Int, Array[Double])] = {
     val dim = centers.head._2.length
     val assigned = pts.withColumn("cid", nearestCol(col("v"), centers, metric))
     val fresh = recompute(assigned, dim).collect().map { row =>
-      (row.getInt(0), row.getSeq[Double](2).toArray)
+      (row.getInt(0), row.getSeq[Double](2).toArray.map(snap12))
     }.toMap
     centers.map { case (cid, old) => (cid, fresh.getOrElse(cid, old)) }
   }
@@ -198,11 +210,12 @@ object KMeansOps {
     var next = 1
     while (next < k) {
       val centers = seeds.zipWithIndex.map { case ((_, v), i) => (i, v) }
-      // the round index is mixed into the per-id draw (id*31+round is
-      // injective for round < 31) so every round gets fresh randomness; a
-      // round-constant u would favor lucky-small draws in EVERY round and
-      // the seeding would not be k-means++ (round-2 verdict).
-      val key = -log(unitUniform(col("id") * lit(31) + lit(next))) /
+      // the round index is mixed into the per-id draw (roundUniform) so
+      // every round gets fresh randomness; a round-constant u would favor
+      // lucky-small draws in EVERY round and the seeding would not be
+      // k-means++ (round-2 verdict). roundUniform is overflow-safe for
+      // 100 TB id ranges (round-3 ADVICE).
+      val key = -log(roundUniform(col("id"), next)) /
         greatest(minSqDistCol(col("v"), centers), lit(1e-300))
       val cand = pts.withColumn("race", key)
         .orderBy(col("race").asc, col("id")).limit(1)
@@ -530,7 +543,8 @@ object KMeansOps {
     * cannot occur for the frozen k=4 seeds on the fixture data — every
     * cluster stays populated, verified at all tested SFs). */
   private def lloydUnrollSql(dist: (String, String) => String): String = {
-    val centroid = (1 to DIM).map(i => s"avg(e.embedding[$i]::DOUBLE)")
+    // round(…, 12) mirrors lloydStep's snap12 — see its doc
+    val centroid = (1 to DIM).map(i => s"round(avg(e.embedding[$i]::DOUBLE), 12)")
       .mkString(",\n         ")
     s"""WITH c0 AS ${frozenCentersSql()},
        |a1 AS (${assignSqlFor("c0", "embedding", dist)}),
@@ -578,8 +592,7 @@ object KMeansOps {
     def minTo(seeds: Seq[String]): String =
       if (seeds.size == 1) V.sqDist("p.v", s"${seeds.head}.v")
       else s"least(${seeds.map(s0 => V.sqDist("p.v", s"$s0.v")).mkString(", ")})"
-    def u(r: Int): String =
-      s"((((p.vec_id * 31 + $r) * 2654435761) % 4294967296) + 0.5) / 4294967296.0"
+    def u(r: Int): String = V.roundUniform("p.vec_id", r)
     val rounds = (1 until FLAGSHIP_K).map { r =>
       val prev = (0 until r).map(i => s"s$i")
       s"""s$r AS (SELECT p.vec_id, p.v FROM pts p, ${prev.mkString(", ")}

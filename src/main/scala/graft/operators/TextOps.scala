@@ -47,22 +47,27 @@ object TextOps {
         .select(col("doc_id"), langIdCol(wordsCol(col("text"))).as("lang_guess"))
     },
     "quality_score" -> { (s, d) =>
-      val words = wordsCol(col("text"))
-      val nTok = size(words)
-      val avgLen = aggregate(words, lit(0), (acc, w) => acc + length(w))
-        .cast("double") / nTok
-      val stopHits = markerHits(words, stoplists("en"))
-      val stopRatio = stopHits.cast("double") / nTok
-      val score =
-        lit(0.5) * least(nTok.cast("double") / 100.0, lit(1.0)) +
-          lit(0.3) * least(avgLen / 10.0, lit(1.0)) +
-          lit(0.2) * stopRatio
-      Tables.documents(s, d)
-        .where(size(wordsCol(col("text"))) > 0)
-        .select(col("doc_id"), nTok.as("n_tokens"),
-          round(avgLen, 4).as("avg_token_len"),
-          round(stopRatio, 4).as("stopword_ratio"),
-          round(score, 4).as("quality"))
+      // the split is bound ONCE: HOF subtrees defeat Catalyst CSE, so the
+      // previous single-projection form evaluated wordsCol 4× per row
+      // (filter + each feature). A staged select survives the optimizer —
+      // CollapseProject refuses to inline a non-cheap producer referenced
+      // more than once — and the row filter is the cheap trim-length test
+      // (equivalent: words is empty iff text is all spaces, since split
+      // and trim both key on the single space char).
+      val stats = Tables.documents(s, d)
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), wordsCol(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).as("n_tok"),
+          (aggregate(col("w"), lit(0), (acc, w) => acc + length(w))
+            .cast("double") / size(col("w"))).as("avg_len"),
+          (markerHits(col("w"), stoplists("en")).cast("double") /
+            size(col("w"))).as("stop_ratio"))
+      stats.select(col("doc_id"), col("n_tok").as("n_tokens"),
+        round(col("avg_len"), 4).as("avg_token_len"),
+        round(col("stop_ratio"), 4).as("stopword_ratio"),
+        round(lit(0.5) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * least(col("avg_len") / 10.0, lit(1.0)) +
+          lit(0.2) * col("stop_ratio"), 4).as("quality"))
     },
     "token_count" -> { (s, d) =>
       Tables.documents(s, d)

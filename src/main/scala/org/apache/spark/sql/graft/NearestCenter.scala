@@ -10,7 +10,9 @@ import org.apache.spark.sql.types._
 /** Native Catalyst expression for the K-Means hot path: distance from a
   * point column to every center of a broadcast-sized literal center matrix,
   * returning struct(cid, dist) of the argmin (ties → lowest cid, matching
-  * the struct-ordering argmin it replaces).
+  * the struct-ordering argmin it replaces; an all-NaN distance row — i.e. a
+  * NaN coordinate in the point — deterministically claims cid=0 rather
+  * than emitting an out-of-range cid).
   *
   * Why a custom `Expression`: the composable form — k per-center `aggregate(
   * zip_with(...))` subtrees — builds on higher-order functions, which are
@@ -57,7 +59,14 @@ case class NearestCenter(child: Expression, centers: Array[Array[Double]],
         s += (if (metric == 1) math.abs(diff) else diff * diff)
         j += 1
       }
-      if (s < best) { best = s; bestC = c }
+      // `bestC < 0` guard: a NaN coordinate in the point makes EVERY
+      // distance NaN, and `s < best` alone would then return cid=-1 /
+      // dist=+Inf — a phantom cluster downstream. Claiming center 0 keeps
+      // the cid in-range deterministically (NaN *centers* cannot occur:
+      // the matrix is driver-built from finite literals). For finite
+      // distances the extra clause only fires at c=0 where s < +Inf
+      // already held, so results are unchanged.
+      if (bestC < 0 || s < best) { best = s; bestC = c }
       c += 1
     }
     new GenericInternalRow(Array[Any](bestC, best))
@@ -87,7 +96,7 @@ case class NearestCenter(child: Expression, centers: Array[Array[Double]],
          |    double $diff = $v[$j] - $ct[$j];
          |    $s += $termJ;
          |  }
-         |  if ($s < $best) { $best = $s; $bestC = $c; }
+         |  if ($bestC < 0 || $s < $best) { $best = $s; $bestC = $c; }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |    new Object[]{$bestC, $best});

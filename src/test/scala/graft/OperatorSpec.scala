@@ -65,6 +65,21 @@ class OperatorSpec extends SparkSpec {
     assert(lsh.count() <= 5L * 10L)
   }
 
+  test("approx_distinct estimates within 5% of the exact count per group") {
+    // the HLL++ sketch is rows-only for the oracle (estimate, by design);
+    // this pins its SEMANTIC accuracy against the exact countDistinct the
+    // engine itself computes in agg_distinct (configured rsd = 1%, so 5%
+    // is a loose, non-flaky bound)
+    val approx = SparkEntry.queries("approx_distinct")(spark, sf)
+    val exact = SparkEntry.queries("agg_distinct")(spark, sf)
+      .select(col("event_type"), col("n_users"))
+    val bad = approx.join(exact, "event_type")
+      .where(abs(col("approx_users") - col("n_users")) >
+        col("n_users") * 0.05)
+    assert(bad.count() === 0L, "HLL estimate off by >5% somewhere")
+    assert(approx.count() === exact.count())
+  }
+
   test("dedup_exact keeps one survivor per distinct text") {
     val docs = Tables.documents(spark, sf)
     val distinctTexts = docs.select("text").distinct().count()
