@@ -172,7 +172,78 @@ object SimilarityOps {
     }
   )
 
+  // ---------------------------------------------------------- LSH oracles
+  //
+  // The whole candidate pipeline is deterministic integer/IEEE arithmetic:
+  // plane weights come from the pure-integer formula in [[planes]]
+  // (regenerated in SQL via generate_series — no float literals to
+  // round-trip), the dot products use VectorSql.dot (same left-to-right
+  // fold as the Spark HOF, already hash-proven by the cosine oracles), and
+  // the bucket id is an integer sum of sign bits. So DuckDB reproduces
+  // candidate generation bit-for-bit and both LSH queries hash-verify.
+
+  /** SQL for the (table, plane) hyperplane — same formula as [[planes]]. */
+  private def planeSql(dim: Int, t: Int, b: Int): String = {
+    val base = (t * 97 + b) * dim
+    s"list_transform(generate_series(0, ${dim - 1}), d -> " +
+      s"((2654435761 * ($base + d + 1)) % 1000003)::DOUBLE / 1000003.0 - 0.5)"
+  }
+
+  /** SQL bucket id of `embedding` for one LSH table (sum of sign bits). */
+  private def bucketSql(dim: Int, nPlanes: Int, t: Int): String =
+    (0 until nPlanes).map { b =>
+      s"(CASE WHEN ${VectorSql.dot("embedding", planeSql(dim, t, b))} >= 0" +
+        s" THEN ${1 << b} ELSE 0 END)"
+    }.mkString("(", "\n       + ", ")")
+
+  /** bkt(vec_id, t, b) + capped(…) CTEs shared by both LSH oracles —
+    * mirrors bucketedAllTables + capBuckets. */
+  private def lshCtes(dim: Int, nPlanes: Int): String = {
+    val tables = (0 until TABLES).map { t =>
+      s"SELECT vec_id, $t AS t, ${bucketSql(dim, nPlanes, t)} AS b FROM embeddings"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""bkt AS (
+       |  $tables),
+       |keep AS (
+       |  SELECT t, b FROM bkt GROUP BY t, b HAVING count(*) <= $BUCKET_CAP),
+       |capped AS (
+       |  SELECT k.vec_id, k.t, k.b FROM bkt k
+       |  JOIN keep USING (t, b))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_topk_lsh" ->
+      s"""WITH ${lshCtes(64, PLANES_TOPK)},
+         |q AS (SELECT vec_id AS q_id, t, b FROM bkt WHERE vec_id < $NQ),
+         |cand AS (
+         |  SELECT DISTINCT q.q_id, c.vec_id
+         |  FROM capped c JOIN q ON c.t = q.t AND c.b = q.b
+         |  WHERE c.vec_id <> q.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.vec_id,
+         |         round(${VectorSql.cosine("d.embedding", "qe.embedding")}, 4) AS sim
+         |  FROM cand
+         |  JOIN embeddings d  ON cand.vec_id = d.vec_id
+         |  JOIN embeddings qe ON cand.q_id = qe.vec_id)
+         |SELECT q_id, vec_id, rnk, sim FROM (
+         |  SELECT q_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY sim DESC, vec_id)::INT AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $TOPK""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH ${lshCtes(64, PLANES_DEDUP)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM capped a JOIN capped b2 ON a.t = b2.t AND a.b = b2.b
+         |  WHERE a.vec_id < b2.vec_id)
+         |SELECT id_a, id_b, sim FROM (
+         |  SELECT cand.id_a, cand.id_b,
+         |         round(${VectorSql.cosine("ea.embedding", "eb.embedding")}, 4) AS sim
+         |  FROM cand
+         |  JOIN embeddings ea ON cand.id_a = ea.vec_id
+         |  JOIN embeddings eb ON cand.id_b = eb.vec_id)
+         |WHERE sim >= 0.3""".stripMargin,
     "embed_quantize" ->
       """SELECT vec_id, pos, round(val * scale)::INT AS q,
         |       round(scale, 4) AS scale
