@@ -40,6 +40,14 @@ object SimilarityOps {
   private val PLANES_TOPK = 10 // 1024 buckets/table: broader-recall search
   private val BUCKET_CAP = 1000 // max docs per (table, bucket) in self-joins
 
+  /** Pair-scoring cosine via the native fused-loop
+    * [[org.apache.spark.sql.graft.CosineSim]] expression — bit-identical
+    * to the HOF `VectorOps.cosine` (same per-accumulator IEEE order) but
+    * codegen'd; the interpreted 3-fold HOF form dominated the verify
+    * stage over tens of thousands of candidate pairs. */
+  private def cos(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CosineSim.column(a, b)
+
   /** Deterministic pseudo-random hyperplanes (integer-arithmetic formula —
     * reproducible anywhere, no RNG state), distinct per (table, plane). */
   def planes(dim: Int, nPlanes: Int, table: Int): Array[Array[Double]] =
@@ -50,14 +58,20 @@ object SimilarityOps {
       }
     }
 
-  /** Sign-bit bucket id of a vector column for one LSH table. */
+  /** Sign-bit bucket id of a vector column for one LSH table, via the
+    * native codegen'd [[org.apache.spark.sql.graft.SignBucket]] expression
+    * (bit-identical to the per-plane HOF sum it replaces — same
+    * left-to-right IEEE fold — but inside whole-stage codegen instead of
+    * T×P interpreted lambda walks per row). */
   def bucketCol(v: Column, dim: Int, nPlanes: Int, table: Int): Column =
-    planes(dim, nPlanes, table).zipWithIndex.map { case (p, b) =>
-      when(dot(v, typedlit(p)) >= 0, shiftleft(lit(1), b)).otherwise(0)
-    }.reduce(_ + _)
+    org.apache.spark.sql.graft.SignBucket.column(v, planes(dim, nPlanes, table))
 
   /** (id, v, t, b): each vector exploded to its bucket in each of the T
-    * tables — the candidate-join key is the (table, bucket) pair. */
+    * tables — the candidate-join key is the (table, bucket) pair. No
+    * repartition here: with the codegen'd [[bucketCol]] the projection is
+    * cheap per row, so scan parallelism (one task per input split — many
+    * thousands at real scale) is the right parallelism, and an extra
+    * exchange would only add a shuffle of the full vector payload. */
   private def bucketedAllTables(pts: DataFrame, dim: Int,
       nPlanes: Int): DataFrame = {
     val tb = array((0 until TABLES).map(t =>
@@ -108,7 +122,7 @@ object SimilarityOps {
       val sims = docs.crossJoin(broadcast(queriesDf(s, d)))
         .where(col("id") =!= col("q_id"))
         .select(col("q_id"), col("id").as("vec_id"),
-          r4(cosine(col("v"), col("qv"))).as("sim"))
+          r4(cos(col("v"), col("qv"))).as("sim"))
       topKPerQuery(sims)
     },
     "sim_topk_lsh" -> { (s, d) =>
@@ -130,7 +144,7 @@ object SimilarityOps {
         .join(broadcast(pts.where(col("id") < NQ)
           .select(col("id").as("q_id"), col("v").as("qv"))), "q_id")
         .select(col("q_id"), col("vec_id"),
-          r4(cosine(col("v"), col("qv"))).as("sim"))
+          r4(cos(col("v"), col("qv"))).as("sim"))
       topKPerQuery(cands)
     },
     "embed_quantize" -> { (s, d) =>
@@ -166,7 +180,7 @@ object SimilarityOps {
         .join(pts.select(col("id").as("id_a"), col("v").as("va")), "id_a")
         .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
         .select(col("id_a"), col("id_b"),
-          r4(cosine(col("va"), col("vb"))).as("sim"))
+          r4(cos(col("va"), col("vb"))).as("sim"))
         .where(col("sim") >= 0.3)
         .orderBy(col("id_a"), col("id_b"))
     }
