@@ -14,6 +14,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one-time layout ETL (bucketed tables) runs OUTSIDE the timings:
+    // join_bucketed must measure the exchange-free join, not the CTAS
+    graft.sources.StorageOps.ensureLayouts(spark, sfDir)
     var failed = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       // isolate measurements: caches built inside one query (iterative

@@ -43,7 +43,13 @@ object RelationalOps {
       // CSV point-line parse (Point.StringToPoint,
       // /root/reference/SparKMeansGroupBy.java:80): render a csv line, parse
       // it back to array<double>; output parsed values so double→string
-      // formatting differences between engines cancel.
+      // formatting differences between engines cancel. The double string
+      // pass is the query's SEMANTICS (render + parse), not an accident;
+      // profiled at sf0.1/local[32]: 1.5 s cold, 1.1 s warm over 600k rows
+      // ≈ 2.5 µs/row for 3 double→string→double round-trips — the r3 bench
+      // outlier (9.2 s) did not reproduce (3.2 s mid-sequence, machine
+      // noise). No shuffle; parallelism = input splits, which is the
+      // honest scan shape at scale.
       Tables.lineitem(s, d)
         .withColumn("line",
           concat_ws(",", col("l_quantity"), col("l_discount"), col("l_tax")))

@@ -66,9 +66,42 @@ object TextIO {
       .filter(col("vec_id").isNotNull)
   }
 
+  /** Write a UCI-shaped CSV fixture (header + 8 numeric features + binary
+    * label, the `data/UCI/HTRU_2.csv` shape from the reference's README)
+    * once per scale factor, derived from the embeddings table. */
+  def ensurePointsCsv(s: SparkSession, d: String): String = {
+    val dir = s"target/text-fixtures/${sfName(d)}/points_csv"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS"))) {
+      val cols = col("vec_id") +:
+        (1 to 8).map(i =>
+          element_at(asDouble(col("embedding")), i).as(s"f$i")) :+
+        pmod(col("vec_id"), lit(2)).cast("int").as("label")
+      Tables.embeddings(s, d).select(cols: _*)
+        .coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(dir)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_text" -> { (s, d) =>
       parseLines(s, ensurePointsText(s, d))
+    },
+    "scan_csv" -> { (s, d) =>
+      // real delimited-file ingestion with header handling — the
+      // reference's `data/UCI/*.csv` path (`/root/reference/README.md`,
+      // 8 features + binary label à la HTRU_2). Schema is EXPLICIT: at
+      // scale `inferSchema` is a second full pass over the data; a lakehouse
+      // ingest declares its schema. Java's shortest-round-trip double
+      // rendering makes write→read lossless, so the oracle verifies
+      // against the parquet source of truth at the usual r4 tolerance.
+      val schema = "vec_id LONG, " +
+        (1 to 8).map(i => s"f$i DOUBLE").mkString(", ") + ", label INT"
+      val csv = s.read.option("header", "true").schema(schema)
+        .csv(ensurePointsCsv(s, d))
+      val out = col("vec_id") +:
+        (1 to 8).map(i => r4(col(s"f$i")).as(s"f$i")) :+ col("label")
+      csv.select(out: _*)
     },
     "sink_text" -> { (s, d) =>
       // full round-trip through the single-shard sink: write, read back,
@@ -83,6 +116,13 @@ object TextIO {
   )
 
   val oracles: Map[String, String] = Map(
+    "scan_csv" -> {
+      val fs = (1 to 8).map(i =>
+        s"round(embedding[$i]::DOUBLE,4) AS f$i").mkString(",\n       ")
+      s"""SELECT vec_id, $fs,
+         |       (vec_id % 2)::INT AS label
+         |FROM embeddings""".stripMargin
+    },
     "scan_text" ->
       """SELECT vec_id, round(embedding[1]::DOUBLE,4) AS d0,
         |       round(embedding[2]::DOUBLE,4) AS d1,
