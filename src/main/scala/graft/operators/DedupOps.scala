@@ -72,15 +72,14 @@ object DedupOps {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
 
-  /** Word 3-gram shingles (distinct). Guarded: <3 words → empty array
-    * (Spark's `sequence(1,0)` would DESCEND, not return empty). */
-  def shinglesCol(words: Column): Column = {
-    val sh = transform(sequence(lit(1), size(words) - 2),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1),
-        element_at(words, i + 2)))
-    array_distinct(when(size(words) >= 3, sh)
-      .otherwise(array().cast("array<string>")))
-  }
+  /** Distinct word 3-gram shingles straight from the text column, via the
+    * native one-pass [[org.apache.spark.sql.graft.WordShingles]]
+    * expression. Result-identical to the HOF chain it replaces
+    * (`array_distinct(transform(sequence…))` over [[wordsCol]] — including
+    * the <3-words → empty guard, where Spark's `sequence(1,0)` would
+    * DESCEND), but codegen'd instead of interpreted per shingle. */
+  def shinglesOf(text: Column): Column =
+    org.apache.spark.sql.graft.WordShingles.column(text, 3)
 
   private val wSql = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
   private val shSql =
@@ -117,7 +116,7 @@ object DedupOps {
     * shingles (<3 words) drop out, which is the right dedup semantics. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = spread(docs)
-      .select(col("doc_id"), explode(shinglesCol(wordsCol(col("text")))).as("sh"))
+      .select(col("doc_id"), explode(shinglesOf(col("text"))).as("sh"))
       .select(col("doc_id"), pmod(h60(col("sh")), lit(M)).as("h"))
     val mins = (0 until MINHASH_PERMS).map(j =>
       min(pmod(col("h") * permA(j) + permB(j), lit(M))).as(s"m$j"))
@@ -245,11 +244,11 @@ object DedupOps {
       // (measured 13 s vs 1 s at sf0.1 on local[32]).
       val docs = Tables.documents(s, d)
       val ex = spread(docs).select(col("doc_id"),
-        explode(shinglesCol(wordsCol(col("text")))).as("s"))
+        explode(shinglesOf(col("text"))).as("s"))
       val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
       val qex = docs.where(col("doc_id") < 10)
         .select(col("doc_id").as("q_id"),
-          explode(shinglesCol(wordsCol(col("text")))).as("s"))
+          explode(shinglesOf(col("text"))).as("s"))
       val inter = ex.join(broadcast(qex), "s")
         .where(col("doc_id") > col("q_id"))
         .groupBy(col("q_id"), col("doc_id"))
