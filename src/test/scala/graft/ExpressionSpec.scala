@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{DedupOps, KMeansOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** Bit-identity contracts for the native codegen expressions: each one
+  * replaced a CodegenFallback HOF tree *claiming* identical results — these
+  * tests compare against the original HOF formulation with EXACT equality
+  * (no tolerance), so any divergence in fold order or edge handling fails
+  * here rather than as an unexplained oracle hash mismatch.
+  */
+class ExpressionSpec extends SparkSpec {
+
+  import graft.functions.VectorOps.{cosine, dot}
+
+  test("WordShingles == array_distinct/transform/sequence HOF chain") {
+    val w = DedupOps.wordsCol(col("text"))
+    val hof = array_distinct(
+      when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>")))
+    val docs = Tables.documents(spark, sf)
+    val diff = docs.select(col("doc_id"), DedupOps.shinglesOf(col("text")).as("a"),
+        hof.as("b"))
+      .where(not(col("a") <=> col("b")))
+    assert(diff.count() === 0L)
+    // and the guard: a <3-word doc yields an empty array, not a descent
+    import spark.implicits._
+    val tiny = Seq("one two", "", "a b c").toDF("text")
+    val got = tiny.select(DedupOps.shinglesOf(col("text")).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0).isEmpty && got(1).isEmpty && got(2) === Seq("a b c"))
+  }
+
+  test("CosineSim == HOF cosine, exactly") {
+    val pts = KMeansOps.points(spark, sf).limit(50)
+    val pairs = pts.select(col("id").as("ia"), col("v").as("va"))
+      .crossJoin(pts.select(col("id").as("ib"), col("v").as("vb")))
+      .where(col("ia") < col("ib"))
+    val diff = pairs.select(
+        org.apache.spark.sql.graft.CosineSim.column(col("va"), col("vb")).as("a"),
+        cosine(col("va"), col("vb")).as("b"))
+      .where(col("a") =!= col("b"))
+    assert(diff.count() === 0L)
+  }
+
+  test("SignBucket == per-plane HOF sign sum, exactly") {
+    val planes = SimilarityOps.planes(64, 12, table = 2)
+    val hof = planes.zipWithIndex.map { case (p, b) =>
+      when(dot(col("v"), typedlit(p)) >= 0, shiftleft(lit(1), b)).otherwise(0)
+    }.reduce(_ + _)
+    val diff = KMeansOps.points(spark, sf)
+      .select(SimilarityOps.bucketCol(col("v"), 64, 12, 2).as("a"), hof.as("b"))
+      .where(col("a") =!= col("b"))
+    assert(diff.count() === 0L)
+  }
+
+  test("NearestCenter claims cid=0 for all-NaN distance rows") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Seq(0.1, 0.2)),
+      (2L, Seq(Double.NaN, 0.5))).toDF("id", "v")
+    val centers = Array((0, Array(0.0, 0.0)), (1, Array(1.0, 1.0)))
+    val got = pts.select(col("id"),
+        org.apache.spark.sql.graft.NearestCenter.struct(col("v"), centers)
+          .getField("cid").as("cid"))
+      .orderBy("id").collect().map(_.getInt(1))
+    assert(got(0) === 0) // nearest real center
+    assert(got(1) === 0) // NaN row: deterministic cid 0, never -1
+  }
+
+  test("CentroidAgg skips null and empty vectors without poisoning counts") {
+    import spark.implicits._
+    val rows = Seq(
+      (0, Seq(1.0, 3.0)), (0, Seq(3.0, 5.0)),
+      (0, null.asInstanceOf[Seq[Double]]), (0, Seq.empty[Double]))
+      .toDF("cid", "v")
+    val centroid = udaf(graft.functions.CentroidAgg)
+    val out = rows.groupBy(col("cid")).agg(centroid(col("v")).as("c"))
+      .collect().head.getSeq[Double](1)
+    assert(out === Seq(2.0, 4.0)) // mean of the two real vectors only
+  }
+}

@@ -55,4 +55,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("hot paths use the native expressions, not HOF fallbacks") {
+    // a refactor that silently reverts to the interpreted
+    // aggregate/zip_with/transform forms fails here (ExpressionSpec pins
+    // that the native forms are bit-identical; this pins that they are
+    // the ones actually planned)
+    assert(executed("dedup_ngram").contains("wordshingles"))
+    assert(executed("similarity_topk").contains("cosinesim"))
+    // the LSH bucketing projection hides behind the capBuckets cache in
+    // the executed plan string, so pin the column builder itself
+    import org.apache.spark.sql.functions.col
+    assert(graft.operators.SimilarityOps.bucketCol(col("v"), 64, 12, 0)
+      .toString.toLowerCase.contains("signbucket"))
+  }
 }
