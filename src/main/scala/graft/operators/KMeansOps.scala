@@ -412,7 +412,33 @@ object KMeansOps {
       val c1 = lloydStep(pts, frozenCenters(s, d), L1)
       assignStats(pts, c1, L1)
     },
-    "kmeans_fit" -> { (s, d) => MLlibKMeans.fit(s, d, FLAGSHIP_K) }
+    "kmeans_fit" -> { (s, d) => MLlibKMeans.fit(s, d, FLAGSHIP_K) },
+    "cluster_eval" -> { (s, d) =>
+      // external-validity evaluation — the reference's UCI train/test
+      // methodology (SURVEY.md §5: labeled datasets ship with the repo,
+      // `/root/reference/data/UCI/`, though the evaluating code never did):
+      // assign every vector to the frozen centers, label it with its
+      // document's lang, and score each cluster by majority-label purity.
+      // Shape: codegen argmin projection → join on id → two-level hash
+      // aggregate (map-side combine) → window over the ALREADY-AGGREGATED
+      // k×|langs| relation — nothing scales with row count after the agg.
+      val c = frozenCenters(s, d)
+      val assigned = points(s, d)
+        .select(col("id"), nearestCol(col("v"), c).as("cluster_id"))
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("lang")), "id")
+      val counts = assigned.groupBy(col("cluster_id"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      counts
+        .withColumn("n_points", sum(col("cnt")).over(byCluster))
+        .withColumn("rn", row_number().over(
+          byCluster.orderBy(col("cnt").desc, col("lang").desc)))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("n_points"),
+          col("lang").as("top_lang"),
+          r4(col("cnt").cast("double") / col("n_points")).as("purity"))
+    }
   )
 
   /** Per-cluster count + first-4-dimension means under a final assignment —
@@ -509,6 +535,20 @@ object KMeansOps {
            |(SELECT 'min' AS which, vec_id, l2_norm FROM
            |  (SELECT vec_id, round(${V.l2("embedding")},4) AS l2_norm FROM embeddings)
            |  ORDER BY l2_norm ASC, vec_id LIMIT 1)""".stripMargin,
+      "cluster_eval" ->
+        s"""WITH a AS ($assignSql),
+           |j AS (SELECT a.cluster_id, d.lang
+           |      FROM a JOIN documents d ON a.vec_id = d.doc_id),
+           |c AS (SELECT cluster_id, lang, count(*) AS cnt
+           |      FROM j GROUP BY cluster_id, lang)
+           |SELECT cluster_id, n_points, top_lang,
+           |       round(top_cnt::DOUBLE / n_points, 4) AS purity
+           |FROM (SELECT cluster_id, lang AS top_lang, cnt AS top_cnt,
+           |             sum(cnt) OVER (PARTITION BY cluster_id)::BIGINT AS n_points,
+           |             row_number() OVER (PARTITION BY cluster_id
+           |                                ORDER BY cnt DESC, lang DESC) AS rn
+           |      FROM c)
+           |WHERE rn = 1""".stripMargin,
       "init_farthest" -> farthestSql,
       "init_plusplus" -> plusPlusSql,
       "kmeans_lloyd_2iter" -> lloydUnrollSql(V.sqDist),
