@@ -18,7 +18,11 @@ object Bench {
     // join_bucketed must measure the exchange-free join, not the CTAS
     graft.sources.StorageOps.ensureLayouts(spark, sfDir)
     var failed = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic alphabetical order: Map hash order varies with the key
+    // set, which made per-query numbers incomparable across rounds (a
+    // query's cost includes whatever codegen/reader warmup its
+    // predecessors didn't trigger)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate measurements: caches built inside one query (iterative
       // k-means loops, LSH band self-joins) must not linger into the next
       // query's timing or accumulate storage across the 58-query sequence
@@ -39,7 +43,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}""")
     spark.stop()
     if (failed > 0) sys.exit(1)

@@ -149,6 +149,20 @@ object RelationalOps {
           round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
           count(lit(1)).as("n"))
     },
+    "approx_percentile_agg" -> { (s, d) =>
+      // the SKETCH path for quantiles at scale (mirrors approx_distinct's
+      // HLL role): fixed-size mergeable summaries, one pass, no global
+      // sort. Rows-only for the oracle (sketch merge order is
+      // partition-dependent); OperatorSpec bounds the estimates against
+      // the exact percentile_agg values.
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile_approx(col("l_extendedprice"), lit(0.5),
+            lit(10000)), 2).as("p50_approx"),
+          round(percentile_approx(col("l_extendedprice"), lit(0.95),
+            lit(10000)), 2).as("p95_approx"),
+          count(lit(1)).as("n"))
+    },
     "cube_agg" -> { (s, d) =>
       // full grouping-sets lattice over (lang, source)
       Tables.documents(s, d).cube(col("lang"), col("source"))

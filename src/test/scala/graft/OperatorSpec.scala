@@ -80,6 +80,16 @@ class OperatorSpec extends SparkSpec {
     assert(approx.count() === exact.count())
   }
 
+  test("approx_percentile_agg tracks the exact percentiles within 2%") {
+    val approx = SparkEntry.queries("approx_percentile_agg")(spark, sf)
+    val exact = SparkEntry.queries("percentile_agg")(spark, sf)
+    val joined = approx.join(exact, "l_returnflag")
+    val bad = joined.where(
+      abs(col("p50_approx") - col("p50")) > col("p50") * 0.02 ||
+        abs(col("p95_approx") - col("p95")) > col("p95") * 0.02)
+    assert(bad.count() === 0L, "quantile sketch off by >2% somewhere")
+  }
+
   test("dedup_exact keeps one survivor per distinct text") {
     val docs = Tables.documents(spark, sf)
     val distinctTexts = docs.select("text").distinct().count()
