@@ -85,6 +85,21 @@ object VectorOps {
 
   /** Round to 4 decimals — the float tolerance for oracle hash-compare. */
   def r4(c: Column): Column = round(c, 4)
+
+  /** Engine-identical rounding for HALF-BOUNDARY-PRONE values: discrete
+    * inputs (2-decimal prices, small-integer token ratios) often land
+    * EXACTLY on a rounding half-boundary, where Spark's exact-decimal
+    * HALF_UP and DuckDB's float-multiply `round` disagree by one grid
+    * step (observed: p50 of an even-count price column, quality scores
+    * with n_tokens = 32). `floor(x·10^k + 0.5)/10^k` is pure IEEE
+    * arithmetic, so both engines compute bit-identical results from
+    * identical inputs — they can no longer disagree, whatever side of
+    * the boundary the float lands on. Positive values only (floor(x+.5)
+    * rounds toward +inf, not away from zero). */
+  def rIeee(c: Column, decimals: Int): Column = {
+    val scale = math.pow(10.0, decimals)
+    floor(c * scale + lit(0.5)) / scale
+  }
 }
 
 /** DuckDB-SQL fragments mirroring [[VectorOps]] exactly (same fold order,
@@ -112,4 +127,8 @@ object VectorSql {
   def perm(id: String): String = s"(($id * 2654435761) % 4294967296)"
   def roundUniform(id: String, r: Int): String =
     s"((((($id * 31 + $r) % 2147483648) * 2654435761) % 4294967296) + 0.5) / 4294967296.0"
+  def rIeee(e: String, decimals: Int): String = {
+    val s = BigDecimal(10).pow(decimals).toBigInt
+    s"(floor(($e) * $s + 0.5) / $s)"
+  }
 }

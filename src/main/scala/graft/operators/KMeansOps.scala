@@ -492,18 +492,18 @@ object KMeansOps {
       "assign_nearest" -> assignSql,
       "recompute_centers" ->
         s"""SELECT a.cluster_id, count(*)::BIGINT AS n_points,
-           |       round(avg(e.embedding[1]::DOUBLE),4) AS d0,
-           |       round(avg(e.embedding[2]::DOUBLE),4) AS d1,
-           |       round(avg(e.embedding[3]::DOUBLE),4) AS d2,
-           |       round(avg(e.embedding[4]::DOUBLE),4) AS d3
+           |       (round(avg(e.embedding[1]::DOUBLE),4) + 0) AS d0,
+           |       (round(avg(e.embedding[2]::DOUBLE),4) + 0) AS d1,
+           |       (round(avg(e.embedding[3]::DOUBLE),4) + 0) AS d2,
+           |       (round(avg(e.embedding[4]::DOUBLE),4) + 0) AS d3
            |FROM ($assignSql) a JOIN embeddings e ON a.vec_id = e.vec_id
            |GROUP BY a.cluster_id""".stripMargin,
       "recompute_centers_agg" ->
         s"""SELECT a.cluster_id, count(*)::BIGINT AS n_points,
-           |       round(avg(e.embedding[1]::DOUBLE),4) AS d0,
-           |       round(avg(e.embedding[2]::DOUBLE),4) AS d1,
-           |       round(avg(e.embedding[3]::DOUBLE),4) AS d2,
-           |       round(avg(e.embedding[4]::DOUBLE),4) AS d3
+           |       (round(avg(e.embedding[1]::DOUBLE),4) + 0) AS d0,
+           |       (round(avg(e.embedding[2]::DOUBLE),4) + 0) AS d1,
+           |       (round(avg(e.embedding[3]::DOUBLE),4) + 0) AS d2,
+           |       (round(avg(e.embedding[4]::DOUBLE),4) + 0) AS d3
            |FROM ($assignSql) a JOIN embeddings e ON a.vec_id = e.vec_id
            |GROUP BY a.cluster_id""".stripMargin,
       "format_clusters" ->
@@ -517,7 +517,7 @@ object KMeansOps {
            |GROUP BY cluster_id""".stripMargin,
       "explode_centers" ->
         s"""SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::INT AS pos,
-           |       round(unnest(embedding)::DOUBLE, 4) AS value
+           |       (round(unnest(embedding)::DOUBLE, 4) + 0) AS value
            |FROM (SELECT vec_id, embedding FROM embeddings ORDER BY $P, vec_id LIMIT 4)""".stripMargin,
       "union_centers" ->
         s"""SELECT vec_id, round(${V.l2("embedding")},4) AS l2_norm
@@ -525,7 +525,7 @@ object KMeansOps {
            |      UNION ALL
            |      (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4))""".stripMargin,
       "init_random" ->
-        s"""SELECT vec_id, round(embedding[1]::DOUBLE,4) AS d0
+        s"""SELECT vec_id, (round(embedding[1]::DOUBLE,4) + 0) AS d0
            |FROM embeddings ORDER BY $P, vec_id LIMIT 8""".stripMargin,
       "init_extremal" ->
         s"""(SELECT 'max' AS which, vec_id, l2_norm FROM
@@ -595,10 +595,10 @@ object KMeansOps {
        |  GROUP BY a.cluster_id),
        |a2 AS (${assignSqlFor("c1", "cv", dist)})
        |SELECT a.cluster_id, count(*)::BIGINT AS n_points,
-       |       round(avg(e.embedding[1]::DOUBLE),4) AS d0,
-       |       round(avg(e.embedding[2]::DOUBLE),4) AS d1,
-       |       round(avg(e.embedding[3]::DOUBLE),4) AS d2,
-       |       round(avg(e.embedding[4]::DOUBLE),4) AS d3
+       |       (round(avg(e.embedding[1]::DOUBLE),4) + 0) AS d0,
+       |       (round(avg(e.embedding[2]::DOUBLE),4) + 0) AS d1,
+       |       (round(avg(e.embedding[3]::DOUBLE),4) + 0) AS d2,
+       |       (round(avg(e.embedding[4]::DOUBLE),4) + 0) AS d3
        |FROM a2 a JOIN embeddings e ON a.vec_id = e.vec_id
        |GROUP BY a.cluster_id""".stripMargin
   }

@@ -82,10 +82,16 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> { (s, d) =>
+      // rIeee, not round: the byte-sum features are integer/integer ratios
+      // (s / 64n) that land EXACTLY on 4-decimal half-boundaries (observed
+      // 0.37625 at sf0.1), where Spark's exact-decimal HALF_UP and
+      // DuckDB's float round split; the IEEE floor form is bit-identical
+      // in both engines on the identical ratio inputs.
+      import graft.functions.VectorOps.rIeee
       decodeFeatures(mediaTable(s, d)).toDF()
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
           col("width"), col("height"),
-          round(col("f0"), 4).as("f0"), round(col("f1"), 4).as("f1"))
+          rIeee(col("f0"), 4).as("f0"), rIeee(col("f1"), 4).as("f1"))
     },
     "multimodal_stats" -> { (s, d) =>
       decodeFeatures(mediaTable(s, d)).toDF()
@@ -100,23 +106,23 @@ object MultimodalOps {
     // the byte-sum feature math is reproducible from the utf-8 text in SQL
     // (the fixture docs are ASCII, so char positions == byte positions);
     // media_type cycles doc_id % 3 → image/audio/video
-    "multimodal_features" ->
-      """SELECT doc_id,
-        |       ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
-        |       length(text)::INT AS n_bytes,
-        |       (64 + (31 * length(text) + CASE WHEN length(text) > 0
-        |          THEN ascii(text[1]) ELSE 0 END) % 512)::INT AS width,
-        |       (64 + (17 * length(text) + CASE WHEN length(text) > 0
-        |          THEN ascii(text[length(text)]) ELSE 0 END) % 512)::INT AS height,
-        |       round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |         list_aggregate(list_transform(generate_series(1, length(text)),
-        |           i -> CASE WHEN (i - 1) % 4 = 0 THEN ascii(text[i]) ELSE 0 END),
-        |           'sum')::DOUBLE / (64.0 * length(text)) END, 4) AS f0,
-        |       round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |         list_aggregate(list_transform(generate_series(1, length(text)),
-        |           i -> CASE WHEN (i - 1) % 4 = 1 THEN ascii(text[i]) ELSE 0 END),
-        |           'sum')::DOUBLE / (64.0 * length(text)) END, 4) AS f1
-        |FROM documents""".stripMargin,
+    "multimodal_features" -> {
+      def fSql(lane: Int): String =
+        s"""CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |         list_aggregate(list_transform(generate_series(1, length(text)),
+           |           i -> CASE WHEN (i - 1) % 4 = $lane THEN ascii(text[i]) ELSE 0 END),
+           |           'sum')::DOUBLE / (64.0 * length(text)) END""".stripMargin
+      s"""SELECT doc_id,
+         |       ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+         |       length(text)::INT AS n_bytes,
+         |       (64 + (31 * length(text) + CASE WHEN length(text) > 0
+         |          THEN ascii(text[1]) ELSE 0 END) % 512)::INT AS width,
+         |       (64 + (17 * length(text) + CASE WHEN length(text) > 0
+         |          THEN ascii(text[length(text)]) ELSE 0 END) % 512)::INT AS height,
+         |       ${graft.functions.VectorSql.rIeee(fSql(0), 4)} AS f0,
+         |       ${graft.functions.VectorSql.rIeee(fSql(1), 4)} AS f1
+         |FROM documents""".stripMargin
+    },
     "multimodal_stats" ->
       """SELECT media_type, count(*)::BIGINT AS n,
         |       sum(length(text))::BIGINT AS total_bytes,

@@ -143,10 +143,20 @@ object RelationalOps {
     "percentile_agg" -> { (s, d) =>
       // exact interpolated percentiles (sort-based aggregate; for sketched
       // quantiles at scale the approx_percentile path mirrors
-      // approx_distinct's HLL — this is the exact, oracle-able form)
+      // approx_distinct's HLL — this is the exact, oracle-able form).
+      // rIeee@4, not round@2: the p50 of an even-count 2-decimal price
+      // column is a midpoint sitting EXACTLY on the .005 rounding boundary,
+      // where Spark's exact-decimal HALF_UP and DuckDB's float round
+      // disagree (observed at sf0.001) — and the engines' interpolation
+      // formulas may differ in the last ulp, so the cut must land where no
+      // achievable value lives: percentile values here are multiples of
+      // 5e-4 (2-decimal prices x k*0.05 interpolation), so at 4 decimals
+      // floor(x*1e4+0.5)'s boundary (x*1e4 = k-0.5) is half a grid step
+      // from any value, ulp-proof for both engines.
+      import graft.functions.VectorOps.rIeee
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
+        .agg(rIeee(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          rIeee(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
           count(lit(1)).as("n"))
     },
     "approx_percentile_agg" -> { (s, d) =>
@@ -303,11 +313,11 @@ object RelationalOps {
         |       sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
     "percentile_agg" ->
-      """SELECT l_returnflag,
-        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-        |       count(*)::BIGINT AS n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      s"""SELECT l_returnflag,
+         |       ${graft.functions.VectorSql.rIeee("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+         |       ${graft.functions.VectorSql.rIeee("quantile_cont(l_extendedprice, 0.95)", 4)} AS p95,
+         |       count(*)::BIGINT AS n
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "cube_agg" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
         |       sum(n_chars)::BIGINT AS sum_chars

@@ -235,7 +235,7 @@ object SimilarityOps {
          |  WHERE c.vec_id <> q.q_id),
          |scored AS (
          |  SELECT cand.q_id, cand.vec_id,
-         |         round(${VectorSql.cosine("d.embedding", "qe.embedding")}, 4) AS sim
+         |         (round(${VectorSql.cosine("d.embedding", "qe.embedding")}, 4) + 0) AS sim
          |  FROM cand
          |  JOIN embeddings d  ON cand.vec_id = d.vec_id
          |  JOIN embeddings qe ON cand.q_id = qe.vec_id)
@@ -276,7 +276,7 @@ object SimilarityOps {
          |           PARTITION BY q.vec_id
          |           ORDER BY round(${VectorSql.cosine("d.embedding", "q.embedding")}, 4) DESC,
          |                    d.vec_id)::INT AS rnk,
-         |         round(${VectorSql.cosine("d.embedding", "q.embedding")}, 4) AS sim
+         |         (round(${VectorSql.cosine("d.embedding", "q.embedding")}, 4) + 0) AS sim
          |  FROM embeddings d
          |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NQ) q
          |  WHERE d.vec_id <> q.vec_id)

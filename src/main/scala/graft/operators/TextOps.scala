@@ -62,10 +62,17 @@ object TextOps {
             .cast("double") / size(col("w"))).as("avg_len"),
           (markerHits(col("w"), stoplists("en")).cast("double") /
             size(col("w"))).as("stop_ratio"))
+      // rIeee, not round: token ratios (sums over n_tokens = 16, 32, 96…)
+      // and the 0.5/0.3/0.2-weighted score land EXACTLY on 4-decimal
+      // rounding half-boundaries (e.g. quality 0.20375 at sf0.001), where
+      // Spark's exact-decimal HALF_UP and DuckDB's float round split; the
+      // IEEE floor form is computed identically by both engines on the
+      // bit-identical ratio inputs.
+      import graft.functions.VectorOps.rIeee
       stats.select(col("doc_id"), col("n_tok").as("n_tokens"),
-        round(col("avg_len"), 4).as("avg_token_len"),
-        round(col("stop_ratio"), 4).as("stopword_ratio"),
-        round(lit(0.5) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
+        rIeee(col("avg_len"), 4).as("avg_token_len"),
+        rIeee(col("stop_ratio"), 4).as("stopword_ratio"),
+        rIeee(lit(0.5) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
           lit(0.3) * least(col("avg_len") / 10.0, lit(1.0)) +
           lit(0.2) * col("stop_ratio"), 4).as("quality"))
     },
@@ -134,11 +141,12 @@ object TextOps {
          |      FROM (SELECT doc_id, $wSql AS w FROM documents))""".stripMargin,
     "quality_score" ->
       s"""SELECT doc_id, n_tokens,
-         |       round(avg_token_len, 4) AS avg_token_len,
-         |       round(stopword_ratio, 4) AS stopword_ratio,
-         |       round(0.5::DOUBLE * least(n_tokens::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE) +
-         |             0.3::DOUBLE * least(avg_token_len / 10.0::DOUBLE, 1.0::DOUBLE) +
-         |             0.2::DOUBLE * stopword_ratio, 4) AS quality
+         |       ${graft.functions.VectorSql.rIeee("avg_token_len", 4)} AS avg_token_len,
+         |       ${graft.functions.VectorSql.rIeee("stopword_ratio", 4)} AS stopword_ratio,
+         |       ${graft.functions.VectorSql.rIeee(
+        "0.5::DOUBLE * least(n_tokens::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE) + " +
+          "0.3::DOUBLE * least(avg_token_len / 10.0::DOUBLE, 1.0::DOUBLE) + " +
+          "0.2::DOUBLE * stopword_ratio", 4)} AS quality
          |FROM (SELECT doc_id, len(w)::INT AS n_tokens,
          |             list_aggregate(list_transform(w, x -> length(x)), 'sum')::DOUBLE
          |               / len(w) AS avg_token_len,

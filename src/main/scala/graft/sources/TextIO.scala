@@ -115,25 +115,32 @@ object TextIO {
     }
   )
 
+  // `round(x,4) + 0` — NOT plain round: DuckDB's float round yields -0.0
+  // for x in (-5e-5, 0), while Spark's exact-decimal round canonicalizes
+  // to +0.0; the compare sorts row tuples by their string forms, so a
+  // single "-0.0" row shifts the whole alignment (observed at sf0.1).
+  // Adding +0 normalizes -0.0 → 0.0 in IEEE.
+  private def dSql(i: Int, name: String): String =
+    s"(round(embedding[$i]::DOUBLE,4) + 0) AS $name"
+
   val oracles: Map[String, String] = Map(
     "scan_csv" -> {
-      val fs = (1 to 8).map(i =>
-        s"round(embedding[$i]::DOUBLE,4) AS f$i").mkString(",\n       ")
+      val fs = (1 to 8).map(i => dSql(i, s"f$i")).mkString(",\n       ")
       s"""SELECT vec_id, $fs,
          |       (vec_id % 2)::INT AS label
          |FROM embeddings""".stripMargin
     },
     "scan_text" ->
-      """SELECT vec_id, round(embedding[1]::DOUBLE,4) AS d0,
-        |       round(embedding[2]::DOUBLE,4) AS d1,
-        |       round(embedding[3]::DOUBLE,4) AS d2,
-        |       round(embedding[4]::DOUBLE,4) AS d3
-        |FROM embeddings""".stripMargin,
+      s"""SELECT vec_id, ${dSql(1, "d0")},
+         |       ${dSql(2, "d1")},
+         |       ${dSql(3, "d2")},
+         |       ${dSql(4, "d3")}
+         |FROM embeddings""".stripMargin,
     "sink_text" ->
-      """SELECT vec_id, round(embedding[1]::DOUBLE,4) AS d0,
-        |       round(embedding[2]::DOUBLE,4) AS d1,
-        |       round(embedding[3]::DOUBLE,4) AS d2,
-        |       round(embedding[4]::DOUBLE,4) AS d3
-        |FROM embeddings""".stripMargin
+      s"""SELECT vec_id, ${dSql(1, "d0")},
+         |       ${dSql(2, "d1")},
+         |       ${dSql(3, "d2")},
+         |       ${dSql(4, "d3")}
+         |FROM embeddings""".stripMargin
   )
 }
