@@ -105,6 +105,109 @@ object StreamingOps {
         col("user_total_events"))
   }
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks within the preceding hour. BOTH sides are streams, so Spark
+    * keeps watermark-bounded join state on each (unlike [[enrichStream]]'s
+    * stateless broadcast): the time-range predicate plus the two
+    * watermarks let the engine evict a click's state once no future
+    * purchase can reach back to it — the only shape at which an unbounded
+    * stream join survives. Equality key `user_id` keeps state partitioned
+    * and the range condition bounds it in time. */
+  def clickToPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tag: String, typ: String) =
+      spark.readStream.schema(eventsSchema)
+        .parquet(stageDir(sfDir, "events"))
+        .where(col("event_type") === typ)
+        .select(col("event_id").as(s"${tag}_id"),
+          col("user_id").as(s"${tag}_user"),
+          timestamp_micros(expr("ts div 1000")).as(s"${tag}_ts"))
+        .withWatermark(s"${tag}_ts", "2 hours")
+    side("c", "click").join(side("p", "purchase"),
+      expr("""c_user = p_user AND
+              c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"""))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+  }
+
+  /** Batch form of [[clickToPurchaseJoin]] for the equivalence test. */
+  def clickToPurchaseBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    def side(tag: String, typ: String) =
+      ev.where(col("event_type") === typ)
+        .select(col("event_id").as(s"${tag}_id"),
+          col("user_id").as(s"${tag}_user"),
+          expr("ts div 1000").as(s"${tag}_us"))
+    side("c", "click").join(side("p", "purchase"),
+      col("c_user") === col("p_user") &&
+        col("c_us") <= col("p_us") &&
+        col("c_us") >= col("p_us") - lit(3600000000L))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        col("p_us"), col("c_us"))
+  }
+
+  /** Per-user threshold-crossing alerts via `flatMapGroupsWithState` — the
+    * CUSTOM-state escape hatch for semantics no built-in operator
+    * expresses: a running per-user value total persisted ACROSS
+    * micro-batches (not window-bounded, never reset), emitting one alert
+    * row each time the total crosses a multiple of `threshold`. State per
+    * user is a single double — O(users) total, the bounded-state shape
+    * that survives an unbounded stream (a timeout policy would age out
+    * idle users in production; the finite fixture doesn't need one).
+    * Events are processed in (ts, event_id) order within each
+    * group+micro-batch so alerts are deterministic. */
+  def thresholdAlerts(spark: SparkSession, sfDir: String,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.readStream.schema(eventsSchema)
+      .parquet(stageDir(sfDir, "events"))
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("value"))
+      .as[(Long, Long, Long, Double)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[Double]) =>
+          var total = state.getOption.getOrElse(0.0)
+          val alerts = rows.toSeq.sortBy(r => (r._3, r._2)).flatMap {
+            case (_, eventId, _, v) =>
+              val next = total + v
+              val crossed =
+                math.floor(next / threshold) > math.floor(total / threshold)
+              total = next
+              if (crossed)
+                Some((user, eventId, math.floor(next / threshold).toLong))
+              else None
+          }
+          state.update(total)
+          alerts.iterator
+      }
+      .toDF("user_id", "event_id", "multiple")
+  }
+
+  /** Batch form of [[thresholdAlerts]] for the equivalence test: the
+    * running total is the cumsum window, a crossing is a floor-quotient
+    * change between consecutive rows. */
+  def thresholdAlertsBatch(spark: SparkSession, sfDir: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts div 1000"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables.events(spark, sfDir)
+      .withColumn("cum", sum(col("value")).over(w))
+      .withColumn("mult", floor(col("cum") / threshold))
+      .withColumn("prev_mult",
+        coalesce(lag(col("mult"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(expr("ts div 1000"), col("event_id"))), lit(0L)))
+      .where(col("mult") > col("prev_mult"))
+      .select(col("user_id"), col("event_id"), col("mult").as("multiple"))
+  }
+
   /** Run a streaming query to completion against the (finite) fixture and
     * return the materialized result — used by tests to check
     * stream/batch equivalence. */

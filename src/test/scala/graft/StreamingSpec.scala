@@ -50,6 +50,30 @@ class StreamingSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val q = StreamingOps.clickToPurchaseJoin(spark, sf).writeStream
+      .outputMode("append").format("memory").queryName("stream_ssj").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_ssj")
+    val batch = StreamingOps.clickToPurchaseBatch(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
+  test("flatMapGroupsWithState threshold alerts match the batch cumsum form") {
+    val q = StreamingOps.thresholdAlerts(spark, sf, 50.0).writeStream
+      .outputMode("append").format("memory").queryName("stream_alerts").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_alerts")
+    val batch = StreamingOps.thresholdAlertsBatch(spark, sf, 50.0)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming session_window matches batch session_window_agg") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.sessionCounts(spark, sf), "stream_sess")
