@@ -147,21 +147,41 @@ object DedupOps {
   private val HAMMING_MAX = 3
   private val CHUNK_CAP = 1000 // max docs per (chunk_id, chunk) cell
 
-  /** 60-bit SimHash per doc. Explode words → per-bit popcount as 60
-    * partial-aggregable sums (literal shift per aggregate column) → sign →
-    * fingerprint. No UDFs/HOFs; map-side combine keeps the shuffle at
-    * 61 longs × docs. */
+  // 3 bit-counters packed per aggregate long (21-bit lanes): the SimHash
+  // shuffle carries 21 longs per doc instead of 61. A lane saturates only
+  // past 2^21-1 ≈ 2M tokens in ONE document (~10 MB of text) — beyond any
+  // sane training-corpus document; the token-count cap is the documented
+  // contract, not a silent truncation.
+  private val LANES = 3
+  private val PACKED_SUMS = SIMHASH_BITS / LANES // 20
+  private val LANE_BITS = 21
+  private val LANE_MASK = (1L << LANE_BITS) - 1
+
+  /** 60-bit SimHash per doc. Explode words → per-bit popcount as 20
+    * PACKED partial-aggregable sums (3 × 21-bit lanes per long; literal
+    * shifts, exact integer arithmetic — results identical to 60 unpacked
+    * sums) → sign → fingerprint. No UDFs/HOFs; map-side combine keeps the
+    * shuffle at 21 longs × docs — the dominant shuffle of the dedup
+    * family, 3× narrower than the unpacked form at any scale. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val tok = spread(docs)
       .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
       .select(col("doc_id"), h60(col("w")).as("h"))
-    val bitSums = (0 until SIMHASH_BITS).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
-    val aggCols = count(lit(1)).as("n") +: bitSums
+    val packedSums = (0 until PACKED_SUMS).map { s =>
+      val perWord = (0 until LANES).map { lane =>
+        shiftright(col("h"), s + PACKED_SUMS * lane).bitwiseAND(lit(1L)) *
+          lit(1L << (LANE_BITS * lane))
+      }.reduce(_ + _)
+      sum(perWord).as(s"p$s")
+    }
+    val aggCols = count(lit(1)).as("n") +: packedSums
     val counted = tok.groupBy(col("doc_id"))
       .agg(aggCols.head, aggCols.tail: _*)
+    def bitCount(j: Int): Column =
+      shiftright(col(s"p${j % PACKED_SUMS}"),
+        LANE_BITS * (j / PACKED_SUMS)).bitwiseAND(lit(LANE_MASK))
     val fp = (0 until SIMHASH_BITS).map(j =>
-      when(col(s"b$j") * 2 >= col("n"), shiftleft(lit(1L), j)).otherwise(0L))
+      when(bitCount(j) * 2 >= col("n"), shiftleft(lit(1L), j)).otherwise(0L))
       .reduce(_ + _)
     counted.select(col("doc_id"), fp.as("simhash"))
   }
