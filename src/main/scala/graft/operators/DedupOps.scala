@@ -61,9 +61,13 @@ object DedupOps {
   def digest(c: Column): Column =
     if (fastHash) xxhash64(c).cast("string") else md5(c)
 
-  /** Whitespace tokens with empties dropped (docs have trailing spaces). */
+  /** Whitespace tokens with empties dropped (docs have trailing spaces).
+    * Native one-pass tokenizer — result-identical to the
+    * `filter(split(text," "), length > 0)` HOF chain it replaces
+    * (ExpressionSpec pins the equality) but codegen'd, which matters for
+    * the explode-heavy consumers (SimHash popcounts, token_topk). */
   def wordsCol(text: Column): Column =
-    filter(split(text, " "), w => length(w) > 0)
+    org.apache.spark.sql.graft.WordShingles.tokens(text)
 
   /** Re-spread rows before a high-fan-out generator stage. A 30-70× shingle
     * explode concentrates all generator work (and its memory) on the scan

@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`/root/reference/SparKMeansGroupBy.java:94`) generalized to content
   * n-grams — see [[graft.operators.DedupOps]].
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(n >= 1, "shingle width must be >= 1")
@@ -53,16 +53,20 @@ case class WordShingles(child: Expression, n: Int)
     }
     val m = words.size
     if (m < n) return WordShingles.EMPTY
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (n == 1 && !distinct) // plain tokenization: no join, no dedup
+      return new GenericArrayData(words.toArray.asInstanceOf[Array[Any]])
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](m - n + 1)
     val slice = new Array[UTF8String](n)
     var j = 0
     while (j <= m - n) {
       var w = 0
       while (w < n) { slice(w) = words.get(j + w); w += 1 }
-      seen.add(UTF8String.concatWs(WordShingles.SPACE, slice: _*))
+      out.add(UTF8String.concatWs(WordShingles.SPACE, slice: _*))
       j += 1
     }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -84,5 +88,14 @@ object WordShingles {
 
   /** Distinct word n-gram column of a text column. */
   def column(text: Column, n: Int): Column =
-    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+    ExpressionUtils.column(
+      WordShingles(ExpressionUtils.expression(text), n, distinct = true))
+
+  /** Plain whitespace tokenization (all non-empty tokens, order kept) —
+    * result-identical to `filter(split(text, " "), length(_) > 0)` but
+    * codegen'd; the native sibling of [[column]] for the explode-heavy
+    * token consumers (SimHash, token_topk). */
+  def tokens(text: Column): Column =
+    ExpressionUtils.column(
+      WordShingles(ExpressionUtils.expression(text), 1, distinct = false))
 }

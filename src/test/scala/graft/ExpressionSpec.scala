@@ -13,6 +13,14 @@ class ExpressionSpec extends SparkSpec {
 
   import graft.functions.VectorOps.{cosine, dot}
 
+  test("native tokenizer == filter/split HOF chain") {
+    val hof = filter(split(col("text"), " "), w => length(w) > 0)
+    val diff = Tables.documents(spark, sf)
+      .select(DedupOps.wordsCol(col("text")).as("a"), hof.as("b"))
+      .where(not(col("a") <=> col("b")))
+    assert(diff.count() === 0L)
+  }
+
   test("WordShingles == array_distinct/transform/sequence HOF chain") {
     val w = DedupOps.wordsCol(col("text"))
     val hof = array_distinct(
