@@ -565,7 +565,7 @@ object KMeansOps {
   // segfaulted DuckDB 1.0.0 on the empty-list distance).
   private final val DIM = 64
 
-  private def assignSqlFor(centersRel: String, centerCol: String,
+  private[operators] def assignSqlFor(centersRel: String, centerCol: String,
       dist: (String, String) => String): String =
     s"""SELECT vec_id, min(cid)::INT AS cluster_id FROM (
        |  SELECT vec_id, cid, dr, min(dr) OVER (PARTITION BY vec_id) AS mdr FROM (

@@ -39,6 +39,8 @@ object SimilarityOps {
   private val PLANES_DEDUP = 12 // 4096 buckets/table: near-dup detection
   private val PLANES_TOPK = 10 // 1024 buckets/table: broader-recall search
   private val BUCKET_CAP = 1000 // max docs per (table, bucket) in self-joins
+  private val NCELLS = 16 // IVF: centroid cells in the inverted file
+  private val NPROBE = 4 // IVF: cells probed per query
 
   /** Pair-scoring cosine via the native fused-loop
     * [[org.apache.spark.sql.graft.CosineSim]] expression — bit-identical
@@ -147,6 +149,36 @@ object SimilarityOps {
           r4(cos(col("v"), col("qv"))).as("sim"))
       topKPerQuery(cands)
     },
+    "sim_topk_ivf" -> { (s, d) =>
+      // IVF (inverted-file) ANN — the clustering-based scale path beside
+      // the hyperplane LSH: partition vectors into NCELLS centroid cells
+      // once (the billion-scale layout step), then each query probes only
+      // its NPROBE nearest cells. Recall comes from nprobe, not tables;
+      // candidate count ≈ nprobe/ncells of the corpus. Composes the
+      // k-means machinery: frozen deterministic centroids + the codegen'd
+      // NearestCenter argmin for the cell assignment, so the whole
+      // pipeline is DuckDB-reproducible. Cell assignment at scale is a
+      // one-off columnar rewrite (like embed_quantize); here it is inline.
+      val pts = KMeansOps.points(s, d)
+      val cells = KMeansOps.frozenCenters(s, d, NCELLS)
+      val assigned = pts.select(col("id"), col("v"),
+        KMeansOps.nearestCol(col("v"), cells).as("cell"))
+      val cellsDf = s.createDataFrame(
+        cells.toSeq.map { case (cid, v) => (cid, v.toSeq) })
+        .toDF("cell", "cv")
+      val qCells = queriesDf(s, d).crossJoin(broadcast(cellsDf))
+        .withColumn("dist", sqDist(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("dist").asc, col("cell"))))
+        .where(col("rn") <= NPROBE)
+        .select(col("q_id"), col("cell"))
+      val cands = assigned.join(broadcast(qCells), "cell")
+        .where(col("id") =!= col("q_id"))
+        .join(broadcast(queriesDf(s, d)), "q_id")
+        .select(col("q_id"), col("id").as("vec_id"),
+          r4(cos(col("v"), col("qv"))).as("sim"))
+      topKPerQuery(cands)
+    },
     "embed_quantize" -> { (s, d) =>
       // symmetric int8 quantization (the storage/serving format for
       // billion-scale ANN): per-vector scale = 127/max|x|, emitted as
@@ -226,6 +258,33 @@ object SimilarityOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_topk_ivf" ->
+      s"""WITH a AS (${KMeansOps.assignSqlFor(
+            KMeansOps.frozenCentersSql(NCELLS), "embedding", VectorSql.sqDist)}),
+         |qc AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.vec_id AS q_id, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${VectorSql.sqDist("q.embedding", "c.embedding")} ASC,
+         |                      c.cid) AS rn
+         |    FROM embeddings q CROSS JOIN ${KMeansOps.frozenCentersSql(NCELLS)} c
+         |    WHERE q.vec_id < $NQ)
+         |  WHERE rn <= $NPROBE),
+         |cand AS (
+         |  SELECT qc.q_id, a.vec_id FROM a JOIN qc ON a.cluster_id = qc.cell
+         |  WHERE a.vec_id <> qc.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.vec_id,
+         |         (round(${VectorSql.cosine("d.embedding", "qe.embedding")}, 4) + 0) AS sim
+         |  FROM cand
+         |  JOIN embeddings d  ON cand.vec_id = d.vec_id
+         |  JOIN embeddings qe ON cand.q_id = qe.vec_id)
+         |SELECT q_id, vec_id, rnk, sim FROM (
+         |  SELECT q_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY sim DESC, vec_id)::INT AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $TOPK""".stripMargin,
     "sim_topk_lsh" ->
       s"""WITH ${lshCtes(64, PLANES_TOPK)},
          |q AS (SELECT vec_id AS q_id, t, b FROM bkt WHERE vec_id < $NQ),

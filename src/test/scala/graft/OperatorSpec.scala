@@ -90,6 +90,14 @@ class OperatorSpec extends SparkSpec {
     assert(bad.count() === 0L, "quantile sketch off by >2% somewhere")
   }
 
+  test("sim_topk_ivf ranks at most 5 candidates per query from probed cells") {
+    val ivf = SparkEntry.queries("sim_topk_ivf")(spark, sf).cache()
+    assert(ivf.count() > 0)
+    assert(ivf.groupBy("q_id").count().where(col("count") > 5).count() === 0L)
+    assert(ivf.where(col("rnk") > 5).count() === 0L)
+    assert(ivf.where(col("sim") > 1.0001 || col("sim") < -1.0001).count() === 0L)
+  }
+
   test("dedup_exact keeps one survivor per distinct text") {
     val docs = Tables.documents(spark, sf)
     val distinctTexts = docs.select("text").distinct().count()
