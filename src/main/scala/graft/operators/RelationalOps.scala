@@ -86,6 +86,28 @@ object RelationalOps {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_acctbal"))
     },
+    "join_salted" -> { (s, d) =>
+      // skew-resilient fact-fact join: the probe side salts each row into
+      // one of R lanes and the build side replicates R ways, so a hot
+      // key's rows land on R reducer partitions instead of one. AQE's
+      // skew split handles transient skew at runtime; explicit salting is
+      // the deterministic tool when a key is ALWAYS hot (the null-key /
+      // default-value pathologies of real training data). Join keys gain
+      // the salt column on both sides, so the result — and therefore the
+      // oracle — is IDENTICAL to the unsalted join.
+      val R = 8
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .withColumn("salt", pmod(col("l_orderkey") * 2654435761L, lit(R)))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .withColumn("salt", explode(array((0 until R).map(lit): _*)))
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("salt") === o("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+    },
     "join_asof" -> { (s, d) =>
       // as-of join (Spark has no native operator): for every purchase, the
       // most recent click by the same user at or before its timestamp.
@@ -289,6 +311,11 @@ object RelationalOps {
     "join_anti" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_salted" ->
+      """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "join_asof" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |       coalesce((SELECT max(epoch_us(c.ts)) FROM events c
