@@ -83,9 +83,41 @@ object TextIO {
     dir
   }
 
+  /** Write the events table as JSON-lines once per scale factor — the
+    * interchange format of LLM training-data pipelines. Timestamps are
+    * emitted as epoch-µs longs (JSON has no timestamp type; µs stays in
+    * float64's exact-int range for the compare). */
+  def ensureEventsJsonl(s: SparkSession, d: String): String = {
+    val dir = s"target/text-fixtures/${sfName(d)}/events_jsonl"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS")))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"),
+          col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").json(dir)
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_text" -> { (s, d) =>
       parseLines(s, ensurePointsText(s, d))
+    },
+    "scan_jsonl" -> { (s, d) =>
+      // JSON-lines ingestion with an explicit schema (schema inference on
+      // JSON is a full extra pass — never at scale). Doubles round-trip
+      // losslessly through Spark's shortest-decimal JSON rendering, so
+      // raw values compare bit-exact against the parquet source; the
+      // nested props payload re-parses with from_json on the way in (the
+      // lakehouse pattern: land JSONL, project typed columns once).
+      val schema = "event_id LONG, user_id LONG, ts_us LONG, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      s.read.schema(schema).json(ensureEventsJsonl(s, d))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"), col("value"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+            .getField("k").as("prop_k"))
     },
     "scan_csv" -> { (s, d) =>
       // real delimited-file ingestion with header handling — the
@@ -124,6 +156,10 @@ object TextIO {
     s"(round(embedding[$i]::DOUBLE,4) + 0) AS $name"
 
   val oracles: Map[String, String] = Map(
+    "scan_jsonl" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value,
+        |       json_extract_string(props, '$.k')::BIGINT AS prop_k
+        |FROM events""".stripMargin,
     "scan_csv" -> {
       val fs = (1 to 8).map(i => dSql(i, s"f$i")).mkString(",\n       ")
       s"""SELECT vec_id, $fs,
