@@ -130,15 +130,19 @@ object DedupOps {
   /** (doc_id, band_id, band_hash) LSH bucketing relation: band hash = h60 of
     * the comma-joined 4-row signature slice, computed straight from the
     * signature columns (narrow projection + one explode, no extra shuffle). */
-  def minhashBands(docs: DataFrame): DataFrame = {
+  def minhashBands(docs: DataFrame): DataFrame =
+    bandsOf(minhashSignatures(docs))
+
+  /** Band relation from an existing signature relation (callers that also
+    * need the signatures themselves compute them once and reuse). */
+  def bandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until BANDS).map { b =>
       val slice = (0 until ROWS_PER_BAND)
         .map(r => col(s"m${b * ROWS_PER_BAND + r}"))
       struct(lit(b).as("band_id"),
         h60(concat_ws(",", slice: _*)).as("band_hash"))
     }
-    minhashSignatures(docs)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
   }
 
@@ -217,6 +221,32 @@ object DedupOps {
       a.join(b, Seq("band_id", "band_hash"))
         .where(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    "dedup_minhash_scored" -> { (s, d) =>
+      // LSH candidates + the MinHash similarity ESTIMATE: the fraction of
+      // agreeing signature slots estimates Jaccard without touching the
+      // original text — the triage step that decides verify-vs-drop
+      // before any expensive exact comparison. Output is the integer
+      // match count (0..32): exact, no float compare hazards; the
+      // signature relation is computed once and joined twice on doc_id.
+      val sig = minhashSignatures(Tables.documents(s, d)).cache()
+      val bands = bandsOf(sig)
+      val a = bands.select(col("doc_id").as("doc_a"), col("band_id"),
+        col("band_hash"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band_id"),
+        col("band_hash"))
+      val pairs = a.join(b, Seq("band_id", "band_hash"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val sigA = sig.select(col("doc_id").as("doc_a") +:
+        (0 until MINHASH_PERMS).map(j => col(s"m$j").as(s"a_m$j")): _*)
+      val sigB = sig.select(col("doc_id").as("doc_b") +:
+        (0 until MINHASH_PERMS).map(j => col(s"m$j").as(s"b_m$j")): _*)
+      val nMatch = (0 until MINHASH_PERMS).map(j =>
+        when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0)).reduce(_ + _)
+      pairs.join(sigA, "doc_a").join(sigB, "doc_b")
+        .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
     "dedup_simhash" -> { (s, d) =>
@@ -342,6 +372,23 @@ object DedupOps {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          |WHERE a.doc_id < b.doc_id""".stripMargin,
+    "dedup_minhash_scored" -> {
+      val matchSum = (0 until MINHASH_PERMS).map(j =>
+        s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END")
+        .mkString("(", "\n       + ", ")")
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT p.doc_a, p.doc_b,
+         |       $matchSum::INT AS n_match
+         |FROM pairs p
+         |JOIN sig sa ON p.doc_a = sa.doc_id
+         |JOIN sig sb ON p.doc_b = sb.doc_id""".stripMargin
+    },
     "dedup_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM fp""".stripMargin,

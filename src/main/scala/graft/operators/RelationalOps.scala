@@ -150,6 +150,21 @@ object RelationalOps {
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
     },
+    "profile_stats" -> { (s, d) =>
+      // data-profiling sweep — the first query any ingestion pipeline runs
+      // on a new drop: row count, key cardinality, null rate, value and
+      // time ranges. One partial-aggregable pass (countDistinct rewrites
+      // to a two-stage expand aggregate), no window, no collect.
+      Tables.events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("value").isNull.cast("long")).as("null_values"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"),
+        min(expr("ts div 1000")).as("min_ts_us"),
+        max(expr("ts div 1000")).as("max_ts_us"))
+    },
     "agg_stats" -> { (s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -327,6 +342,16 @@ object RelationalOps {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "profile_stats" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |       count(DISTINCT user_id)::BIGINT AS n_users,
+        |       count(DISTINCT event_type)::BIGINT AS n_types,
+        |       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_values,
+        |       round(min(value), 2) AS min_value,
+        |       round(max(value), 2) AS max_value,
+        |       min(epoch_us(ts))::BIGINT AS min_ts_us,
+        |       max(epoch_us(ts))::BIGINT AS max_ts_us
+        |FROM events""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
