@@ -87,23 +87,38 @@ object RelationalOps {
         .select(col("c_custkey"), col("c_acctbal"))
     },
     "join_salted" -> { (s, d) =>
-      // skew-resilient fact-fact join: the probe side salts each row into
-      // one of R lanes and the build side replicates R ways, so a hot
-      // key's rows land on R reducer partitions instead of one. AQE's
-      // skew split handles transient skew at runtime; explicit salting is
-      // the deterministic tool when a key is ALWAYS hot (the null-key /
-      // default-value pathologies of real training data). Join keys gain
-      // the salt column on both sides, so the result — and therefore the
-      // oracle — is IDENTICAL to the unsalted join.
+      // skew-resilient fact-fact join, HOT-KEY-ONLY salting: detect heavy
+      // hitters first (a tiny broadcastable relation by definition), salt
+      // only their probe rows into R lanes and replicate only their build
+      // rows R ways; everything else joins unsalted on lane 0. Full
+      // build-side replication would multiply a 100 TB relation by R —
+      // partial salting pays the replication tax only where the skew is.
+      // AQE's skew split handles transient skew at runtime; explicit
+      // salting is the deterministic tool when a key is ALWAYS hot (the
+      // null-key / default-value pathologies of real training data).
+      // Salt is part of the join key on both sides, so the result — and
+      // therefore the oracle — is IDENTICAL to the unsalted join.
       val R = 8
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_quantity"))
-        .withColumn("salt", pmod(col("l_orderkey") * 2654435761L, lit(R)))
-      val o = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderstatus"))
-        .withColumn("salt", explode(array((0 until R).map(lit): _*)))
-      li.join(o, li("l_orderkey") === o("o_orderkey") &&
-          li("salt") === o("salt"))
+      val HOT_MIN = 5 // rows per key before a key counts as hot
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      val hot = li.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= HOT_MIN)
+        .select(col("l_orderkey").as("hot_key"))
+      val salted = li
+        .join(broadcast(hot), col("l_orderkey") === col("hot_key"), "left")
+        .withColumn("salt", when(col("hot_key").isNotNull,
+          pmod(col("l_quantity").cast("long") + col("l_orderkey"), lit(R)))
+          .otherwise(lit(0)))
+        .select(col("l_orderkey"), col("l_quantity"), col("salt"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+      val oSalted = o
+        .join(broadcast(hot), col("o_orderkey") === col("hot_key"), "left")
+        .withColumn("salts", when(col("hot_key").isNotNull,
+          typedlit((0 until R).toArray)).otherwise(typedlit(Array(0))))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          explode(col("salts")).as("salt"))
+      salted.join(oSalted, salted("l_orderkey") === oSalted("o_orderkey") &&
+          salted("salt") === oSalted("salt"))
         .groupBy(col("o_orderstatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           count(lit(1)).as("n_items"))
