@@ -14,9 +14,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one-time layout ETL (bucketed tables) runs OUTSIDE the timings:
-    // join_bucketed must measure the exchange-free join, not the CTAS
+    // one-time layout ETL (bucketed tables) and fixture staging (text/
+    // csv/jsonl files) run OUTSIDE the timings: join_bucketed must
+    // measure the exchange-free join, not the CTAS, and the scan_*
+    // queries must measure the scan, not the staging write
     graft.sources.StorageOps.ensureLayouts(spark, sfDir)
+    graft.sources.TextIO.ensureFixtures(spark, sfDir)
     var failed = 0
     // deterministic alphabetical order: Map hash order varies with the key
     // set, which made per-query numbers incomparable across rounds (a

@@ -98,6 +98,16 @@ object TextIO {
     dir
   }
 
+  /** Idempotently create every text-format fixture for a scale factor.
+    * Fixture generation is one-time staging, not query work: Bench calls
+    * this in its setup pass so the scan_* queries time the SCAN; the
+    * queries still self-ensure for standalone use. */
+  def ensureFixtures(s: SparkSession, d: String): Unit = {
+    ensurePointsText(s, d)
+    ensurePointsCsv(s, d)
+    ensureEventsJsonl(s, d)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_text" -> { (s, d) =>
       parseLines(s, ensurePointsText(s, d))
