@@ -82,6 +82,47 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("native tokenizer/shingles == HOF forms on adversarial strings") {
+    // generated edge cases the fixture corpus never hits: leading /
+    // trailing / repeated spaces, empty and all-space strings, 1- and
+    // 2-word strings (the <n guard), repeated shingles (the distinct
+    // path), multi-byte utf-8
+    val texts = (0 until N).map { i =>
+      val words = Seq.tabulate(i % 7)(j => s"w${(i + j) % 5}é")
+      val sep = if (i % 3 == 0) "  " else " "
+      val pad = if (i % 4 == 0) " " else ""
+      pad + words.mkString(sep) + pad
+    } :+ "" :+ "   " :+ "solo" :+ "a b" :+ "a a a a a"
+    val df = texts.toDF("text")
+    val wordsHof = filter(split(col("text"), " "), w => length(w) > 0)
+    val shHof = array_distinct(
+      when(size(wordsHof) >= 3,
+        transform(sequence(lit(1), size(wordsHof) - 2),
+          i => concat_ws(" ", element_at(wordsHof, i),
+            element_at(wordsHof, i + 1), element_at(wordsHof, i + 2))))
+        .otherwise(array().cast("array<string>")))
+    val bad = df.select(
+        DedupOps.wordsCol(col("text")).as("tn"), wordsHof.as("th"),
+        DedupOps.shinglesOf(col("text")).as("sn"), shHof.as("sh"))
+      .where(not(col("tn") <=> col("th")) || not(col("sn") <=> col("sh")))
+    assert(bad.count() === 0L)
+  }
+
+  test("CosineSim/SignBucket == HOF forms on generated vectors") {
+    val planes = graft.operators.SimilarityOps.planes(DIMS, 8, table = 1)
+    val hofBucket = planes.zipWithIndex.map { case (p, b) =>
+      when(dot(col("a"), typedlit(p)) >= 0, shiftleft(lit(1), b)).otherwise(0)
+    }.reduce(_ + _)
+    val bad = triples.select(
+        org.apache.spark.sql.graft.CosineSim.column(col("a"), col("b")).as("cn"),
+        cosine(col("a"), col("b")).as("ch"),
+        graft.operators.SimilarityOps.bucketCol(col("a"), DIMS, 8, 1).as("bn"),
+        hofBucket.as("bh"))
+      .where(col("cn") =!= col("ch") || col("bn") =!= col("bh") ||
+        col("bn") < 0 || col("bn") >= (1 << 8))
+    assert(bad.count() === 0L)
+  }
+
   test("lloyd cost never increases across a step (generated blobs)") {
     import graft.operators.KMeansOps
     val pts = (0 until N).map(i => (i.toLong, vec(i, 1))).toDF("id", "v")
