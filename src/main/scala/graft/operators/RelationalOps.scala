@@ -165,6 +165,24 @@ object RelationalOps {
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
     },
+    "pivot_agg" -> { (s, d) =>
+      // long→wide pivot: per-user event-type counts as columns — the
+      // feature-table shape behavioral training data lands in. The value
+      // list is EXPLICIT: without it Spark runs an extra distinct job to
+      // discover the domain and the output schema becomes data-dependent
+      // (a schema that changes with the data is an anti-pattern at scale).
+      // Plan is a single partial-aggregable pivot hash aggregate.
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))
+    },
     "profile_stats" -> { (s, d) =>
       // data-profiling sweep — the first query any ingestion pipeline runs
       // on a new drop: row count, key cardinality, null rate, value and
@@ -357,6 +375,14 @@ object RelationalOps {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "pivot_agg" ->
+      """SELECT user_id,
+        |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+        |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+        |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+        |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
     "profile_stats" ->
       """SELECT count(*)::BIGINT AS n_rows,
         |       count(DISTINCT user_id)::BIGINT AS n_users,
