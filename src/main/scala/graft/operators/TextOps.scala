@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.operators.DedupOps.wordsCol
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language ID (n-gram/stopword
@@ -110,6 +111,34 @@ object TextOps {
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w")).limit(100)
     },
+    "quality_deciles" -> { (s, d) =>
+      // global decile bucketing for quality-based data mixing (curriculum /
+      // mixture weighting): NOT an ntile window — a global row_number at
+      // 100 TB funnels the whole table through one reducer. Scale-right
+      // shape: (1) frequency table of the bucketing key (map-side-combined
+      // groupBy; the key domain, not the row count, bounds it), (2) cumsum
+      // over the TINY sorted frequency relation (single-partition window
+      // over |distinct keys| rows — explicitly bounded), (3) broadcast the
+      // key→decile map back onto the fact table. decile = floor(10 ·
+      // rows_before(key) / n): pure integer arithmetic, no float
+      // thresholds to disagree on, ties share a bucket deterministically.
+      val docs = Tables.documents(s, d)
+      val freq = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val buckets = freq
+        .withColumn("before", sum(col("c")).over(wCum) - col("c"))
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("n_chars"),
+          expr("(before * 10) div n").cast("int").as("decile"))
+      docs.join(broadcast(buckets), "n_chars")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    },
     "sample_stratified" -> { (s, d) =>
       // deterministic per-stratum downsampling: each language keeps a fixed
       // rate via the multiplicative-hash uniform (no RNG state, exactly
@@ -174,6 +203,17 @@ object TextOps {
       s"""SELECT w, count(*)::BIGINT AS n
          |FROM (SELECT unnest($wSql) AS w FROM documents)
          |GROUP BY w ORDER BY n DESC, w LIMIT 100""".stripMargin,
+    "quality_deciles" ->
+      """WITH freq AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+        |cum AS (SELECT n_chars,
+        |          sum(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) - c AS before
+        |        FROM freq),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |b AS (SELECT n_chars, ((before * 10) // n)::INT AS decile FROM cum, tot)
+        |SELECT b.decile, count(*)::BIGINT AS n_docs,
+        |       min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars
+        |FROM documents d JOIN b ON d.n_chars = b.n_chars
+        |GROUP BY b.decile""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 <
