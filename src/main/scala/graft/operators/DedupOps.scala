@@ -98,6 +98,15 @@ object DedupOps {
   private val BANDS = 8 // 8 bands × 4 rows
   private val ROWS_PER_BAND = MINHASH_PERMS / BANDS
   private val M = 2147483647L // Mersenne prime 2^31-1
+  // Max docs per (band_id, band_hash) cell in the LSH self-join. Without a
+  // cap, N exact-duplicate (or boilerplate) docs share all 8 band hashes and
+  // one cell emits N²/2 candidate rows — quadratic exactly on the corpora
+  // dedup exists for. Over-populated cells are dropped (same discipline as
+  // CHUNK_CAP / SimilarityOps.BUCKET_CAP); members of a dropped cell still
+  // pair through their other 7 bands' cells when those stay under cap, and
+  // the all-bands-hot exact-duplicate cluster is precisely what the cheaper
+  // digest-based dedup_exact already catches.
+  private final val BAND_CAP = 1000
 
   /** splitmix64 finalizer — full-avalanche mixing for the permutation
     * constants (the round-2 "2j+1" multipliers were small correlated odd
@@ -132,6 +141,19 @@ object DedupOps {
     * signature columns (narrow projection + one explode, no extra shuffle). */
   def minhashBands(docs: DataFrame): DataFrame =
     bandsOf(minhashSignatures(docs))
+
+  /** Drop rows of over-populated (band_id, band_hash) cells before a
+    * self-join — the keep relation is tiny (distinct under-cap cells) and
+    * broadcasts. `cap` is parameterized for the property test; production
+    * callers use [[BAND_CAP]]. */
+  private[graft] def cappedBands(bands: DataFrame,
+      cap: Int = BAND_CAP): DataFrame = {
+    val keep = bands.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bcnt"))
+      .where(col("bcnt") <= cap)
+      .select(col("band_id"), col("band_hash"))
+    bands.join(broadcast(keep), Seq("band_id", "band_hash"))
+  }
 
   /** Band relation from an existing signature relation (callers that also
     * need the signatures themselves compute them once and reuse). */
@@ -213,7 +235,12 @@ object DedupOps {
         .select(col("doc_id"))
     },
     "dedup_minhash" -> { (s, d) =>
-      val bands = minhashBands(Tables.documents(s, d)).cache()
+      // localCheckpoint, not cache: the band relation feeds both the cell
+      // count and the self-join probe; an eager checkpoint materializes it
+      // once and its blocks are released when the plan is GC'd, instead of
+      // occupying the cache for the session lifetime (round-4 ADVICE).
+      val bands = cappedBands(
+        minhashBands(Tables.documents(s, d)).localCheckpoint())
       val a = bands.select(col("doc_id").as("doc_a"), col("band_id"),
         col("band_hash"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band_id"),
@@ -229,9 +256,11 @@ object DedupOps {
       // original text — the triage step that decides verify-vs-drop
       // before any expensive exact comparison. Output is the integer
       // match count (0..32): exact, no float compare hazards; the
-      // signature relation is computed once and joined twice on doc_id.
-      val sig = minhashSignatures(Tables.documents(s, d)).cache()
-      val bands = bandsOf(sig)
+      // signature relation is materialized once (eager localCheckpoint —
+      // its blocks die with the plan, unlike a session-lifetime cache)
+      // and joined three ways on doc_id.
+      val sig = minhashSignatures(Tables.documents(s, d)).localCheckpoint()
+      val bands = cappedBands(bandsOf(sig))
       val a = bands.select(col("doc_id").as("doc_a"), col("band_id"),
         col("band_hash"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band_id"),
@@ -342,6 +371,15 @@ object DedupOps {
     s"bands AS (\n  $bands)"
   }
 
+  /** DuckDB CTEs mirroring [[cappedBands]]: drop over-populated cells. */
+  private lazy val cappedBandsSql: String =
+    s"""bkeep AS (
+       |  SELECT band_id, band_hash FROM bands
+       |  GROUP BY band_id, band_hash HAVING count(*) <= $BAND_CAP),
+       |cbands AS (
+       |  SELECT b.doc_id, b.band_id, b.band_hash FROM bands b
+       |  JOIN bkeep USING (band_id, band_hash))""".stripMargin
+
   /** DuckDB CTE computing (doc_id, simhash) fingerprints. */
   private lazy val simhashSql: String = {
     val bitSums = (0 until SIMHASH_BITS).map(j =>
@@ -367,9 +405,10 @@ object DedupOps {
       "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)",
     "dedup_minhash" ->
       s"""WITH $sigSql,
-         |$bandsSql
+         |$bandsSql,
+         |$cappedBandsSql
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
+         |FROM cbands a JOIN cbands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          |WHERE a.doc_id < b.doc_id""".stripMargin,
     "dedup_minhash_scored" -> {
@@ -378,9 +417,10 @@ object DedupOps {
         .mkString("(", "\n       + ", ")")
       s"""WITH $sigSql,
          |$bandsSql,
+         |$cappedBandsSql,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
+         |  FROM cbands a JOIN cbands b
          |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          |  WHERE a.doc_id < b.doc_id)
          |SELECT p.doc_a, p.doc_b,

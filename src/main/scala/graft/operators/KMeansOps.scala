@@ -98,17 +98,22 @@ object KMeansOps {
       .agg(count(lit(1)).as("n"), array(avgs: _*).as("centroid"))
   }
 
-  /** Snap a centroid component to 12 decimals (exact decimal HALF_UP —
-    * away from zero, same convention as DuckDB's `round`). Both engines
-    * snap their recomputed means to this shared grid before the NEXT
-    * assignment: partial-aggregate summation order is partition-dependent
-    * and differs between Spark and DuckDB in the last float bits, so an
-    * unsnapped near-tie point could be assigned differently between
-    * engines (or across runs), flipping n_points nondeterministically
-    * (round-3 ADVICE). 12 decimals is far below any real centroid
-    * movement and far above float-associativity noise. */
-  private def snap12(x: Double): Double =
-    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** Snap a centroid component to a shared 12-decimal grid — the IEEE
+    * floor form `floor(x·1e12 + 0.5)/1e12`, the same pure-float-op
+    * sequence [[graft.functions.VectorOps.rIeee]] uses everywhere else
+    * (round-4 ADVICE: the earlier BigDecimal-HALF_UP ↔ DuckDB-float-round
+    * pairing was exactly the divergent-on-half-boundaries combination the
+    * rIeee policy exists to avoid). Both engines snap their recomputed
+    * means to this grid before the NEXT assignment: partial-aggregate
+    * summation order is partition-dependent and differs between Spark and
+    * DuckDB in the last float bits, so an unsnapped near-tie point could
+    * be assigned differently between engines (or across runs), flipping
+    * n_points nondeterministically (round-3 ADVICE). 12 decimals is far
+    * below any real centroid movement and far above float-associativity
+    * noise, and a continuous mean sitting within an ulp of a floor
+    * boundary is astronomically unlikely. */
+  private[operators] def snap12(x: Double): Double =
+    math.floor(x * 1e12 + 0.5) / 1e12
 
   /** One Lloyd step: assign + recompute, empty clusters keeping their
     * previous center (MLlib-style; the reference silently shrinks k —
@@ -583,8 +588,9 @@ object KMeansOps {
     * cannot occur for the frozen k=4 seeds on the fixture data — every
     * cluster stays populated, verified at all tested SFs). */
   private def lloydUnrollSql(dist: (String, String) => String): String = {
-    // round(…, 12) mirrors lloydStep's snap12 — see its doc
-    val centroid = (1 to DIM).map(i => s"round(avg(e.embedding[$i]::DOUBLE), 12)")
+    // rIeee@12 mirrors lloydStep's snap12 bit-for-bit — see its doc
+    val centroid = (1 to DIM).map(i =>
+        VectorSql.rIeee(s"avg(e.embedding[$i]::DOUBLE)", 12))
       .mkString(",\n         ")
     s"""WITH c0 AS ${frozenCentersSql()},
        |a1 AS (${assignSqlFor("c0", "embedding", dist)}),

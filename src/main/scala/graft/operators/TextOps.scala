@@ -22,19 +22,33 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "les", "des", "et", "une"))
 
+  private val langOrder = Seq("en", "es", "de", "fr")
+
+  /** Test access to a stoplist (ExpressionSpec's HOF-equality anchor). */
+  private[graft] def stoplistsFor(lang: String): Seq[String] = stoplists(lang)
+
   private def litArray(xs: Seq[String]): Column = array(xs.map(lit): _*)
 
-  /** Count of word occurrences drawn from a marker list. */
-  private def markerHits(words: Column, markers: Seq[String]): Column =
+  /** HOF form of the marker count — kept ONLY as the bit-equality anchor
+    * for [[markerCounts]] (ExpressionSpec); 4 of these per row re-walk the
+    * token array interpreted (CodegenFallback), the round-4 bench's 7.5×
+    * lang_id regression. */
+  private[graft] def markerHitsHof(words: Column, markers: Seq[String]): Column =
     size(filter(words, w => array_contains(litArray(markers), w)))
 
-  /** Stopword-marker language guess with fixed precedence on ties and
-    * 'und' (undetermined) when no marker hits at all. */
-  def langIdCol(words: Column): Column = {
-    val en = markerHits(words, stoplists("en"))
-    val es = markerHits(words, stoplists("es"))
-    val de = markerHits(words, stoplists("de"))
-    val fr = markerHits(words, stoplists("fr"))
+  /** All four stoplist hit counts in ONE native codegen pass over the
+    * token array — array<int> in [[langOrder]] order. */
+  private[graft] def markerCounts(words: Column): Column =
+    org.apache.spark.sql.graft.MarkerCounts.column(
+      words, langOrder.map(stoplists))
+
+  /** Stopword-marker language guess from a *materialized* counts column
+    * (bind [[markerCounts]] in a prior select — the when-tree references
+    * each count repeatedly, and a staged column keeps the counting pass
+    * single whatever CSE decides). Fixed precedence on ties; 'und'
+    * (undetermined) when no marker hits at all. */
+  def langFromCounts(mc: Column): Column = {
+    val Seq(en, es, de, fr) = (1 to 4).map(i => element_at(mc, i))
     when(en >= es && en >= de && en >= fr && en > 0, "en")
       .when(es >= de && es >= fr && es > 0, "es")
       .when(de >= fr && de > 0, "de")
@@ -45,7 +59,8 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> { (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), langIdCol(wordsCol(col("text"))).as("lang_guess"))
+        .select(col("doc_id"), markerCounts(wordsCol(col("text"))).as("mc"))
+        .select(col("doc_id"), langFromCounts(col("mc")).as("lang_guess"))
     },
     "quality_score" -> { (s, d) =>
       // the split is bound ONCE: HOF subtrees defeat Catalyst CSE, so the
@@ -61,7 +76,7 @@ object TextOps {
         .select(col("doc_id"), size(col("w")).as("n_tok"),
           (aggregate(col("w"), lit(0), (acc, w) => acc + length(w))
             .cast("double") / size(col("w"))).as("avg_len"),
-          (markerHits(col("w"), stoplists("en")).cast("double") /
+          (element_at(markerCounts(col("w")), 1).cast("double") /
             size(col("w"))).as("stop_ratio"))
       // rIeee, not round: token ratios (sums over n_tokens = 16, 32, 96…)
       // and the 0.5/0.3/0.2-weighted score land EXACTLY on 4-decimal

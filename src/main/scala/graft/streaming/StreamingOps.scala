@@ -161,8 +161,14 @@ object StreamingOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // null values are dropped BEFORE the typed decode: .as[... Double]
+    // would fail on a null, while the batch form's sum(value) silently
+    // skips them (round-4 ADVICE). Filtering keeps the two equivalent — a
+    // null-value row never moves the running total, so it can never be
+    // the crossing row the batch form emits either.
     val ev = spark.readStream.schema(eventsSchema)
       .parquet(stageDir(sfDir, "events"))
+      .where(col("value").isNotNull)
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
         col("value"))
       .as[(Long, Long, Long, Double)]
@@ -198,6 +204,7 @@ object StreamingOps {
       .orderBy(expr("ts div 1000"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     graft.Tables.events(spark, sfDir)
+      .where(col("value").isNotNull) // mirror thresholdAlerts' null drop
       .withColumn("cum", sum(col("value")).over(w))
       .withColumn("mult", floor(col("cum") / threshold))
       .withColumn("prev_mult",

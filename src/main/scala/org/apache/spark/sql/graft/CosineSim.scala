@@ -30,9 +30,16 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even over non-null children: a dimension mismatch yields null
+  // (a filterable malformed row) instead of an ArrayIndexOutOfBounds that
+  // kills the whole query — the HOF identity claim below holds for
+  // equal-dimension inputs; mixed-dimension inputs are malformed data.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData].toDoubleArray()
     val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    if (a.length != b.length) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -57,13 +64,17 @@ case class CosineSim(left: Expression, right: Expression)
       s"""
          |double[] $a = $l.toDoubleArray();
          |double[] $b = $r.toDoubleArray();
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $j = 0; $j < $a.length; $j++) {
-         |  $dot += $a[$j] * $b[$j];
-         |  $na += $a[$j] * $a[$j];
-         |  $nb += $b[$j] * $b[$j];
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $j = 0; $j < $a.length; $j++) {
+         |    $dot += $a[$j] * $b[$j];
+         |    $na += $a[$j] * $a[$j];
+         |    $nb += $b[$j] * $b[$j];
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

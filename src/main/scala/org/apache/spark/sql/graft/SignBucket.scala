@@ -38,8 +38,14 @@ case class SignBucket(child: Expression, planes: Array[Array[Double]])
 
   override def dataType: DataType = IntegerType
 
+  // nullable even over a non-null child: a vector shorter than the plane
+  // dimension yields null (filterable malformed row) instead of an
+  // ArrayIndexOutOfBounds that fails the query (round-4 ADVICE).
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    if (v.length < planes(0).length) return null
     var bucket = 0
     var b = 0
     while (b < planes.length) {
@@ -64,16 +70,20 @@ case class SignBucket(child: Expression, planes: Array[Array[Double]])
       val j = ctx.freshName("j")
       s"""
          |double[] $v = $arr.toDoubleArray();
-         |int $bucket = 0;
-         |for (int $b = 0; $b < $planesRef.length; $b++) {
-         |  double[] $p = $planesRef[$b];
-         |  double $s = 0.0;
-         |  for (int $j = 0; $j < $p.length; $j++) {
-         |    $s += $v[$j] * $p[$j];
+         |if ($v.length < $planesRef[0].length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $bucket = 0;
+         |  for (int $b = 0; $b < $planesRef.length; $b++) {
+         |    double[] $p = $planesRef[$b];
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $p.length; $j++) {
+         |      $s += $v[$j] * $p[$j];
+         |    }
+         |    if ($s >= 0) $bucket += (1 << $b);
          |  }
-         |  if ($s >= 0) $bucket += (1 << $b);
+         |  ${ev.value} = $bucket;
          |}
-         |${ev.value} = $bucket;
        """.stripMargin
     })
   }

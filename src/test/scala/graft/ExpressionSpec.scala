@@ -65,6 +65,45 @@ class ExpressionSpec extends SparkSpec {
     assert(diff.count() === 0L)
   }
 
+  test("MarkerCounts == per-list filter/array_contains HOFs, exactly") {
+    import graft.operators.TextOps
+    val langs = Seq("en", "es", "de", "fr")
+    val w = DedupOps.wordsCol(col("text"))
+    val hof = array(langs.map(l =>
+      TextOps.markerHitsHof(w, TextOps.stoplistsFor(l))): _*)
+    val diff = Tables.documents(spark, sf)
+      .select(TextOps.markerCounts(w).as("a"), hof.as("b"))
+      .where(not(col("a") <=> col("b")))
+    assert(diff.count() === 0L)
+    // adversarial edges: duplicates count every occurrence; empty / all-
+    // space text yields all-zero counts (never null); null array -> null
+    import spark.implicits._
+    val edge = Seq("the the the y la", "", "   ", "und el").toDF("text")
+    val got = edge.select(TextOps.markerCounts(DedupOps.wordsCol(col("text")))
+        .as("mc")).collect().map(_.getSeq[Int](0))
+    assert(got(0) === Seq(3, 2, 0, 0)) // 'la' is es; 'y' is es
+    assert(got(1) === Seq(0, 0, 0, 0))
+    assert(got(2) === Seq(0, 0, 0, 0))
+    assert(got(3) === Seq(0, 1, 1, 0)) // 'und' is a German marker, 'el' Spanish
+  }
+
+  test("lang_id pipeline == the HOF langId formulation, exactly") {
+    import graft.operators.TextOps
+    val w = DedupOps.wordsCol(col("text"))
+    def hits(l: String) = TextOps.markerHitsHof(w, TextOps.stoplistsFor(l))
+    val (en, es, de, fr) = (hits("en"), hits("es"), hits("de"), hits("fr"))
+    val hofLang = when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+    val native = SparkEntry.queries("lang_id")(spark, sf)
+    val hof = Tables.documents(spark, sf)
+      .select(col("doc_id"), hofLang.as("lang_guess"))
+    assert(native.exceptAll(hof).count() === 0L)
+    assert(hof.exceptAll(native).count() === 0L)
+  }
+
   test("NearestCenter claims cid=0 for all-NaN distance rows") {
     import spark.implicits._
     val pts = Seq(

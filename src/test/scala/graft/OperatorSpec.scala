@@ -44,6 +44,19 @@ class OperatorSpec extends SparkSpec {
     assert(df.count() === df.distinct().count())
   }
 
+  test("cappedBands drops over-populated LSH cells, keeps the rest") {
+    import spark.implicits._
+    // cell (0, 11): 3 docs — over a cap of 2, dropped entirely;
+    // cell (0, 22): 2 docs — at cap, kept; cell (1, 11): 1 doc, kept.
+    val bands = Seq(
+      (1L, 0, 11L), (2L, 0, 11L), (3L, 0, 11L),
+      (4L, 0, 22L), (5L, 0, 22L), (6L, 1, 11L))
+      .toDF("doc_id", "band_id", "band_hash")
+    val kept = graft.operators.DedupOps.cappedBands(bands, cap = 2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(4L, 5L, 6L))
+  }
+
   test("similarity_topk: 5 ranked neighbors per query, sims within [-1,1]") {
     val df = SparkEntry.queries("similarity_topk")(spark, sf).cache()
     assert(df.groupBy("q_id").count().where(col("count") =!= 5).count() === 0L)
