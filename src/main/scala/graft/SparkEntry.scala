@@ -25,12 +25,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KMeansOps.queries ++ RelationalOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
-      graft.sources.TextIO.queries ++ graft.sources.StorageOps.queries
+      graft.sources.TextIO.queries ++ graft.sources.StorageOps.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     KMeansOps.oracles ++ RelationalOps.oracles ++ DedupOps.oracles ++
       SimilarityOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
-      graft.sources.TextIO.oracles ++ graft.sources.StorageOps.oracles
+      graft.sources.TextIO.oracles ++ graft.sources.StorageOps.oracles ++
+      graft.streaming.StreamingOps.oracles
 }

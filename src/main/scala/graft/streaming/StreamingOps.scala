@@ -216,13 +216,90 @@ object StreamingOps {
   }
 
   /** Run a streaming query to completion against the (finite) fixture and
-    * return the materialized result — used by tests to check
-    * stream/batch equivalence. */
-  def runToMemorySink(df: DataFrame, name: String): DataFrame = {
-    val q = df.writeStream.outputMode("complete")
+    * return the materialized result — used by the declared queries below
+    * and by tests to check stream/batch equivalence. Aggregations run in
+    * `complete` mode (a single-micro-batch fixture never advances the
+    * watermark past its own data, so `append` would emit nothing);
+    * non-aggregating plans (dedup, joins, flatMapGroupsWithState) require
+    * `append`. */
+  def runToMemorySink(df: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
+    val spark = df.sparkSession
+    spark.catalog.dropTempView(name) // re-runs in one session re-register
+    val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    df.sparkSession.table(name)
+    spark.table(name)
   }
+
+  private val ALERT_THRESHOLD = 50.0
+
+  /** The streaming operators as DECLARED queries: each runs its stream to
+    * the memory sink and returns the materialized table, so the driver's
+    * DuckDB compare covers the streaming paths every round instead of only
+    * `sbt test` (round-4 verdict gap). StreamingSpec proves each form
+    * row-identical to its batch sibling, so the batch oracle SQL applies
+    * verbatim. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_window_agg" -> { (s, d) =>
+      runToMemorySink(windowedCounts(s, d), "vq_stream_win") },
+    "streaming_sessions" -> { (s, d) =>
+      runToMemorySink(sessionCounts(s, d), "vq_stream_sess") },
+    "streaming_dedup" -> { (s, d) =>
+      runToMemorySink(dedupStream(s, d), "vq_stream_dedup", "append") },
+    "streaming_enrich" -> { (s, d) =>
+      runToMemorySink(enrichStream(s, d), "vq_stream_enrich", "append") },
+    "streaming_interval_join" -> { (s, d) =>
+      runToMemorySink(clickToPurchaseJoin(s, d), "vq_stream_ssj", "append") },
+    "streaming_alerts" -> { (s, d) =>
+      runToMemorySink(thresholdAlerts(s, d, ALERT_THRESHOLD),
+        "vq_stream_alerts", "append") }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "streaming_window_agg" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
+        |       event_type, count(*)::BIGINT AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // same session semantics as the batch session_window_agg oracle
+    "streaming_sessions" ->
+      graft.operators.RelationalOps.oracles("session_window_agg"),
+    // event_id is unique in the fixtures (verified at every SF), so the
+    // first-arrival-wins dedup output is exactly the full projection; with
+    // real duplicates this oracle would need an arrival-order tiebreak.
+    "streaming_dedup" ->
+      "SELECT event_id, user_id, event_type FROM events",
+    "streaming_enrich" ->
+      """SELECT event_id, user_id, event_type, cnt AS user_total_events
+        |FROM events
+        |JOIN (SELECT user_id, count(*)::BIGINT AS cnt
+        |      FROM events GROUP BY user_id) USING (user_id)""".stripMargin,
+    "streaming_interval_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+        |       epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000""".stripMargin,
+    // running per-user cumsum in (ts, event_id) order — the same sequential
+    // IEEE addition order the stream applies, so the float totals agree
+    "streaming_alerts" ->
+      s"""WITH c AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         |         sum(value) OVER (PARTITION BY user_id
+         |           ORDER BY epoch_us(ts), event_id
+         |           ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM events WHERE value IS NOT NULL),
+         |m AS (
+         |  SELECT user_id, event_id, floor(cum / $ALERT_THRESHOLD) AS mult,
+         |         coalesce(lag(floor(cum / $ALERT_THRESHOLD))
+         |           OVER (PARTITION BY user_id ORDER BY tus, event_id),
+         |           0) AS prev_mult
+         |  FROM c)
+         |SELECT user_id, event_id, mult::BIGINT AS multiple
+         |FROM m WHERE mult > prev_mult""".stripMargin
+  )
 }
