@@ -418,6 +418,14 @@ object KMeansOps {
       assignStats(pts, c1, L1)
     },
     "kmeans_fit" -> { (s, d) => MLlibKMeans.fit(s, d, FLAGSHIP_K) },
+    // SURVEY §7 step-4 initMode parity: the reference's seeding strategies
+    // exposed through MLlib's two init modes (rows-only like kmeans_fit —
+    // seeding is MLlib-internal; KMeansSpec cross-checks both costs
+    // against the expression-based lloyd).
+    "kmeans_fit_random" -> { (s, d) =>
+      MLlibKMeans.fit(s, d, FLAGSHIP_K, initMode = "random") },
+    "kmeans_fit_parallel" -> { (s, d) =>
+      MLlibKMeans.fit(s, d, FLAGSHIP_K, initMode = "k-means||") },
     "cluster_eval" -> { (s, d) =>
       // external-validity evaluation — the reference's UCI train/test
       // methodology (SURVEY.md §5: labeled datasets ship with the repo,
@@ -432,19 +440,49 @@ object KMeansOps {
         .select(col("id"), nearestCol(col("v"), c).as("cluster_id"))
         .join(Tables.documents(s, d)
           .select(col("doc_id").as("id"), col("lang")), "id")
-      val counts = assigned.groupBy(col("cluster_id"), col("lang"))
-        .agg(count(lit(1)).as("cnt"))
-      val byCluster = Window.partitionBy(col("cluster_id"))
-      counts
-        .withColumn("n_points", sum(col("cnt")).over(byCluster))
-        .withColumn("rn", row_number().over(
-          byCluster.orderBy(col("cnt").desc, col("lang").desc)))
-        .where(col("rn") === 1)
-        .select(col("cluster_id"), col("n_points"),
-          col("lang").as("top_lang"),
-          r4(col("cnt").cast("double") / col("n_points")).as("purity"))
+      purityOf(assigned)
+    },
+    "cluster_eval_holdout" -> { (s, d) =>
+      // the reference's train/test methodology made executable (its UCI
+      // datasets ship as *_train.csv/*_test.csv splits the programs never
+      // actually evaluate — /root/reference/data/UCI/, README.md:11-27):
+      // fit on the train split, assign the HELD-OUT split, score purity
+      // externally. The split is the deterministic multiplicative-hash
+      // uniform (unitUniform < 0.7 — exact k+0.5/2^32 values, no RNG, no
+      // cluster-layout dependence), seeds come from the train side's id
+      // permutation, and one snap12 Lloyd step trains the centers — all
+      // DuckDB-expressible, so unlike a held-out MLlib fit this evaluation
+      // flow is hash-verified. Every seed is a train point at distance 0
+      // from itself, so no cluster is empty after the step (SQL mirror has
+      // no carry-over branch).
+      val pts = points(s, d).cache()
+      val isTrain = unitUniform(col("id")) < 0.7
+      val train = pts.where(isTrain)
+      val c1 = lloydStep(train, collectCenters(sampleK(train, K)))
+      val assigned = pts.where(!isTrain)
+        .select(col("id"), nearestCol(col("v"), c1).as("cluster_id"))
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("lang")), "id")
+      purityOf(assigned)
     }
   )
+
+  /** Majority-label purity per cluster of an (id, cluster_id, lang)
+    * assignment — shared by cluster_eval and cluster_eval_holdout. The
+    * window runs over the already-aggregated k×|langs| relation. */
+  private def purityOf(assigned: DataFrame): DataFrame = {
+    val counts = assigned.groupBy(col("cluster_id"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    counts
+      .withColumn("n_points", sum(col("cnt")).over(byCluster))
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("cnt").desc, col("lang").desc)))
+      .where(col("rn") === 1)
+      .select(col("cluster_id"), col("n_points"),
+        col("lang").as("top_lang"),
+        r4(col("cnt").cast("double") / col("n_points")).as("purity"))
+  }
 
   /** Per-cluster count + first-4-dimension means under a final assignment —
     * the oracle-comparable projection of a Lloyd iteration's recompute. */
@@ -554,6 +592,32 @@ object KMeansOps {
            |                                ORDER BY cnt DESC, lang DESC) AS rn
            |      FROM c)
            |WHERE rn = 1""".stripMargin,
+      "cluster_eval_holdout" -> {
+        val uu = s"((${P} + 0.5) / 4294967296.0)"
+        s"""WITH tr AS (SELECT vec_id, embedding FROM embeddings WHERE $uu < 0.7),
+           |c0 AS (SELECT (row_number() OVER (ORDER BY $P, vec_id) - 1)::INT AS cid,
+           |              embedding
+           |       FROM tr ORDER BY $P, vec_id LIMIT $K),
+           |a1 AS (${assignSqlFor("c0", "embedding", V.sqDist, "tr")}),
+           |c1 AS (SELECT a.cluster_id AS cid,
+           |              list_value($snappedCentroidSql) AS cv
+           |       FROM a1 a JOIN embeddings e ON a.vec_id = e.vec_id
+           |       GROUP BY a.cluster_id),
+           |te AS (SELECT vec_id, embedding FROM embeddings WHERE $uu >= 0.7),
+           |a2 AS (${assignSqlFor("c1", "cv", V.sqDist, "te")}),
+           |j AS (SELECT a.cluster_id, d.lang
+           |      FROM a2 a JOIN documents d ON a.vec_id = d.doc_id),
+           |c AS (SELECT cluster_id, lang, count(*) AS cnt
+           |      FROM j GROUP BY cluster_id, lang)
+           |SELECT cluster_id, n_points, top_lang,
+           |       round(top_cnt::DOUBLE / n_points, 4) AS purity
+           |FROM (SELECT cluster_id, lang AS top_lang, cnt AS top_cnt,
+           |             sum(cnt) OVER (PARTITION BY cluster_id)::BIGINT AS n_points,
+           |             row_number() OVER (PARTITION BY cluster_id
+           |                                ORDER BY cnt DESC, lang DESC) AS rn
+           |      FROM c)
+           |WHERE rn = 1""".stripMargin
+      },
       "init_farthest" -> farthestSql,
       "init_plusplus" -> plusPlusSql,
       "kmeans_lloyd_2iter" -> lloydUnrollSql(V.sqDist),
@@ -571,12 +635,13 @@ object KMeansOps {
   private final val DIM = 64
 
   private[operators] def assignSqlFor(centersRel: String, centerCol: String,
-      dist: (String, String) => String): String =
+      dist: (String, String) => String,
+      srcRel: String = "embeddings"): String =
     s"""SELECT vec_id, min(cid)::INT AS cluster_id FROM (
        |  SELECT vec_id, cid, dr, min(dr) OVER (PARTITION BY vec_id) AS mdr FROM (
        |    SELECT e.vec_id, c.cid,
        |           ${dist("e.embedding", s"c.$centerCol")} AS dr
-       |    FROM embeddings e CROSS JOIN $centersRel c))
+       |    FROM $srcRel e CROSS JOIN $centersRel c))
        |WHERE dr = mdr GROUP BY vec_id""".stripMargin
 
   /** Shared frozen-center assignment SQL. */
@@ -587,11 +652,40 @@ object KMeansOps {
     * mirroring lloydStep+assignStats (modulo empty-cluster carry-over, which
     * cannot occur for the frozen k=4 seeds on the fixture data — every
     * cluster stays populated, verified at all tested SFs). */
-  private def lloydUnrollSql(dist: (String, String) => String): String = {
-    // rIeee@12 mirrors lloydStep's snap12 bit-for-bit — see its doc
-    val centroid = (1 to DIM).map(i =>
-        VectorSql.rIeee(s"avg(e.embedding[$i]::DOUBLE)", 12))
+  /** The 64 snapped per-dimension means of a recompute step —
+    * rIeee@12 mirrors lloydStep's snap12 bit-for-bit (see its doc). */
+  private def snappedCentroidSql: String =
+    (1 to DIM).map(i => VectorSql.rIeee(s"avg(e.embedding[$i]::DOUBLE)", 12))
       .mkString(",\n         ")
+
+  /** CTE chain training `k` centroid cells with `iters` unrolled snap12
+    * Lloyd iterations from the frozen seeds — the DuckDB mirror of
+    * `lloydStep(…lloydStep(pts, frozenCenters(k))…)`. The final relation is
+    * `c$iters(cid, cv)`. A cell that empties carries its previous center
+    * via the LEFT JOIN + coalesce, exactly lloydStep's
+    * `fresh.getOrElse(cid, old)` (k=16 cells CAN empty — e.g. a
+    * duplicate-point seed loses the low-cid tiebreak and starts with zero
+    * members — unlike the verified-nonempty k=4 unroll above). */
+  private[operators] def trainedCellsSqlCtes(k: Int, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      val prevCv =
+        if (i == 1) s"$prev.embedding::DOUBLE[]" else s"$prev.cv"
+      val prevCol = if (i == 1) "embedding" else "cv"
+      s"""a$i AS (${assignSqlFor(prev, prevCol, VectorSql.sqDist)}),
+         |c$i AS (
+         |  SELECT $prev.cid, coalesce(n.cv, $prevCv) AS cv
+         |  FROM $prev LEFT JOIN (
+         |    SELECT a.cluster_id AS cid,
+         |           list_value($snappedCentroidSql) AS cv
+         |    FROM a$i a JOIN embeddings e ON a.vec_id = e.vec_id
+         |    GROUP BY a.cluster_id) n USING (cid))""".stripMargin
+    }
+    (s"c0 AS ${frozenCentersSql(k)}" +: steps).mkString(",\n")
+  }
+
+  private def lloydUnrollSql(dist: (String, String) => String): String = {
+    val centroid = snappedCentroidSql
     s"""WITH c0 AS ${frozenCentersSql()},
        |a1 AS (${assignSqlFor("c0", "embedding", dist)}),
        |c1 AS (

@@ -155,12 +155,16 @@ object SimilarityOps {
       // once (the billion-scale layout step), then each query probes only
       // its NPROBE nearest cells. Recall comes from nprobe, not tables;
       // candidate count ≈ nprobe/ncells of the corpus. Composes the
-      // k-means machinery: frozen deterministic centroids + the codegen'd
-      // NearestCenter argmin for the cell assignment, so the whole
-      // pipeline is DuckDB-reproducible. Cell assignment at scale is a
-      // one-off columnar rewrite (like embed_quantize); here it is inline.
-      val pts = KMeansOps.points(s, d)
-      val cells = KMeansOps.frozenCenters(s, d, NCELLS)
+      // k-means machinery: frozen deterministic seeds TRAINED with two
+      // snap12 Lloyd iterations (the round-4 verdict item — trained cells
+      // balance populations, so recall at a fixed nprobe improves over
+      // raw seeds) + the codegen'd NearestCenter argmin for the cell
+      // assignment, so the whole pipeline is DuckDB-reproducible via the
+      // unrolled-CTE mirror. Cell assignment at scale is a one-off
+      // columnar rewrite (like embed_quantize); here it is inline.
+      val pts = KMeansOps.points(s, d).cache()
+      val cells = KMeansOps.lloydStep(pts,
+        KMeansOps.lloydStep(pts, KMeansOps.frozenCenters(s, d, NCELLS)))
       val assigned = pts.select(col("id"), col("v"),
         KMeansOps.nearestCol(col("v"), cells).as("cell"))
       val cellsDf = s.createDataFrame(
@@ -259,15 +263,15 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "sim_topk_ivf" ->
-      s"""WITH a AS (${KMeansOps.assignSqlFor(
-            KMeansOps.frozenCentersSql(NCELLS), "embedding", VectorSql.sqDist)}),
+      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+         |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
          |qc AS (
          |  SELECT q_id, cell FROM (
          |    SELECT q.vec_id AS q_id, c.cid AS cell,
          |           row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY ${VectorSql.sqDist("q.embedding", "c.embedding")} ASC,
+         |             ORDER BY ${VectorSql.sqDist("q.embedding", "c.cv")} ASC,
          |                      c.cid) AS rn
-         |    FROM embeddings q CROSS JOIN ${KMeansOps.frozenCentersSql(NCELLS)} c
+         |    FROM embeddings q CROSS JOIN c2 c
          |    WHERE q.vec_id < $NQ)
          |  WHERE rn <= $NPROBE),
          |cand AS (

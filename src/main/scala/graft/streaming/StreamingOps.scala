@@ -151,42 +151,53 @@ object StreamingOps {
     * expresses: a running per-user value total persisted ACROSS
     * micro-batches (not window-bounded, never reset), emitting one alert
     * row each time the total crosses a multiple of `threshold`. State per
-    * user is a single double — O(users) total, the bounded-state shape
+    * user is a single long — O(users) total, the bounded-state shape
     * that survives an unbounded stream (a timeout policy would age out
     * idle users in production; the finite fixture doesn't need one).
     * Events are processed in (ts, event_id) order within each
-    * group+micro-batch so alerts are deterministic. */
+    * group+micro-batch so alerts are deterministic.
+    *
+    * The running total is kept in INTEGER CENTS (`floor(value·100 + 0.5)`
+    * per row — one identical IEEE op in any engine — then an exact long
+    * sum): a float cumsum's crossing decisions depend on addition order,
+    * so they are neither stable under state repartitioning nor
+    * reproducible across engines (observed: DuckDB's segment-tree window
+    * sum flipped one of 62938 crossings at sf0.1 vs the sequential Scala
+    * total). Exact integer state is the scale-safe contract for
+    * distributed alerting. */
   def thresholdAlerts(spark: SparkSession, sfDir: String,
       threshold: Double): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val thresholdCents = math.rint(threshold * 100).toLong
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // null values are dropped BEFORE the typed decode: .as[... Double]
-    // would fail on a null, while the batch form's sum(value) silently
-    // skips them (round-4 ADVICE). Filtering keeps the two equivalent — a
-    // null-value row never moves the running total, so it can never be
-    // the crossing row the batch form emits either.
+    // null values are dropped BEFORE the typed decode: .as[... Long] would
+    // fail on a null cents, while the batch form's sum skips them
+    // (round-4 ADVICE). Filtering keeps the two equivalent — a null-value
+    // row never moves the running total, so it can never be the crossing
+    // row the batch form emits either.
     val ev = spark.readStream.schema(eventsSchema)
       .parquet(stageDir(sfDir, "events"))
       .where(col("value").isNotNull)
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
-        col("value"))
-      .as[(Long, Long, Long, Double)]
+        floor(col("value") * 100 + lit(0.5)).as("cents"))
+      .as[(Long, Long, Long, Long)]
     ev.groupByKey(_._1)
-      .flatMapGroupsWithState[Double, (Long, Long, Long)](
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
-            state: GroupState[Double]) =>
-          var total = state.getOption.getOrElse(0.0)
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          // float division of exact longs: identical IEEE result in every
+          // engine; Math.floorDiv would differ from SQL floor on negatives
+          def mult(cents: Long): Long =
+            math.floor(cents / thresholdCents.toDouble).toLong
           val alerts = rows.toSeq.sortBy(r => (r._3, r._2)).flatMap {
-            case (_, eventId, _, v) =>
-              val next = total + v
-              val crossed =
-                math.floor(next / threshold) > math.floor(total / threshold)
+            case (_, eventId, _, cents) =>
+              val next = total + cents
+              val crossed = mult(next) > mult(total)
               total = next
-              if (crossed)
-                Some((user, eventId, math.floor(next / threshold).toLong))
-              else None
+              if (crossed) Some((user, eventId, mult(next))) else None
           }
           state.update(total)
           alerts.iterator
@@ -194,19 +205,20 @@ object StreamingOps {
       .toDF("user_id", "event_id", "multiple")
   }
 
-  /** Batch form of [[thresholdAlerts]] for the equivalence test: the
-    * running total is the cumsum window, a crossing is a floor-quotient
-    * change between consecutive rows. */
+  /** Batch form of [[thresholdAlerts]] for the equivalence test: the same
+    * integer-cents quantization, an exact long cumsum window, and a
+    * floor-quotient change between consecutive rows. */
   def thresholdAlertsBatch(spark: SparkSession, sfDir: String,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val thresholdCents = math.rint(threshold * 100).toLong
     val w = Window.partitionBy(col("user_id"))
       .orderBy(expr("ts div 1000"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     graft.Tables.events(spark, sfDir)
       .where(col("value").isNotNull) // mirror thresholdAlerts' null drop
-      .withColumn("cum", sum(col("value")).over(w))
-      .withColumn("mult", floor(col("cum") / threshold))
+      .withColumn("cum", sum(floor(col("value") * 100 + lit(0.5))).over(w))
+      .withColumn("mult", floor(col("cum") / lit(thresholdCents.toDouble)))
       .withColumn("prev_mult",
         coalesce(lag(col("mult"), 1).over(
           Window.partitionBy(col("user_id"))
@@ -284,22 +296,27 @@ object StreamingOps {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000""".stripMargin,
-    // running per-user cumsum in (ts, event_id) order — the same sequential
-    // IEEE addition order the stream applies, so the float totals agree
-    "streaming_alerts" ->
+    // integer-cents quantization + exact long cumsum: order-independent,
+    // so DuckDB's segment-tree window sum cannot disagree with the
+    // stream's sequential accumulation (a raw float cumsum flipped one
+    // crossing at sf0.1)
+    "streaming_alerts" -> {
+      val tc = s"${(ALERT_THRESHOLD * 100).toLong}.0"
       s"""WITH c AS (
          |  SELECT user_id, event_id, epoch_us(ts) AS tus,
-         |         sum(value) OVER (PARTITION BY user_id
+         |         sum(floor(value * 100 + 0.5)::BIGINT) OVER (
+         |           PARTITION BY user_id
          |           ORDER BY epoch_us(ts), event_id
          |           ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM events WHERE value IS NOT NULL),
          |m AS (
-         |  SELECT user_id, event_id, floor(cum / $ALERT_THRESHOLD) AS mult,
-         |         coalesce(lag(floor(cum / $ALERT_THRESHOLD))
+         |  SELECT user_id, event_id, floor(cum / $tc) AS mult,
+         |         coalesce(lag(floor(cum / $tc))
          |           OVER (PARTITION BY user_id ORDER BY tus, event_id),
          |           0) AS prev_mult
          |  FROM c)
          |SELECT user_id, event_id, mult::BIGINT AS multiple
          |FROM m WHERE mult > prev_mult""".stripMargin
+    }
   )
 }

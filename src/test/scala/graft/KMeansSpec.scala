@@ -130,4 +130,19 @@ class KMeansSpec extends SparkSpec {
     val (c2, _) = KMeansOps.lloyd(pts, init, 3, 0.0)
     assert(c1.map(_._2.toSeq).toSeq === c2.map(_._2.toSeq).toSeq)
   }
+
+  test("MLlib initMode variants reach lloyd-comparable cost on the fixture") {
+    // SURVEY §7 step 4: random -> "random", ++/farthest -> "k-means||".
+    // Both modes must land in the same cost regime as the expression-based
+    // loop — catches a silently ignored setInitMode as well as a broken fit.
+    val pts = KMeansOps.points(spark, sf).cache()
+    val init = KMeansOps.collectCenters(KMeansOps.sampleK(pts, 4))
+    val (centers, _) = KMeansOps.lloyd(pts, init, maxIter = 20, tol = 1e-4)
+    val ours = cost(pts, centers)
+    for (mode <- Seq("random", "k-means||")) {
+      val c = graft.operators.MLlibKMeans.fitCost(spark, sf, 4, mode)
+      assert(c <= ours * 1.10, s"initMode=$mode cost $c vs lloyd $ours")
+      assert(c >= ours * 0.50, s"initMode=$mode cost $c implausibly low vs $ours")
+    }
+  }
 }
