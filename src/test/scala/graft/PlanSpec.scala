@@ -39,6 +39,29 @@ class PlanSpec extends SparkSpec {
   test("dedup_minhash joins on band keys — no cartesian product") {
     val plan = executed("dedup_minhash")
     assert(!plan.contains("CartesianProduct"))
+    // the band-bucket population cap must stay planned as a broadcast of
+    // the tiny keep relation (an uncapped band self-join goes quadratic
+    // under duplicate skew — the round-4 scale-killer)
+    assert(plan.contains("BroadcastHashJoin"), "bucket-cap broadcast missing")
+    assert(plan.contains("bcnt"), "band population filter missing")
+  }
+
+  test("join_salted bounds its hot set with a distributed top-N") {
+    // the hot-key relation must be O(N) by construction — a TakeOrdered
+    // over per-key counts — never an absolute rows-per-key threshold whose
+    // selected fraction grows with the table (round-4 verdict)
+    val plan = executed("join_salted")
+    assert(plan.contains("TakeOrderedAndProject"), "hot set not top-N bounded")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("lang_id counts markers with the native expression in codegen") {
+    val plan = executed("lang_id")
+    assert(plan.contains("markercounts"), "native MarkerCounts not planned")
+    val line = plan.split("\n").find(_.contains("markercounts")).get
+    // "*(n)" marks the operator as inside a whole-stage-codegen span
+    // (the line may carry a "+- " tree prefix before the star)
+    assert(line.contains("*("), s"not codegen'd: $line")
   }
 
   test("join_bucketed consumes bucket layout with no exchange on the join") {

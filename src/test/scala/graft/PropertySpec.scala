@@ -138,4 +138,40 @@ class PropertySpec extends SparkSpec {
       prev = c
     }
   }
+
+  test("MarkerCounts == HOF marker hits on adversarial token streams") {
+    import graft.operators.TextOps
+    // generated cases: marker-dense runs, duplicates, markers embedded in
+    // longer words (must NOT match), mixed-language collisions, empties
+    val langs = Seq("en", "es", "de", "fr")
+    val vocab = langs.flatMap(TextOps.stoplistsFor) ++
+      Seq("thex", "xthe", "DER", "uend", "w1", "", "é")
+    val texts = (0 until N).map { i =>
+      Seq.tabulate(i % 11) { j =>
+        vocab((i * 31 + j * 7) % vocab.length)
+      }.mkString(if (i % 5 == 0) "  " else " ")
+    }
+    val df = texts.toDF("text")
+    val w = DedupOps.wordsCol(col("text"))
+    val hof = array(langs.map(l => TextOps.markerHitsHof(w, TextOps.stoplistsFor(l))): _*)
+    val bad = df.select(TextOps.markerCounts(w).as("a"), hof.as("b"))
+      .where(not(col("a") <=> col("b")))
+    assert(bad.count() === 0L)
+  }
+
+  test("CosineSim/SignBucket yield null, not an error, on short vectors") {
+    // the dimension guard: malformed (mixed-dimension) embeddings must
+    // produce a filterable null instead of failing the whole query
+    val planes = graft.operators.SimilarityOps.planes(DIMS, 4, table = 0)
+    val rows = Seq(
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)), // mismatched pair
+      (Seq(1.0, 2.0, 3.0, 4.0, 5.0), Seq(5.0, 4.0, 3.0, 2.0, 1.0)))
+      .toDF("a", "b")
+    val got = rows.select(
+        org.apache.spark.sql.graft.CosineSim.column(col("a"), col("b")).as("c"),
+        graft.operators.SimilarityOps.bucketCol(col("a"), DIMS, 4, 0).as("bkt"))
+      .collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1)) // 2-dim vec vs 5-dim planes
+    assert(!got(1).isNullAt(0) && !got(1).isNullAt(1))
+  }
 }
