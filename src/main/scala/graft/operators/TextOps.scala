@@ -154,6 +154,25 @@ object TextOps {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
     },
+    "quality_repetition" -> { (s, d) =>
+      // within-document repetition (the Gopher/RefinedWeb filter signal):
+      // 1 − distinct/total word 3-grams. Both shingle sets come from the
+      // native one-pass WordShingles (distinct and multiset modes) — a
+      // narrow two-expression codegen projection, no explode, no shuffle.
+      // Docs under 3 words carry no 3-grams and drop out (same population
+      // rule as the MinHash pipeline). rIeee@4: ratios of small integer
+      // counts land exactly on rounding half-boundaries.
+      import graft.functions.VectorOps.rIeee
+      val all3 = org.apache.spark.sql.graft.WordShingles.all(col("text"), 3)
+      val uniq3 = DedupOps.shinglesOf(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(all3).as("n_3grams"),
+          size(uniq3).as("n_distinct"))
+        .where(col("n_3grams") > 0)
+        .select(col("doc_id"), col("n_3grams"),
+          rIeee(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_3grams"), 4).as("rep_ratio"))
+    },
     "sample_stratified" -> { (s, d) =>
       // deterministic per-stratum downsampling: each language keeps a fixed
       // rate via the multiplicative-hash uniform (no RNG state, exactly
@@ -229,6 +248,21 @@ object TextOps {
         |       min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars
         |FROM documents d JOIN b ON d.n_chars = b.n_chars
         |GROUP BY b.decile""".stripMargin,
+    "quality_repetition" -> {
+      val all3 =
+        """CASE WHEN len(w) >= 3
+          |  THEN list_transform(generate_series(1, len(w) - 2),
+          |       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+          |  ELSE [] END""".stripMargin
+      s"""SELECT doc_id, n_3grams,
+         |       ${graft.functions.VectorSql.rIeee(
+              "1.0 - n_distinct::DOUBLE / n_3grams", 4)} AS rep_ratio
+         |FROM (SELECT doc_id, len(g)::INT AS n_3grams,
+         |             len(list_distinct(g))::INT AS n_distinct
+         |      FROM (SELECT doc_id, $all3 AS g
+         |            FROM (SELECT doc_id, $wSql AS w FROM documents)))
+         |WHERE n_3grams > 0""".stripMargin
+    },
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 <

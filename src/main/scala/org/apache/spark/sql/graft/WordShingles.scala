@@ -98,4 +98,11 @@ object WordShingles {
   def tokens(text: Column): Column =
     ExpressionUtils.column(
       WordShingles(ExpressionUtils.expression(text), 1, distinct = false))
+
+  /** ALL word n-grams (duplicates kept, order kept) — the multiset
+    * sibling of [[column]]; `size(all) - size(column)` measures
+    * within-document repetition. */
+  def all(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      WordShingles(ExpressionUtils.expression(text), n, distinct = false))
 }

@@ -44,6 +44,21 @@ class OperatorSpec extends SparkSpec {
     assert(df.count() === df.distinct().count())
   }
 
+  test("quality_repetition is a proper repetition fraction") {
+    import spark.implicits._
+    val df = SparkEntry.queries("quality_repetition")(spark, sf)
+    assert(df.where(col("rep_ratio") < 0 || col("rep_ratio") >= 1).count() === 0L)
+    assert(df.where(col("n_3grams") <= 0).count() === 0L)
+    // hand check: 5 identical words -> 3 identical 3-grams, ratio 2/3
+    val hand = Seq((0L, "a a a a a"), (1L, "x y z w")).toDF("doc_id", "text")
+    val all3 = org.apache.spark.sql.graft.WordShingles.all(col("text"), 3)
+    val got = hand.select(col("doc_id"), size(all3).as("n"),
+        size(graft.operators.DedupOps.shinglesOf(col("text"))).as("d"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getInt(1) === 3 && got(0).getInt(2) === 1)
+    assert(got(1).getInt(1) === 2 && got(1).getInt(2) === 2)
+  }
+
   test("cappedBands drops over-populated LSH cells, keeps the rest") {
     import spark.implicits._
     // cell (0, 11): 3 docs — over a cap of 2, dropped entirely;
