@@ -143,16 +143,25 @@ object DedupOps {
     bandsOf(minhashSignatures(docs))
 
   /** Drop rows of over-populated (band_id, band_hash) cells before a
-    * self-join — the keep relation is tiny (distinct under-cap cells) and
-    * broadcasts. `cap` is parameterized for the property test; production
-    * callers use [[BAND_CAP]]. */
+    * self-join. The broadcast side is the OVER-cap drop set, never the
+    * under-cap keep set: band hashes are 60-bit, so the keep relation is the
+    * distinct-cell relation — mostly singletons, O(corpus) rows at 100 TB, a
+    * driver/executor OOM as a broadcast. The drop set is bounded by
+    * pigeonhole at total_band_rows / cap regardless of corpus size (heavy
+    * hitters only), so `left_anti` against its broadcast is the scale-safe
+    * form. (Keep-broadcasts remain correct where the cell DOMAIN is bounded
+    * — SimilarityOps' 4×4096 LSH buckets — but the simhash chunk cap below
+    * uses the drop-set form too: strictly smaller and uniform discipline.)
+    * Result is identical either way; the DuckDB oracle keeps its
+    * `HAVING count(*) <= cap` keep-join formulation. `cap` is parameterized
+    * for the property test; production callers use [[BAND_CAP]]. */
   private[graft] def cappedBands(bands: DataFrame,
       cap: Int = BAND_CAP): DataFrame = {
-    val keep = bands.groupBy(col("band_id"), col("band_hash"))
+    val drop = bands.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("bcnt"))
-      .where(col("bcnt") <= cap)
+      .where(col("bcnt") > cap)
       .select(col("band_id"), col("band_hash"))
-    bands.join(broadcast(keep), Seq("band_id", "band_hash"))
+    bands.join(broadcast(drop), Seq("band_id", "band_hash"), "left_anti")
   }
 
   /** Band relation from an existing signature relation (callers that also
@@ -290,17 +299,27 @@ object DedupOps {
       // 8-value buckets). A per-(chunk_id, chunk) population cap bounds the
       // within-bucket self-join under skew (near-constant docs collapsing
       // to one fingerprint), trading recall only on those degenerate cells.
-      val fp = simhashFingerprints(Tables.documents(s, d)).cache()
+      // localCheckpoint, not cache: fp feeds both the chunk explode and (via
+      // capped) both join sides; an eager checkpoint's blocks die with the
+      // plan instead of occupying the cache for the session (round-5 ADVICE —
+      // same fix minhash_scored already carries).
+      val fp = simhashFingerprints(Tables.documents(s, d)).localCheckpoint()
       val chunks = fp.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until CHUNKS).map(c =>
           shiftright(col("simhash"), CHUNK_BITS * c)
             .bitwiseAND(lit((1L << CHUNK_BITS) - 1))): _*))
           .as(Seq("chunk_id", "chunk")))
-      val keep = chunks.groupBy(col("chunk_id"), col("chunk"))
+      // drop-set anti-join, not keep-broadcast: the (chunk_id, chunk) domain
+      // is bounded (4 × 2^15 cells) so a keep-broadcast would not OOM, but
+      // the over-cap set is pigeonhole-bounded at rows/CHUNK_CAP — strictly
+      // smaller — and keeps one capping discipline across the dedup family
+      // (see cappedBands).
+      val drop = chunks.groupBy(col("chunk_id"), col("chunk"))
         .agg(count(lit(1)).as("bcnt"))
-        .where(col("bcnt") <= CHUNK_CAP)
+        .where(col("bcnt") > CHUNK_CAP)
         .select(col("chunk_id"), col("chunk"))
-      val capped = chunks.join(broadcast(keep), Seq("chunk_id", "chunk"))
+      val capped = chunks.join(broadcast(drop), Seq("chunk_id", "chunk"),
+        "left_anti")
       val a = capped.select(col("doc_id").as("doc_a"),
         col("simhash").as("sim_a"), col("chunk_id"), col("chunk"))
       val b = capped.select(col("doc_id").as("doc_b"),

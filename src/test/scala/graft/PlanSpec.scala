@@ -36,14 +36,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("pmod"), "salted first-phase window missing")
   }
 
-  test("dedup_minhash joins on band keys — no cartesian product") {
+  test("dedup_minhash caps band cells via a broadcast of the OVER-cap set") {
     val plan = executed("dedup_minhash")
     assert(!plan.contains("CartesianProduct"))
-    // the band-bucket population cap must stay planned as a broadcast of
-    // the tiny keep relation (an uncapped band self-join goes quadratic
-    // under duplicate skew — the round-4 scale-killer)
-    assert(plan.contains("BroadcastHashJoin"), "bucket-cap broadcast missing")
-    assert(plan.contains("bcnt"), "band population filter missing")
+    // the population cap must be planned as a left_anti join against a
+    // broadcast of the OVER-cap (heavy-hitter) cells — pigeonhole-bounded
+    // at total_rows/cap for any corpus. Broadcasting the under-cap keep
+    // set instead is O(distinct cells) ≈ O(corpus) and was the round-5
+    // scale-killer; this assertion fails if anyone reverts the inversion.
+    assert(plan.split("\n").exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      "over-cap anti-join broadcast missing")
+    assert(plan.split("\n").exists(l =>
+        l.contains("bcnt") && l.contains("> 1000")),
+      "over-cap filter (bcnt > cap) missing")
   }
 
   test("join_salted bounds its hot set with a distributed top-N") {
