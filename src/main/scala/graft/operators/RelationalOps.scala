@@ -175,9 +175,22 @@ object RelationalOps {
           round(sum(col("value")), 2).as("sum_value"))
     },
     "approx_distinct" -> { (s, d) =>
-      // HLL++ sketch — algorithm-specific estimate, rows-only check
+      // HLL++ sketch (fixed-size mergeable registers — THE cardinality
+      // path at 100 TB where countDistinct's expand-shuffle is untenable),
+      // error-bounded against the exact count in the same plan: the output
+      // row carries the exact n_users plus a within-5% flag, and the
+      // DuckDB oracle recomputes the exact side asserting TRUE. A sketch
+      // regression (precision change, wiring bug) flips the flag and fails
+      // the hash compare instead of hiding behind a rows-only check.
+      // Deterministic: HLL register merge is a max — order-independent —
+      // and measured relative error here is <=0.67% at sf0.001-0.1 vs the
+      // 5% gate (rsd=0.01 => ~1.6% theoretical std error).
       Tables.events(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx") - col("n_users")) <= col("n_users") * lit(0.05))
+            .as("approx_within_5pct"))
     },
     "pivot_agg" -> { (s, d) =>
       // long→wide pivot: per-user event-type counts as columns — the
@@ -246,16 +259,28 @@ object RelationalOps {
     "approx_percentile_agg" -> { (s, d) =>
       // the SKETCH path for quantiles at scale (mirrors approx_distinct's
       // HLL role): fixed-size mergeable summaries, one pass, no global
-      // sort. Rows-only for the oracle (sketch merge order is
-      // partition-dependent); OperatorSpec bounds the estimates against
-      // the exact percentile_agg values.
+      // sort. Error-bounded like approx_distinct: output = the exact
+      // rIeee@4 percentiles (same deterministic form percentile_agg
+      // pins) plus a sketch-within-1% flag the DuckDB oracle asserts
+      // TRUE. Sketch merge order is partition-dependent in the last ulp,
+      // but measured relative error is <=0.08% at sf0.001-0.1 — 12x
+      // inside the 1% gate, so scheduling can't flip the flag.
+      import graft.functions.VectorOps.rIeee
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(
-          round(percentile_approx(col("l_extendedprice"), lit(0.5),
-            lit(10000)), 2).as("p50_approx"),
-          round(percentile_approx(col("l_extendedprice"), lit(0.95),
-            lit(10000)), 2).as("p95_approx"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("e50"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("e95"),
+          percentile_approx(col("l_extendedprice"), lit(0.5),
+            lit(10000)).as("a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95),
+            lit(10000)).as("a95"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          rIeee(col("e50"), 4).as("p50"), rIeee(col("e95"), 4).as("p95"),
+          (abs(col("a50") - col("e50")) <= col("e50") * lit(0.01) &&
+            abs(col("a95") - col("e95")) <= col("e95") * lit(0.01))
+            .as("approx_within_1pct"),
+          col("n"))
     },
     "cube_agg" -> { (s, d) =>
       // full grouping-sets lattice over (lang, source)
@@ -389,6 +414,13 @@ object RelationalOps {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    // sketch queries: oracle recomputes the EXACT side and asserts the
+    // within-tolerance flag TRUE — the Spark plan computes sketch vs exact
+    // itself, so a sketch regression flips the boolean and hash-fails.
+    "approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+        |       TRUE AS approx_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
     "pivot_agg" ->
       """SELECT user_id,
         |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
@@ -423,6 +455,13 @@ object RelationalOps {
       s"""SELECT l_returnflag,
          |       ${graft.functions.VectorSql.rIeee("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
          |       ${graft.functions.VectorSql.rIeee("quantile_cont(l_extendedprice, 0.95)", 4)} AS p95,
+         |       count(*)::BIGINT AS n
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "approx_percentile_agg" ->
+      s"""SELECT l_returnflag,
+         |       ${graft.functions.VectorSql.rIeee("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+         |       ${graft.functions.VectorSql.rIeee("quantile_cont(l_extendedprice, 0.95)", 4)} AS p95,
+         |       TRUE AS approx_within_1pct,
          |       count(*)::BIGINT AS n
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "cube_agg" ->

@@ -94,28 +94,32 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("approx_distinct estimates within 5% of the exact count per group") {
-    // the HLL++ sketch is rows-only for the oracle (estimate, by design);
-    // this pins its SEMANTIC accuracy against the exact countDistinct the
-    // engine itself computes in agg_distinct (configured rsd = 1%, so 5%
-    // is a loose, non-flaky bound)
+    // the query itself carries the error bound now (sketch vs exact in one
+    // plan, boolean gate the DuckDB oracle asserts TRUE); this pins the
+    // flag semantics — every group in-bound, exact side identical to
+    // agg_distinct's countDistinct (configured rsd = 1%, so 5% is a
+    // loose, non-flaky bound)
     val approx = SparkEntry.queries("approx_distinct")(spark, sf)
+    assert(approx.where(!col("approx_within_5pct")).count() === 0L,
+      "HLL estimate off by >5% somewhere")
     val exact = SparkEntry.queries("agg_distinct")(spark, sf)
-      .select(col("event_type"), col("n_users"))
+      .select(col("event_type"), col("n_users").as("n_exact"))
     val bad = approx.join(exact, "event_type")
-      .where(abs(col("approx_users") - col("n_users")) >
-        col("n_users") * 0.05)
-    assert(bad.count() === 0L, "HLL estimate off by >5% somewhere")
+      .where(col("n_users") =!= col("n_exact"))
+    assert(bad.count() === 0L, "exact side diverged from agg_distinct")
     assert(approx.count() === exact.count())
   }
 
-  test("approx_percentile_agg tracks the exact percentiles within 2%") {
+  test("approx_percentile_agg tracks the exact percentiles within 1%") {
     val approx = SparkEntry.queries("approx_percentile_agg")(spark, sf)
+    assert(approx.where(!col("approx_within_1pct")).count() === 0L,
+      "quantile sketch off by >1% somewhere")
+    // exact side must be the same rIeee@4 values percentile_agg pins
     val exact = SparkEntry.queries("percentile_agg")(spark, sf)
-    val joined = approx.join(exact, "l_returnflag")
-    val bad = joined.where(
-      abs(col("p50_approx") - col("p50")) > col("p50") * 0.02 ||
-        abs(col("p95_approx") - col("p95")) > col("p95") * 0.02)
-    assert(bad.count() === 0L, "quantile sketch off by >2% somewhere")
+      .select(col("l_returnflag"), col("p50").as("e50"), col("p95").as("e95"))
+    val bad = approx.join(exact, "l_returnflag")
+      .where(col("p50") =!= col("e50") || col("p95") =!= col("e95"))
+    assert(bad.count() === 0L, "exact side diverged from percentile_agg")
   }
 
   test("sim_topk_ivf ranks at most 5 candidates per query from probed cells") {
