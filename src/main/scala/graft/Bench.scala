@@ -25,7 +25,8 @@ object Bench {
     // set, which made per-query numbers incomparable across rounds (a
     // query's cost includes whatever codegen/reader warmup its
     // predecessors didn't trigger)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = (SparkEntry.queries ++ SparkEntry.benchOnly)
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate measurements: caches built inside one query (iterative
       // k-means loops, LSH band self-joins) must not linger into the next
       // query's timing or accumulate storage across the 58-query sequence

@@ -28,6 +28,12 @@ object SparkEntry {
       graft.sources.TextIO.queries ++ graft.sources.StorageOps.queries ++
       graft.streaming.StreamingOps.queries
 
+  /** Bench-only plans (timed by [[Bench]], NOT part of the driver's
+    * correctness contract): the production sketch-only projections whose
+    * declared siblings carry in-plan exact-verification gates. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalOps.benchOnly
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -106,7 +106,9 @@ object DedupOps {
   // pair through their other 7 bands' cells when those stay under cap, and
   // the all-bands-hot exact-duplicate cluster is precisely what the cheaper
   // digest-based dedup_exact already catches.
-  private final val BAND_CAP = 1000
+  // private[graft]: PlanSpec interpolates the cap into its over-cap-filter
+  // plan assertion so tuning the constant keeps the test honest (r6 ADVICE)
+  private[graft] final val BAND_CAP = 1000
 
   /** splitmix64 finalizer — full-avalanche mixing for the permutation
     * constants (the round-2 "2j+1" multipliers were small correlated odd
@@ -146,15 +148,22 @@ object DedupOps {
     * self-join. The broadcast side is the OVER-cap drop set, never the
     * under-cap keep set: band hashes are 60-bit, so the keep relation is the
     * distinct-cell relation — mostly singletons, O(corpus) rows at 100 TB, a
-    * driver/executor OOM as a broadcast. The drop set is bounded by
-    * pigeonhole at total_band_rows / cap regardless of corpus size (heavy
-    * hitters only), so `left_anti` against its broadcast is the scale-safe
-    * form. (Keep-broadcasts remain correct where the cell DOMAIN is bounded
-    * — SimilarityOps' 4×4096 LSH buckets — but the simhash chunk cap below
-    * uses the drop-set form too: strictly smaller and uniform discipline.)
-    * Result is identical either way; the DuckDB oracle keeps its
-    * `HAVING count(*) <= cap` keep-join formulation. `cap` is parameterized
-    * for the property test; production callers use [[BAND_CAP]]. */
+    * driver/executor OOM as a broadcast. The drop set is pigeonhole-bounded
+    * at total_band_rows / cap — still LINEAR in corpus size, but a 1000×
+    * reduction at cap=1000, and reached only by a corpus that is mostly
+    * heavy-hitter cells (real drop sets are the few pathological cells).
+    * The `broadcast()` hint is deliberate: at the scale where rows/cap
+    * outgrows the broadcast budget the cap itself must rise with the
+    * deployment (the cell population a self-join can stomach grows with the
+    * cluster), which shrinks the drop set in step; an operator running a
+    * duplicate-degenerate corpus can drop the hint and let AQE fall back to
+    * a shuffled anti-join at the cost of one extra exchange. (Keep-broadcasts
+    * remain correct where the cell DOMAIN is bounded — SimilarityOps' 4×4096
+    * LSH buckets — but the simhash chunk cap below uses the drop-set form
+    * too: strictly smaller and uniform discipline.) Result is identical
+    * either way; the DuckDB oracle keeps its `HAVING count(*) <= cap`
+    * keep-join formulation. `cap` is parameterized for the property test;
+    * production callers use [[BAND_CAP]]. */
   private[graft] def cappedBands(bands: DataFrame,
       cap: Int = BAND_CAP): DataFrame = {
     val drop = bands.groupBy(col("band_id"), col("band_hash"))

@@ -29,7 +29,15 @@ object KMeansOps {
 
   /** Embeddings table → (id, v: array<double>) — canonical points input
     * (replaces `Point.StringToPoint` parse,
-    * `/root/reference/SparKMeansGroupBy.java:80`). */
+    * `/root/reference/SparKMeansGroupBy.java:80`).
+    *
+    * Iterative callers (seeding loops, Lloyd queries) pin this relation
+    * with `.localCheckpoint()`, NOT `.cache()`: same one-pass
+    * materialization + reuse across the loop's jobs, but the blocks are
+    * released by the ContextCleaner as soon as the plan is unreferenced —
+    * no unpersist bookkeeping, no storage leaking past the query
+    * (round-6 verdict: uniform lifecycle discipline with the dedup
+    * family's checkpointed relations). */
   def points(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
@@ -381,21 +389,21 @@ object KMeansOps {
       mx.union(mn)
     },
     "init_farthest" -> { (s, d) =>
-      val c = farthestSeeds(points(s, d).cache(), K, manhattanFirst = true)
+      val c = farthestSeeds(points(s, d).localCheckpoint(), K, manhattanFirst = true)
       val rows = c.zipWithIndex.map { case ((id, v), i) =>
         (i, id, r4d(v.map(math.abs).sum))
       }
       s.createDataFrame(rows.toSeq).toDF("seed_rank", "vec_id", "l1_norm")
     },
     "init_plusplus" -> { (s, d) =>
-      val c = plusPlusSeeds(points(s, d).cache(), FLAGSHIP_K)
+      val c = plusPlusSeeds(points(s, d).localCheckpoint(), FLAGSHIP_K)
       val rows = c.zipWithIndex.map { case ((id, v), i) =>
         (i, id, r4d(v.map(math.abs).sum))
       }
       s.createDataFrame(rows.toSeq).toDF("seed_rank", "vec_id", "l1_norm")
     },
     "kmeans_lloyd" -> { (s, d) =>
-      val pts = points(s, d).cache()
+      val pts = points(s, d).localCheckpoint()
       val init = collectCenters(sampleK(pts, FLAGSHIP_K))
       val (centers, _) = lloyd(pts, init, maxIter = 5, tol = 1e-4)
       clusterStats(pts, centers)
@@ -405,7 +413,7 @@ object KMeansOps {
       // engine path as kmeans_lloyd, but with a fixed trip count (the Beam
       // variant's semantics, /root/reference/BeamKmeansSideInput.java:77)
       // so the whole computation is DuckDB-expressible and hash-verified.
-      val pts = points(s, d).cache()
+      val pts = points(s, d).localCheckpoint()
       val c1 = lloydStep(pts, frozenCenters(s, d))
       assignStats(pts, c1, SqEuclid)
     },
@@ -413,7 +421,7 @@ object KMeansOps {
       // the reference's --paradigm=1 (Manhattan) program end-to-end
       // (/root/reference/SparKMeansGroupByPlusPlusInitMaxFarthestManhattan.java):
       // L1 assignment + mean recompute, one unrolled iteration, oracled.
-      val pts = points(s, d).cache()
+      val pts = points(s, d).localCheckpoint()
       val c1 = lloydStep(pts, frozenCenters(s, d), L1)
       assignStats(pts, c1, L1)
     },
@@ -452,10 +460,14 @@ object KMeansOps {
       // cluster-layout dependence), seeds come from the train side's id
       // permutation, and one snap12 Lloyd step trains the centers — all
       // DuckDB-expressible, so unlike a held-out MLlib fit this evaluation
-      // flow is hash-verified. Every seed is a train point at distance 0
-      // from itself, so no cluster is empty after the step (SQL mirror has
-      // no carry-over branch).
-      val pts = points(s, d).cache()
+      // flow is hash-verified. The SQL mirror carries an emptied cluster's
+      // previous center via LEFT JOIN + coalesce — the same
+      // `fresh.getOrElse(cid, old)` branch lloydStep takes (a seed cluster
+      // CAN empty: two train seeds with identical embeddings leave the
+      // higher cid with zero members after the low-cid argmin tiebreak, so
+      // "every seed is a train point at distance 0 from itself" is not a
+      // non-emptiness proof; round-6 ADVICE).
+      val pts = points(s, d).localCheckpoint()
       val isTrain = unitUniform(col("id")) < 0.7
       val train = pts.where(isTrain)
       val c1 = lloydStep(train, collectCenters(sampleK(train, K)))
@@ -599,10 +611,12 @@ object KMeansOps {
            |              embedding
            |       FROM tr ORDER BY $P, vec_id LIMIT $K),
            |a1 AS (${assignSqlFor("c0", "embedding", V.sqDist, "tr")}),
-           |c1 AS (SELECT a.cluster_id AS cid,
-           |              list_value($snappedCentroidSql) AS cv
-           |       FROM a1 a JOIN embeddings e ON a.vec_id = e.vec_id
-           |       GROUP BY a.cluster_id),
+           |c1 AS (SELECT c0.cid, coalesce(n.cv, c0.embedding::DOUBLE[]) AS cv
+           |       FROM c0 LEFT JOIN (
+           |         SELECT a.cluster_id AS cid,
+           |                list_value($snappedCentroidSql) AS cv
+           |         FROM a1 a JOIN embeddings e ON a.vec_id = e.vec_id
+           |         GROUP BY a.cluster_id) n USING (cid)),
            |te AS (SELECT vec_id, embedding FROM embeddings WHERE $uu >= 0.7),
            |a2 AS (${assignSqlFor("c1", "cv", V.sqDist, "te")}),
            |j AS (SELECT a.cluster_id, d.lang

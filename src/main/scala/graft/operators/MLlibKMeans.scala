@@ -15,10 +15,34 @@ import org.apache.spark.sql.functions._
   */
 object MLlibKMeans {
 
+  /** Cost of the expression-based Lloyd reference run (frozen sampleK
+    * seeds, 10 snap12 iterations) — the yardstick the fit queries compare
+    * MLlib's training cost against. Memoized per (sfDir, k): the three
+    * `kmeans_fit*` variants in one Verify/Bench run share a single
+    * reference Lloyd instead of re-running it per query (the cost is a
+    * deterministic function of the data, so a driver-side memo is safe). */
+  private val lloydCostMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Double]
+  def lloydRefCost(spark: SparkSession, sfDir: String, k: Int): Double =
+    lloydCostMemo.getOrElseUpdate((sfDir, k), {
+      val pts = KMeansOps.points(spark, sfDir).localCheckpoint()
+      val init = KMeansOps.collectCenters(KMeansOps.sampleK(pts, k))
+      val (centers, _) = KMeansOps.lloyd(pts, init, maxIter = 10, tol = 1e-4)
+      pts.agg(sum(KMeansOps.minSqDistCol(col("v"), centers))).head.getDouble(0)
+    })
+
   /** `initMode` carries the SURVEY §7 step-4 seeding mapping: the
     * reference's `takeSample` seeding → "random", its ++/farthest family →
     * "k-means||" (Bahmani et al.'s scalable k-means++ — the distributed
-    * form of the same D²-weighted idea). */
+    * form of the same D²-weighted idea).
+    *
+    * The output carries the fit's WSSSE alongside the size profile:
+    * `cost_vs_lloyd_ok` asserts the MLlib cost lands in the same
+    * [0.50, 1.10]× regime as the expression-Lloyd reference (the KMeansSpec
+    * band, surfaced as an output column so the driver's per-round dump
+    * shows a wiring regression as a flipped row — these queries are
+    * rows-only for the hash compare, an iterative fit has no SQL oracle;
+    * round-6 verdict #2). */
   def fit(spark: SparkSession, sfDir: String, k: Int,
       maxIter: Int = 20, seed: Long = 42L,
       initMode: String = "k-means||"): DataFrame = {
@@ -29,11 +53,17 @@ object MLlibKMeans {
       .setInitMode(initMode)
       .setFeaturesCol("features").setPredictionCol("cluster_id")
       .fit(pts)
+    val mlCost = model.summary.trainingCost
+    val ref = lloydRefCost(spark, sfDir, k)
+    val ok = mlCost > 0 && mlCost <= ref * 1.10 && mlCost >= ref * 0.50
     model.transform(pts)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_points"))
       .select(col("n_points"))            // cluster ids are seed-dependent;
       .orderBy(col("n_points").desc)      // the size profile is the stable part
+      .withColumn("k", lit(k))
+      .withColumn("cost", round(lit(mlCost), 2))
+      .withColumn("cost_vs_lloyd_ok", lit(ok))
   }
 
   /** Within-set sum of squared distances of a fit at the given init mode —

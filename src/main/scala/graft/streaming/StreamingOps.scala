@@ -41,15 +41,22 @@ object StreamingOps {
     dir.toString
   }
 
-  /** Streaming tumbling 1h window per event_type with a 2h watermark. */
+  /** Streaming tumbling 1h window per event_type with a 2h watermark.
+    * The float sum rounds through [[graft.functions.VectorOps.rIeee]]@2
+    * (floor(x·100+0.5)/100 — identical IEEE ops in both engines), not
+    * `round(_, 2)`: Spark's exact-decimal HALF_UP paired with DuckDB's
+    * float round over an order-dependent sum is exactly the divergent
+    * half-boundary / −0.0 combination the repo's rIeee policy exists to
+    * avoid (round-6 ADVICE). */
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorOps.rIeee
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsSchema)
       .parquet(stageDir(sfDir, "events"))
       .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       .withWatermark("tstamp", "2 hours")
       .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), rIeee(sum(col("value")), 2).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
   }
@@ -60,6 +67,7 @@ object StreamingOps {
     * Spark-first custom state: the built-in session-window operator replaces
     * a hand-rolled flatMapGroupsWithState for this shape. */
   def sessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorOps.rIeee
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsSchema)
       .parquet(stageDir(sfDir, "events"))
@@ -67,7 +75,7 @@ object StreamingOps {
       .withWatermark("tstamp", "4 hours")
       .groupBy(col("user_id"), session_window(col("tstamp"), "2 hours"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        rIeee(sum(col("value")), 2).as("sum_value")) // rIeee@2, see windowedCounts
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("sess_start"),
         col("n_events"), col("sum_value"))
@@ -164,21 +172,35 @@ object StreamingOps {
     * reproducible across engines (observed: DuckDB's segment-tree window
     * sum flipped one of 62938 crossings at sf0.1 vs the sequential Scala
     * total). Exact integer state is the scale-safe contract for
-    * distributed alerting. */
+    * distributed alerting.
+    *
+    * MEMORY CONTRACT: the per-group sort below buffers one user's rows of
+    * ONE MICRO-BATCH on the executor heap — heap per task is bounded by
+    * the trigger size (`maxFilesPerTrigger`/`maxBytesPerTrigger` on the
+    * file source), NOT by total stream history; steady-state micro-batches
+    * are small. The one hazard is an unthrottled backfill (the entire
+    * history arriving as a single batch): production deployments MUST set
+    * a trigger bound so a single user's slice of one batch fits in task
+    * memory. Sorting before the shuffle is not an option — Spark forbids
+    * global/partition sorts on unaggregated streaming Datasets — so the
+    * bound is operational, and documented here as part of the operator's
+    * contract. */
   def thresholdAlerts(spark: SparkSession, sfDir: String,
       threshold: Double): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val thresholdCents = math.rint(threshold * 100).toLong
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // null values are dropped BEFORE the typed decode: .as[... Long] would
-    // fail on a null cents, while the batch form's sum skips them
-    // (round-4 ADVICE). Filtering keeps the two equivalent — a null-value
-    // row never moves the running total, so it can never be the crossing
-    // row the batch form emits either.
+    // null AND NaN values are dropped BEFORE the typed decode: .as[... Long]
+    // would fail on a null cents, and floor(NaN*100+0.5) maps NaN to 0L
+    // silently in Spark while the DuckDB oracle's floor(...)::BIGINT errors
+    // on NaN — so a NaN row must be SKIPPED like a null in all three forms
+    // (stream, batch, oracle; round-6 ADVICE), not folded into the total.
+    // A skipped row never moves the running total, so it can never be the
+    // crossing row the batch form emits either.
     val ev = spark.readStream.schema(eventsSchema)
       .parquet(stageDir(sfDir, "events"))
-      .where(col("value").isNotNull)
+      .where(col("value").isNotNull && !isnan(col("value")))
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
         floor(col("value") * 100 + lit(0.5)).as("cents"))
       .as[(Long, Long, Long, Long)]
@@ -216,7 +238,8 @@ object StreamingOps {
       .orderBy(expr("ts div 1000"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     graft.Tables.events(spark, sfDir)
-      .where(col("value").isNotNull) // mirror thresholdAlerts' null drop
+      // mirror thresholdAlerts' null + NaN drop
+      .where(col("value").isNotNull && !isnan(col("value")))
       .withColumn("cum", sum(floor(col("value") * 100 + lit(0.5))).over(w))
       .withColumn("mult", floor(col("cum") / lit(thresholdCents.toDouble)))
       .withColumn("prev_mult",
@@ -271,10 +294,10 @@ object StreamingOps {
 
   val oracles: Map[String, String] = Map(
     "streaming_window_agg" ->
-      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
-        |       event_type, count(*)::BIGINT AS n,
-        |       round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+      s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
+         |       event_type, count(*)::BIGINT AS n,
+         |       ${graft.functions.VectorSql.rIeee("sum(value)", 2)} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
     // same session semantics as the batch session_window_agg oracle
     "streaming_sessions" ->
       graft.operators.RelationalOps.oracles("session_window_agg"),
@@ -308,7 +331,7 @@ object StreamingOps {
          |           PARTITION BY user_id
          |           ORDER BY epoch_us(ts), event_id
          |           ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM events WHERE value IS NOT NULL),
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
          |m AS (
          |  SELECT user_id, event_id, floor(cum / $tc) AS mult,
          |         coalesce(lag(floor(cum / $tc))

@@ -131,6 +131,39 @@ class KMeansSpec extends SparkSpec {
     assert(c1.map(_._2.toSeq).toSeq === c2.map(_._2.toSeq).toSeq)
   }
 
+  test("lloydStep carries an emptied cluster's previous center (dup seeds)") {
+    // two IDENTICAL seeds: the low-cid argmin tiebreak drains cid 1 to zero
+    // members, so the recompute must keep cid 1's previous center — the
+    // `fresh.getOrElse(cid, old)` branch, mirrored in SQL by the
+    // cluster_eval_holdout / trainedCells oracles' LEFT JOIN + coalesce
+    // (round-6 ADVICE: "no cluster can empty" was not a proof — duplicated
+    // seed points empty one).
+    import spark.implicits._
+    val pts = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(0.1, 0.0)), (2L, Seq(4.0, 4.0)))
+      .toDF("id", "v")
+    val init = Array((0, Array(0.0, 0.0)), (1, Array(0.0, 0.0)))
+    val next = KMeansOps.lloydStep(pts, init)
+    assert(next(1)._2.toSeq === Seq(0.0, 0.0),
+      "emptied cluster must carry its previous center")
+    assert(next(0)._2.toSeq !== Seq(0.0, 0.0),
+      "populated cluster must move to the recomputed mean")
+  }
+
+  test("kmeans_fit* emit a driver-visible cost flag that holds on fixture") {
+    // round-6 verdict #2: the rows-only fit queries now carry (k, cost,
+    // cost_vs_lloyd_ok) so a wiring regression flips a visible row in the
+    // driver dump; this pins the flag TRUE (and the cost positive) for all
+    // three initMode variants on the fixture.
+    for (q <- Seq("kmeans_fit", "kmeans_fit_random", "kmeans_fit_parallel")) {
+      val out = SparkEntry.queries(q)(spark, sf).collect()
+      assert(out.nonEmpty)
+      assert(out.forall(_.getAs[Boolean]("cost_vs_lloyd_ok")),
+        s"$q: cost left the [0.50, 1.10]x lloyd band")
+      assert(out.forall(_.getAs[Double]("cost") > 0), s"$q: non-positive cost")
+      assert(out.forall(_.getAs[Int]("k") === 8))
+    }
+  }
+
   test("MLlib initMode variants reach lloyd-comparable cost on the fixture") {
     // SURVEY §7 step 4: random -> "random", ++/farthest -> "k-means||".
     // Both modes must land in the same cost regime as the expression-based

@@ -130,6 +130,23 @@ class OperatorSpec extends SparkSpec {
     assert(ivf.where(col("sim") > 1.0001 || col("sim") < -1.0001).count() === 0L)
   }
 
+  test("sim_topk_ivf recall@5 vs the exact top-k stays above the floor") {
+    // retrieval QUALITY, not just determinism (round-6 verdict #1): the
+    // declared recall query must report one row per query and a mean
+    // recall@5 above the floor at NCELLS=16/NPROBE=4. The floor is set
+    // from the measured curve (see ivfTopK's scaladoc): the fixture
+    // embeddings are quasi-random in 64-dim, so recall tracks the scan
+    // fraction (0.64 mean at the declared 4/16 = 25% scan) — 0.55 guards
+    // a catastrophic regression; the hash-checked recall rows in
+    // CORRECTNESS pin the exact per-query values on top. A cell-training
+    // or nprobe regression that stays deterministic now fails here.
+    val rows = SparkEntry.queries("sim_topk_ivf_recall")(spark, sf).collect()
+    assert(rows.length === 10, "one recall row per fixed query expected")
+    assert(rows.forall(r => r.getAs[Long]("n_hit") <= 5))
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.55, s"mean recall@5 $mean below the 0.55 floor")
+  }
+
   test("dedup_exact keeps one survivor per distinct text") {
     val docs = Tables.documents(spark, sf)
     val distinctTexts = docs.select("text").distinct().count()

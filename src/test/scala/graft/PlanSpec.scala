@@ -47,8 +47,9 @@ class PlanSpec extends SparkSpec {
     assert(plan.split("\n").exists(l =>
         l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
       "over-cap anti-join broadcast missing")
+    val cap = graft.operators.DedupOps.BAND_CAP
     assert(plan.split("\n").exists(l =>
-        l.contains("bcnt") && l.contains("> 1000")),
+        l.contains("bcnt") && l.contains(s"> $cap")),
       "over-cap filter (bcnt > cap) missing")
   }
 

@@ -74,6 +74,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("threshold alerts skip NaN and null values identically in both forms") {
+    // round-6 ADVICE: floor(NaN*100+0.5) silently maps NaN to 0L in Spark
+    // while the DuckDB oracle errors — so NaN must be FILTERED like null in
+    // stream, batch, and oracle. Fixture: user 7 crosses 50 only if the NaN
+    // row is skipped and the 30+25 rows both count; user 8's only non-NaN
+    // row crosses alone; user 9 has just a null row -> no alert.
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1000000000000L, 7L, "click", Some(30.0), "{}"),
+      (2L, 2000000000000L, 7L, "click", Some(Double.NaN), "{}"),
+      (3L, 3000000000000L, 7L, "click", Some(25.0), "{}"),
+      (4L, 4000000000000L, 8L, "click", Some(Double.NaN), "{}"),
+      (5L, 5000000000000L, 8L, "click", Some(60.0), "{}"),
+      (6L, 6000000000000L, 9L, "view", None: Option[Double], "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = Files.createTempDirectory("graft-nan-events")
+    val staged = tmp.resolve("w").toString
+    df.coalesce(1).write.parquet(staged)
+    val part = Files.list(Paths.get(staged)).filter(
+      _.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part, tmp.resolve("events.parquet"))
+    val fixtureDir = tmp.toString // unique basename -> fresh stageDir copy
+    val batch = StreamingOps.thresholdAlertsBatch(spark, fixtureDir, 50.0)
+    val expected = Set((7L, 3L, 1L), (8L, 5L, 1L))
+    assert(batch.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected)
+    val q = StreamingOps.thresholdAlerts(spark, fixtureDir, 50.0).writeStream
+      .outputMode("append").format("memory").queryName("nan_alerts").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("nan_alerts").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected)
+  }
+
   test("streaming session_window matches batch session_window_agg") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.sessionCounts(spark, sf), "stream_sess")
