@@ -37,7 +37,19 @@ object SimilarityOps {
   private val SALT = 16 // first-phase top-k fan-out per query
   private val TABLES = 4
   private val PLANES_DEDUP = 12 // 4096 buckets/table: near-dup detection
-  private val PLANES_TOPK = 10 // 1024 buckets/table: broader-recall search
+  // 1024 buckets/table — broader collision prob than the dedup config, but
+  // sign-LSH remains a HIGH-SIMILARITY method: collision prob per table is
+  // (1 - θ/π)^P, so cos≥0.99 pairs collide ~97% over 4 tables while a
+  // cos≈0.35 "neighbor" collides ~3%. MEASURED on the fixture (whose 10
+  // query vectors have NO neighbor above cos 0.5 — quasi-random space):
+  // sim_topk_lsh recall@5 vs the exact top-k is 0.04/0.06/0.08 at
+  // sf0.001/0.01/0.1 while examining only ~0.5-2% of the corpus — a ~10×
+  // lift over random probing, and the honest ceiling for hyperplane LSH on
+  // moderate-similarity targets. For general top-k at a controllable scan
+  // fraction the IVF path is the production route (see ivfTopK's measured
+  // curve); this query is the near-dup-grade LSH machinery exercised in
+  // top-k form.
+  private val PLANES_TOPK = 10
   private val BUCKET_CAP = 1000 // max docs per (table, bucket) in self-joins
   private val NCELLS = 16 // IVF: centroid cells in the inverted file
   private val NPROBE = 4 // IVF: cells probed per query
