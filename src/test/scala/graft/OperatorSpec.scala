@@ -110,6 +110,27 @@ class OperatorSpec extends SparkSpec {
     assert(approx.count() === exact.count())
   }
 
+  test("bench-only sketch projections stay within their declared error") {
+    // the production sketch-only forms are benched but not oracle-declared
+    // (an estimate is not DuckDB-reproducible); pin them against their
+    // exact siblings here so "bench-only" never means "untested"
+    val sk = SparkEntry.benchOnly("approx_distinct_sketch")(spark, sf)
+    val exact = SparkEntry.queries("agg_distinct")(spark, sf)
+      .select(col("event_type"), col("n_users"))
+    val badCard = sk.join(exact, "event_type")
+      .where(abs(col("approx_users") - col("n_users")) >
+        col("n_users") * lit(0.05))
+    assert(badCard.count() === 0L, "sketch cardinality off by >5%")
+    assert(sk.count() === exact.count())
+    val pk = SparkEntry.benchOnly("approx_percentile_sketch")(spark, sf)
+    val pexact = SparkEntry.queries("percentile_agg")(spark, sf)
+      .select(col("l_returnflag"), col("p50"), col("p95"))
+    val badPct = pk.join(pexact, "l_returnflag")
+      .where(abs(col("a50") - col("p50")) > col("p50") * lit(0.01) ||
+        abs(col("a95") - col("p95")) > col("p95") * lit(0.01))
+    assert(badPct.count() === 0L, "quantile sketch off by >1%")
+  }
+
   test("approx_percentile_agg tracks the exact percentiles within 1%") {
     val approx = SparkEntry.queries("approx_percentile_agg")(spark, sf)
     assert(approx.where(!col("approx_within_1pct")).count() === 0L,
