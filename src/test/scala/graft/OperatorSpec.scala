@@ -168,6 +168,41 @@ class OperatorSpec extends SparkSpec {
     assert(mean >= 0.55, s"mean recall@5 $mean below the 0.55 floor")
   }
 
+  test("minhash estimate tracks exact 3-gram Jaccard and finds high-J pairs") {
+    // dedup QUALITY pinned like the IVF recall floor: (1) the signature
+    // agreement count is a real Jaccard estimator — within 4σ of the
+    // 32-permutation binomial error (sqrt(J(1-J)/32) <= 0.088 -> 0.35
+    // absolute) against the exact 3-gram Jaccard of the same pair; (2) LSH
+    // candidate recall — every pair whose TRUE Jaccard >= 0.8 must surface
+    // as a candidate (8 bands x 4 rows: collision prob >= 98.5% at J=0.8,
+    // and the fixture's planted dups are exact or near-exact).
+    import graft.operators.DedupOps
+    val docs = Tables.documents(spark, sf)
+    val ex = DedupOps.spread(docs).select(col("doc_id"),
+      explode(DedupOps.shinglesOf(col("text"))).as("s"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = ex.select(col("doc_id").as("doc_a"), col("s"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ninter"))
+    val jac = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), (col("ninter").cast("double") /
+        (col("na") + col("nb") - col("ninter"))).as("j")).cache()
+    val scored = SparkEntry.queries("dedup_minhash_scored")(spark, sf)
+    val est = scored.join(jac, Seq("doc_a", "doc_b"), "left")
+      .select(col("n_match"), coalesce(col("j"), lit(0.0)).as("j"))
+    assert(est.where(abs(col("n_match") / lit(32.0) - col("j")) > 0.35)
+      .count() === 0L, "minhash slot agreement diverged from exact Jaccard")
+    val high = jac.where(col("j") >= 0.8)
+    assert(high.count() > 0, "fixture should contain high-Jaccard dup pairs")
+    val missed = high.join(scored.select("doc_a", "doc_b"),
+      Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() === 0L, "LSH missed a true high-Jaccard pair")
+    jac.unpersist()
+  }
+
   test("dedup_exact keeps one survivor per distinct text") {
     val docs = Tables.documents(spark, sf)
     val distinctTexts = docs.select("text").distinct().count()
