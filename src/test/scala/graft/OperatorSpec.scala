@@ -203,6 +203,26 @@ class OperatorSpec extends SparkSpec {
     jac.unpersist()
   }
 
+  test("simhash chunk pigeonhole is COMPLETE for hamming <= 3 on fixture") {
+    // the operator's central claim, verified against brute force: a pair
+    // within hamming distance 3 differs in at most 3 of the 4 15-bit
+    // chunks, so at least one chunk collides and the pair must surface.
+    // At sf0.001 no (chunk, value) cell can exceed CHUNK_CAP=1000 (only
+    // 500 docs), so candidate generation must be EXACTLY the brute-force
+    // hamming<=3 pair set — completeness AND precision.
+    val fp = SparkEntry.queries("dedup_simhash")(spark, sf)
+    val brute = fp.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      .crossJoin(fp.select(col("doc_id").as("doc_b"), col("simhash").as("hb")))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .where(col("hamming") <= 3)
+    val found = SparkEntry.queries("dedup_simhash_pairs")(spark, sf)
+    assert(brute.count() > 0, "fixture should contain hamming<=3 pairs")
+    assert(brute.exceptAll(found).count() === 0L, "pigeonhole missed a pair")
+    assert(found.exceptAll(brute).count() === 0L, "spurious pair emitted")
+  }
+
   test("dedup_exact keeps one survivor per distinct text") {
     val docs = Tables.documents(spark, sf)
     val distinctTexts = docs.select("text").distinct().count()
