@@ -255,7 +255,14 @@ object SimilarityOps {
       // embedding-cosine near-dup: multi-table LSH bucket -> capped
       // within-bucket pairs (deduped as BARE ID PAIRS — 2 longs through the
       // distinct, not 2×64-double payloads) -> vector rejoin -> cosine
-      // verify
+      // verify. MEASURED fixture honesty: the embeddings fixture plants NO
+      // near-duplicates (zero pairs above cos 0.5 by brute force at
+      // sf0.001), so the cos>=0.3 rows this query emits are the tail that
+      // 12-plane/4-table LSH surfaces from the ~920 moderate-cos pairs
+      // (~5% of them — sign-LSH collision at cos 0.3 is rare by design).
+      // The operator's guarantee domain is cos>=0.99 (~97% collision over
+      // 4 tables), which the fixture leaves unpopulated; the oracle pins
+      // the full pipeline bit-for-bit either way.
       val dim = 64
       val pts = KMeansOps.points(s, d)
       val bucketed = capBuckets(bucketedAllTables(pts, dim, PLANES_DEDUP))
