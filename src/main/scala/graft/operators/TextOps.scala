@@ -58,6 +58,17 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> { (s, d) =>
+      // MEASURED fixture honesty (quality-axis sweep, round 7): the
+      // documents fixture draws EVERY language's text from one shared
+      // English-ish synthetic vocabulary ("join a filter window row …") —
+      // the `lang` column is independent metadata, not a property of the
+      // text — so no content-based identifier can recover it (this one
+      // agrees with the label on 92% of lang='en' docs via the shared
+      // stopwords and 0% elsewhere, by construction of the fixture, at
+      // every SF). The query therefore exercises the classifier MECHANICS
+      // (one-pass native marker counting, tie precedence, 'und' fallback)
+      // under oracle parity; label-recovery accuracy would need text that
+      // actually varies by language.
       Tables.documents(s, d)
         .select(col("doc_id"), markerCounts(wordsCol(col("text"))).as("mc"))
         .select(col("doc_id"), langFromCounts(col("mc")).as("lang_guess"))
