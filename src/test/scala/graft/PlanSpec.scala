@@ -86,6 +86,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("sim_topk_ivf_recall composes the two pipelines without a cartesian") {
+    // the recall join must stay a key join of two tiny (<= NQ*TOPK row)
+    // results; the only broadcast nested loops allowed are the intentional
+    // fixed-small-side crossJoins inside the underlying pipelines
+    val plan = executed("sim_topk_ivf_recall")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("sketch-only bench plans stay pure sketch paths") {
+    // the bench-only production projections must never re-grow the exact
+    // sides their declared siblings carry as verification gates: no
+    // countDistinct Expand, no exact sort-based percentile
+    val p1 = SparkEntry.benchOnly("approx_distinct_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Expand"), "exact countDistinct crept into the sketch plan")
+    assert(p1.contains("approx_count_distinct"))
+    val p2 = SparkEntry.benchOnly("approx_percentile_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("percentile(") && p2.contains("percentile_approx"),
+      "exact percentile crept into the sketch plan")
+  }
+
   test("hot paths use the native expressions, not HOF fallbacks") {
     // a refactor that silently reverts to the interpreted
     // aggregate/zip_with/transform forms fails here (ExpressionSpec pins
