@@ -14,12 +14,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one-time layout ETL (bucketed tables) and fixture staging (text/
-    // csv/jsonl files) run OUTSIDE the timings: join_bucketed must
-    // measure the exchange-free join, not the CTAS, and the scan_*
-    // queries must measure the scan, not the staging write
+    // one-time layout ETL (bucketed tables, the IVF index), fixture
+    // staging (text/csv/jsonl files, the streaming landing dir), and the
+    // shared fit-verification yardstick all run OUTSIDE the timings:
+    // join_bucketed must measure the exchange-free join (not the CTAS),
+    // the scan_*/streaming_* queries the scan (not the staging write),
+    // and kmeans_fit the MLlib fit (not the memo fill of the reference-
+    // Lloyd cost its three variants share — round-7 ADVICE).
     graft.sources.StorageOps.ensureLayouts(spark, sfDir)
     graft.sources.TextIO.ensureFixtures(spark, sfDir)
+    graft.streaming.StreamingOps.stageDir(sfDir, "events")
+    graft.operators.SimilarityOps.ensureIvfIndex(spark, sfDir)
+    graft.operators.MLlibKMeans.warmRef(spark, sfDir)
     var failed = 0
     // deterministic alphabetical order: Map hash order varies with the key
     // set, which made per-query numbers incomparable across rounds (a
@@ -27,11 +33,17 @@ object Bench {
     // predecessors didn't trigger)
     val results = (SparkEntry.queries ++ SparkEntry.benchOnly)
       .toSeq.sortBy(_._1).map { case (name, fn) =>
-      // isolate measurements: caches built inside one query (iterative
-      // k-means loops, LSH band self-joins) must not linger into the next
-      // query's timing or accumulate storage across the 58-query sequence
-      // (dedup_ngram measured 12 s mid-sequence vs 5 s isolated before this)
+      // isolate measurements: caches AND checkpoint/persisted blocks built
+      // inside one query (iterative k-means loops, LSH band self-joins)
+      // must not linger into the next query's timing or accumulate storage
+      // across the full query sequence (dedup_ngram measured 12 s
+      // mid-sequence vs 5 s isolated before this). clearCache only empties
+      // the SQL CacheManager; localCheckpoint blocks are RDD-level and
+      // otherwise wait for driver GC + ContextCleaner (round-7 ADVICE), so
+      // drop them explicitly.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       // noop-sink write: every row is fully materialized through the whole
       // plan (count() lets Catalyst prune unreferenced projections, benching

@@ -94,8 +94,12 @@ object VectorOps {
     * with n_tokens = 32). `floor(x·10^k + 0.5)/10^k` is pure IEEE
     * arithmetic, so both engines compute bit-identical results from
     * identical inputs — they can no longer disagree, whatever side of
-    * the boundary the float lands on. Positive values only (floor(x+.5)
-    * rounds toward +inf, not away from zero). */
+    * the boundary the float lands on. NEGATIVE values round half-cases
+    * toward +inf rather than HALF_UP's away-from-zero (floor(-2.5+.5) =
+    * -2, not -3): cross-engine parity still holds — both sides run the
+    * identical IEEE ops — but call sites feeding sums that can go
+    * negative (the window/session `sum(value)` aggregates) accept the
+    * toward-+inf convention by design (round-7 ADVICE). */
   def rIeee(c: Column, decimals: Int): Column = {
     val scale = math.pow(10.0, decimals)
     floor(c * scale + lit(0.5)) / scale

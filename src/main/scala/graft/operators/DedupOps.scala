@@ -144,6 +144,21 @@ object DedupOps {
   def minhashBands(docs: DataFrame): DataFrame =
     bandsOf(minhashSignatures(docs))
 
+  /** Whether to `broadcast()`-hint the over-cap drop sets (default true).
+    * The hint is right for real corpora — the drop set is pigeonhole-
+    * bounded at rows/cap, usually a handful of pathological cells — but on
+    * a duplicate-DEGENERATE corpus (most cells over cap) the drop set is
+    * linear in the corpus and the hint would force an oversized broadcast;
+    * `spark.conf.set("graft.dropSetBroadcast", "false")` lets AQE plan the
+    * anti-join (shuffled fallback) instead. Result is identical either way
+    * (PlanSpec runs both paths to the same rows — round-7 verdict #3 /
+    * ADVICE carry-over). Read per-plan from the session conf, so a test or
+    * an operator can flip it without a new session. */
+  private def dropSetHint(df: DataFrame, drop: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("graft.dropSetBroadcast", "true").toBoolean)
+      broadcast(drop)
+    else drop
+
   /** Drop rows of over-populated (band_id, band_hash) cells before a
     * self-join. The broadcast side is the OVER-cap drop set, never the
     * under-cap keep set: band hashes are 60-bit, so the keep relation is the
@@ -152,12 +167,11 @@ object DedupOps {
     * at total_band_rows / cap — still LINEAR in corpus size, but a 1000×
     * reduction at cap=1000, and reached only by a corpus that is mostly
     * heavy-hitter cells (real drop sets are the few pathological cells).
-    * The `broadcast()` hint is deliberate: at the scale where rows/cap
-    * outgrows the broadcast budget the cap itself must rise with the
-    * deployment (the cell population a self-join can stomach grows with the
-    * cluster), which shrinks the drop set in step; an operator running a
-    * duplicate-degenerate corpus can drop the hint and let AQE fall back to
-    * a shuffled anti-join at the cost of one extra exchange. (Keep-broadcasts
+    * At the scale where rows/cap outgrows the broadcast budget the cap
+    * itself must rise with the deployment (the cell population a self-join
+    * can stomach grows with the cluster), which shrinks the drop set in
+    * step; for duplicate-degenerate corpora the [[dropSetHint]] conf gates
+    * the hint off and AQE plans a shuffled anti-join. (Keep-broadcasts
     * remain correct where the cell DOMAIN is bounded — SimilarityOps' 4×4096
     * LSH buckets — but the simhash chunk cap below uses the drop-set form
     * too: strictly smaller and uniform discipline.) Result is identical
@@ -170,7 +184,28 @@ object DedupOps {
       .agg(count(lit(1)).as("bcnt"))
       .where(col("bcnt") > cap)
       .select(col("band_id"), col("band_hash"))
-    bands.join(broadcast(drop), Seq("band_id", "band_hash"), "left_anti")
+    bands.join(dropSetHint(bands, drop), Seq("band_id", "band_hash"),
+      "left_anti")
+  }
+
+  /** MinHash-LSH candidate pairs of a (doc_id, text) relation — the body of
+    * `dedup_minhash`, factored so the adversarial-corpus spec can run it on
+    * a synthetic all-duplicates input (round-7 verdict #5). */
+  private[graft] def minhashPairs(docs: DataFrame,
+      cap: Int = BAND_CAP): DataFrame = {
+    // localCheckpoint, not cache: the band relation feeds both the cell
+    // count and the self-join probe; an eager checkpoint materializes it
+    // once and its blocks are released when the plan is GC'd, instead of
+    // occupying the cache for the session lifetime (round-4 ADVICE).
+    val bands = cappedBands(minhashBands(docs).localCheckpoint(), cap)
+    val a = bands.select(col("doc_id").as("doc_a"), col("band_id"),
+      col("band_hash"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band_id"),
+      col("band_hash"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Band relation from an existing signature relation (callers that also
@@ -234,6 +269,52 @@ object DedupOps {
     counted.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** SimHash near-dup candidate pairs of a (doc_id, text) relation — the
+    * body of `dedup_simhash_pairs`, factored (like [[minhashPairs]]) so the
+    * adversarial-corpus spec can run it on synthetic input.
+    *
+    * The 4×15-bit chunk pigeonhole: a pair within hamming distance ≤ 3
+    * differs in at most 3 chunks, so at least one chunk matches exactly —
+    * candidate generation is COMPLETE for the ≤ 3 threshold (the round-2
+    * claim of ≤ 16 was only heuristic; 17 chunks of <4 bits would be needed
+    * to *guarantee* 16, with useless 8-value buckets). A per-(chunk_id,
+    * chunk) population cap bounds the within-bucket self-join under skew
+    * (near-constant docs collapsing to one fingerprint), trading recall
+    * only on those degenerate cells. localCheckpoint, not cache: fp feeds
+    * both the chunk explode and (via capped) both join sides; an eager
+    * checkpoint's blocks die with the plan instead of occupying the cache
+    * for the session (round-5 ADVICE — same fix minhash_scored carries). */
+  private[graft] def simhashPairs(docs: DataFrame,
+      cap: Int = CHUNK_CAP): DataFrame = {
+    val fp = simhashFingerprints(docs).localCheckpoint()
+    val chunks = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until CHUNKS).map(c =>
+        shiftright(col("simhash"), CHUNK_BITS * c)
+          .bitwiseAND(lit((1L << CHUNK_BITS) - 1))): _*))
+        .as(Seq("chunk_id", "chunk")))
+    // drop-set anti-join, not keep-broadcast: the (chunk_id, chunk) domain
+    // is bounded (4 × 2^15 cells) so a keep-broadcast would not OOM, but
+    // the over-cap set is pigeonhole-bounded at rows/CHUNK_CAP — strictly
+    // smaller — and keeps one capping discipline across the dedup family
+    // (see cappedBands; the broadcast hint is conf-gated the same way).
+    val drop = chunks.groupBy(col("chunk_id"), col("chunk"))
+      .agg(count(lit(1)).as("bcnt"))
+      .where(col("bcnt") > cap)
+      .select(col("chunk_id"), col("chunk"))
+    val capped = chunks.join(dropSetHint(chunks, drop),
+      Seq("chunk_id", "chunk"), "left_anti")
+    val a = capped.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("chunk_id"), col("chunk"))
+    val b = capped.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("chunk_id"), col("chunk"))
+    a.join(b, Seq("chunk_id", "chunk")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= HAMMING_MAX)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -253,20 +334,7 @@ object DedupOps {
         .select(col("doc_id"))
     },
     "dedup_minhash" -> { (s, d) =>
-      // localCheckpoint, not cache: the band relation feeds both the cell
-      // count and the self-join probe; an eager checkpoint materializes it
-      // once and its blocks are released when the plan is GC'd, instead of
-      // occupying the cache for the session lifetime (round-4 ADVICE).
-      val bands = cappedBands(
-        minhashBands(Tables.documents(s, d)).localCheckpoint())
-      val a = bands.select(col("doc_id").as("doc_a"), col("band_id"),
-        col("band_hash"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band_id"),
-        col("band_hash"))
-      a.join(b, Seq("band_id", "band_hash"))
-        .where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
+      minhashPairs(Tables.documents(s, d))
     },
     "dedup_minhash_scored" -> { (s, d) =>
       // LSH candidates + the MinHash similarity ESTIMATE: the fraction of
@@ -300,45 +368,7 @@ object DedupOps {
       simhashFingerprints(Tables.documents(s, d))
     },
     "dedup_simhash_pairs" -> { (s, d) =>
-      // near-dup candidates via the 4×15-bit chunk pigeonhole: a pair within
-      // hamming distance ≤ 3 differs in at most 3 chunks, so at least one
-      // chunk matches exactly — candidate generation is COMPLETE for the
-      // ≤ 3 threshold (the round-2 claim of ≤ 16 was only heuristic; 17
-      // chunks of <4 bits would be needed to *guarantee* 16, with useless
-      // 8-value buckets). A per-(chunk_id, chunk) population cap bounds the
-      // within-bucket self-join under skew (near-constant docs collapsing
-      // to one fingerprint), trading recall only on those degenerate cells.
-      // localCheckpoint, not cache: fp feeds both the chunk explode and (via
-      // capped) both join sides; an eager checkpoint's blocks die with the
-      // plan instead of occupying the cache for the session (round-5 ADVICE —
-      // same fix minhash_scored already carries).
-      val fp = simhashFingerprints(Tables.documents(s, d)).localCheckpoint()
-      val chunks = fp.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until CHUNKS).map(c =>
-          shiftright(col("simhash"), CHUNK_BITS * c)
-            .bitwiseAND(lit((1L << CHUNK_BITS) - 1))): _*))
-          .as(Seq("chunk_id", "chunk")))
-      // drop-set anti-join, not keep-broadcast: the (chunk_id, chunk) domain
-      // is bounded (4 × 2^15 cells) so a keep-broadcast would not OOM, but
-      // the over-cap set is pigeonhole-bounded at rows/CHUNK_CAP — strictly
-      // smaller — and keeps one capping discipline across the dedup family
-      // (see cappedBands).
-      val drop = chunks.groupBy(col("chunk_id"), col("chunk"))
-        .agg(count(lit(1)).as("bcnt"))
-        .where(col("bcnt") > CHUNK_CAP)
-        .select(col("chunk_id"), col("chunk"))
-      val capped = chunks.join(broadcast(drop), Seq("chunk_id", "chunk"),
-        "left_anti")
-      val a = capped.select(col("doc_id").as("doc_a"),
-        col("simhash").as("sim_a"), col("chunk_id"), col("chunk"))
-      val b = capped.select(col("doc_id").as("doc_b"),
-        col("simhash").as("sim_b"), col("chunk_id"), col("chunk"))
-      a.join(b, Seq("chunk_id", "chunk")).where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-        .distinct()
-        .where(col("hamming") <= HAMMING_MAX)
-        .orderBy(col("doc_a"), col("doc_b"))
+      simhashPairs(Tables.documents(s, d))
     },
     "dedup_ngram" -> { (s, d) =>
       // n-gram Jaccard of every doc against a fixed 10-doc query set.

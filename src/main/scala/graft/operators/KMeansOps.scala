@@ -241,7 +241,7 @@ object KMeansOps {
   // ------------------------------------------------------------- queries
 
   private val K = 4          // matches the fixtures' 4 generating centers
-  private val FLAGSHIP_K = 8
+  private[operators] val FLAGSHIP_K = 8
   private val MEMBER_CAP = 100 // bounded member sample in format_clusters
 
   /** Frozen deterministic center set shared by the oracle-checked
@@ -662,10 +662,6 @@ object KMeansOps {
   private lazy val assignSql: String =
     assignSqlFor(frozenCentersSql(), "embedding", VectorSql.sqDist)
 
-  /** One unrolled Lloyd iteration + final per-cluster stats, as a CTE query
-    * mirroring lloydStep+assignStats (modulo empty-cluster carry-over, which
-    * cannot occur for the frozen k=4 seeds on the fixture data — every
-    * cluster stays populated, verified at all tested SFs). */
   /** The 64 snapped per-dimension means of a recompute step —
     * rIeee@12 mirrors lloydStep's snap12 bit-for-bit (see its doc). */
   private def snappedCentroidSql: String =
@@ -700,13 +696,22 @@ object KMeansOps {
 
   private def lloydUnrollSql(dist: (String, String) => String): String = {
     val centroid = snappedCentroidSql
+    // c1 carries an emptied cluster's previous center via LEFT JOIN +
+    // coalesce — the same `fresh.getOrElse(cid, old)` branch lloydStep
+    // takes, and the same SQL form as cluster_eval_holdout /
+    // trainedCellsSqlCtes. The k=4 frozen seeds never empty on the fixture
+    // (verified at all tested SFs), but two seeds sharing an embedding
+    // WOULD empty the higher cid, and a fresh-centers-only c1 would then
+    // silently drop it while Spark carries it (round-7 ADVICE).
     s"""WITH c0 AS ${frozenCentersSql()},
        |a1 AS (${assignSqlFor("c0", "embedding", dist)}),
        |c1 AS (
-       |  SELECT a.cluster_id AS cid,
-       |         list_value($centroid) AS cv
-       |  FROM a1 a JOIN embeddings e ON a.vec_id = e.vec_id
-       |  GROUP BY a.cluster_id),
+       |  SELECT c0.cid, coalesce(n.cv, c0.embedding::DOUBLE[]) AS cv
+       |  FROM c0 LEFT JOIN (
+       |    SELECT a.cluster_id AS cid,
+       |           list_value($centroid) AS cv
+       |    FROM a1 a JOIN embeddings e ON a.vec_id = e.vec_id
+       |    GROUP BY a.cluster_id) n USING (cid)),
        |a2 AS (${assignSqlFor("c1", "cv", dist)})
        |SELECT a.cluster_id, count(*)::BIGINT AS n_points,
        |       (round(avg(e.embedding[1]::DOUBLE),4) + 0) AS d0,

@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
 object MLlibKMeans {
 
   /** Cost of the expression-based Lloyd reference run (frozen sampleK
-    * seeds, 10 snap12 iterations) — the yardstick the fit queries compare
-    * MLlib's training cost against. Memoized per (sfDir, k): the three
+    * seeds, 2 snap12 iterations) — the yardstick the fit queries compare
+    * MLlib's training cost against. TWO iterations, not a converged run:
+    * the [0.50, 1.10]× band is a wiring-regression gate, not a quality
+    * match, and a 2-step reference keeps the same regression sensitivity
+    * at 5× less verification cost (round-7 verdict: the 10-iteration
+    * yardstick made the first fit query bench at 10.4 s — 9 s of which
+    * was the gate, not the fit). Memoized per (sfDir, k): the three
     * `kmeans_fit*` variants in one Verify/Bench run share a single
     * reference Lloyd instead of re-running it per query (the cost is a
     * deterministic function of the data, so a driver-side memo is safe). */
@@ -27,9 +32,18 @@ object MLlibKMeans {
     lloydCostMemo.getOrElseUpdate((sfDir, k), {
       val pts = KMeansOps.points(spark, sfDir).localCheckpoint()
       val init = KMeansOps.collectCenters(KMeansOps.sampleK(pts, k))
-      val (centers, _) = KMeansOps.lloyd(pts, init, maxIter = 10, tol = 1e-4)
-      pts.agg(sum(KMeansOps.minSqDistCol(col("v"), centers))).head.getDouble(0)
+      val (centers, _) = KMeansOps.lloyd(pts, init, maxIter = 2, tol = 1e-4)
+      pts.agg(sum(KMeansOps.minSqDistCol(col("v"), centers))).head().getDouble(0)
     })
+
+  /** Fill the reference-cost memo for the flagship k outside any timed
+    * region: [[graft.Bench]] calls this in its setup pass so `kmeans_fit`
+    * (whichever fit query runs first) times the MLlib fit, not the shared
+    * verification yardstick's memo fill (round-7 ADVICE — the memo fill
+    * made kmeans_fit's round-over-round timing incomparable). */
+  def warmRef(spark: SparkSession, sfDir: String): Unit = {
+    lloydRefCost(spark, sfDir, KMeansOps.FLAGSHIP_K); ()
+  }
 
   /** `initMode` carries the SURVEY §7 step-4 seeding mapping: the
     * reference's `takeSample` seeding → "random", its ++/farthest family →

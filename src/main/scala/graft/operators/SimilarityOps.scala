@@ -86,7 +86,7 @@ object SimilarityOps {
     * cheap per row, so scan parallelism (one task per input split — many
     * thousands at real scale) is the right parallelism, and an extra
     * exchange would only add a shuffle of the full vector payload. */
-  private def bucketedAllTables(pts: DataFrame, dim: Int,
+  private[graft] def bucketedAllTables(pts: DataFrame, dim: Int,
       nPlanes: Int): DataFrame = {
     val tb = array((0 until TABLES).map(t =>
       struct(lit(t).as("t"), bucketCol(col("v"), dim, nPlanes, t).as("b"))): _*)
@@ -103,7 +103,7 @@ object SimilarityOps {
     * storage leaks past the query and no unpersist bookkeeping is needed
     * (round-6 verdict: same lifecycle discipline as the dedup family's
     * checkpointed relations). */
-  private def capBuckets(bucketed: DataFrame): DataFrame = {
+  private[graft] def capBuckets(bucketed: DataFrame): DataFrame = {
     val pinned = bucketed.localCheckpoint()
     val counts = pinned.groupBy(col("t"), col("b"))
       .agg(count(lit(1)).as("bcnt"))
@@ -131,20 +131,54 @@ object SimilarityOps {
     KMeansOps.points(s, d).where(col("id") < NQ)
       .select(col("id").as("q_id"), col("v").as("qv"))
 
+  /** Persisted IVF index layout for a scale factor (round-7 verdict #2:
+    * index-build ≠ query). Training the cell model and assigning every
+    * vector to its cell is one-off ETL — exactly like
+    * [[graft.sources.StorageOps.ensureLayouts]] — not per-query work: at
+    * serving scale the index is built once and every probe reads a
+    * partition-pruned layout. Layout under target/ (atomically staged,
+    * concurrent-JVM safe — [[graft.sources.Staging.ensureDir]]):
+    *
+    *   <dir>/cells/    (cell INT, cv ARRAY<DOUBLE>) — the NCELLS-row model
+    *   <dir>/vectors/  (id LONG, v ARRAY<DOUBLE>) PARTITIONED BY cell
+    *
+    * Cells are trained with two snap12 Lloyd iterations from the frozen
+    * deterministic seeds (the round-4 verdict item — trained cells balance
+    * populations, so recall at a fixed nprobe improves over raw seeds), so
+    * ANY process builds a bit-identical index and the DuckDB oracle
+    * ([[graft.operators.KMeansOps.trainedCellsSqlCtes]]) reproduces it
+    * without ever reading the files. NCELLS is part of the path: a config
+    * change can never probe a stale layout. */
+  def ensureIvfIndex(s: SparkSession, d: String): String = {
+    val sfTag = java.nio.file.Paths.get(d).getFileName.toString
+    graft.sources.Staging.ensureDir(
+      s"target/ivf-index/$sfTag/nc$NCELLS", marker = "vectors/_SUCCESS") {
+      tmp =>
+        val pts = KMeansOps.points(s, d).localCheckpoint()
+        val cells = KMeansOps.lloydStep(pts,
+          KMeansOps.lloydStep(pts, KMeansOps.frozenCenters(s, d, NCELLS)))
+        s.createDataFrame(cells.toSeq.map { case (cid, v) => (cid, v.toSeq) })
+          .toDF("cell", "cv")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cells")
+        pts.select(col("id"), col("v"),
+            KMeansOps.nearestCol(col("v"), cells).as("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/vectors")
+    }
+  }
+
   /** IVF (inverted-file) ANN — the clustering-based scale path beside
-    * the hyperplane LSH: partition vectors into NCELLS centroid cells
-    * once (the billion-scale layout step), then each query probes only
-    * its `nprobe` nearest cells. Recall comes from nprobe, not tables;
-    * candidate count ≈ nprobe/ncells of the corpus. Composes the
-    * k-means machinery: frozen deterministic seeds TRAINED with two
-    * snap12 Lloyd iterations (the round-4 verdict item — trained cells
-    * balance populations, so recall at a fixed nprobe improves over
-    * raw seeds) + the codegen'd NearestCenter argmin for the cell
-    * assignment, so the whole pipeline is DuckDB-reproducible via the
-    * unrolled-CTE mirror. Cell assignment at scale is a one-off
-    * columnar rewrite (like embed_quantize); here it is inline.
-    * `nprobe` is parameterized so the recall spec can sweep the
-    * recall/cost curve; the declared query uses [[NPROBE]].
+    * the hyperplane LSH: vectors live in NCELLS centroid cells in the
+    * PERSISTED index layout ([[ensureIvfIndex]] — the billion-scale
+    * one-off build step), and each query probes only its `nprobe`
+    * nearest cells. Recall comes from nprobe, not tables; candidate
+    * count ≈ nprobe/ncells of the corpus. The probe never recomputes
+    * the clustering: it reads the k-row cell model, ranks cells per
+    * query, folds the ≤ NQ·nprobe probed cell ids into the vector scan
+    * as LITERALS — static partition pruning, the scan touches nprobe-ish
+    * partitions of the index, never the corpus (PlanSpec pins both the
+    * pruning and the absence of any in-plan cell training). `nprobe` is
+    * parameterized so the recall spec can sweep the recall/cost curve;
+    * the declared query uses [[NPROBE]].
     *
     * MEASURED recall@5 vs the exact top-k (declared `sim_topk_ivf_recall`
     * query + OperatorSpec floor): the fixture embeddings are quasi-random
@@ -160,21 +194,22 @@ object SimilarityOps {
     * quality drift is a visible diff, not a silent degradation. */
   private[graft] def ivfTopK(s: SparkSession, d: String,
       nprobe: Int = NPROBE): DataFrame = {
-    val pts = KMeansOps.points(s, d).localCheckpoint()
-    val cells = KMeansOps.lloydStep(pts,
-      KMeansOps.lloydStep(pts, KMeansOps.frozenCenters(s, d, NCELLS)))
-    val assigned = pts.select(col("id"), col("v"),
-      KMeansOps.nearestCol(col("v"), cells).as("cell"))
-    val cellsDf = s.createDataFrame(
-      cells.toSeq.map { case (cid, v) => (cid, v.toSeq) })
-      .toDF("cell", "cv")
+    val dir = ensureIvfIndex(s, d)
+    val cellsDf = s.read.parquet(s"$dir/cells")
     val qCells = queriesDf(s, d).crossJoin(broadcast(cellsDf))
       .withColumn("dist", sqDist(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("dist").asc, col("cell"))))
       .where(col("rn") <= nprobe)
       .select(col("q_id"), col("cell"))
-    val cands = assigned.join(broadcast(qCells), "cell")
+      .localCheckpoint() // reused: probed-cell collect + the probe join
+    // ≤ NQ·nprobe cell ids — O(1) driver traffic, like the O(k·d) center
+    // collects; literal ids make the index scan statically partition-pruned
+    val probed = qCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cands = s.read.parquet(s"$dir/vectors")
+      .where(col("cell").isin(probed.toSeq: _*))
+      .join(broadcast(qCells), "cell")
       .where(col("id") =!= col("q_id"))
       .join(broadcast(queriesDf(s, d)), "q_id")
       .select(col("q_id"), col("id").as("vec_id"),

@@ -22,16 +22,34 @@ object StorageOps {
     * queries (Bench) invoke this in a setup pass so `join_bucketed`
     * measures the exchange-free join, not the CTAS that lays the tables
     * out (which dominated the r3 bench number). The query itself still
-    * ensures on demand for standalone use. */
+    * ensures on demand for standalone use.
+    *
+    * The bucketed FILES are staged atomically (concurrent-JVM safe, see
+    * [[Staging.ensureDir]]): written via a throwaway external table name
+    * into a temp dir — dropping the name keeps the files — then published
+    * by rename, and the real table is registered over the published path
+    * with the same bucket spec (bucket ids live in the file names, so a
+    * re-registered table reads the layout identically; the in-memory
+    * catalog is per-JVM and never contended). */
   def ensureLayouts(s: SparkSession, d: String): Unit = {
     val tag = sfName(d)
-    def ensure(table: String, df: => DataFrame, key: String): Unit =
-      if (!s.catalog.tableExists(table))
-        df.write.mode("overwrite")
-          // absolute path: a relative one resolves under spark-warehouse
-          .option("path", new java.io.File(
-            s"target/bucketed/$tag/$table").getAbsolutePath)
-          .bucketBy(8, key).sortBy(key).saveAsTable(table)
+    def ensure(table: String, df: => DataFrame, key: String): Unit = {
+      if (s.catalog.tableExists(table)) return
+      // absolute path: a relative one resolves under spark-warehouse
+      val path = new java.io.File(s"target/bucketed/$tag/$table").getAbsolutePath
+      Staging.ensureDir(path) { tmp =>
+        val stage = s"${table}_stage_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        df.write.mode("overwrite").option("path", tmp)
+          .bucketBy(8, key).sortBy(key).saveAsTable(stage)
+        s.sql(s"DROP TABLE `$stage`")
+      }
+      s.sql(
+        s"""CREATE TABLE IF NOT EXISTS `$table` (${df.schema.toDDL})
+           |USING PARQUET
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
     ensure(s"li_b_$tag", Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
       "l_orderkey")

@@ -38,13 +38,12 @@ object TextIO {
       concat_ws(",", col("vec_id").cast("string"),
         transform(asDouble(col("embedding")), _.cast("string"))).as("value"))
 
-  /** Write the canonical points text fixture once per scale factor. */
-  def ensurePointsText(s: SparkSession, d: String): String = {
-    val dir = s"target/text-fixtures/${sfName(d)}/points"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS")))
-      pointLines(s, d).coalesce(1).write.mode("overwrite").text(dir)
-    dir
-  }
+  /** Write the canonical points text fixture once per scale factor
+    * (atomically staged — see [[Staging.ensureDir]]). */
+  def ensurePointsText(s: SparkSession, d: String): String =
+    Staging.ensureDir(s"target/text-fixtures/${sfName(d)}/points") { tmp =>
+      pointLines(s, d).coalesce(1).write.mode("overwrite").text(tmp)
+    }
 
   /** Parse text lines back to (vec_id, d0..d3) — `Point.StringToPoint` with
     * the reference's empty-line guard folded in
@@ -69,34 +68,29 @@ object TextIO {
   /** Write a UCI-shaped CSV fixture (header + 8 numeric features + binary
     * label, the `data/UCI/HTRU_2.csv` shape from the reference's README)
     * once per scale factor, derived from the embeddings table. */
-  def ensurePointsCsv(s: SparkSession, d: String): String = {
-    val dir = s"target/text-fixtures/${sfName(d)}/points_csv"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS"))) {
+  def ensurePointsCsv(s: SparkSession, d: String): String =
+    Staging.ensureDir(s"target/text-fixtures/${sfName(d)}/points_csv") { tmp =>
       val cols = col("vec_id") +:
         (1 to 8).map(i =>
           element_at(asDouble(col("embedding")), i).as(s"f$i")) :+
         pmod(col("vec_id"), lit(2)).cast("int").as("label")
       Tables.embeddings(s, d).select(cols: _*)
         .coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(dir)
+        .option("header", "true").csv(tmp)
     }
-    dir
-  }
 
   /** Write the events table as JSON-lines once per scale factor — the
     * interchange format of LLM training-data pipelines. Timestamps are
     * emitted as epoch-µs longs (JSON has no timestamp type; µs stays in
     * float64's exact-int range for the compare). */
-  def ensureEventsJsonl(s: SparkSession, d: String): String = {
-    val dir = s"target/text-fixtures/${sfName(d)}/events_jsonl"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS")))
+  def ensureEventsJsonl(s: SparkSession, d: String): String =
+    Staging.ensureDir(s"target/text-fixtures/${sfName(d)}/events_jsonl") { tmp =>
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
           expr("ts div 1000").as("ts_us"), col("event_type"),
           col("value"), col("props"))
-        .coalesce(1).write.mode("overwrite").json(dir)
-    dir
-  }
+        .coalesce(1).write.mode("overwrite").json(tmp)
+    }
 
   /** Idempotently create every text-format fixture for a scale factor.
     * Fixture generation is one-time staging, not query work: Bench calls

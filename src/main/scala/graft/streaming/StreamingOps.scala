@@ -31,14 +31,15 @@ object StreamingOps {
   def stageDir(sfDir: String, table: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val sfName = Paths.get(sfDir).getFileName.toString
-    val dir = Paths.get(s"target/stream-fixtures/$sfName/$table")
-    val dst = dir.resolve(s"$table.parquet")
-    if (!Files.exists(dst)) {
-      Files.createDirectories(dir)
-      Files.copy(Paths.get(s"$sfDir/$table.parquet"), dst,
-        StandardCopyOption.REPLACE_EXISTING)
+    // atomically staged (the copied file is its own completion marker — it
+    // lands in the temp dir before the rename publishes the dir)
+    graft.sources.Staging.ensureDir(
+      s"target/stream-fixtures/$sfName/$table", marker = s"$table.parquet") {
+      tmp =>
+        Files.copy(Paths.get(s"$sfDir/$table.parquet"),
+          Paths.get(tmp).resolve(s"$table.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
     }
-    dir.toString
   }
 
   /** Streaming tumbling 1h window per event_type with a 2h watermark.
@@ -270,7 +271,17 @@ object StreamingOps {
     * streams size this to cluster width × state volume instead — it is a
     * deployment knob, pinned per query by the checkpoint, which is exactly
     * why the harness sets it explicitly rather than inheriting the batch
-    * width. The session conf is restored after the run. */
+    * width. The session conf is restored after the run.
+    *
+    * `Trigger.AvailableNow` (round-7 verdict #4): process everything
+    * staged, then terminate — the finite-fixture semantics exactly, minus
+    * the idle micro-batches a default-trigger + processAllAvailable run
+    * pays (each one a full state-store open/commit sweep across every
+    * partition of every stateful operator). Output is identical: the
+    * data batches are the same, and no query here depends on a no-data
+    * batch (complete-mode aggregations re-emit full state with the final
+    * batch; the append-mode dedup/join/flatMapGroups forms emit within
+    * the data batch — watermarks only gate state EVICTION for them). */
   def runToMemorySink(df: DataFrame, name: String,
       mode: String = "complete", statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
@@ -279,9 +290,9 @@ object StreamingOps {
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
       val q = df.writeStream.outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .format("memory").queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
+      q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }

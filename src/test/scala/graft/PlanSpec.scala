@@ -86,6 +86,44 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("sim_topk_ivf probes the persisted index: pruned scan, no retrain") {
+    // round-7 verdict #2: index-build != query. The probe must read the
+    // cell-partitioned layout with the probed cell ids folded in as literal
+    // partition filters, and must NOT re-run cell training/assignment —
+    // no NearestCenter argmin anywhere in the probe plan (training lives in
+    // ensureIvfIndex, a one-off ETL like StorageOps.ensureLayouts).
+    val plan = executed("sim_topk_ivf")
+    assert(!plan.toLowerCase.contains("nearestcenter"),
+      "probe plan must not retrain/assign cells in-query")
+    val scan = plan.split("\n").find(l =>
+      l.contains("PartitionFilters") && l.contains("cell"))
+    assert(scan.isDefined, s"no partition-filtered scan of the index:\n$plan")
+    assert(scan.get.toUpperCase.contains("IN"),
+      s"probed cells not folded into the partition filter: ${scan.get}")
+  }
+
+  test("drop-set broadcast hint is conf-gated; shuffled fallback matches") {
+    // graft.dropSetBroadcast=false (for duplicate-degenerate corpora whose
+    // drop set outgrows the broadcast budget) must yield the SAME rows via
+    // an AQE-planned anti-join (round-7 verdict #3). Broadcast thresholds
+    // are forced off so the fallback really is the shuffled plan.
+    val expect = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("graft.dropSetBroadcast", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("dedup_minhash")(spark, sf)
+      assert(!df.queryExecution.executedPlan.toString.split("\n").exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+        "hint off + thresholds off must not broadcast the anti-join")
+      assert(df.collect().map(_.toSeq).toSeq === expect)
+    } finally {
+      spark.conf.unset("graft.dropSetBroadcast")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("sim_topk_ivf_recall composes the two pipelines without a cartesian") {
     // the recall join must stay a key join of two tiny (<= NQ*TOPK row)
     // results; the only broadcast nested loops allowed are the intentional

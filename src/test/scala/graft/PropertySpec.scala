@@ -159,6 +159,31 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("capped self-joins emit NOTHING on an all-duplicates corpus") {
+    // round-7 verdict #5 — the adversarial input the caps exist for: every
+    // band/chunk/bucket cell goes over cap on a corpus of identical
+    // documents, so candidate generation must collapse to EMPTY (never a
+    // quadratic n²/2 within-cell join), while the cheap exact dedup still
+    // catches the whole cluster.
+    val n = 1200 // over the production caps (1000)
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (0 until n).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    assert(DedupOps.minhashPairs(docs).count() === 0L)
+    assert(DedupOps.simhashPairs(docs).count() === 0L)
+    val pts = (0 until n).map(i => (i.toLong, vec(0, 1))).toDF("id", "v")
+    assert(graft.operators.SimilarityOps.capBuckets(
+      graft.operators.SimilarityOps.bucketedAllTables(pts, DIMS, 12))
+      .count() === 0L)
+    // dedup_exact's digest-groupBy is the path that owns this corpus
+    val exact = docs.groupBy(DedupOps.digest(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_copies")).collect()
+    assert(exact.length === 1 && exact.head.getLong(1) === n.toLong)
+    // cap boundary: exactly-at-cap cells are KEPT (<= cap), one past drops
+    val bands = DedupOps.minhashBands(docs).localCheckpoint()
+    assert(DedupOps.cappedBands(bands, cap = n).count() === bands.count())
+    assert(DedupOps.cappedBands(bands, cap = n - 1).count() === 0L)
+  }
+
   test("CosineSim/SignBucket yield null, not an error, on short vectors") {
     // the dimension guard: malformed (mixed-dimension) embeddings must
     // produce a filterable null instead of failing the whole query

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Concurrency contract of [[graft.sources.Staging.ensureDir]] (round-7
+  * verdict #7): the old check-marker-then-write-in-place ensures could
+  * interleave between two JVMs sharing target/ (a Bench and a Verify run),
+  * one overwriting files the other was mid-read. The staged-temp +
+  * atomic-rename protocol must leave exactly one complete published copy,
+  * clean up the losing writer's temp, and make later ensures no-ops.
+  */
+class StagingSpec extends AnyFunSuite {
+  import java.nio.file._
+  import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+  test("two concurrent ensures publish exactly one complete fixture") {
+    val base = Files.createTempDirectory(
+      Files.createDirectories(Paths.get("target")), "staging-spec-")
+    val dir = base.resolve("fixture").toString
+    val writes = new java.util.concurrent.atomic.AtomicInteger
+    // both writers held inside write() at once, so the publish genuinely
+    // races (if scheduling serializes them anyway, the await times out and
+    // the test still checks idempotence)
+    val gate = new CountDownLatch(2)
+    def ensure(): String = graft.sources.Staging.ensureDir(dir) { tmp =>
+      writes.incrementAndGet()
+      gate.countDown()
+      gate.await(10, TimeUnit.SECONDS)
+      val p = Paths.get(tmp)
+      Files.writeString(p.resolve("data"), "payload")
+      Files.writeString(p.resolve("_SUCCESS"), "")
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    Seq(Future(ensure()), Future(ensure()))
+      .foreach(f => Await.result(f, 60.seconds))
+    // one complete copy is in place
+    assert(Files.exists(Paths.get(dir, "_SUCCESS")))
+    assert(Files.readString(Paths.get(dir, "data")) === "payload")
+    // the losing writer's temp sibling was discarded
+    val entries = Files.list(base)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      entries.iterator().asScala.map(_.getFileName.toString).toList.sorted
+    } finally entries.close()
+    assert(names === List("fixture"), s"leftover temp dirs: $names")
+    // a later ensure sees the marker and never re-invokes the writer
+    val before = writes.get
+    ensure()
+    assert(writes.get === before)
+  }
+
+  test("a pre-protocol partial dir (no marker) is rebuilt") {
+    val base = Files.createTempDirectory(Paths.get("target"), "staging-spec-")
+    val dir = base.resolve("fixture")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("data"), "torn half-written copy")
+    graft.sources.Staging.ensureDir(dir.toString) { tmp =>
+      Files.writeString(Paths.get(tmp).resolve("data"), "payload")
+      Files.writeString(Paths.get(tmp).resolve("_SUCCESS"), "")
+    }
+    assert(Files.readString(dir.resolve("data")) === "payload")
+    assert(Files.exists(dir.resolve("_SUCCESS")))
+  }
+}
