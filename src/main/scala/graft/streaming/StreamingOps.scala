@@ -266,34 +266,45 @@ object StreamingOps {
     * regardless of data volume — at local[32] the inherited 32 stores per
     * stateful operator made the fixed-cost provisioning, not the 10k-row
     * fixture, the dominant cost (measured: the two-store interval join
-    * 7.4 s at 32 partitions vs 2.7 s at 8, byte-identical output; the same
-    * lesson as sizing shuffle.partitions to the scale factor). Production
-    * streams size this to cluster width × state volume instead — it is a
-    * deployment knob, pinned per query by the checkpoint, which is exactly
-    * why the harness sets it explicitly rather than inheriting the batch
-    * width. The session conf is restored after the run.
+    * 7.4 s at 32 partitions vs 2.7 s at 8 vs 2.2 s at 2, byte-identical
+    * output; the same lesson as sizing shuffle.partitions to the scale
+    * factor). Production streams size this to cluster width × state
+    * volume instead — it is a deployment knob, pinned per query by the
+    * checkpoint, which is exactly why the harness sets it explicitly
+    * rather than inheriting the batch width. Session confs are restored
+    * after the run.
     *
-    * `Trigger.AvailableNow` (round-7 verdict #4): process everything
-    * staged, then terminate — the finite-fixture semantics exactly, minus
-    * the idle micro-batches a default-trigger + processAllAvailable run
-    * pays (each one a full state-store open/commit sweep across every
-    * partition of every stateful operator). Output is identical: the
-    * data batches are the same, and no query here depends on a no-data
-    * batch (complete-mode aggregations re-emit full state with the final
-    * batch; the append-mode dedup/join/flatMapGroups forms emit within
-    * the data batch — watermarks only gate state EVICTION for them). */
+    * Finite-fixture trigger discipline (round-7 verdict #4):
+    * `Trigger.AvailableNow` processes everything staged then terminates,
+    * and no-data micro-batches are OFF for the run — each idle batch is a
+    * full queryPlanning + state-store open/commit sweep (~0.9 s measured
+    * on the interval join) that exists to advance the watermark while a
+    * REAL stream idles. Neither changes a row here: the data batches are
+    * identical, complete-mode aggregations re-emit full state with the
+    * final data batch, and the append-mode dedup/join/flatMapGroups forms
+    * emit within the data batch — watermarks only gate state EVICTION for
+    * them (all six outputs measured byte-identical across trigger ×
+    * partition configs). A real deployment keeps no-data batches on; this
+    * is run-to-completion harness shape, not operator semantics. */
   def runToMemorySink(df: DataFrame, name: String,
-      mode: String = "complete", statePartitions: Int = 8): DataFrame = {
+      mode: String = "complete", statePartitions: Int = 4): DataFrame = {
     val spark = df.sparkSession
     spark.catalog.dropTempView(name) // re-runs in one session re-register
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = df.writeStream.outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .format("memory").queryName(name).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        prevNoData)
+    }
     spark.table(name)
   }
 
