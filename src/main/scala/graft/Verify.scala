@@ -22,10 +22,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      // queries cache relations internally (iterative loops, LSH buckets);
-      // drop them between queries so the 60+-query session doesn't
-      // accumulate executor storage
+      // queries pin relations internally (iterative loops, LSH buckets);
+      // drop them between queries so the ~90-query session doesn't
+      // accumulate executor storage. Both layers: clearCache empties the
+      // SQL CacheManager, and the explicit unpersist releases RDD-level
+      // localCheckpoint blocks that otherwise wait for driver GC +
+      // ContextCleaner (same discipline as Bench — round-7 ADVICE).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -315,6 +315,70 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicate-CLUSTER extraction: connected components over the MinHash
+    * candidate-pair graph, as (doc_id, cluster_rep = min doc_id of the
+    * component). Pair lists answer "are these two near-dups?"; a real
+    * dedup pipeline needs the transitive closure — A~B and B~C must
+    * collapse to ONE surviving document even when A and C never share a
+    * band (the keep-set is then `doc_id = cluster_rep`).
+    *
+    * Spark shape: driver-looped min-label propagation WITH pointer
+    * jumping — per iteration one join of the label relation against the
+    * (bounded, capped) edge list + a min-aggregate (one neighbor hop),
+    * then a label-shortcut self-join (lbl := lbl's own label), each a key
+    * shuffle of (id, label) longs; the shortcut makes the round count
+    * O(log diameter) instead of O(diameter) (a 60-node chain converges in
+    * ~7 rounds, PropertySpec-pinned), state O(nodes-in-pairs), never
+    * O(docs). The loop is the k-means control-plane pattern (§2.5): the
+    * CONVERGED result is a pure function of the edge set, independent of
+    * iteration count, so the query stays hash-verifiable — the DuckDB
+    * mirror computes the same fixed point via a recursive CTE. Convergence
+    * test is exact integer label-sum (monotonically decreasing; no float
+    * compare). The iteration cap is a safety rail and a non-converged run
+    * FAILS loudly rather than emitting a partial labeling. */
+  private[graft] def duplicateClusters(docs: DataFrame,
+      cap: Int = BAND_CAP): DataFrame =
+    componentsOf(minhashPairs(docs, cap))
+
+  /** Connected components of an undirected (doc_a, doc_b) pair relation as
+    * (doc_id, cluster_rep = component-min doc_id) — see
+    * [[duplicateClusters]] for the loop-shape discussion. */
+  private[graft] def componentsOf(pairs0: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val pairs = pairs0.localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var lblSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val viaEdge = edges
+        .join(labels.select(col("id").as("t"), col("lbl")), "t")
+        .groupBy(col("s").as("id")).agg(min(col("lbl")).as("nlbl"))
+      val hopped = labels.join(viaEdge, Seq("id"))
+        .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"))
+      // pointer jumping: every label is itself a node id (labels start as
+      // ids and only ever copy other labels), so shortcut lbl to ITS
+      // label — halves the remaining path depth each round
+      val next = hopped
+        .join(hopped.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"))
+        .select(col("id"), col("lbl2").as("lbl"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+      converged = nextSum == lblSum
+      lblSum = nextSum
+      labels = next
+      it += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter iters")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -369,6 +433,9 @@ object DedupOps {
     },
     "dedup_simhash_pairs" -> { (s, d) =>
       simhashPairs(Tables.documents(s, d))
+    },
+    "dedup_clusters" -> { (s, d) =>
+      duplicateClusters(Tables.documents(s, d))
     },
     "dedup_ngram" -> { (s, d) =>
       // n-gram Jaccard of every doc against a fixed 10-doc query set.
@@ -487,6 +554,29 @@ object DedupOps {
          |JOIN sig sa ON p.doc_a = sa.doc_id
          |JOIN sig sb ON p.doc_b = sb.doc_id""".stripMargin
     },
+    "dedup_clusters" ->
+      // the same fixed point the Spark loop converges to, via a recursive
+      // CTE: reach = transitive closure over the (doubled, undirected)
+      // candidate-pair edges, cluster_rep = min reachable id. UNION (not
+      // UNION ALL) recursion dedups per step, so the closure terminates.
+      s"""WITH RECURSIVE $sigSql,
+         |$bandsSql,
+         |$cappedBandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cbands a JOIN cbands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS t FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.node)
+         |SELECT node::BIGINT AS doc_id, min(r)::BIGINT AS cluster_rep
+         |FROM reach GROUP BY node""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM fp""".stripMargin,

@@ -184,6 +184,50 @@ class PropertySpec extends SparkSpec {
     assert(DedupOps.cappedBands(bands, cap = n - 1).count() === 0L)
   }
 
+  test("componentsOf matches a driver union-find on generated graphs") {
+    // min-label propagation must reach the exact connected-components fixed
+    // point on arbitrary pair graphs — including long paths (multi-round
+    // propagation) and singleton-free unions of chains/cliques
+    val edges = ((0 until 60).map(i => (i.toLong, (i + 1).toLong)) ++ // path
+      (100 until 110).flatMap(a => (a + 1 to 110).map(b => (a.toLong, b.toLong))) ++
+      (0 until N).map { i => // pseudo-random sparse graph
+        val a = (i * 2654435761L) % 300 + 200
+        val b = (i * 40503L) % 300 + 200
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }).distinct
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => (n, find(n))).toMap
+    val got = DedupOps.componentsOf(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === truth)
+  }
+
+  test("dedup_clusters is consistent with the dedup_minhash pairs (fixture)") {
+    // every candidate pair must land in one cluster, and each cluster_rep
+    // must be a member of its own cluster with rep == its own id
+    val docs = graft.Tables.documents(spark, sf)
+    val pairs = DedupOps.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = DedupOps.duplicateClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.values.foreach(rep => assert(labels(rep) === rep))
+    labels.foreach { case (id, rep) => assert(rep <= id) }
+  }
+
   test("CosineSim/SignBucket yield null, not an error, on short vectors") {
     // the dimension guard: malformed (mixed-dimension) embeddings must
     // produce a filterable null instead of failing the whole query
