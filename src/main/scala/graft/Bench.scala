@@ -26,6 +26,17 @@ object Bench {
     graft.streaming.StreamingOps.stageDir(sfDir, "events")
     graft.operators.SimilarityOps.ensureIvfIndex(spark, sfDir)
     graft.operators.MLlibKMeans.warmRef(spark, sfDir)
+    // one untimed scan+aggregate+noop-write warmup: whole-session JIT,
+    // codegen compilation, parquet-reader and noop-sink init otherwise all
+    // land on whichever queries sort first alphabetically (the agg_*/
+    // approx_* family), making their round-over-round numbers reflect
+    // warmup luck rather than plan changes
+    locally {
+      import org.apache.spark.sql.functions._
+      graft.Tables.events(spark, sfDir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").format("noop").save()
+    }
     var failed = 0
     // deterministic alphabetical order: Map hash order varies with the key
     // set, which made per-query numbers incomparable across rounds (a
