@@ -189,8 +189,10 @@ object DedupOps {
   }
 
   /** MinHash-LSH candidate pairs of a (doc_id, text) relation — the body of
-    * `dedup_minhash`, factored so the adversarial-corpus spec can run it on
-    * a synthetic all-duplicates input (round-7 verdict #5). */
+    * `dedup_minhash` (which adds its presentation sort), factored so the
+    * adversarial-corpus spec can run it on a synthetic all-duplicates input
+    * (round-7 verdict #5) and [[duplicateClusters]] can consume the pairs
+    * without paying a global sort its propagation never needs. */
   private[graft] def minhashPairs(docs: DataFrame,
       cap: Int = BAND_CAP): DataFrame = {
     // localCheckpoint, not cache: the band relation feeds both the cell
@@ -205,7 +207,6 @@ object DedupOps {
     a.join(b, Seq("band_id", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Band relation from an existing signature relation (callers that also
@@ -398,7 +399,7 @@ object DedupOps {
         .select(col("doc_id"))
     },
     "dedup_minhash" -> { (s, d) =>
-      minhashPairs(Tables.documents(s, d))
+      minhashPairs(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))
     },
     "dedup_minhash_scored" -> { (s, d) =>
       // LSH candidates + the MinHash similarity ESTIMATE: the fraction of
