@@ -212,6 +212,17 @@ class PropertySpec extends SparkSpec {
     assert(got === truth)
   }
 
+  test("componentsOf fails loudly instead of emitting a partial labeling") {
+    // the iteration cap is a safety rail: a run that hits it must throw,
+    // never return half-propagated cluster labels as if converged
+    val longPath = (0 until 40).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.componentsOf(longPath, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedup_clusters is consistent with the dedup_minhash pairs (fixture)") {
     // every candidate pair must land in one cluster, and each cluster_rep
     // must be a member of its own cluster with rep == its own id
