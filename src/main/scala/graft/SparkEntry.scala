@@ -30,9 +30,10 @@ object SparkEntry {
 
   /** Bench-only plans (timed by [[Bench]], NOT part of the driver's
     * correctness contract): the production sketch-only projections whose
-    * declared siblings carry in-plan exact-verification gates. */
+    * declared siblings carry in-plan exact-verification gates, and the
+    * IVF index-build ETL timed apart from its probe queries. */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalOps.benchOnly
+    RelationalOps.benchOnly ++ SimilarityOps.benchOnly
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -153,18 +153,41 @@ object SimilarityOps {
     val sfTag = java.nio.file.Paths.get(d).getFileName.toString
     graft.sources.Staging.ensureDir(
       s"target/ivf-index/$sfTag/nc$NCELLS", marker = "vectors/_SUCCESS") {
-      tmp =>
-        val pts = KMeansOps.points(s, d).localCheckpoint()
-        val cells = KMeansOps.lloydStep(pts,
-          KMeansOps.lloydStep(pts, KMeansOps.frozenCenters(s, d, NCELLS)))
-        s.createDataFrame(cells.toSeq.map { case (cid, v) => (cid, v.toSeq) })
-          .toDF("cell", "cv")
-          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cells")
-        pts.select(col("id"), col("v"),
-            KMeansOps.nearestCol(col("v"), cells).as("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/vectors")
+      tmp => buildIvfIndexInto(s, d, tmp)
     }
   }
+
+  /** The index-build ETL body: train cells, write the model + the
+    * cell-partitioned vectors under `dir`. */
+  private def buildIvfIndexInto(s: SparkSession, d: String,
+      dir: String): Unit = {
+    val pts = KMeansOps.points(s, d).localCheckpoint()
+    val cells = KMeansOps.lloydStep(pts,
+      KMeansOps.lloydStep(pts, KMeansOps.frozenCenters(s, d, NCELLS)))
+    s.createDataFrame(cells.toSeq.map { case (cid, v) => (cid, v.toSeq) })
+      .toDF("cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cells")
+    pts.select(col("id"), col("v"),
+        KMeansOps.nearestCol(col("v"), cells).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** Bench-only: the IVF index-build ETL timed on its own (round-7
+    * verdict: "the production shape is index-build ≠ query" — the probe
+    * queries above read the persisted layout, and this makes the one-off
+    * build cost a first-class measured number instead of untimed setup).
+    * Builds into a throwaway temp dir, pins the k-row model, cleans up. */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_index_build" -> { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("target/ivf-bench")), "build-")
+      buildIvfIndexInto(s, d, tmp.toString)
+      val cells = s.read.parquet(s"$tmp/cells").localCheckpoint()
+      graft.sources.Staging.deleteRecursively(tmp)
+      cells
+    }
+  )
 
   /** IVF (inverted-file) ANN — the clustering-based scale path beside
     * the hyperplane LSH: vectors live in NCELLS centroid cells in the

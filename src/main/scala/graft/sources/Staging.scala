@@ -53,7 +53,7 @@ object Staging {
     dir
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     import scala.util.control.NonFatal
     try {
       if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
