@@ -31,8 +31,8 @@ class DocsSpec extends AnyFunSuite {
       .map(_.group(1)).toSet
       .filterNot(Set("graft", "SparkEntry", "DataFrame")) // prose refs
     val known = SparkEntry.queries.keySet ++ SparkEntry.benchOnly.keySet ++
-      Set("cost_vs_lloyd_ok", "initMode=random", "initMode=k-means||",
-        "graft") // documented output column / params
+      // documented output column / conf values / prose tokens
+      Set("cost_vs_lloyd_ok", "true", "false", "graft")
     val phantom = documented.filterNot(d =>
       known.contains(d) || known.exists(k => d.startsWith(k)))
     assert(phantom.isEmpty, s"README documents unknown queries: $phantom")
