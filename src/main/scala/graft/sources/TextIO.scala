@@ -92,6 +92,17 @@ object TextIO {
         .coalesce(1).write.mode("overwrite").json(tmp)
     }
 
+  /** Write the documents table as ORC once per scale factor — the other
+    * columnar lake format Spark ships a vectorized reader for; staged so
+    * `scan_orc` exercises the format end-to-end (write → predicate-pushed
+    * read) against the parquet source of truth. */
+  def ensureDocsOrc(s: SparkSession, d: String): String =
+    Staging.ensureDir(s"target/text-fixtures/${sfName(d)}/docs_orc") { tmp =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .coalesce(1).write.mode("overwrite").orc(tmp)
+    }
+
   /** Idempotently create every text-format fixture for a scale factor.
     * Fixture generation is one-time staging, not query work: Bench calls
     * this in its setup pass so the scan_* queries time the SCAN; the
@@ -100,6 +111,7 @@ object TextIO {
     ensurePointsText(s, d)
     ensurePointsCsv(s, d)
     ensureEventsJsonl(s, d)
+    ensureDocsOrc(s, d)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -139,6 +151,19 @@ object TextIO {
         (1 to 8).map(i => r4(col(s"f$i")).as(s"f$i")) :+ col("label")
       csv.select(out: _*)
     },
+    "scan_orc" -> { (s, d) =>
+      // ORC ingestion with an explicit schema and a pushdown-friendly
+      // predicate: the lang filter must reach the ORC reader as a pushed
+      // filter (PlanSpec asserts PushedFilters), so at scale the
+      // vectorized scan skips whole stripes via their min/max stats
+      // instead of materializing every row. Spark's ORC reader is
+      // built-in; the layout choice (parquet vs ORC) is then purely a
+      // lake-format decision, not a capability boundary.
+      val schema = "doc_id LONG, lang STRING, source STRING, n_chars LONG"
+      s.read.schema(schema).orc(ensureDocsOrc(s, d))
+        .where(col("lang") === "en")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
     "sink_text" -> { (s, d) =>
       // full round-trip through the single-shard sink: write, read back,
       // and compare PER ROW against the parquet source of truth. (An
@@ -170,6 +195,9 @@ object TextIO {
          |       (vec_id % 2)::INT AS label
          |FROM embeddings""".stripMargin
     },
+    "scan_orc" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE lang = 'en'""".stripMargin,
     "scan_text" ->
       s"""SELECT vec_id, ${dSql(1, "d0")},
          |       ${dSql(2, "d1")},

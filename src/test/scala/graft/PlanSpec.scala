@@ -17,6 +17,15 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("text"), "unprojected text column must not be read")
   }
 
+  test("scan_orc pushes the lang predicate into the ORC reader") {
+    val plan = executed("scan_orc")
+    val scan = plan.split("\n").find(_.contains("PushedFilters")).get
+    assert(scan.contains("EqualTo(lang,en)"),
+      s"lang filter not pushed to the ORC scan: $scan")
+    val read = scan.split("ReadSchema:")(1)
+    assert(!read.contains("text"), "unprojected text column must not be read")
+  }
+
   test("join_equi broadcasts the nation dimension, no cartesian product") {
     val plan = executed("join_equi")
     assert(plan.contains("BroadcastHashJoin"))
