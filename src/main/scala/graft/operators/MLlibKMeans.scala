@@ -18,11 +18,17 @@ object MLlibKMeans {
   /** Cost of the expression-based Lloyd reference run (frozen sampleK
     * seeds, 2 snap12 iterations) — the yardstick the fit queries compare
     * MLlib's training cost against. TWO iterations, not a converged run:
-    * the [0.50, 1.10]× band is a wiring-regression gate, not a quality
-    * match, and a 2-step reference keeps the same regression sensitivity
-    * at 5× less verification cost (round-7 verdict: the 10-iteration
-    * yardstick made the first fit query bench at 10.4 s — 9 s of which
-    * was the gate, not the fit). Memoized per (sfDir, k): the three
+    * the gate is a CEILING-ONLY wiring-regression check (cost in
+    * (0, 1.10×ref]), and a 2-step reference keeps the same regression
+    * sensitivity at 5× less verification cost (round-7 verdict: the
+    * 10-iteration yardstick made the first fit query bench at 10.4 s —
+    * 9 s of which was the gate, not the fit). No lower bound: a 2-step
+    * reference cost sits ABOVE converged cost, so a well-converged MLlib
+    * fit may legitimately land far below it on some fixture/SF (round-8
+    * ADVICE — the old 0.50× floor could flip false without any
+    * regression); the failure modes the gate exists for (wrong column
+    * wiring, wrong distance, unconverged fit) all manifest as cost
+    * BLOWUPS, i.e. the ceiling. Memoized per (sfDir, k): the three
     * `kmeans_fit*` variants in one Verify/Bench run share a single
     * reference Lloyd instead of re-running it per query (the cost is a
     * deterministic function of the data, so a driver-side memo is safe). */
@@ -51,12 +57,12 @@ object MLlibKMeans {
     * form of the same D²-weighted idea).
     *
     * The output carries the fit's WSSSE alongside the size profile:
-    * `cost_vs_lloyd_ok` asserts the MLlib cost lands in the same
-    * [0.50, 1.10]× regime as the expression-Lloyd reference (the KMeansSpec
-    * band, surfaced as an output column so the driver's per-round dump
-    * shows a wiring regression as a flipped row — these queries are
-    * rows-only for the hash compare, an iterative fit has no SQL oracle;
-    * round-6 verdict #2). */
+    * `cost_vs_lloyd_ok` asserts the MLlib cost lands in (0, 1.10]× of the
+    * expression-Lloyd reference (ceiling-only — see [[lloydRefCost]] for
+    * why a floor would misfire; the KMeansSpec band, surfaced as an output
+    * column so the driver's per-round dump shows a wiring regression as a
+    * flipped row — these queries are rows-only for the hash compare, an
+    * iterative fit has no SQL oracle; round-6 verdict #2). */
   def fit(spark: SparkSession, sfDir: String, k: Int,
       maxIter: Int = 20, seed: Long = 42L,
       initMode: String = "k-means||"): DataFrame = {
@@ -69,7 +75,7 @@ object MLlibKMeans {
       .fit(pts)
     val mlCost = model.summary.trainingCost
     val ref = lloydRefCost(spark, sfDir, k)
-    val ok = mlCost > 0 && mlCost <= ref * 1.10 && mlCost >= ref * 0.50
+    val ok = mlCost > 0 && mlCost <= ref * 1.10
     model.transform(pts)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_points"))

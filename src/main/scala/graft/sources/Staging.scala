@@ -29,10 +29,13 @@ object Staging {
     val target = Paths.get(dir).toAbsolutePath
     if (!Files.exists(target.resolve(marker))) {
       // pre-protocol partial dir (exists, no marker): clear it so the
-      // rename can land. Under this protocol nobody writes into `target`
-      // directly, so this can only be stale garbage; tolerate a concurrent
-      // ensure deleting the same garbage first.
-      if (Files.exists(target)) deleteRecursively(target)
+      // rename can land — via clearUnmarked's rename-aside, never a direct
+      // delete (round-8 ADVICE: between our marker check and a delete, a
+      // concurrent JVM can publish a complete copy which a delete would
+      // then destroy mid-read; the atomic move-aside lets us re-check the
+      // marker on the dir we actually captured and restore it intact).
+      val restored = Files.exists(target) && clearUnmarked(target, marker)
+      if (restored || Files.exists(target.resolve(marker))) return dir
       Files.createDirectories(target.getParent)
       val tmp = Files.createTempDirectory(
         target.getParent, target.getFileName.toString + ".tmp-")
@@ -51,6 +54,36 @@ object Staging {
       }
     }
     dir
+  }
+
+  /** Clear an apparently-unmarked `target` without the check-then-delete
+    * TOCTOU: atomically rename it aside to a unique `.stale-` sibling, then
+    * inspect the dir we ACTUALLY captured. If the marker is present (a
+    * concurrent JVM published a complete copy between the caller's check
+    * and our move), restore it with a second atomic rename instead of
+    * destroying it — a published dir is never deleted, at worst briefly
+    * renamed. Returns true iff a complete marked copy is in place at
+    * `target` on return. */
+  private[graft] def clearUnmarked(target: Path, marker: String): Boolean = {
+    val stale = target.resolveSibling(
+      target.getFileName.toString + ".stale-" + java.util.UUID.randomUUID())
+    try {
+      Files.move(target, stale, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(stale.resolve(marker))) {
+        // we captured a just-published complete copy: put it back
+        try { Files.move(stale, target, StandardCopyOption.ATOMIC_MOVE); true }
+        catch {
+          // another complete copy landed meanwhile; ours is a redundant
+          // bit-identical duplicate (staged content is deterministic)
+          case _: FileSystemException =>
+            deleteRecursively(stale)
+            Files.exists(target.resolve(marker))
+        }
+      } else { deleteRecursively(stale); false }
+    } catch {
+      // a concurrent ensure moved/cleared target first; trust its outcome
+      case _: NoSuchFileException => Files.exists(target.resolve(marker))
+    }
   }
 
   private[graft] def deleteRecursively(p: Path): Unit = {

@@ -30,11 +30,12 @@ class DocsSpec extends AnyFunSuite {
     val documented = "`([a-z0-9_]+)`".r.findAllMatchIn(section)
       .map(_.group(1)).toSet
       .filterNot(Set("graft", "SparkEntry", "DataFrame")) // prose refs
+    // EXACT membership only (round-8 ADVICE: a startsWith fallback let
+    // suffix-misspelled names like `scan_orc_foo` pass); legitimate derived
+    // tokens — output columns, conf values — are enumerated explicitly.
     val known = SparkEntry.queries.keySet ++ SparkEntry.benchOnly.keySet ++
-      // documented output column / conf values / prose tokens
       Set("cost_vs_lloyd_ok", "true", "false", "graft")
-    val phantom = documented.filterNot(d =>
-      known.contains(d) || known.exists(k => d.startsWith(k)))
+    val phantom = documented.filterNot(known.contains)
     assert(phantom.isEmpty, s"README documents unknown queries: $phantom")
   }
 

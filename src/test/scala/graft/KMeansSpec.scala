@@ -158,7 +158,7 @@ class KMeansSpec extends SparkSpec {
       val out = SparkEntry.queries(q)(spark, sf).collect()
       assert(out.nonEmpty)
       assert(out.forall(_.getAs[Boolean]("cost_vs_lloyd_ok")),
-        s"$q: cost left the [0.50, 1.10]x lloyd band")
+        s"$q: cost left the (0, 1.10]x lloyd ceiling band")
       assert(out.forall(_.getAs[Double]("cost") > 0), s"$q: non-positive cost")
       assert(out.forall(_.getAs[Int]("k") === 8))
     }

@@ -51,6 +51,34 @@ class StagingSpec extends AnyFunSuite {
     assert(writes.get === before)
   }
 
+  test("clearUnmarked restores a marked dir instead of deleting it") {
+    // round-8 ADVICE TOCTOU: a concurrent JVM can publish a complete copy
+    // between the caller's marker check and the clearing step. Calling
+    // clearUnmarked on a dir whose marker IS present simulates exactly the
+    // caller-saw-stale/now-marked race window: the dir must survive intact
+    // (restored via the move-aside round trip), never be deleted.
+    val base = Files.createTempDirectory(Paths.get("target"), "staging-spec-")
+    val dir = base.resolve("fixture")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("data"), "published payload")
+    Files.writeString(dir.resolve("_SUCCESS"), "")
+    assert(graft.sources.Staging.clearUnmarked(dir, "_SUCCESS"),
+      "must report a complete copy in place")
+    assert(Files.readString(dir.resolve("data")) === "published payload")
+    assert(Files.exists(dir.resolve("_SUCCESS")))
+    // no .stale- sibling left behind
+    val entries = Files.list(base)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      entries.iterator().asScala.map(_.getFileName.toString).toList.sorted
+    } finally entries.close()
+    assert(names === List("fixture"), s"leftover siblings: $names")
+    // and a genuinely unmarked dir is still cleared
+    Files.delete(dir.resolve("_SUCCESS"))
+    assert(!graft.sources.Staging.clearUnmarked(dir, "_SUCCESS"))
+    assert(!Files.exists(dir))
+  }
+
   test("a pre-protocol partial dir (no marker) is rebuilt") {
     val base = Files.createTempDirectory(Paths.get("target"), "staging-spec-")
     val dir = base.resolve("fixture")
