@@ -380,6 +380,43 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  // ----------------------------------------------- decontamination
+
+  /** Benchmark-decontamination config (the C4/GPT-3/Llama pipeline step:
+    * drop training documents that collide with an evaluation benchmark on
+    * a long n-gram, so reported eval scores measure generalization, not
+    * memorized test data). The fixture stand-in for the benchmark table is
+    * the first [[NEVAL]] documents; a real deployment reads the eval
+    * suite instead — the shapes below only assume the eval side is
+    * benchmark-sized (bounded by construction, hence broadcast-able).
+    * DECON_N = 5 word-grams: long enough that a collision means lifted
+    * text rather than a common phrase on real corpora, short enough that
+    * the fixture's 16-96-token docs carry many grams. */
+  private val NEVAL = 20L
+  private[graft] val DECON_N = 5
+
+  private def sh5(text: Column): Column =
+    org.apache.spark.sql.graft.WordShingles.column(text, DECON_N)
+
+  /** (doc_id, eval_id, n_shared): each training doc sharing at least one
+    * distinct word [[DECON_N]]-gram with an eval doc, with the count of
+    * shared grams. Scale shape: the eval gram relation broadcasts (eval
+    * suites are small by construction); the corpus side is explode →
+    * broadcast-hash-join — the corpus is never shuffled, and the pair
+    * aggregate sees only HIT rows (decontamination hits are the rare
+    * case: per-gram collision across unrelated docs is what DECON_N is
+    * sized to exclude). Both shingle sets are per-doc DISTINCT, so each
+    * (train, eval) gram match counts once in both engines. */
+  private[graft] def contamPairs(docs: DataFrame): DataFrame = {
+    val ev = docs.where(col("doc_id") < NEVAL)
+      .select(col("doc_id").as("eval_id"), explode(sh5(col("text"))).as("s"))
+    val train = spread(docs.where(col("doc_id") >= NEVAL))
+      .select(col("doc_id"), explode(sh5(col("text"))).as("s"))
+    train.join(broadcast(ev), "s")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -470,6 +507,24 @@ object DedupOps {
           (col("na") + col("nb") - col("inter")), 4))
         .where(col("jac") >= 0.05)
         .select(col("q_id"), col("doc_id"), col("jac"))
+    },
+    "decontam_report" -> { (s, d) =>
+      // the audit view: which training docs collide with which eval docs,
+      // and how hard — see contamPairs for semantics and scale shape
+      contamPairs(Tables.documents(s, d))
+    },
+    "decontaminate" -> { (s, d) =>
+      // the keep set: training docs with NO eval n-gram collision — the
+      // relation a pipeline actually trains on. Anti-join against the hit
+      // id set; the hit set is contaminated-docs-sized (rare by
+      // construction), so it takes the same conf-gated broadcast hint as
+      // the dedup drop sets (graft.dropSetBroadcast=false => AQE plans
+      // the shuffled fallback on a pathologically contaminated corpus).
+      val docs = Tables.documents(s, d)
+      val hits = contamPairs(docs).select(col("doc_id")).distinct()
+      docs.where(col("doc_id") >= NEVAL)
+        .join(dropSetHint(docs, hits), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
     }
   )
 
@@ -610,6 +665,36 @@ object DedupOps {
          |  FROM (SELECT * FROM sh WHERE len(sh) > 0) d
          |  CROSS JOIN (SELECT * FROM sh WHERE doc_id < 10 AND len(sh) > 0) q
          |  WHERE d.doc_id > q.doc_id)
-         |SELECT q_id, doc_id, jac FROM pairs WHERE jac >= 0.05""".stripMargin
+         |SELECT q_id, doc_id, jac FROM pairs WHERE jac >= 0.05""".stripMargin,
+    "decontam_report" ->
+      s"""WITH $deconCtes
+         |SELECT t.doc_id, e.eval_id, count(*)::BIGINT AS n_shared
+         |FROM trg t JOIN evg e USING (s)
+         |GROUP BY t.doc_id, e.eval_id""".stripMargin,
+    "decontaminate" ->
+      s"""WITH $deconCtes,
+         |hit AS (SELECT DISTINCT t.doc_id FROM trg t JOIN evg e USING (s))
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id >= $NEVAL
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin
   )
+
+  /** Distinct word n-gram SQL over a bound `w` token list — the
+    * n-parameterized form of [[shSql]] (which stays the literal 3-gram
+    * text the MinHash CTEs were hash-proven with). */
+  private def shNSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"w[i+$k]").mkString(", ")
+    s"""list_distinct(CASE WHEN len(w) >= $n
+       |  THEN list_transform(generate_series(1, len(w) - ${n - 1}),
+       |       i -> concat_ws(' ', $parts))
+       |  ELSE [] END)""".stripMargin
+  }
+
+  /** Shared CTEs of the decontamination oracles — mirrors [[contamPairs]]'
+    * eval/train gram split. */
+  private lazy val deconCtes: String =
+    s"""wd AS (SELECT doc_id, $wSql AS w FROM documents),
+       |gd AS (SELECT doc_id, unnest(${shNSql(DECON_N)}) AS s FROM wd),
+       |evg AS (SELECT doc_id AS eval_id, s FROM gd WHERE doc_id < $NEVAL),
+       |trg AS (SELECT doc_id, s FROM gd WHERE doc_id >= $NEVAL)""".stripMargin
 }

@@ -193,6 +193,48 @@ object TextOps {
       Tables.documents(s, d)
         .where(graft.functions.VectorOps.unitUniform(col("doc_id")) < rate)
         .select(col("doc_id"), col("lang"))
+    },
+    "split_assign" -> { (s, d) =>
+      // deterministic train/val/test assignment (80/10/10): the split is a
+      // PURE FUNCTION of doc_id via the same multiplicative-hash uniform
+      // as sample_stratified — stable under repartitioning, re-runs, and
+      // any cluster layout (randomSplit would be none of those), no RNG
+      // state, and a zero-shuffle narrow projection at any corpus size.
+      // Unlike sample_stratified (downsampling: each stratum keeps a
+      // rate), this PARTITIONS the corpus into disjoint exhaustive splits.
+      // The hash uniform takes values (k+0.5)/2^32, so the 0.8/0.9
+      // thresholds are never hit exactly — no engine-boundary ambiguity.
+      val u = graft.functions.VectorOps.unitUniform(col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"),
+        when(u < 0.8, "train").when(u < 0.9, "val")
+          .otherwise("test").as("split"))
+    },
+    "doc_chunks" -> { (s, d) =>
+      // context-length shaping: fixed 200-char windows at stride 150 (25%
+      // overlap, so a fact straddling a boundary appears whole in one
+      // chunk). Chunk INDICES come from pure arithmetic on length(text)
+      // (explode of a sequence — no tokenizer state), the chunk text from
+      // substr, emitted as digest + bounds so rows stay narrow. Zero
+      // shuffle at any scale: scan → explode → narrow projection; the
+      // 30-70x row fan-out lands on scan-partition tasks ([[DedupOps
+      // .spread]] is unnecessary — substr+digest per chunk is cheap,
+      // unlike the interpreted shingle HOFs that motivated spread).
+      // Empty docs carry no chunks; every non-empty doc's last chunk is
+      // the (possibly short) tail, chunk_len = len - chunk_start.
+      val W = 200
+      val S = 150
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .where(col("len") > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), expr(s"(len - 1) div $S").cast("int")))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * S).as("chunk_start"),
+          col("text").substr(col("chunk_idx") * S + 1, lit(W)).as("c"))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          length(col("c")).as("chunk_len"),
+          DedupOps.digest(col("c")).as("chunk_digest"))
     }
   )
 
@@ -278,6 +320,21 @@ object TextOps {
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 <
         |      CASE WHEN lang = 'en' THEN 0.5
-        |           WHEN lang = 'es' THEN 0.25 ELSE 1.0 END""".stripMargin
+        |           WHEN lang = 'es' THEN 0.25 ELSE 1.0 END""".stripMargin,
+    "split_assign" ->
+      """SELECT doc_id,
+        |       CASE WHEN u < 0.8 THEN 'train'
+        |            WHEN u < 0.9 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
+        |      FROM documents)""".stripMargin,
+    "doc_chunks" ->
+      """SELECT doc_id, i::INT AS chunk_idx, (i * 150)::INT AS chunk_start,
+        |       length(c)::INT AS chunk_len, md5(c) AS chunk_digest
+        |FROM (SELECT doc_id, i, substring(text, (i * 150 + 1)::INT, 200) AS c
+        |      FROM (SELECT doc_id, text,
+        |              unnest(generate_series(0, (length(text) - 1) // 150)) AS i
+        |            FROM documents WHERE length(text) > 0))""".stripMargin
   )
 }

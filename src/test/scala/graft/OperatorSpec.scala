@@ -59,6 +59,72 @@ class OperatorSpec extends SparkSpec {
     assert(got(1).getInt(1) === 2 && got(1).getInt(2) === 2)
   }
 
+  test("decontamination: duplicates of eval docs are flagged and dropped") {
+    import spark.implicits._
+    // synthetic corpus: eval doc 0; train doc 25 is its exact duplicate,
+    // 26 shares exactly one 5-gram (first five words), 27 is unrelated,
+    // 28 is too short to carry any 5-gram (can never be contaminated)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta"),
+      (25L, "alpha beta gamma delta epsilon zeta eta"),
+      (26L, "alpha beta gamma delta epsilon OTHER tail words here"),
+      (27L, "one two three four five six seven"),
+      (28L, "too short")).toDF("doc_id", "text")
+    val report = graft.operators.DedupOps.contamPairs(docs)
+      .orderBy("doc_id").collect()
+    // doc 0 has 3 distinct 5-grams; the duplicate shares all 3, doc 26
+    // shares exactly the first one
+    assert(report.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((25L, 0L, 3L), (26L, 0L, 1L)))
+    // the fixture-backed keep set: clean + contaminated partition the
+    // train side exactly
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") >= 20).count()
+    val clean = SparkEntry.queries("decontaminate")(spark, sf).count()
+    val hit = SparkEntry.queries("decontam_report")(spark, sf)
+      .select("doc_id").distinct().count()
+    assert(clean + hit === all, s"clean $clean + contaminated $hit != $all")
+  }
+
+  test("split_assign partitions every doc deterministically") {
+    val df = SparkEntry.queries("split_assign")(spark, sf)
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(df.count() === total) // exhaustive
+    assert(df.select("doc_id").distinct().count() === total) // disjoint
+    val byS = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.keySet.subsetOf(Set("train", "val", "test")))
+    // deterministic across runs and roughly 80/10/10
+    assert(byS("train").toDouble / total > 0.7)
+    assert(SparkEntry.queries("split_assign")(spark, sf).exceptAll(df)
+      .count() === 0L)
+  }
+
+  test("doc_chunks tiles each doc with stride 150 and a short tail") {
+    val chunks = SparkEntry.queries("doc_chunks")(spark, sf)
+      .localCheckpoint()
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    // stride arithmetic holds on every row
+    assert(chunks.where(col("chunk_start") =!= col("chunk_idx") * 150)
+      .count() === 0L)
+    assert(chunks.where(col("chunk_len") < 1 || col("chunk_len") > 200)
+      .count() === 0L)
+    // every non-empty doc is tiled: chunk count = (len-1) div 150 + 1,
+    // every chunk starts inside the doc, and the span covers the tail
+    val per = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("chunk_start").as("last_start"),
+        max(col("chunk_start") + col("chunk_len")).as("covered"))
+      .join(lens, "doc_id")
+    assert(per.where(col("n") =!=
+      (col("len") - 1).cast("long").divide(150).cast("long") + 1)
+      .count() === 0L)
+    assert(per.where(col("last_start") >= col("len")).count() === 0L)
+    assert(per.where(col("covered") =!= col("len")).count() === 0L)
+    assert(per.count() ===
+      lens.where(col("len") > 0).count()) // empty docs carry no chunks
+  }
+
   test("cappedBands drops over-populated LSH cells, keeps the rest") {
     import spark.implicits._
     // cell (0, 11): 3 docs — over a cap of 2, dropped entirely;

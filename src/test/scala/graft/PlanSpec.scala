@@ -155,6 +155,33 @@ class PlanSpec extends SparkSpec {
       "exact percentile crept into the sketch plan")
   }
 
+  test("decontamination plans: broadcast eval side, no corpus shuffle join") {
+    // the eval gram relation is benchmark-sized by construction and must
+    // broadcast; the corpus side is explode → broadcast-hash-join, never a
+    // shuffled join of the corpus against the eval set
+    val rep = executed("decontam_report")
+    assert(rep.contains("BroadcastHashJoin"))
+    assert(!rep.contains("CartesianProduct"))
+    assert(!rep.contains("SortMergeJoin"),
+      "corpus-side gram join must not shuffle-sort the corpus")
+    // the keep set anti-joins the (rare) hit ids under the same conf-gated
+    // broadcast discipline as the dedup drop sets
+    val clean = executed("decontaminate")
+    assert(clean.split("\n").exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      "hit-set anti-join broadcast missing")
+  }
+
+  test("split_assign and doc_chunks are shuffle-free narrow plans") {
+    // both are pure per-row shapes: any Exchange in the plan means a
+    // refactor introduced a shuffle that at 100 TB moves the whole corpus
+    val sp = executed("split_assign")
+    assert(!sp.contains("Exchange"), s"split_assign gained a shuffle:\n$sp")
+    val dc = executed("doc_chunks")
+    assert(!dc.contains("Exchange"), s"doc_chunks gained a shuffle:\n$dc")
+    assert(dc.contains("Generate explode"), "chunk fan-out must be an explode")
+  }
+
   test("hot paths use the native expressions, not HOF fallbacks") {
     // a refactor that silently reverts to the interpreted
     // aggregate/zip_with/transform forms fails here (ExpressionSpec pins
