@@ -209,6 +209,40 @@ object TextOps {
         when(u < 0.8, "train").when(u < 0.9, "val")
           .otherwise("test").as("split"))
     },
+    "pack_sequences" -> { (s, d) =>
+      // concat-and-chunk sequence packing (the GPT-style step that turns a
+      // document stream into fixed-length training sequences): docs are
+      // concatenated in a deterministic order and sliced every SEQ tokens,
+      // so each doc's global token offset decides which sequences it lands
+      // in — tok_start = prefix sum of token counts, first/last_seq its
+      // div-SEQ window. Packing is SHARDED (hash of doc_id, NSHARDS
+      // lanes): offsets are per-shard, each shard packs independently —
+      // the production parallelism knob (one shard per output writer; the
+      // per-shard prefix scan is inherent to concat-and-chunk, whose
+      // offsets are defined by an order). One Exchange on shard, windows
+      // over shard lanes only — never a single global-order reducer.
+      // Zero-token docs pack nothing and drop out. NOTE the mod-32 of the
+      // multiplicative hash keeps only its low bits, so the lane is
+      // (doc_id·17) mod 32 — a bijection of doc_id mod 32, i.e. balanced
+      // round-robin lanes (exactly right for packing: equal-rate lanes,
+      // no hot shard); an avalanche hash matters for SKEWED keys (the
+      // dedup/LSH families), not for a unique id.
+      val SEQ = 512
+      val NSHARDS = 32
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(wordsCol(col("text"))).as("n_tokens"),
+          pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
+            lit(NSHARDS.toLong)).cast("int").as("shard"))
+        .where(col("n_tokens") > 0)
+        .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+        .select(col("doc_id"), col("shard"),
+          (col("cum") - col("n_tokens")).as("tok_start"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div $SEQ").as("first_seq"),
+          expr(s"(cum - 1) div $SEQ").as("last_seq"))
+    },
     "doc_chunks" -> { (s, d) =>
       // context-length shaping: fixed 200-char windows at stride 150 (25%
       // overlap, so a fact straddling a boundary appears whole in one
@@ -329,6 +363,18 @@ object TextOps {
         |FROM (SELECT doc_id,
         |        ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
         |      FROM documents)""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, len($wSql)::INT AS n_tokens,
+         |                  ((doc_id * 2654435761) % 4294967296 % 32)::INT AS shard
+         |           FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |             sum(n_tokens::BIGINT) OVER (PARTITION BY shard
+         |               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, shard, (cum - n_tokens)::BIGINT AS tok_start, n_tokens,
+         |       ((cum - n_tokens) // 512)::BIGINT AS first_seq,
+         |       ((cum - 1) // 512)::BIGINT AS last_seq
+         |FROM c""".stripMargin,
     "doc_chunks" ->
       """SELECT doc_id, i::INT AS chunk_idx, (i * 150)::INT AS chunk_start,
         |       length(c)::INT AS chunk_len, md5(c) AS chunk_digest

@@ -125,6 +125,27 @@ class OperatorSpec extends SparkSpec {
       lens.where(col("len") > 0).count()) // empty docs carry no chunks
   }
 
+  test("pack_sequences lays docs head-to-tail within each shard") {
+    val df = SparkEntry.queries("pack_sequences")(spark, sf).localCheckpoint()
+    // offsets within a shard are gapless: tok_start = previous doc's
+    // tok_start + n_tokens (lag over the same (shard, doc_id) order)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val gaps = df.withColumn("prev_end",
+        lag(col("tok_start") + col("n_tokens"), 1, 0L).over(w))
+      .where(col("tok_start") =!= col("prev_end"))
+    assert(gaps.count() === 0L, "packing left a gap or overlap in a shard")
+    // sequence ids follow from the offsets
+    assert(df.where(col("first_seq") =!=
+      (col("tok_start").cast("long")).divide(512).cast("long")).count() === 0L)
+    assert(df.where(col("last_seq") < col("first_seq")).count() === 0L)
+    // every doc with tokens is packed exactly once
+    val tokenized = spark.read.parquet(s"$sf/documents.parquet")
+      .where(size(graft.operators.DedupOps.wordsCol(col("text"))) > 0).count()
+    assert(df.count() === tokenized)
+    assert(df.select("doc_id").distinct().count() === tokenized)
+  }
+
   test("cappedBands drops over-populated LSH cells, keeps the rest") {
     import spark.implicits._
     // cell (0, 11): 3 docs — over a cap of 2, dropped entirely;
