@@ -243,6 +243,124 @@ object TextOps {
           expr(s"(cum - n_tokens) div $SEQ").as("first_seq"),
           expr(s"(cum - 1) div $SEQ").as("last_seq"))
     },
+    "unigram_logprob" -> { (s, d) =>
+      // corpus-unigram-LM quality score (the CCNet/KenLM-style perplexity
+      // filter signal) with EXACT cross-engine semantics: per-token
+      // surprisal is the INTEGER floor(log2(total/count)) computed as
+      // bitlength(total div count) - 1 — transcendental log libraries are
+      // not ulp-identical across engines, and float surprisal sums are
+      // addition-order-dependent (not repartition-stable), so the score
+      // stays in pure integer arithmetic until one exact final division.
+      // The LM is the production shape: a top-VOCAB frequency table
+      // (count desc, token asc — deterministic ties) plus an OOV floor of
+      // bitlength(total) - 1 (count→1 semantics). The model is BOUNDED and
+      // BROADCAST, so the corpus token stream is never shuffled to score
+      // it; the only row-scaled shuffle is the map-side-combined per-doc
+      // aggregate (partial agg collapses each scan partition to its
+      // distinct doc_ids before the exchange). VOCAB = 16 < the fixture's
+      // 31 distinct tokens, so the OOV path is exercised under oracle
+      // parity — at real scale VOCAB is the usual 1e5-class LM cap.
+      val VOCAB = 16
+      def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+      val tok = DedupOps.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+      val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).as("total"))
+      val sb = freq.orderBy(col("c").desc, col("w")).limit(VOCAB)
+        .crossJoin(tot)
+        .select(col("w"), ilog2(expr("total div c")).as("sb"))
+      val oov = tot.select(ilog2(col("total")).as("sb_oov"))
+      tok.join(broadcast(sb), Seq("w"), "left")
+        .crossJoin(broadcast(oov))
+        .select(col("doc_id"), coalesce(col("sb"), col("sb_oov")).as("sbv"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("sbv")).as("sum_surprisal"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_surprisal"),
+          graft.functions.VectorOps.rIeee(
+            col("sum_surprisal").cast("double") / col("n_tokens"), 4)
+            .as("mean_surprisal"))
+    },
+    "tfidf_topk" -> { (s, d) =>
+      // per-document top-3 keyword extraction by tf·idf. idf is the
+      // smoothed integer form 1 + floor(log2(N/df)) = bitlength(N div df)
+      // (same exact-arithmetic rationale as unigram_logprob); ties break
+      // lexically so the ranking is total. MEASURED on the fixture: the
+      // shared 31-token vocabulary puts most tokens in most docs (df ≈ N,
+      // idf at its 1-bit floor, tf-driven ranking) EXCEPT the planted rare
+      // 'dup' token (df = N/20), whose 5-bit idf correctly outranks any
+      // common token at tf 1 — both regimes of the weight are exercised
+      // under oracle parity.
+      // Shape: tf = one (doc_id, w) hash agg over the exploded stream;
+      // df = a second agg over the (vocabulary × docs)-bounded tf relation;
+      // score join shuffles only that same bounded relation, never raw
+      // text; the final per-doc top-3 window partitions by doc_id with
+      // per-partition rows bounded by each doc's distinct-token count.
+      val tok = DedupOps.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+      val docTok = tok.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = docTok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = docTok.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = docTok.join(dfreq, "w").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"), col("tf"), col("df"),
+          (col("tf") * length(bin(expr("n_docs div df"))).cast("long"))
+            .as("score"))
+      val wTop = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("w"))
+      scored.withColumn("rk", row_number().over(wTop))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w").as("term"),
+          col("tf"), col("df"), col("score"))
+    },
+    "mix_sample" -> { (s, d) =>
+      // target-mixture re-weighting — the data-mixing step of a
+      // pretraining recipe: given target proportions per lang, take the
+      // LARGEST feasible total sample S = min over langs of count/target
+      // (the binding lang keeps 100%), then keep each lang at rate
+      // (target·S)/count via the deterministic hash uniform. The rate
+      // computation is +,·,/ on IEEE doubles only — correctly-rounded ops,
+      // so both engines derive bit-identical rates from identical counts —
+      // and the keep decision inherits sample_stratified's layout
+      // stability. The rate table is lang-domain-bounded (broadcast);
+      // the corpus itself is scanned once, filtered, never shuffled.
+      val target = Seq("en" -> 0.30, "es" -> 0.20, "de" -> 0.20,
+        "fr" -> 0.15, "zh" -> 0.15)
+      val t = target.foldLeft(lit(null).cast("double")) {
+        case (acc, (l, p)) => when(col("lang") === l, lit(p)).otherwise(acc)
+      }
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .withColumn("t", t).where(col("t").isNotNull)
+      val smax = counts.agg(min(col("c") / col("t")).as("smax"))
+      val rates = counts.crossJoin(smax)
+        .select(col("lang"),
+          least(lit(1.0), col("t") * col("smax") / col("c")).as("rate"))
+      docs.join(broadcast(rates), "lang")
+        .where(graft.functions.VectorOps.unitUniform(col("doc_id")) <
+          col("rate"))
+        .select(col("doc_id"), col("lang"))
+    },
+    "pii_redact" -> { (s, d) =>
+      // PII scrubbing mechanics (codegen regexp_replace/regexp_count — the
+      // narrow zero-shuffle projection shape PII masking must have at
+      // corpus scale) over the only pattern-bearing text in the fixtures:
+      // customer names embed numeric ids, which mask to <ID>.
+      // FIXTURE HONESTY: documents.text carries zero digit/@/dot tokens by
+      // construction, so email/ipv4-class patterns cannot fire anywhere in
+      // the fixtures; n_emails runs the same regexp path against c_name
+      // and is oracle-pinned at its true zero rate (OperatorSpec asserts
+      // the documents-side zero too). Patterns stay in the Java∩RE2
+      // common dialect (classes, bounded repeats) so Spark and DuckDB
+      // agree on match semantics.
+      Tables.customer(s, d).select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]{3,}", "<ID>").as("redacted"),
+        regexp_count(col("c_name"), lit("[0-9]{3,}")).cast("long")
+          .as("n_ids"),
+        regexp_count(col("c_name"),
+          lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")).cast("long")
+          .as("n_emails"))
+    },
     "doc_chunks" -> { (s, d) =>
       // context-length shaping: fixed 200-char windows at stride 150 (25%
       // overlap, so a fact straddling a boundary appears whole in one
@@ -375,6 +493,51 @@ object TextOps {
          |       ((cum - n_tokens) // 512)::BIGINT AS first_seq,
          |       ((cum - 1) // 512)::BIGINT AS last_seq
          |FROM c""".stripMargin,
+    "unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wSql) AS t FROM documents),
+         |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         |tot AS (SELECT sum(c)::BIGINT AS total FROM freq),
+         |sb AS (SELECT t, (length(bin(total // c)) - 1)::BIGINT AS sb
+         |       FROM (SELECT t, c FROM freq ORDER BY c DESC, t LIMIT 16), tot),
+         |oov AS (SELECT (length(bin(total)) - 1)::BIGINT AS sb_oov FROM tot)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |       sum(coalesce(sb, sb_oov))::BIGINT AS sum_surprisal,
+         |       ${graft.functions.VectorSql.rIeee(
+              "sum(coalesce(sb, sb_oov))::DOUBLE / count(*)", 4)}
+         |         AS mean_surprisal
+         |FROM tok LEFT JOIN sb ON tok.t = sb.t CROSS JOIN oov
+         |GROUP BY doc_id""".stripMargin,
+    "tfidf_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wSql) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok
+         |       GROUP BY doc_id, t),
+         |df AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+         |n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+         |scored AS (SELECT doc_id, t, tf.tf, df.df,
+         |             (tf.tf * length(bin(n_docs // df.df)))::BIGINT AS score
+         |           FROM tf JOIN df USING (t) CROSS JOIN n)
+         |SELECT doc_id, rk, t AS term, tf, df, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                ORDER BY score DESC, t)::INT AS rk FROM scored)
+         |WHERE rk <= 3""".stripMargin,
+    "mix_sample" ->
+      """WITH t(lang, t) AS (VALUES ('en', 0.30::DOUBLE), ('es', 0.20::DOUBLE),
+        |                           ('de', 0.20::DOUBLE), ('fr', 0.15::DOUBLE),
+        |                           ('zh', 0.15::DOUBLE)),
+        |c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |j AS (SELECT c.lang, c.c, t.t FROM c JOIN t USING (lang)),
+        |s AS (SELECT min(c / t) AS smax FROM j),
+        |r AS (SELECT lang, least(1.0::DOUBLE, t * smax / c) AS rate FROM j, s)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE ((d.doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+        |      < rate""".stripMargin,
+    "pii_redact" ->
+      """SELECT c_custkey,
+        |       regexp_replace(c_name, '[0-9]{3,}', '<ID>', 'g') AS redacted,
+        |       len(regexp_extract_all(c_name, '[0-9]{3,}'))::BIGINT AS n_ids,
+        |       len(regexp_extract_all(c_name,
+        |           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails
+        |FROM customer""".stripMargin,
     "doc_chunks" ->
       """SELECT doc_id, i::INT AS chunk_idx, (i * 150)::INT AS chunk_start,
         |       length(c)::INT AS chunk_len, md5(c) AS chunk_digest

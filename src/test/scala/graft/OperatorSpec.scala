@@ -324,6 +324,66 @@ class OperatorSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0L)
   }
 
+  test("unigram_logprob: OOV path exercised, surprisal bounds hold") {
+    import graft.operators.DedupOps.wordsCol
+    // the fixture vocabulary must exceed the VOCAB=16 model cap, or the
+    // OOV branch is dead code under oracle parity
+    val distinctTok = Tables.documents(spark, sf)
+      .select(explode(wordsCol(col("text"))).as("w"))
+      .distinct().count()
+    assert(distinctTok > 16L, s"vocab $distinctTok <= VOCAB cap")
+    val df = SparkEntry.queries("unigram_logprob")(spark, sf)
+    // surprisal per token is in [0, bitlength(total)-1] => mean is too
+    assert(df.where(col("mean_surprisal") < 0 ||
+      col("mean_surprisal") > 62).count() === 0L)
+    assert(df.where(col("n_tokens") <= 0).count() === 0L)
+    // rarity must actually separate documents on this fixture
+    assert(df.select("mean_surprisal").distinct().count() > 1L)
+  }
+
+  test("tfidf_topk emits a total per-doc ranking of at most 3 terms") {
+    val df = SparkEntry.queries("tfidf_topk")(spark, sf)
+    val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      countDistinct(col("rk")).as("nrk"), max(col("rk")).as("maxrk"))
+    assert(perDoc.where(col("n") > 3 || col("n") =!= col("nrk") ||
+      col("maxrk") > col("n")).count() === 0L)
+    // scores are non-increasing in rank within each doc
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("rk"))
+    val bad = df.withColumn("prev", lag(col("score"), 1).over(w))
+      .where(col("prev").isNotNull && col("score") > col("prev"))
+    assert(bad.count() === 0L)
+  }
+
+  test("mix_sample keeps the binding lang whole and never upsamples") {
+    val docs = Tables.documents(spark, sf)
+    val kept = SparkEntry.queries("mix_sample")(spark, sf)
+    // kept ⊆ corpus with the same lang labels
+    assert(kept.join(docs.select("doc_id", "lang"), Seq("doc_id", "lang"),
+      "left_anti").count() === 0L)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+    val keptCounts = kept.groupBy("lang").agg(count(lit(1)).as("k"))
+    val j = counts.join(keptCounts, Seq("lang"), "left")
+      .select(col("lang"), col("c"), coalesce(col("k"), lit(0L)).as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(j.forall { case (_, c, k) => k <= c }, j.mkString(","))
+    // the binding lang (S = min c/t) keeps every doc
+    assert(j.exists { case (_, c, k) => k == c }, j.mkString(","))
+    // and at least one lang is genuinely downsampled on this fixture
+    assert(j.exists { case (_, c, k) => k < c }, j.mkString(","))
+  }
+
+  test("pii_redact masks every id run; fixture truly has zero emails") {
+    val df = SparkEntry.queries("pii_redact")(spark, sf)
+    assert(df.where(col("redacted").rlike("[0-9]{3,}")).count() === 0L)
+    assert(df.where(col("n_ids") <= 0).count() === 0L)
+    assert(df.where(col("n_emails") =!= 0).count() === 0L)
+    // the documented fixture-honesty claim: documents.text carries no
+    // digit/@ characters anywhere, so document-side PII classes can't fire
+    assert(Tables.documents(spark, sf)
+      .where(col("text").rlike("[0-9@]")).count() === 0L)
+  }
+
   test("window_cumsum final row equals group sum") {
     val ev = Tables.events(spark, sf)
     val sums = ev.groupBy("user_id").agg(round(sum("value"), 2).as("total"))

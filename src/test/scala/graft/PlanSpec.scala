@@ -182,6 +182,25 @@ class PlanSpec extends SparkSpec {
     assert(dc.contains("Generate explode"), "chunk fan-out must be an explode")
   }
 
+  test("unigram/tfidf/mix_sample: model sides broadcast, corpus unshuffled") {
+    // unigram_logprob: the LM (top-V + OOV floor) is bounded and must
+    // broadcast onto the token stream — a SortMergeJoin here means the
+    // whole corpus token stream shuffles to meet a 16-row model
+    val ug = executed("unigram_logprob")
+    assert(ug.contains("BroadcastHashJoin"), "LM lookup must broadcast")
+    assert(!ug.contains("SortMergeJoin"),
+      s"token stream shuffled against the bounded LM:\n$ug")
+    assert(!ug.contains("CartesianProduct"))
+    // mix_sample: the lang-domain rate table broadcasts onto the scan and
+    // the kept set is a filter — no corpus-side Exchange except none at all
+    val mx = executed("mix_sample")
+    assert(mx.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!mx.contains("SortMergeJoin"), s"corpus shuffled for rates:\n$mx")
+    // pii_redact is a pure narrow projection
+    val pii = executed("pii_redact")
+    assert(!pii.contains("Exchange"), s"pii_redact gained a shuffle:\n$pii")
+  }
+
   test("hot paths use the native expressions, not HOF fallbacks") {
     // a refactor that silently reverts to the interpreted
     // aggregate/zip_with/transform forms fails here (ExpressionSpec pins
