@@ -154,7 +154,7 @@ object DedupOps {
     * (PlanSpec runs both paths to the same rows — round-7 verdict #3 /
     * ADVICE carry-over). Read per-plan from the session conf, so a test or
     * an operator can flip it without a new session. */
-  private def dropSetHint(df: DataFrame, drop: DataFrame): DataFrame =
+  private[graft] def dropSetHint(df: DataFrame, drop: DataFrame): DataFrame =
     if (df.sparkSession.conf.get("graft.dropSetBroadcast", "true").toBoolean)
       broadcast(drop)
     else drop
@@ -392,7 +392,7 @@ object DedupOps {
     * DECON_N = 5 word-grams: long enough that a collision means lifted
     * text rather than a common phrase on real corpora, short enough that
     * the fixture's 16-96-token docs carry many grams. */
-  private val NEVAL = 20L
+  private[graft] val NEVAL = 20L
   private[graft] val DECON_N = 5
 
   private def sh5(text: Column): Column =
@@ -692,7 +692,7 @@ object DedupOps {
 
   /** Shared CTEs of the decontamination oracles — mirrors [[contamPairs]]'
     * eval/train gram split. */
-  private lazy val deconCtes: String =
+  private[graft] lazy val deconCtes: String =
     s"""wd AS (SELECT doc_id, $wSql AS w FROM documents),
        |gd AS (SELECT doc_id, unnest(${shNSql(DECON_N)}) AS s FROM wd),
        |evg AS (SELECT doc_id AS eval_id, s FROM gd WHERE doc_id < $NEVAL),

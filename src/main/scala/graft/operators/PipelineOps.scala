@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed curation pass — the end-to-end shape a training-data
+  * pipeline actually runs, declared as ONE plan so the operators are
+  * proven to compose (and so Catalyst optimizes across the stage
+  * boundaries instead of per-fragment):
+  *
+  *   quality filter → exact dedup → benchmark decontamination → split
+  *
+  * Reference ancestor: the full scan→…→sink pipeline of
+  * `/root/reference/SparKMeansGroupBy.java:66-160` — a single driver-run
+  * DAG, here over the §2.6 curation vocabulary instead of K-Means steps.
+  *
+  * Scale audit of the composition (each stage inherits its operator's
+  * shape): the quality stage is a narrow codegen projection; dedup groups
+  * by a 16-byte digest, never raw text; the decontamination hit set is
+  * contaminated-docs-sized and takes the conf-gated drop-set broadcast;
+  * the split is a pure per-row hash. The only row-scaled shuffle in the
+  * whole pass is the dedup digest groupBy.
+  *
+  * Composition semantics worth stating: dedup runs BEFORE the eval-id
+  * fence, so a duplicate cluster whose survivor (min doc_id) is an eval
+  * doc exits the corpus entirely — which is decontamination working, not
+  * an accident: every member of such a cluster is textually identical to
+  * an eval document and must not be trained on (the 5-gram collision path
+  * would drop them anyway; the digest path just gets there first).
+  */
+object PipelineOps {
+
+  /** Quality floor for the curated corpus (see [[TextOps.qualityScored]]
+    * for the score; the fixture's scores span ~0.25-0.65, so 0.45 keeps a
+    * real majority while dropping a real tail — both branches exercised
+    * under oracle parity, asserted in OperatorSpec). */
+  private val QMIN = 0.45
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keep = TextOps.qualityScored(docs)
+        .where(col("quality") >= QMIN)
+      // survivors: one doc per distinct text; quality is a pure function
+      // of text, so min() is just "the" group value, kept for the output
+      val sur = keep
+        .groupBy(DedupOps.digest(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"))
+      val hits = DedupOps.contamPairs(docs).select(col("doc_id")).distinct()
+      val clean = sur.where(col("doc_id") >= DedupOps.NEVAL)
+        .join(DedupOps.dropSetHint(sur, hits), Seq("doc_id"), "left_anti")
+      val u = graft.functions.VectorOps.unitUniform(col("doc_id"))
+      clean.select(col("doc_id"), col("quality"),
+        when(u < 0.8, "train").when(u < 0.9, "val")
+          .otherwise("test").as("split"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_curate" ->
+      s"""WITH ${TextOps.qualityCteSql},
+         |keep AS (SELECT doc_id, text, quality FROM q WHERE quality >= $QMIN),
+         |sur AS (SELECT min(doc_id) AS doc_id, min(quality) AS quality
+         |        FROM keep GROUP BY md5(text)),
+         |${DedupOps.deconCtes},
+         |hit AS (SELECT DISTINCT t.doc_id FROM trg t JOIN evg e USING (s))
+         |SELECT doc_id, quality,
+         |       CASE WHEN u < 0.8 THEN 'train'
+         |            WHEN u < 0.9 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, quality,
+         |        ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
+         |      FROM sur
+         |      WHERE doc_id >= ${DedupOps.NEVAL}
+         |        AND doc_id NOT IN (SELECT doc_id FROM hit))""".stripMargin
+  )
+}

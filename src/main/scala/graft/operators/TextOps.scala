@@ -56,6 +56,56 @@ object TextOps {
       .otherwise("und")
   }
 
+  /** (doc_id, text, n_tok, avg_len, stop_ratio, quality) for every
+    * non-blank document — the shared scoring stage of `quality_score` and
+    * the composed curation pipeline, so the two can never drift.
+    *
+    * The split is bound ONCE: HOF subtrees defeat Catalyst CSE, so a
+    * single-projection form would evaluate wordsCol 4× per row (filter +
+    * each feature). A staged select survives the optimizer —
+    * CollapseProject refuses to inline a non-cheap producer referenced
+    * more than once — and the row filter is the cheap trim-length test
+    * (equivalent: words is empty iff text is all spaces, since split and
+    * trim both key on the single space char).
+    *
+    * `quality` is rIeee@4, not round: token ratios (sums over n_tokens =
+    * 16, 32, 96…) and the 0.5/0.3/0.2-weighted score land EXACTLY on
+    * 4-decimal rounding half-boundaries (e.g. quality 0.20375 at
+    * sf0.001), where Spark's exact-decimal HALF_UP and DuckDB's float
+    * round split; the IEEE floor form is computed identically by both
+    * engines on the bit-identical ratio inputs. */
+  private[graft] def qualityScored(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorOps.rIeee
+    docs
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"), wordsCol(col("text")).as("w"))
+      .select(col("doc_id"), col("text"), size(col("w")).as("n_tok"),
+        (aggregate(col("w"), lit(0), (acc, w) => acc + length(w))
+          .cast("double") / size(col("w"))).as("avg_len"),
+        (element_at(markerCounts(col("w")), 1).cast("double") /
+          size(col("w"))).as("stop_ratio"))
+      .withColumn("quality",
+        rIeee(lit(0.5) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * least(col("avg_len") / 10.0, lit(1.0)) +
+          lit(0.2) * col("stop_ratio"), 4))
+  }
+
+  /** DuckDB CTE `q(doc_id, text, n_tokens, avg_token_len, stopword_ratio,
+    * quality)` mirroring [[qualityScored]] — the single source for the
+    * quality_score and pipeline_curate oracles. */
+  private[graft] lazy val qualityCteSql: String =
+    s"""q AS (SELECT doc_id, text, n_tokens, avg_token_len, stopword_ratio,
+       |        ${graft.functions.VectorSql.rIeee(
+          "0.5::DOUBLE * least(n_tokens::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE) + " +
+            "0.3::DOUBLE * least(avg_token_len / 10.0::DOUBLE, 1.0::DOUBLE) + " +
+            "0.2::DOUBLE * stopword_ratio", 4)} AS quality
+       |      FROM (SELECT doc_id, text, len(w)::INT AS n_tokens,
+       |              list_aggregate(list_transform(w, x -> length(x)), 'sum')::DOUBLE
+       |                / len(w) AS avg_token_len,
+       |              ${hitsSql("en")}::DOUBLE / len(w) AS stopword_ratio
+       |            FROM (SELECT doc_id, text, $wSql AS w FROM documents)
+       |            WHERE len(w) > 0))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> { (s, d) =>
       // MEASURED fixture honesty (quality-axis sweep, round 7): the
@@ -74,34 +124,11 @@ object TextOps {
         .select(col("doc_id"), langFromCounts(col("mc")).as("lang_guess"))
     },
     "quality_score" -> { (s, d) =>
-      // the split is bound ONCE: HOF subtrees defeat Catalyst CSE, so the
-      // previous single-projection form evaluated wordsCol 4× per row
-      // (filter + each feature). A staged select survives the optimizer —
-      // CollapseProject refuses to inline a non-cheap producer referenced
-      // more than once — and the row filter is the cheap trim-length test
-      // (equivalent: words is empty iff text is all spaces, since split
-      // and trim both key on the single space char).
-      val stats = Tables.documents(s, d)
-        .where(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), wordsCol(col("text")).as("w"))
-        .select(col("doc_id"), size(col("w")).as("n_tok"),
-          (aggregate(col("w"), lit(0), (acc, w) => acc + length(w))
-            .cast("double") / size(col("w"))).as("avg_len"),
-          (element_at(markerCounts(col("w")), 1).cast("double") /
-            size(col("w"))).as("stop_ratio"))
-      // rIeee, not round: token ratios (sums over n_tokens = 16, 32, 96…)
-      // and the 0.5/0.3/0.2-weighted score land EXACTLY on 4-decimal
-      // rounding half-boundaries (e.g. quality 0.20375 at sf0.001), where
-      // Spark's exact-decimal HALF_UP and DuckDB's float round split; the
-      // IEEE floor form is computed identically by both engines on the
-      // bit-identical ratio inputs.
       import graft.functions.VectorOps.rIeee
-      stats.select(col("doc_id"), col("n_tok").as("n_tokens"),
-        rIeee(col("avg_len"), 4).as("avg_token_len"),
-        rIeee(col("stop_ratio"), 4).as("stopword_ratio"),
-        rIeee(lit(0.5) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
-          lit(0.3) * least(col("avg_len") / 10.0, lit(1.0)) +
-          lit(0.2) * col("stop_ratio"), 4).as("quality"))
+      qualityScored(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tok").as("n_tokens"),
+          rIeee(col("avg_len"), 4).as("avg_token_len"),
+          rIeee(col("stop_ratio"), 4).as("stopword_ratio"), col("quality"))
     },
     "token_count" -> { (s, d) =>
       Tables.documents(s, d)
@@ -264,7 +291,12 @@ object TextOps {
       def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
       val tok = DedupOps.spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+      // materialize the vocabulary-bounded frequency table ONCE (eager
+      // localCheckpoint, blocks die with the plan): tot/sb/oov all derive
+      // from it, and without the pin each branch re-explodes the corpus —
+      // model build is one corpus pass, scoring the (inherent) second
       val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val tot = freq.agg(sum(col("c")).as("total"))
       val sb = freq.orderBy(col("c").desc, col("w")).limit(VOCAB)
         .crossJoin(tot)
@@ -298,8 +330,13 @@ object TextOps {
       // per-partition rows bounded by each doc's distinct-token count.
       val tok = DedupOps.spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+      // the tf relation is (docs × per-doc distinct tokens)-bounded and
+      // feeds THREE consumers (df, N, the scored join) — materialize it
+      // once (eager localCheckpoint) or each branch re-explodes the
+      // corpus; this is also the production shape: tf is the artifact a
+      // pipeline persists, df/N/scores are derived from it
       val docTok = tok.groupBy(col("doc_id"), col("w"))
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf")).localCheckpoint()
       val dfreq = docTok.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val n = docTok.agg(countDistinct(col("doc_id")).as("n_docs"))
       val scored = docTok.join(dfreq, "w").crossJoin(broadcast(n))

@@ -384,6 +384,25 @@ class OperatorSpec extends SparkSpec {
       .where(col("text").rlike("[0-9@]")).count() === 0L)
   }
 
+  test("pipeline_curate composes its stages' guarantees") {
+    val docs = Tables.documents(spark, sf)
+    val out = SparkEntry.queries("pipeline_curate")(spark, sf)
+    val n = out.count()
+    // the quality floor and the dedup/decontam fences each really bite
+    assert(n > 0L && n < docs.count(), s"degenerate curated size $n")
+    // no eval docs, no duplicate ids, splits all present
+    assert(out.where(col("doc_id") < 20).count() === 0L)
+    assert(out.select("doc_id").distinct().count() === n)
+    assert(out.select("split").distinct().count() === 3L)
+    // every curated doc survived the standalone stages too: it passed the
+    // quality floor and is not in the standalone decontaminate drop set
+    val clean = SparkEntry.queries("decontaminate")(spark, sf)
+    assert(out.join(clean, Seq("doc_id"), "left_anti").count() === 0L)
+    val q = SparkEntry.queries("quality_score")(spark, sf)
+      .where(col("quality") >= 0.45).select("doc_id")
+    assert(out.join(q, Seq("doc_id"), "left_anti").count() === 0L)
+  }
+
   test("window_cumsum final row equals group sum") {
     val ev = Tables.events(spark, sf)
     val sums = ev.groupBy("user_id").agg(round(sum("value"), 2).as("total"))
