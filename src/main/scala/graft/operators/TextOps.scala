@@ -78,8 +78,10 @@ object TextOps {
     import graft.functions.VectorOps.rIeee
     docs
       .where(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), col("text"), wordsCol(col("text")).as("w"))
-      .select(col("doc_id"), col("text"), size(col("w")).as("n_tok"),
+      .select(col("doc_id"), col("lang"), col("text"),
+        wordsCol(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(col("w")).as("n_tok"),
         (aggregate(col("w"), lit(0), (acc, w) => acc + length(w))
           .cast("double") / size(col("w"))).as("avg_len"),
         (element_at(markerCounts(col("w")), 1).cast("double") /
@@ -94,16 +96,16 @@ object TextOps {
     * quality)` mirroring [[qualityScored]] — the single source for the
     * quality_score and pipeline_curate oracles. */
   private[graft] lazy val qualityCteSql: String =
-    s"""q AS (SELECT doc_id, text, n_tokens, avg_token_len, stopword_ratio,
+    s"""q AS (SELECT doc_id, lang, text, n_tokens, avg_token_len, stopword_ratio,
        |        ${graft.functions.VectorSql.rIeee(
           "0.5::DOUBLE * least(n_tokens::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE) + " +
             "0.3::DOUBLE * least(avg_token_len / 10.0::DOUBLE, 1.0::DOUBLE) + " +
             "0.2::DOUBLE * stopword_ratio", 4)} AS quality
-       |      FROM (SELECT doc_id, text, len(w)::INT AS n_tokens,
+       |      FROM (SELECT doc_id, lang, text, len(w)::INT AS n_tokens,
        |              list_aggregate(list_transform(w, x -> length(x)), 'sum')::DOUBLE
        |                / len(w) AS avg_token_len,
        |              ${hitsSql("en")}::DOUBLE / len(w) AS stopword_ratio
-       |            FROM (SELECT doc_id, text, $wSql AS w FROM documents)
+       |            FROM (SELECT doc_id, lang, text, $wSql AS w FROM documents)
        |            WHERE len(w) > 0))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -269,6 +271,44 @@ object TextOps {
           (col("cum") - col("n_tokens")).as("tok_start"), col("n_tokens"),
           expr(s"(cum - n_tokens) div $SEQ").as("first_seq"),
           expr(s"(cum - 1) div $SEQ").as("last_seq"))
+    },
+    "ngram_topk" -> { (s, d) =>
+      // corpus heavy-hitter word 3-grams (phrase-level vocabulary /
+      // boilerplate detection — the n-gram sibling of token_topk): the
+      // native WordShingles MULTISET mode emits every occurrence, so
+      // counts are true corpus frequencies, not per-doc-distinct ones.
+      // Same 100 TB shape as token_topk: explode → map-side-combined hash
+      // agg → TakeOrderedAndProject; ties break lexically.
+      DedupOps.spread(Tables.documents(s, d))
+        .select(explode(
+          org.apache.spark.sql.graft.WordShingles.all(col("text"), 3))
+          .as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g")).limit(100)
+    },
+    "quality_topk_per_lang" -> { (s, d) =>
+      // best-K-per-domain selection (per-language curriculum picks): NOT
+      // a bare per-lang window — lang partitions are row-scaled, so a
+      // single window per lang is a 5-reducer funnel at 100 TB. Salted
+      // two-phase top-k (the similarity_topk discipline): phase 1 ranks
+      // inside (lang, salt) lanes and keeps K per lane — bounding the
+      // final stage to SALTS·K rows per lang — phase 2 ranks those
+      // survivors per lang. Deterministic ties (quality desc, doc_id) at
+      // both phases make the two-phase result identical to the single
+      // global window the oracle computes.
+      val K = 5
+      val SALTS = 32
+      val scored = qualityScored(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("quality"))
+      val w1 = Window.partitionBy(col("lang"), col("salt"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val w2 = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored
+        .withColumn("salt", pmod(col("doc_id"), lit(SALTS.toLong)))
+        .withColumn("rk1", row_number().over(w1)).where(col("rk1") <= K)
+        .withColumn("rk", row_number().over(w2)).where(col("rk") <= K)
+        .select(col("lang"), col("rk"), col("doc_id"), col("quality"))
     },
     "unigram_logprob" -> { (s, d) =>
       // corpus-unigram-LM quality score (the CCNet/KenLM-style perplexity
@@ -530,6 +570,24 @@ object TextOps {
          |       ((cum - n_tokens) // 512)::BIGINT AS first_seq,
          |       ((cum - 1) // 512)::BIGINT AS last_seq
          |FROM c""".stripMargin,
+    "ngram_topk" -> {
+      val all3 =
+        """CASE WHEN len(w) >= 3
+          |  THEN list_transform(generate_series(1, len(w) - 2),
+          |       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+          |  ELSE [] END""".stripMargin
+      s"""SELECT g, count(*)::BIGINT AS n
+         |FROM (SELECT unnest($all3) AS g
+         |      FROM (SELECT $wSql AS w FROM documents))
+         |GROUP BY g ORDER BY n DESC, g LIMIT 100""".stripMargin
+    },
+    "quality_topk_per_lang" ->
+      s"""WITH ${qualityCteSql}
+         |SELECT lang, rk, doc_id, quality FROM (
+         |  SELECT lang, doc_id, quality,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY quality DESC, doc_id)::INT AS rk FROM q)
+         |WHERE rk <= 5""".stripMargin,
     "unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id, unnest($wSql) AS t FROM documents),
          |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),

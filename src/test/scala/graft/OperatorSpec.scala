@@ -384,6 +384,22 @@ class OperatorSpec extends SparkSpec {
       .where(col("text").rlike("[0-9@]")).count() === 0L)
   }
 
+  test("quality_topk_per_lang two-phase equals the single global window") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("quality_topk_per_lang")(spark, sf)
+    val scored = graft.operators.TextOps
+      .qualityScored(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val ref = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"), col("quality"))
+    assert(got.exceptAll(ref).count() === 0L)
+    assert(ref.exceptAll(got).count() === 0L)
+    assert(got.count() === 25L) // 5 langs × K=5 on the fixture
+  }
+
   test("pipeline_curate composes its stages' guarantees") {
     val docs = Tables.documents(spark, sf)
     val out = SparkEntry.queries("pipeline_curate")(spark, sf)

@@ -207,7 +207,12 @@ class PlanSpec extends SparkSpec {
     // that the native forms are bit-identical; this pins that they are
     // the ones actually planned)
     assert(executed("dedup_ngram").contains("wordshingles"))
+    assert(executed("ngram_topk").contains("wordshingles"))
     assert(executed("similarity_topk").contains("cosinesim"))
+    // quality_topk_per_lang must keep its salted phase-1 window (the
+    // per-lang funnel guard) — pmod salt + two row_number windows
+    assert(executed("quality_topk_per_lang").contains("pmod"),
+      "salted first-phase window missing from quality_topk_per_lang")
     // the LSH bucketing projection hides behind the capBuckets cache in
     // the executed plan string, so pin the column builder itself
     import org.apache.spark.sql.functions.col
