@@ -4,12 +4,13 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The composed curation pass — the end-to-end shape a training-data
-  * pipeline actually runs, declared as ONE plan so the operators are
+/** The composed curation passes — the end-to-end shapes a training-data
+  * pipeline actually runs, declared as single plans so the operators are
   * proven to compose (and so Catalyst optimizes across the stage
   * boundaries instead of per-fragment):
   *
-  *   quality filter → exact dedup → benchmark decontamination → split
+  *   pipeline_curate: quality filter → exact dedup → decontamination → split
+  *   pipeline_pack:   …curate… → keep the train split → pack_sequences
   *
   * Reference ancestor: the full scan→…→sink pipeline of
   * `/root/reference/SparKMeansGroupBy.java:66-160` — a single driver-run
@@ -19,8 +20,10 @@ import org.apache.spark.sql.functions._
   * shape): the quality stage is a narrow codegen projection; dedup groups
   * by a 16-byte digest, never raw text; the decontamination hit set is
   * contaminated-docs-sized and takes the conf-gated drop-set broadcast;
-  * the split is a pure per-row hash. The only row-scaled shuffle in the
-  * whole pass is the dedup digest groupBy.
+  * the split is a pure per-row hash; packing shuffles (id, n_tokens,
+  * shard) triples — never text — into 32 balanced lanes. The row-scaled
+  * shuffles in the whole pack pass are the dedup digest groupBy, the
+  * curated-id equi-join handoff, and the lane exchange.
   *
   * Composition semantics worth stating: dedup runs BEFORE the eval-id
   * fence, so a duplicate cluster whose survivor (min doc_id) is an eval
@@ -37,42 +40,73 @@ object PipelineOps {
     * under oracle parity, asserted in OperatorSpec). */
   private val QMIN = 0.45
 
+  /** (doc_id, quality, split) for the curated corpus — the shared
+    * curation DAG of both declared pipelines. */
+  private def curated(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keep = TextOps.qualityScored(docs)
+      .where(col("quality") >= QMIN)
+    // survivors: one doc per distinct text; quality is a pure function
+    // of text, so min() is just "the" group value, kept for the output
+    val sur = keep
+      .groupBy(DedupOps.digest(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"))
+    val hits = DedupOps.contamPairs(docs).select(col("doc_id")).distinct()
+    val clean = sur.where(col("doc_id") >= DedupOps.NEVAL)
+      .join(DedupOps.dropSetHint(sur, hits), Seq("doc_id"), "left_anti")
+    val u = graft.functions.VectorOps.unitUniform(col("doc_id"))
+    clean.select(col("doc_id"), col("quality"),
+      when(u < 0.8, "train").when(u < 0.9, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Shared oracle CTE chain ending in `cur(doc_id, quality, split)` —
+    * mirrors [[curated]]; both pipeline oracles extend it. */
+  private lazy val curatedCtes: String =
+    s"""${TextOps.qualityCteSql},
+       |keep AS (SELECT doc_id, text, quality FROM q WHERE quality >= $QMIN),
+       |sur AS (SELECT min(doc_id) AS doc_id, min(quality) AS quality
+       |        FROM keep GROUP BY md5(text)),
+       |${DedupOps.deconCtes},
+       |hit AS (SELECT DISTINCT t.doc_id FROM trg t JOIN evg e USING (s)),
+       |cur AS (SELECT doc_id, quality,
+       |          CASE WHEN u < 0.8 THEN 'train'
+       |               WHEN u < 0.9 THEN 'val'
+       |               ELSE 'test' END AS split
+       |        FROM (SELECT doc_id, quality,
+       |                ((doc_id * 2654435761) % 4294967296 + 0.5)
+       |                  / 4294967296.0 AS u
+       |              FROM sur
+       |              WHERE doc_id >= ${DedupOps.NEVAL}
+       |                AND doc_id NOT IN (SELECT doc_id FROM hit)))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curate" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val keep = TextOps.qualityScored(docs)
-        .where(col("quality") >= QMIN)
-      // survivors: one doc per distinct text; quality is a pure function
-      // of text, so min() is just "the" group value, kept for the output
-      val sur = keep
-        .groupBy(DedupOps.digest(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"))
-      val hits = DedupOps.contamPairs(docs).select(col("doc_id")).distinct()
-      val clean = sur.where(col("doc_id") >= DedupOps.NEVAL)
-        .join(DedupOps.dropSetHint(sur, hits), Seq("doc_id"), "left_anti")
-      val u = graft.functions.VectorOps.unitUniform(col("doc_id"))
-      clean.select(col("doc_id"), col("quality"),
-        when(u < 0.8, "train").when(u < 0.9, "val")
-          .otherwise("test").as("split"))
+    "pipeline_curate" -> { (s, d) => curated(s, d) },
+    "pipeline_pack" -> { (s, d) =>
+      // the full pretraining-data build: curated train split → fixed-
+      // length sequence packing. The handoff is a narrow id equi-join
+      // (curated ids ⋈ documents) — text flows straight from the scan
+      // into the packer's token counter, never through the curation
+      // aggregates. Lane arithmetic is identical to pack_sequences
+      // (shared packSequences), so a curated doc's lane never depends on
+      // which other docs survived — only its offsets do.
+      val ids = curated(s, d).where(col("split") === "train")
+        .select(col("doc_id"))
+      TextOps.packSequences(
+        Tables.documents(s, d).join(ids, "doc_id"))
     }
   )
 
   val oracles: Map[String, String] = Map(
     "pipeline_curate" ->
-      s"""WITH ${TextOps.qualityCteSql},
-         |keep AS (SELECT doc_id, text, quality FROM q WHERE quality >= $QMIN),
-         |sur AS (SELECT min(doc_id) AS doc_id, min(quality) AS quality
-         |        FROM keep GROUP BY md5(text)),
-         |${DedupOps.deconCtes},
-         |hit AS (SELECT DISTINCT t.doc_id FROM trg t JOIN evg e USING (s))
-         |SELECT doc_id, quality,
-         |       CASE WHEN u < 0.8 THEN 'train'
-         |            WHEN u < 0.9 THEN 'val'
-         |            ELSE 'test' END AS split
-         |FROM (SELECT doc_id, quality,
-         |        ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
-         |      FROM sur
-         |      WHERE doc_id >= ${DedupOps.NEVAL}
-         |        AND doc_id NOT IN (SELECT doc_id FROM hit))""".stripMargin
+      s"""WITH $curatedCtes
+         |SELECT doc_id, quality, split FROM cur""".stripMargin,
+    "pipeline_pack" ->
+      s"""WITH $curatedCtes,
+         |curdocs AS (SELECT d.doc_id, d.text FROM documents d
+         |            JOIN cur ON d.doc_id = cur.doc_id
+         |            WHERE cur.split = 'train'),
+         |${TextOps.packCtes("curdocs")}
+         |${TextOps.packSelect}""".stripMargin
   )
 }

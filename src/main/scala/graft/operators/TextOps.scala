@@ -108,6 +108,64 @@ object TextOps {
        |            FROM (SELECT doc_id, lang, text, $wSql AS w FROM documents)
        |            WHERE len(w) > 0))""".stripMargin
 
+  /** Concat-and-chunk sequence packing (the GPT-style step that turns a
+    * document stream into fixed-length training sequences): docs are
+    * concatenated in a deterministic order and sliced every SEQ tokens,
+    * so each doc's global token offset decides which sequences it lands
+    * in — tok_start = prefix sum of token counts, first/last_seq its
+    * div-SEQ window. Packing is SHARDED (hash of doc_id, NSHARDS lanes):
+    * offsets are per-shard, each shard packs independently — the
+    * production parallelism knob (one shard per output writer; the
+    * per-shard prefix scan is inherent to concat-and-chunk, whose offsets
+    * are defined by an order). One Exchange on shard, windows over shard
+    * lanes only — never a single global-order reducer. Zero-token docs
+    * pack nothing and drop out. NOTE the mod-32 of the multiplicative
+    * hash keeps only its low bits, so the lane is (doc_id·17) mod 32 — a
+    * bijection of doc_id mod 32, i.e. balanced round-robin lanes (exactly
+    * right for packing: equal-rate lanes, no hot shard); an avalanche
+    * hash matters for SKEWED keys (the dedup/LSH families), not for a
+    * unique id.
+    *
+    * Shared by the `pack_sequences` query and the composed
+    * `pipeline_pack` (which packs the curated train split), so the two
+    * can never drift. */
+  private[graft] def packSequences(docs: DataFrame): DataFrame = {
+    val SEQ = 512
+    val NSHARDS = 32
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        size(wordsCol(col("text"))).as("n_tokens"),
+        pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
+          lit(NSHARDS.toLong)).cast("int").as("shard"))
+      .where(col("n_tokens") > 0)
+      .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+      .select(col("doc_id"), col("shard"),
+        (col("cum") - col("n_tokens")).as("tok_start"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $SEQ").as("first_seq"),
+        expr(s"(cum - 1) div $SEQ").as("last_seq"))
+  }
+
+  /** DuckDB CTE pair `t, c` mirroring [[packSequences]] over a
+    * `docs(doc_id, text)` relation named by `src`, plus the shared final
+    * projection — composed by the pack_sequences and pipeline_pack
+    * oracles (prefix with `WITH` / extend the chain as needed). */
+  private[graft] def packCtes(src: String): String =
+    s"""t AS (SELECT doc_id, len($wSql)::INT AS n_tokens,
+       |             ((doc_id * 2654435761) % 4294967296 % 32)::INT AS shard
+       |      FROM $src),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |             sum(n_tokens::BIGINT) OVER (PARTITION BY shard
+       |               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM t WHERE n_tokens > 0)""".stripMargin
+
+  private[graft] val packSelect: String =
+    """SELECT doc_id, shard, (cum - n_tokens)::BIGINT AS tok_start, n_tokens,
+      |       ((cum - n_tokens) // 512)::BIGINT AS first_seq,
+      |       ((cum - 1) // 512)::BIGINT AS last_seq
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> { (s, d) =>
       // MEASURED fixture honesty (quality-axis sweep, round 7): the
@@ -239,38 +297,7 @@ object TextOps {
           .otherwise("test").as("split"))
     },
     "pack_sequences" -> { (s, d) =>
-      // concat-and-chunk sequence packing (the GPT-style step that turns a
-      // document stream into fixed-length training sequences): docs are
-      // concatenated in a deterministic order and sliced every SEQ tokens,
-      // so each doc's global token offset decides which sequences it lands
-      // in — tok_start = prefix sum of token counts, first/last_seq its
-      // div-SEQ window. Packing is SHARDED (hash of doc_id, NSHARDS
-      // lanes): offsets are per-shard, each shard packs independently —
-      // the production parallelism knob (one shard per output writer; the
-      // per-shard prefix scan is inherent to concat-and-chunk, whose
-      // offsets are defined by an order). One Exchange on shard, windows
-      // over shard lanes only — never a single global-order reducer.
-      // Zero-token docs pack nothing and drop out. NOTE the mod-32 of the
-      // multiplicative hash keeps only its low bits, so the lane is
-      // (doc_id·17) mod 32 — a bijection of doc_id mod 32, i.e. balanced
-      // round-robin lanes (exactly right for packing: equal-rate lanes,
-      // no hot shard); an avalanche hash matters for SKEWED keys (the
-      // dedup/LSH families), not for a unique id.
-      val SEQ = 512
-      val NSHARDS = 32
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(wordsCol(col("text"))).as("n_tokens"),
-          pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
-            lit(NSHARDS.toLong)).cast("int").as("shard"))
-        .where(col("n_tokens") > 0)
-        .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
-        .select(col("doc_id"), col("shard"),
-          (col("cum") - col("n_tokens")).as("tok_start"), col("n_tokens"),
-          expr(s"(cum - n_tokens) div $SEQ").as("first_seq"),
-          expr(s"(cum - 1) div $SEQ").as("last_seq"))
+      packSequences(Tables.documents(s, d))
     },
     "ngram_topk" -> { (s, d) =>
       // corpus heavy-hitter word 3-grams (phrase-level vocabulary /
@@ -558,18 +585,7 @@ object TextOps {
         |FROM (SELECT doc_id,
         |        ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
         |      FROM documents)""".stripMargin,
-    "pack_sequences" ->
-      s"""WITH t AS (SELECT doc_id, len($wSql)::INT AS n_tokens,
-         |                  ((doc_id * 2654435761) % 4294967296 % 32)::INT AS shard
-         |           FROM documents),
-         |c AS (SELECT doc_id, shard, n_tokens,
-         |             sum(n_tokens::BIGINT) OVER (PARTITION BY shard
-         |               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-         |      FROM t WHERE n_tokens > 0)
-         |SELECT doc_id, shard, (cum - n_tokens)::BIGINT AS tok_start, n_tokens,
-         |       ((cum - n_tokens) // 512)::BIGINT AS first_seq,
-         |       ((cum - 1) // 512)::BIGINT AS last_seq
-         |FROM c""".stripMargin,
+    "pack_sequences" -> s"WITH ${packCtes("documents")}\n$packSelect",
     "ngram_topk" -> {
       val all3 =
         """CASE WHEN len(w) >= 3

@@ -419,6 +419,20 @@ class OperatorSpec extends SparkSpec {
     assert(out.join(q, Seq("doc_id"), "left_anti").count() === 0L)
   }
 
+  test("pipeline_pack packs exactly the curated train docs, contiguously") {
+    val cur = SparkEntry.queries("pipeline_curate")(spark, sf)
+      .where(col("split") === "train").select("doc_id")
+    val packed = SparkEntry.queries("pipeline_pack")(spark, sf)
+    // population: curated train docs with >0 tokens, each exactly once
+    assert(packed.select("doc_id").distinct().count() === packed.count())
+    assert(packed.join(cur, Seq("doc_id"), "left_anti").count() === 0L)
+    // per-shard offsets are gapless: total tokens == max(tok_start + n)
+    val byShard = packed.groupBy("shard")
+      .agg(sum(col("n_tokens").cast("long")).as("tot"),
+        max(col("tok_start") + col("n_tokens")).as("hi"))
+    assert(byShard.where(col("tot") =!= col("hi")).count() === 0L)
+  }
+
   test("window_cumsum final row equals group sum") {
     val ev = Tables.events(spark, sf)
     val sums = ev.groupBy("user_id").agg(round(sum("value"), 2).as("total"))
