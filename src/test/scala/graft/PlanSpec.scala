@@ -201,6 +201,26 @@ class PlanSpec extends SparkSpec {
     assert(!pii.contains("Exchange"), s"pii_redact gained a shuffle:\n$pii")
   }
 
+  test("composed pipelines keep their stages' plan shapes") {
+    // pipeline_curate: eval grams + hit set broadcast, digest groupBy is
+    // the only row-scaled exchange — a SortMergeJoin anywhere means a
+    // stage handoff silently started shuffling the corpus
+    val pc = executed("pipeline_curate")
+    assert(!pc.contains("SortMergeJoin") && !pc.contains("CartesianProduct"),
+      s"pipeline_curate lost a broadcast stage:\n$pc")
+    assert(pc.split("\n").exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      "decontamination drop-set anti-join broadcast missing")
+    // pipeline_pack adds only the curated-id handoff (broadcast onto the
+    // scan at fixture scale) and the balanced lane exchange
+    val pp = executed("pipeline_pack")
+    assert(!pp.contains("SortMergeJoin") && !pp.contains("CartesianProduct"),
+      s"pipeline_pack lost a broadcast stage:\n$pp")
+    assert(pp.split("\n").exists(l =>
+        l.contains("Exchange hashpartitioning(shard")),
+      "packing lane exchange missing")
+  }
+
   test("hot paths use the native expressions, not HOF fallbacks") {
     // a refactor that silently reverts to the interpreted
     // aggregate/zip_with/transform forms fails here (ExpressionSpec pins
