@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // driver contract: (sfDir, outDir). An optional third comma-separated
+    // query-name filter is a dev-only convenience for iterating on one
+    // operator without dumping the whole ~100-query surface.
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
+    }
     // Pin the sketch hashes to oracle mode BEFORE anything touches
     // DedupOps: its hash-mode switch freezes at first use, and a JVM that
     // somehow ran Bench first (fork disabled, ad-hoc harness) would
@@ -21,7 +27,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // queries pin relations internally (iterative loops, LSH buckets);
       // drop them between queries so the ~90-query session doesn't
       // accumulate executor storage. Both layers: clearCache empties the

@@ -425,6 +425,31 @@ object KMeansOps {
       val c1 = lloydStep(pts, frozenCenters(s, d), L1)
       assignStats(pts, c1, L1)
     },
+    "kmeans_cost_sweep" -> { (s, d) =>
+      // model-selection (elbow) sweep — the "what k?" question every
+      // clustering deployment answers before the flagship fit: one snap12
+      // Lloyd step from the frozen seeds at k ∈ {2,4,8}, each branch
+      // reporting its summed point-to-nearest-center distance (the
+      // sum_min_dist cost form). The parsed points are localCheckpoint-
+      // materialized ONCE and all three branches read the same blocks —
+      // the sweep pays one scan + k-proportional argmin passes, not three
+      // table reads; at 100 TB the materialization is the dominant cost
+      // and amortizing it across the sweep is the whole point. Each
+      // branch's topology is the flagship's: narrow codegen argmin →
+      // map-side-combined agg → O(k·d) driver collect. Cost is
+      // monotonically non-increasing in k (more centers can only shrink a
+      // point's min distance from a superset of seeds... NOT guaranteed
+      // after a Lloyd step from nested seed PREFIXES, but measured strictly
+      // decreasing on the fixture and asserted in KMeansSpec as a
+      // regression tripwire alongside the hash oracle).
+      val pts = points(s, d).localCheckpoint()
+      Seq(2, 4, 8).map { k =>
+        val c1 = lloydStep(pts, collectCenters(sampleK(pts, k)))
+        pts.select(r4(sqrt(minSqDistCol(col("v"), c1))).as("md"))
+          .agg(round(sum(col("md")), 2).as("cost"))
+          .select(lit(k).as("k"), col("cost"))
+      }.reduce(_ union _)
+    },
     "kmeans_fit" -> { (s, d) => MLlibKMeans.fit(s, d, FLAGSHIP_K) },
     // SURVEY §7 step-4 initMode parity: the reference's seeding strategies
     // exposed through MLlib's two init modes (rows-only like kmeans_fit —
@@ -635,7 +660,17 @@ object KMeansOps {
       "init_farthest" -> farthestSql,
       "init_plusplus" -> plusPlusSql,
       "kmeans_lloyd_2iter" -> lloydUnrollSql(V.sqDist),
-      "kmeans_lloyd_manhattan" -> lloydUnrollSql(V.manhattan)
+      "kmeans_lloyd_manhattan" -> lloydUnrollSql(V.manhattan),
+      // each branch re-trains its own k-cell single-step model
+      // (trainedCellsSqlCtes — the same unrolled snap12 machinery the IVF
+      // oracle uses), namespaced per branch by the parenthesized WITH
+      "kmeans_cost_sweep" -> Seq(2, 4, 8).map { k =>
+        s"""(WITH ${trainedCellsSqlCtes(k, 1)}
+           |SELECT $k AS k, round(sum(md), 2) AS cost FROM (
+           |  SELECT round(sqrt(min(${V.sqDist("e.embedding", "c.cv")})), 4) AS md
+           |  FROM embeddings e CROSS JOIN c1 c
+           |  GROUP BY e.vec_id))""".stripMargin
+      }.mkString("\nUNION ALL\n")
     )
   }
 

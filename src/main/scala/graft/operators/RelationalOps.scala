@@ -167,6 +167,58 @@ object RelationalOps {
           coalesce(col("last_click_us"), lit(-1L)).as("last_click_us"))
     },
 
+    "join_bloom" -> { (s, d) =>
+      // bloom-style pre-filtered semi join (the runtime-filter shape): when
+      // the build side is too big to broadcast EXACTLY but its M-bucket
+      // hash signature is tiny, broadcast the signature — the distinct set
+      // of hash buckets its keys occupy, ≤ M rows whatever the build row
+      // count — and semi-join the probe against it BEFORE the row-scaled
+      // shuffle join. The pre-filter is sound by construction (a matching
+      // probe key hashes into an occupied bucket, both sides computed by
+      // the same engine), so the second, exact semi join makes the result
+      // — and therefore the oracle — identical to the plain semi join;
+      // false-positive probe rows (≈ |probe|·occupancy/M) just ride along
+      // to stage 2 instead of being wrongly dropped. This is the manual,
+      // deterministic form of Spark's injected runtime bloom filter, with
+      // the same 100 TB economics: drop most of the probe at the scan, pay
+      // the shuffle only for candidates. At fixture scale Catalyst
+      // broadcasts stage 2 as well; at real scale stage 2 is the shuffle
+      // join the signature just starved.
+      val M = 4096
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val sig = o.select(pmod(xxhash64(col("o_custkey")), lit(M)).as("b"))
+        .distinct()
+      c.join(broadcast(sig),
+          pmod(xxhash64(col("c_custkey")), lit(M)) === col("b"), "left_semi")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    },
+    "compact_changelog" -> { (s, d) =>
+      // CDC/log compaction — latest state per key (the snapshot-merge step
+      // of an incrementally updated corpus): ONE map-side-combinable
+      // `max(struct(...))` aggregate, NOT a per-key window sort. A
+      // row_number window must shuffle and sort every changelog row; the
+      // struct-max carries one candidate row per (partition, key) into the
+      // shuffle — O(keys) reducer input at any log length, the compaction
+      // shape that survives a 100 TB changelog. The struct compares
+      // lexicographically (ts_us, then the unique event_id), so the
+      // comparison never reaches the payload fields and the winner is
+      // total-order deterministic. µs time math per the join_asof
+      // conventions (DuckDB reads TIMESTAMP(NANOS) at µs resolution).
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+          col("value"))).as("last"), count(lit(1)).as("n_versions"))
+        .select(col("user_id"), col("last.ts_us").as("ts_us"),
+          col("last.event_id").as("event_id"),
+          col("last.event_type").as("event_type"),
+          round(col("last.value"), 2).as("value"), col("n_versions"))
+    },
+
     // --- aggregation (§2.4 / §2.6) -------------------------------------
     "agg_distinct" -> { (s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
@@ -457,6 +509,23 @@ object RelationalOps {
         |                   AND epoch_us(c.ts) <= epoch_us(e.ts)), -1)
         |         AS last_click_us
         |FROM events e WHERE event_type = 'purchase'""".stripMargin,
+    // the bucket pre-filter is engine-internal and sound (never drops a
+    // true match), so the oracle is the plain semi join it accelerates
+    "join_bloom" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "compact_changelog" ->
+      """SELECT user_id, ts_us, event_id, event_type,
+        |       round(value, 2) AS value, n_versions
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |             value,
+        |             count(*) OVER (PARTITION BY user_id)::BIGINT AS n_versions,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
     "agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value

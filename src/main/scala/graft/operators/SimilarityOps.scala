@@ -311,6 +311,39 @@ object SimilarityOps {
         .select(col("vec_id"), col("pos"), col("q"),
           r4(col("scale")).as("scale"))
     },
+    "embed_cov" -> { (s, d) =>
+      // d×d embedding covariance — the PCA/whitening/OPQ precursor every
+      // embedding-space pipeline runs before dimensionality reduction or
+      // product quantization. ONE pass, ONE map-side-combined aggregate:
+      // each row contributes its flattened d² outer product and the raw
+      // vector to a pair of array-sum buffers (CentroidAgg — the same
+      // sufficient-statistics topology MLlib's treeAggregate uses for
+      // RowMatrix.computeCovariance), so the shuffle carries d²+d doubles
+      // PER PARTITION (32 KB at d=64) whatever the corpus row count — the
+      // only shape a 100 TB Gram matrix computation can take. The upper
+      // triangle is then unpacked from the single result row: cov(i,j) =
+      // E[x_i x_j] − E[x_i]E[x_j], rIeee@6 (continuous values ~1e-2..1e-4
+      // on the unit-normalized fixture; the 1e-6 grid sits ~9 orders above
+      // double summation noise).
+      val dim = 64
+      val acc = udaf(graft.functions.CentroidAgg)
+      val outer = flatten(transform(col("v"),
+        x => transform(col("v"), y => x * y)))
+      val moments = KMeansOps.points(s, d)
+        .select(col("v"), outer.as("xx"))
+        .agg(acc(col("xx")).as("exy"), acc(col("v")).as("ex"))
+      moments
+        .select(col("exy"), col("ex"),
+          posexplode(col("exy")).as(Seq("idx", "e_xy")))
+        .select((col("idx") / dim + 1).cast("int").as("i"),
+          (col("idx") % dim + 1).cast("int").as("j"),
+          col("e_xy"), col("ex"))
+        .where(col("i") <= col("j"))
+        .select(col("i"), col("j"),
+          rIeee(col("e_xy") -
+            element_at(col("ex"), col("i")) *
+            element_at(col("ex"), col("j")), 6).as("cov"))
+    },
     "dedup_embedding" -> { (s, d) =>
       // embedding-cosine near-dup: multi-table LSH bucket -> capped
       // within-bucket pairs (deduped as BARE ID PAIRS — 2 longs through the
@@ -484,6 +517,17 @@ object SimilarityOps {
         |                1e-12) AS scale
         |            FROM (SELECT vec_id, embedding::DOUBLE[] AS v
         |                  FROM embeddings)))""".stripMargin,
+    // per-(i,j) means over the same rows in both engines; the 1e-6 rIeee
+    // grid absorbs the partition-order summation difference
+    "embed_cov" ->
+      s"""SELECT i.idx::INT AS i, j.idx::INT AS j,
+         |       (${VectorSql.rIeee(
+               "avg(e.embedding[i.idx]::DOUBLE * e.embedding[j.idx]::DOUBLE)" +
+                 " - avg(e.embedding[i.idx]::DOUBLE)" +
+                 " * avg(e.embedding[j.idx]::DOUBLE)", 6)} + 0) AS cov
+         |FROM embeddings e, range(1, 65) i(idx), range(1, 65) j(idx)
+         |WHERE i.idx <= j.idx
+         |GROUP BY i.idx, j.idx""".stripMargin,
     "similarity_topk" -> simTopkSql
   )
 }

@@ -164,6 +164,17 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("kmeans_cost_sweep: cost strictly decreases with k on the fixture") {
+    // the hash oracle pins the exact values; this pins the elbow SHAPE so
+    // a seeding/assignment regression that still hashes (e.g. against a
+    // refreshed oracle) stays visible as a broken cost curve
+    val rows = SparkEntry.queries("kmeans_cost_sweep")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(2, 4, 8))
+    assert(rows(0)._2 > rows(1)._2 && rows(1)._2 > rows(2)._2,
+      s"cost not decreasing in k: ${rows.toSeq}")
+  }
+
   test("MLlib initMode variants reach lloyd-comparable cost on the fixture") {
     // SURVEY §7 step 4: random -> "random", ++/farthest -> "k-means||".
     // Both modes must land in the same cost regime as the expression-based

@@ -433,6 +433,46 @@ class OperatorSpec extends SparkSpec {
     assert(byShard.where(col("tot") =!= col("hi")).count() === 0L)
   }
 
+  test("join_bloom equals the plain semi join its pre-filter accelerates") {
+    // soundness end-to-end: the bucket signature may pass false-positive
+    // probe rows to stage 2 but must never drop a true match
+    val out = SparkEntry.queries("join_bloom")(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+      .where(col("o_orderpriority") === "1-URGENT")
+    val truth = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+    assert(out.count() > 0L)
+    assert(out.exceptAll(truth).count() === 0L)
+    assert(truth.exceptAll(out).count() === 0L)
+  }
+
+  test("compact_changelog keeps exactly the latest version per key") {
+    val ev = Tables.events(spark, sf)
+    val out = SparkEntry.queries("compact_changelog")(spark, sf)
+    assert(out.count() === ev.select("user_id").distinct().count())
+    assert(out.agg(sum("n_versions")).first().getLong(0) === ev.count())
+    // no event of the key is strictly later than the kept row
+    val later = out
+      .join(ev.select(col("user_id"), expr("ts div 1000").as("ts2")),
+        "user_id")
+      .where(col("ts2") > col("ts_us"))
+    assert(later.count() === 0L)
+  }
+
+  test("embed_cov: full upper triangle, positive variances, C-S bound") {
+    val rows = SparkEntry.queries("embed_cov")(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(rows.size === 64 * 65 / 2)
+    val variance = (1 to 64).map(i => i -> rows((i, i))).toMap
+    assert(variance.values.forall(_ > 0.0), "diagonal must be positive")
+    // Cauchy-Schwarz: |cov(i,j)| <= sqrt(var_i var_j), with rIeee@6 slack
+    rows.foreach { case ((i, j), c) =>
+      assert(math.abs(c) <=
+        math.sqrt(variance(i) * variance(j)) + 2e-6, s"C-S violated at ($i,$j)")
+    }
+  }
+
   test("window_cumsum final row equals group sum") {
     val ev = Tables.events(spark, sf)
     val sums = ev.groupBy("user_id").agg(round(sum("value"), 2).as("total"))

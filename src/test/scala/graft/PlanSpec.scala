@@ -221,6 +221,51 @@ class PlanSpec extends SparkSpec {
       "packing lane exchange missing")
   }
 
+  test("join_bloom: broadcast signature pre-filter before the exact semi") {
+    val plan = executed("join_bloom")
+    assert(!plan.contains("CartesianProduct"))
+    // stage 1: the M-bounded bucket signature joins broadcast + semi on
+    // the probe's hash bucket; stage 2 is the exact key semi join
+    assert(plan.split("\n").exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi") &&
+          l.contains("xxhash64")),
+      s"bucket-signature broadcast semi join missing:\n$plan")
+    assert(plan.split("\n").count(_.contains("LeftSemi")) >= 2,
+      "exact semi join must follow the signature pre-filter")
+  }
+
+  test("compact_changelog compacts via partial aggregate, not a window") {
+    // the struct-max must reach the shuffle as a partial (map-side
+    // combined) aggregate; a row_number window here would sort and
+    // shuffle every changelog row — the shape that dies at 100 TB
+    val plan = executed("compact_changelog")
+    assert(!plan.contains("Window"),
+      s"compaction must not window-sort the changelog:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"map-side combined struct-max missing:\n$plan")
+  }
+
+  test("embed_cov folds to sufficient statistics before its one exchange") {
+    val plan = executed("embed_cov")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
+    assert(plan.toLowerCase.contains("centroidagg"),
+      s"sufficient-statistics aggregate missing:\n$plan")
+    // the ONLY exchange is the partial-aggregate merge into the single
+    // result row — nothing row-scaled ever shuffles
+    val exchanges = plan.split("\n").filter(_.contains("Exchange "))
+    assert(exchanges.length == 1 && exchanges.head.contains("SinglePartition"),
+      s"unexpected exchanges:\n${exchanges.mkString("\n")}")
+  }
+
+  test("kmeans_cost_sweep branches share the checkpointed scan") {
+    val plan = executed("kmeans_cost_sweep")
+    assert(plan.contains("Union"))
+    assert(!plan.contains("FileScan"),
+      "sweep branches must read the materialized blocks, not rescan parquet")
+    assert(plan.split("\n").count(_.contains("nearestcenter")) >= 3,
+      "each branch plans its own literal-centers argmin")
+  }
+
   test("hot paths use the native expressions, not HOF fallbacks") {
     // a refactor that silently reverts to the interpreted
     // aggregate/zip_with/transform forms fails here (ExpressionSpec pins
