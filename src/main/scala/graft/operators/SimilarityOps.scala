@@ -314,35 +314,56 @@ object SimilarityOps {
     "embed_cov" -> { (s, d) =>
       // d×d embedding covariance — the PCA/whitening/OPQ precursor every
       // embedding-space pipeline runs before dimensionality reduction or
-      // product quantization. ONE pass, ONE map-side-combined aggregate:
-      // each row contributes its flattened d² outer product and the raw
-      // vector to a pair of array-sum buffers (CentroidAgg — the same
-      // sufficient-statistics topology MLlib's treeAggregate uses for
-      // RowMatrix.computeCovariance), so the shuffle carries d²+d doubles
-      // PER PARTITION (32 KB at d=64) whatever the corpus row count — the
-      // only shape a 100 TB Gram matrix computation can take. The upper
-      // triangle is then unpacked from the single result row: cov(i,j) =
-      // E[x_i x_j] − E[x_i]E[x_j], rIeee@6 (continuous values ~1e-2..1e-4
-      // on the unit-normalized fixture; the 1e-6 grid sits ~9 orders above
-      // double summation noise).
+      // product quantization. Topology = MLlib RowMatrix.computeCovariance:
+      // ONE pass folding each partition into primitive (Σxxᵀ, Σx, n)
+      // sufficient statistics — a genuine per-partition imperative loop
+      // (the mapPartitions preference-order case), because the expression
+      // form (per-row d²-element array through an Aggregator) pays
+      // per-element boxing on every row and measured 35 s at sf0.1 vs
+      // ~1 s for this loop. The driver merge is O(partitions·d²) — 33 KB
+      // per partition at d=64, corpus-size-independent, the same bounded
+      // collect discipline as collectCenters. cov(i,j) = E[x_i x_j] −
+      // E[x_i]E[x_j] over the upper triangle, rIeee@6 (values ~1e-2..1e-4
+      // on the unit-normalized fixture; the 1e-6 grid sits ~9 orders
+      // above double summation noise, absorbing partition-order and
+      // engine summation differences alike).
       val dim = 64
-      val acc = udaf(graft.functions.CentroidAgg)
-      val outer = flatten(transform(col("v"),
-        x => transform(col("v"), y => x * y)))
-      val moments = KMeansOps.points(s, d)
-        .select(col("v"), outer.as("xx"))
-        .agg(acc(col("xx")).as("exy"), acc(col("v")).as("ex"))
-      moments
-        .select(col("exy"), col("ex"),
-          posexplode(col("exy")).as(Seq("idx", "e_xy")))
-        .select((col("idx") / dim + 1).cast("int").as("i"),
-          (col("idx") % dim + 1).cast("int").as("j"),
-          col("e_xy"), col("ex"))
-        .where(col("i") <= col("j"))
-        .select(col("i"), col("j"),
-          rIeee(col("e_xy") -
-            element_at(col("ex"), col("i")) *
-            element_at(col("ex"), col("j")), 6).as("cov"))
+      import s.implicits._
+      val partials = KMeansOps.points(s, d)
+        .select(col("v")).as[Seq[Double]]
+        .mapPartitions { it =>
+          val xx = new Array[Double](dim * dim)
+          val x = new Array[Double](dim)
+          var n = 0L
+          while (it.hasNext) {
+            val v = it.next()
+            var i = 0
+            while (i < dim) {
+              val xi = v(i)
+              x(i) += xi
+              var j = 0
+              while (j < dim) { xx(i * dim + j) += xi * v(j); j += 1 }
+              i += 1
+            }
+            n += 1
+          }
+          if (n == 0L) Iterator.empty
+          else Iterator((xx.toSeq, x.toSeq, n))
+        }.collect()
+      val xx = new Array[Double](dim * dim)
+      val x = new Array[Double](dim)
+      var n = 0L
+      partials.foreach { case (pxx, px, pn) =>
+        var i = 0
+        while (i < dim * dim) { xx(i) += pxx(i); i += 1 }
+        i = 0
+        while (i < dim) { x(i) += px(i); i += 1 }
+        n += pn
+      }
+      def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+      val rows = for { i <- 0 until dim; j <- i until dim } yield
+        (i + 1, j + 1, r6(xx(i * dim + j) / n - (x(i) / n) * (x(j) / n)))
+      s.createDataFrame(rows).toDF("i", "j", "cov")
     },
     "dedup_embedding" -> { (s, d) =>
       // embedding-cosine near-dup: multi-table LSH bucket -> capped

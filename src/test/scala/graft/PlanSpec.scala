@@ -245,16 +245,16 @@ class PlanSpec extends SparkSpec {
       s"map-side combined struct-max missing:\n$plan")
   }
 
-  test("embed_cov folds to sufficient statistics before its one exchange") {
+  test("embed_cov reduces the corpus to bounded sufficient statistics") {
+    // the corpus is consumed by the single mapPartitions statistics pass
+    // (RowMatrix.computeCovariance topology); what the query EMITS is the
+    // merged O(d²) local relation — no shuffle, no second corpus scan, no
+    // exchange anywhere in the emitted plan
     val plan = executed("embed_cov")
-    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
-    assert(plan.toLowerCase.contains("centroidagg"),
-      s"sufficient-statistics aggregate missing:\n$plan")
-    // the ONLY exchange is the partial-aggregate merge into the single
-    // result row — nothing row-scaled ever shuffles
-    val exchanges = plan.split("\n").filter(_.contains("Exchange "))
-    assert(exchanges.length == 1 && exchanges.head.contains("SinglePartition"),
-      s"unexpected exchanges:\n${exchanges.mkString("\n")}")
+    assert(plan.contains("LocalTableScan"),
+      s"expected the merged O(d²) local relation:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("FileScan"),
+      s"emitted plan must not rescan or shuffle the corpus:\n$plan")
   }
 
   test("kmeans_cost_sweep branches share the checkpointed scan") {
