@@ -219,6 +219,27 @@ object RelationalOps {
           round(col("last.value"), 2).as("value"), col("n_versions"))
     },
 
+    "outlier_zscore" -> { (s, d) =>
+      // statistical outlier listing — the numeric-field cleaning pass a
+      // data pipeline runs before training on telemetry-like columns:
+      // per-group mean/stddev_pop (a tiny |groups|-row aggregate),
+      // broadcast back onto the stream, keep |z| beyond the cutoff. Two
+      // narrow passes + a broadcast join — the corpus is never shuffled
+      // (the group stats relation is group-domain-bounded). The cutoff
+      // compares the ROUNDED z (r4), so both engines test the same grid
+      // value and a boundary-straddling float can't flip membership
+      // (dedup_embedding's sim>=0.3 discipline).
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"),
+          round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+        .where(abs(col("z")) > 3.0)
+    },
+
     // --- aggregation (§2.4 / §2.6) -------------------------------------
     "agg_distinct" -> { (s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
@@ -526,6 +547,14 @@ object RelationalOps {
         |               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+    "outlier_zscore" ->
+      """SELECT event_id, event_type, round(value, 2) AS value, z
+        |FROM (SELECT event_id, event_type, value,
+        |        round((value - avg(value) OVER (PARTITION BY event_type))
+        |              / stddev_pop(value) OVER (PARTITION BY event_type), 4)
+        |          AS z
+        |      FROM events)
+        |WHERE abs(z) > 3.0""".stripMargin,
     "agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value

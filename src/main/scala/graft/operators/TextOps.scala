@@ -299,6 +299,27 @@ object TextOps {
     "pack_sequences" -> { (s, d) =>
       packSequences(Tables.documents(s, d))
     },
+    "pack_stats" -> { (s, d) =>
+      // packing-efficiency audit — the "how many tokens am I padding
+      // away?" monitor run beside any concat-and-chunk packer: per shard,
+      // docs packed, true tokens, sequences emitted (max(last_seq)+1 —
+      // offsets are contiguous from 0 within a shard), and the fill ratio
+      // tokens/(seqs·SEQ). A fill ratio drifting down means the doc mix
+      // got shorter relative to SEQ (more boundary waste) or a shard went
+      // idle — both worth an alert before a training run, neither visible
+      // from pack_sequences' per-doc rows. Aggregates over the packer's
+      // own output, so it inherits pack_sequences' shape: one lane
+      // exchange, windows over shard lanes only, then a 32-row rollup.
+      packSequences(Tables.documents(s, d))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_toks"),
+          (max(col("last_seq")) + 1).as("n_seqs"))
+        .select(col("shard"), col("n_docs"), col("n_toks"), col("n_seqs"),
+          graft.functions.VectorOps.rIeee(
+            col("n_toks").cast("double") /
+              (col("n_seqs") * 512).cast("double"), 4).as("fill"))
+    },
     "ngram_topk" -> { (s, d) =>
       // corpus heavy-hitter word 3-grams (phrase-level vocabulary /
       // boilerplate detection — the n-gram sibling of token_topk): the
@@ -586,6 +607,15 @@ object TextOps {
         |        ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
         |      FROM documents)""".stripMargin,
     "pack_sequences" -> s"WITH ${packCtes("documents")}\n$packSelect",
+    "pack_stats" ->
+      s"""WITH ${packCtes("documents")}
+         |SELECT shard, count(*)::BIGINT AS n_docs,
+         |       sum(n_tokens::BIGINT)::BIGINT AS n_toks,
+         |       (max((cum - 1) // 512) + 1)::BIGINT AS n_seqs,
+         |       ${graft.functions.VectorSql.rIeee(
+               "sum(n_tokens::BIGINT)::DOUBLE / ((max((cum - 1) // 512) + 1) * 512)::DOUBLE", 4)}
+         |         AS fill
+         |FROM c GROUP BY shard""".stripMargin,
     "ngram_topk" -> {
       val all3 =
         """CASE WHEN len(w) >= 3

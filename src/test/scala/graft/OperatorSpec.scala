@@ -473,6 +473,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pack_stats agrees with pack_sequences and bounds the fill ratio") {
+    val packed = SparkEntry.queries("pack_sequences")(spark, sf)
+    val stats = SparkEntry.queries("pack_stats")(spark, sf)
+    // per-shard token totals must be the packer's own, fill in (0, 1]
+    val truth = packed.groupBy("shard")
+      .agg(sum(col("n_tokens").cast("long")).as("t_toks"),
+        (max(col("last_seq")) + 1).as("t_seqs"))
+    val joined = stats.join(truth, "shard")
+    assert(joined.where(col("n_toks") =!= col("t_toks") ||
+      col("n_seqs") =!= col("t_seqs")).count() === 0L)
+    assert(stats.where(col("fill") <= 0.0 || col("fill") > 1.0).count() === 0L)
+    // sequences are the minimum covering the tokens: seqs-1 would not fit
+    assert(stats.where(col("n_toks") <= (col("n_seqs") - 1) * 512).count() === 0L)
+  }
+
+  test("outlier_zscore flags exactly the beyond-cutoff rows") {
+    val out = SparkEntry.queries("outlier_zscore")(spark, sf)
+    assert(out.count() > 0L, "fixture should surface some |z|>3 outliers")
+    assert(out.where(abs(col("z")) <= 3.0).count() === 0L)
+    // completeness: recompute via the window form and compare counts
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val truth = Tables.events(spark, sf)
+      .withColumn("z", round((col("value") - avg("value").over(w)) /
+        stddev_pop("value").over(w), 4))
+      .where(abs(col("z")) > 3.0)
+    assert(out.count() === truth.count())
+  }
+
   test("window_cumsum final row equals group sum") {
     val ev = Tables.events(spark, sf)
     val sums = ev.groupBy("user_id").agg(round(sum("value"), 2).as("total"))

@@ -266,6 +266,27 @@ class PlanSpec extends SparkSpec {
       "each branch plans its own literal-centers argmin")
   }
 
+  test("outlier_zscore broadcasts group stats; never windows the corpus") {
+    // the per-group stats relation is |groups|-row bounded and must come
+    // back as a broadcast join; a window form would shuffle + sort every
+    // event row per group at 100 TB
+    val plan = executed("outlier_zscore")
+    assert(!plan.contains("Window"), s"corpus-wide window planned:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group-stats broadcast join missing:\n$plan")
+  }
+
+  test("pack_stats reuses the packer's lane partitioning for its rollup") {
+    // groupBy(shard) sits on the window's hashpartitioning(shard) output —
+    // a second exchange here means the rollup stopped riding the lane
+    // partitioning
+    val plan = executed("pack_stats")
+    val exchanges = plan.split("\n").filter(_.contains("Exchange "))
+    assert(exchanges.length == 1 &&
+      exchanges.head.contains("hashpartitioning(shard"),
+      s"expected only the packer's lane exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("hot paths use the native expressions, not HOF fallbacks") {
     // a refactor that silently reverts to the interpreted
     // aggregate/zip_with/transform forms fails here (ExpressionSpec pins
