@@ -328,42 +328,40 @@ object SimilarityOps {
       // above double summation noise, absorbing partition-order and
       // engine summation differences alike).
       val dim = 64
-      import s.implicits._
-      val partials = KMeansOps.points(s, d)
-        .select(col("v")).as[Seq[Double]]
-        .mapPartitions { it =>
-          val xx = new Array[Double](dim * dim)
-          val x = new Array[Double](dim)
-          var n = 0L
-          while (it.hasNext) {
-            val v = it.next()
-            var i = 0
-            while (i < dim) {
-              val xi = v(i)
-              x(i) += xi
-              var j = 0
-              while (j < dim) { xx(i * dim + j) += xi * v(j); j += 1 }
-              i += 1
-            }
-            n += 1
-          }
-          if (n == 0L) Iterator.empty
-          else Iterator((xx.toSeq, x.toSeq, n))
-        }.collect()
-      val xx = new Array[Double](dim * dim)
-      val x = new Array[Double](dim)
-      var n = 0L
-      partials.foreach { case (pxx, px, pn) =>
-        var i = 0
-        while (i < dim * dim) { xx(i) += pxx(i); i += 1 }
-        i = 0
-        while (i < dim) { x(i) += px(i); i += 1 }
-        n += pn
-      }
-      def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+      val c = covMatrix(s, d, dim)
       val rows = for { i <- 0 until dim; j <- i until dim } yield
-        (i + 1, j + 1, r6(xx(i * dim + j) / n - (x(i) / n) * (x(j) / n)))
+        (i + 1, j + 1, r6d(c(i * dim + j)))
       s.createDataFrame(rows).toDF("i", "j", "cov")
+    },
+    "embed_pca" -> { (s, d) =>
+      // top principal component — the direction a whitening/compression
+      // stage projects on first, computed as TWO fixed power-iteration
+      // steps on the covariance (v ← Cv/‖Cv‖ from the uniform unit start).
+      // A fixed trip count instead of convergence iteration is the same
+      // oracle discipline as kmeans_lloyd_2iter: both engines run the
+      // identical IEEE sequence, so the result is DuckDB-expressible —
+      // the oracle replays the matrix-vector products as join-aggregates
+      // over its own cov relation. All corpus-scaled work is the shared
+      // one-pass sufficient-statistics fold (covMatrix); the iteration
+      // itself is O(d²) driver arithmetic, corpus-size-independent —
+      // exactly where MLlib's RowMatrix runs its eigensolver too.
+      // λ = ‖C·u‖ of the last step (u unit ⇒ the Rayleigh estimate).
+      val dim = 64
+      val c = covMatrix(s, d, dim)
+      var v = Array.fill(dim)(0.125) // unit L2: 64 · 0.125² = 1
+      var lambda = 0.0
+      for (_ <- 1 to 2) {
+        val w = Array.tabulate(dim) { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += c(i * dim + j) * v(j); j += 1 }
+          acc
+        }
+        lambda = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / lambda)
+      }
+      val rows = (0 until dim).map(i => (i + 1, r6d(v(i)), r6d(lambda)))
+      s.createDataFrame(rows).toDF("i", "pc1", "lambda")
     },
     "dedup_embedding" -> { (s, d) =>
       // embedding-cosine near-dup: multi-table LSH bucket -> capped
@@ -395,6 +393,58 @@ object SimilarityOps {
         .orderBy(col("id_a"), col("id_b"))
     }
   )
+
+  /** rIeee@6 in driver scala — the same pure-IEEE floor form as
+    * [[graft.functions.VectorOps.rIeee]]. */
+  private def r6d(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+
+  /** Full d×d covariance of the embeddings as a flattened row-major array:
+    * ONE mapPartitions pass folds each partition into primitive
+    * (Σxxᵀ, Σx, n) sufficient statistics — MLlib
+    * RowMatrix.computeCovariance's topology, and the genuine
+    * per-partition-imperative mapPartitions case (the per-row d²-array
+    * expression form paid boxed serialization on every row: 35 s vs ~1 s
+    * at sf0.1). The driver merge is O(partitions·d²) — 33 KB per partition
+    * at d=64, corpus-size-independent, the same bounded-collect
+    * discipline as collectCenters. Shared by embed_cov and embed_pca. */
+  private def covMatrix(s: SparkSession, d: String, dim: Int): Array[Double] = {
+    import s.implicits._
+    val partials = KMeansOps.points(s, d)
+      .select(col("v")).as[Seq[Double]]
+      .mapPartitions { it =>
+        val xx = new Array[Double](dim * dim)
+        val x = new Array[Double](dim)
+        var n = 0L
+        while (it.hasNext) {
+          val v = it.next()
+          var i = 0
+          while (i < dim) {
+            val xi = v(i)
+            x(i) += xi
+            var j = 0
+            while (j < dim) { xx(i * dim + j) += xi * v(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator((xx.toSeq, x.toSeq, n))
+      }.collect()
+    val xx = new Array[Double](dim * dim)
+    val x = new Array[Double](dim)
+    var n = 0L
+    partials.foreach { case (pxx, px, pn) =>
+      var i = 0
+      while (i < dim * dim) { xx(i) += pxx(i); i += 1 }
+      i = 0
+      while (i < dim) { x(i) += px(i); i += 1 }
+      n += pn
+    }
+    Array.tabulate(dim * dim) { k =>
+      val i = k / dim; val j = k % dim
+      xx(k) / n - (x(i) / n) * (x(j) / n)
+    }
+  }
 
   // ---------------------------------------------------------- LSH oracles
   //
@@ -549,6 +599,27 @@ object SimilarityOps {
          |FROM embeddings e, range(1, 65) i(idx), range(1, 65) j(idx)
          |WHERE i.idx <= j.idx
          |GROUP BY i.idx, j.idx""".stripMargin,
+    // the oracle replays the two fixed power-iteration steps as
+    // join-aggregates over its own full cov relation; scalar norms come
+    // back via scalar subqueries. Same rIeee@6 absorption as embed_cov.
+    "embed_pca" ->
+      s"""WITH m AS (
+         |  SELECT i.idx::INT AS i, j.idx::INT AS j,
+         |         avg(e.embedding[i.idx]::DOUBLE * e.embedding[j.idx]::DOUBLE)
+         |           - avg(e.embedding[i.idx]::DOUBLE)
+         |           * avg(e.embedding[j.idx]::DOUBLE) AS c
+         |  FROM embeddings e, range(1, 65) i(idx), range(1, 65) j(idx)
+         |  GROUP BY i.idx, j.idx),
+         |w1 AS (SELECT i, sum(c * 0.125) AS w FROM m GROUP BY i),
+         |n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+         |u1 AS (SELECT i, w / (SELECT nrm FROM n1) AS u FROM w1),
+         |w2 AS (SELECT m.i, sum(m.c * u1.u) AS w
+         |       FROM m JOIN u1 ON m.j = u1.i GROUP BY m.i),
+         |n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
+         |u2 AS (SELECT i, w / (SELECT nrm FROM n2) AS u FROM w2)
+         |SELECT i, (${VectorSql.rIeee("u", 6)} + 0) AS pc1,
+         |       (${VectorSql.rIeee("(SELECT nrm FROM n2)", 6)} + 0) AS lambda
+         |FROM u2""".stripMargin,
     "similarity_topk" -> simTopkSql
   )
 }

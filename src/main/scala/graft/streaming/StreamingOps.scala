@@ -228,6 +228,32 @@ object StreamingOps {
       .toDF("user_id", "event_id", "multiple")
   }
 
+  /** Streaming changelog compaction — the always-fresh "latest state per
+    * key" materialized view (the KTable shape): the same map-side-combined
+    * `max(struct(ts_us, event_id, payload…))` aggregate as the batch
+    * `compact_changelog`, run in complete mode. State is ONE struct per
+    * key — bounded by the key domain, not the stream length — which is the
+    * contract that lets a compaction view run forever; a deployment whose
+    * key domain itself grows without bound TTLs keys out via
+    * flatMapGroupsWithState instead (the alerts query shows that path).
+    * No watermark: compaction never closes — every key's latest row must
+    * stay revisable by later arrivals, exactly why complete mode (not
+    * append) is the only sound output mode here. */
+  def compactStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema)
+      .parquet(stageDir(sfDir, "events"))
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+        col("value"))).as("last"), count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("last.ts_us").as("ts_us"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"),
+        round(col("last.value"), 2).as("value"), col("n_versions"))
+  }
+
   /** Batch form of [[thresholdAlerts]] for the equivalence test: the same
     * integer-cents quantization, an exact long cumsum window, and a
     * floor-quotient change between consecutive rows. */
@@ -329,10 +355,16 @@ object StreamingOps {
       runToMemorySink(clickToPurchaseJoin(s, d), "vq_stream_ssj", "append") },
     "streaming_alerts" -> { (s, d) =>
       runToMemorySink(thresholdAlerts(s, d, ALERT_THRESHOLD),
-        "vq_stream_alerts", "append") }
+        "vq_stream_alerts", "append") },
+    "streaming_compact" -> { (s, d) =>
+      runToMemorySink(compactStream(s, d), "vq_stream_compact") }
   )
 
   val oracles: Map[String, String] = Map(
+    // identical semantics (and column names) to the batch compaction —
+    // StreamingSpec proves the two row-identical, so the oracle is shared
+    "streaming_compact" ->
+      graft.operators.RelationalOps.oracles("compact_changelog"),
     "streaming_window_agg" ->
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
          |       event_type, count(*)::BIGINT AS n,

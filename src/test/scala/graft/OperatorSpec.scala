@@ -501,6 +501,21 @@ class OperatorSpec extends SparkSpec {
     assert(out.count() === truth.count())
   }
 
+  test("embed_pca emits a unit direction with a trace-bounded eigenvalue") {
+    val rows = SparkEntry.queries("embed_pca")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length === 64)
+    val norm = math.sqrt(rows.map { case (_, p, _) => p * p }.sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"pc1 not unit: $norm")
+    val lambda = rows.head._3
+    assert(rows.forall(_._3 === lambda), "lambda must be constant")
+    // 0 < λ ≤ trace(C) = Σ variances (diagonal of embed_cov)
+    val trace = SparkEntry.queries("embed_cov")(spark, sf)
+      .where(col("i") === col("j")).agg(sum("cov")).first().getDouble(0)
+    assert(lambda > 0.0 && lambda <= trace + 1e-4,
+      s"lambda $lambda outside (0, trace=$trace]")
+  }
+
   test("window_cumsum final row equals group sum") {
     val ev = Tables.events(spark, sf)
     val sums = ev.groupBy("user_id").agg(round(sum("value"), 2).as("total"))

@@ -250,11 +250,13 @@ class PlanSpec extends SparkSpec {
     // (RowMatrix.computeCovariance topology); what the query EMITS is the
     // merged O(d²) local relation — no shuffle, no second corpus scan, no
     // exchange anywhere in the emitted plan
-    val plan = executed("embed_cov")
-    assert(plan.contains("LocalTableScan"),
-      s"expected the merged O(d²) local relation:\n$plan")
-    assert(!plan.contains("Exchange") && !plan.contains("FileScan"),
-      s"emitted plan must not rescan or shuffle the corpus:\n$plan")
+    for (q <- Seq("embed_cov", "embed_pca")) {
+      val plan = executed(q)
+      assert(plan.contains("LocalTableScan"),
+        s"$q: expected the merged O(d²) local relation:\n$plan")
+      assert(!plan.contains("Exchange") && !plan.contains("FileScan"),
+        s"$q: emitted plan must not rescan or shuffle the corpus:\n$plan")
+    }
   }
 
   test("kmeans_cost_sweep branches share the checkpointed scan") {

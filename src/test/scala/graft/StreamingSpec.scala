@@ -109,6 +109,15 @@ class StreamingSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected)
   }
 
+  test("streaming compaction matches the batch compact_changelog") {
+    val streamed = StreamingOps.runToMemorySink(
+      StreamingOps.compactStream(spark, sf), "stream_compact")
+    val batch = SparkEntry.queries("compact_changelog")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming session_window matches batch session_window_agg") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.sessionCounts(spark, sf), "stream_sess")
