@@ -219,6 +219,39 @@ object RelationalOps {
           round(col("last.value"), 2).as("value"), col("n_versions"))
     },
 
+    "join_range" -> { (s, d) =>
+      // banded range join — the scale form of a non-equi interval probe
+      // (price → irregular bracket table here; ip → CIDR block, ts →
+      // maintenance window are the same shape). A naive interval join
+      // plans as BroadcastNestedLoopJoin: every probe row scans every
+      // interval. Banding fixes the asymptotics: intervals are REPLICATED
+      // onto each fixed-width band they cover (Σ spans rows — config-
+      // sized), the probe computes its band with one floor division, and
+      // the join becomes an EQUI-join on the band (O(1) hash probe per
+      // row) + a residual lo<=p<hi filter. Band boundaries are pure IEEE
+      // floor(price/W) in both engines; the brackets are the non-equi
+      // CONFIG (a real pipeline's banding table), the probe is the
+      // fixture fact table. Output aggregated per bracket so the declared
+      // result stays bracket-bounded.
+      val W = 5000.0
+      val brackets = Seq(
+        (0, 0.0, 1000.0), (1, 1000.0, 2500.0), (2, 2500.0, 5000.0),
+        (3, 5000.0, 10000.0), (4, 10000.0, 25000.0), (5, 25000.0, 50000.0),
+        (6, 50000.0, 75000.0), (7, 75000.0, 105000.0),
+        (8, 105000.0, 200000.0))
+      val br = s.createDataFrame(brackets).toDF("bracket_id", "lo", "hi")
+        .withColumn("band", explode(sequence((col("lo") / W).cast("long"),
+          ((col("hi") - lit(0.01)) / W).cast("long"))))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").as("price"))
+        .withColumn("band", floor(col("price") / W).cast("long"))
+      li.join(broadcast(br),
+          li("band") === br("band") &&
+            col("price") >= col("lo") && col("price") < col("hi"))
+        .groupBy(col("bracket_id"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("price")), 2).as("sum_price"))
+    },
     "outlier_zscore" -> { (s, d) =>
       // statistical outlier listing — the numeric-field cleaning pass a
       // data pipeline runs before training on telemetry-like columns:
@@ -547,6 +580,19 @@ object RelationalOps {
         |               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+    // the banding is engine-internal (band equi-key + residual filter ==
+    // the bare interval predicate); the oracle states the plain range join
+    "join_range" ->
+      """WITH br(bracket_id, lo, hi) AS (VALUES
+        |  (0, 0.0, 1000.0), (1, 1000.0, 2500.0), (2, 2500.0, 5000.0),
+        |  (3, 5000.0, 10000.0), (4, 10000.0, 25000.0), (5, 25000.0, 50000.0),
+        |  (6, 50000.0, 75000.0), (7, 75000.0, 105000.0),
+        |  (8, 105000.0, 200000.0))
+        |SELECT bracket_id, count(*)::BIGINT AS n_items,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN br
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY bracket_id""".stripMargin,
     "outlier_zscore" ->
       """SELECT event_id, event_type, round(value, 2) AS value, z
         |FROM (SELECT event_id, event_type, value,

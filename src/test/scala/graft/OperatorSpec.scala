@@ -501,6 +501,15 @@ class OperatorSpec extends SparkSpec {
     assert(out.count() === truth.count())
   }
 
+  test("join_range brackets partition the fact table exhaustively") {
+    // the brackets are contiguous and cover the price domain, so banding
+    // must place every lineitem row in exactly one bracket — a dropped
+    // band replication or an off-by-one residual filter breaks the total
+    val out = SparkEntry.queries("join_range")(spark, sf)
+    val total = out.agg(sum("n_items")).first().getLong(0)
+    assert(total === Tables.lineitem(spark, sf).count())
+  }
+
   test("embed_pca emits a unit direction with a trace-bounded eigenvalue") {
     val rows = SparkEntry.queries("embed_pca")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))

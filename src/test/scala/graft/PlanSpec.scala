@@ -268,6 +268,19 @@ class PlanSpec extends SparkSpec {
       "each branch plans its own literal-centers argmin")
   }
 
+  test("join_range bands the interval probe into a hash equi-join") {
+    // the whole point of banding: WITHOUT the band equi-key Catalyst can
+    // only plan BroadcastNestedLoopJoin (every probe row scans every
+    // interval); with it, the interval probe is a broadcast HASH join and
+    // the lo/hi predicate is a residual filter
+    val plan = executed("join_range")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"banded equi-join missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval probe fell back to a nested-loop scan:\n$plan")
+  }
+
   test("outlier_zscore broadcasts group stats; never windows the corpus") {
     // the per-group stats relation is |groups|-row bounded and must come
     // back as a broadcast join; a window form would shuffle + sort every
