@@ -20,6 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
+  /** Banded interval join core (see the `join_range` query for the scale
+    * rationale): brackets `(bracket_id, lo, hi)` replicate onto each
+    * width-`w` band they cover, the probe's `price` computes its band with
+    * one floor division, and the non-equi predicate becomes a broadcast
+    * hash EQUI-join on the band + residual bounds filter. Equivalent to
+    * `probe JOIN brackets ON price >= lo AND price < hi` for any interval
+    * set (overlapping or not — PropertySpec proves it against the naive
+    * join on generated intervals). `0.01` under `hi` keeps the exclusive
+    * upper bound on the previous band when `hi` is band-aligned; bounds
+    * must be coarser-grained than 0.01 (prices are 2-decimal). */
+  private[graft] def bandedRangeJoin(probe: DataFrame, brackets: DataFrame,
+      w: Double): DataFrame = {
+    val br = brackets.withColumn("band",
+      explode(sequence((col("lo") / w).cast("long"),
+        ((col("hi") - lit(0.01)) / w).cast("long"))))
+    val p = probe.withColumn("band", floor(col("price") / w).cast("long"))
+    p.join(broadcast(br),
+      p("band") === br("band") &&
+        col("price") >= col("lo") && col("price") < col("hi"))
+  }
+
   /** events with `ts` (epoch nanos, see [[graft.Tables.table]]) plus an
     * epoch-hour bucket — the tumbling-window key used by batch + oracle. */
   private def eventsWithHour(s: SparkSession, d: String): DataFrame =
@@ -233,21 +254,15 @@ object RelationalOps {
       // CONFIG (a real pipeline's banding table), the probe is the
       // fixture fact table. Output aggregated per bracket so the declared
       // result stays bracket-bounded.
-      val W = 5000.0
       val brackets = Seq(
         (0, 0.0, 1000.0), (1, 1000.0, 2500.0), (2, 2500.0, 5000.0),
         (3, 5000.0, 10000.0), (4, 10000.0, 25000.0), (5, 25000.0, 50000.0),
         (6, 50000.0, 75000.0), (7, 75000.0, 105000.0),
         (8, 105000.0, 200000.0))
       val br = s.createDataFrame(brackets).toDF("bracket_id", "lo", "hi")
-        .withColumn("band", explode(sequence((col("lo") / W).cast("long"),
-          ((col("hi") - lit(0.01)) / W).cast("long"))))
       val li = Tables.lineitem(s, d)
         .select(col("l_extendedprice").as("price"))
-        .withColumn("band", floor(col("price") / W).cast("long"))
-      li.join(broadcast(br),
-          li("band") === br("band") &&
-            col("price") >= col("lo") && col("price") < col("hi"))
+      bandedRangeJoin(li, br, w = 5000.0)
         .groupBy(col("bracket_id"))
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("price")), 2).as("sum_price"))

@@ -328,7 +328,7 @@ object SimilarityOps {
       // above double summation noise, absorbing partition-order and
       // engine summation differences alike).
       val dim = 64
-      val c = covMatrix(s, d, dim)
+      val c = covMatrix(KMeansOps.points(s, d), dim)
       val rows = for { i <- 0 until dim; j <- i until dim } yield
         (i + 1, j + 1, r6d(c(i * dim + j)))
       s.createDataFrame(rows).toDF("i", "j", "cov")
@@ -347,7 +347,7 @@ object SimilarityOps {
       // exactly where MLlib's RowMatrix runs its eigensolver too.
       // λ = ‖C·u‖ of the last step (u unit ⇒ the Rayleigh estimate).
       val dim = 64
-      val c = covMatrix(s, d, dim)
+      val c = covMatrix(KMeansOps.points(s, d), dim)
       var v = Array.fill(dim)(0.125) // unit L2: 64 · 0.125² = 1
       var lambda = 0.0
       for (_ <- 1 to 2) {
@@ -407,9 +407,9 @@ object SimilarityOps {
     * at sf0.1). The driver merge is O(partitions·d²) — 33 KB per partition
     * at d=64, corpus-size-independent, the same bounded-collect
     * discipline as collectCenters. Shared by embed_cov and embed_pca. */
-  private def covMatrix(s: SparkSession, d: String, dim: Int): Array[Double] = {
-    import s.implicits._
-    val partials = KMeansOps.points(s, d)
+  private[graft] def covMatrix(pts: DataFrame, dim: Int): Array[Double] = {
+    import pts.sparkSession.implicits._
+    val partials = pts
       .select(col("v")).as[Seq[Double]]
       .mapPartitions { it =>
         val xx = new Array[Double](dim * dim)

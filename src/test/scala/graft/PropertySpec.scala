@@ -239,6 +239,59 @@ class PropertySpec extends SparkSpec {
     labels.foreach { case (id, rep) => assert(rep <= id) }
   }
 
+  test("banded range join == naive interval join on generated intervals") {
+    // irregular, partially OVERLAPPING intervals (a value can match
+    // several) and band-aligned bounds — the cases the band replication
+    // and residual filter must not mishandle
+    val brackets = (0 until 40).map { i =>
+      val lo = (i * 173 % 97) * 10.0
+      (i, lo, lo + 5.0 + (i * 37 % 11) * 25.0)
+    }.toDF("bracket_id", "lo", "hi")
+    val probe = (0 until 500)
+      .map(i => ((i * 2654435761L % 100000L) / 100.0))
+      .toDF("price")
+    val banded = graft.operators.RelationalOps
+      .bandedRangeJoin(probe, brackets, w = 50.0)
+      .select(col("bracket_id"), col("price"))
+    val naive = probe.join(brackets,
+        col("price") >= col("lo") && col("price") < col("hi"))
+      .select(col("bracket_id"), col("price"))
+    assert(naive.count() > 0L)
+    assert(banded.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(banded).count() === 0L)
+  }
+
+  test("changelog struct-max == window compaction on ties (generated)") {
+    // generated changelog with COLLIDING timestamps per key: the fixture's
+    // event timestamps never tie, so this is where the unique-id
+    // tie-break in max(struct(ts, id, payload…)) actually gets exercised
+    val log = (0 until 300).map { i =>
+      (i.toLong, (i % 20).toLong, ((i * 7) % 5).toLong, s"p$i")
+    }.toDF("id", "key", "ts", "payload")
+    val agg = log.groupBy(col("key"))
+      .agg(max(struct(col("ts"), col("id"), col("payload"))).as("m"))
+      .select(col("key"), col("m.ts").as("ts"), col("m.id").as("id"),
+        col("m.payload").as("payload"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("ts").desc, col("id").desc)
+    val win = log.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).select("key", "ts", "id", "payload")
+    assert(agg.exceptAll(win).count() === 0L)
+    assert(win.exceptAll(agg).count() === 0L)
+  }
+
+  test("covMatrix is partition-layout invariant (generated vectors)") {
+    // sufficient-statistics folding must not depend on how rows land in
+    // partitions: same vectors, different layouts, equal within float slop
+    val pts = (0 until N).map(i => (i.toLong, vec(i, 1))).toDF("id", "v")
+    val a = graft.operators.SimilarityOps.covMatrix(pts.repartition(7), DIMS)
+    val b = graft.operators.SimilarityOps.covMatrix(pts.repartition(3), DIMS)
+    assert(a.length === DIMS * DIMS)
+    a.indices.foreach { k =>
+      assert(math.abs(a(k) - b(k)) < 1e-12, s"cov[$k]: ${a(k)} vs ${b(k)}")
+    }
+  }
+
   test("CosineSim/SignBucket yield null, not an error, on short vectors") {
     // the dimension guard: malformed (mixed-dimension) embeddings must
     // produce a filterable null instead of failing the whole query
