@@ -346,20 +346,21 @@ object SimilarityOps {
       // itself is O(d²) driver arithmetic, corpus-size-independent —
       // exactly where MLlib's RowMatrix runs its eigensolver too.
       // λ = ‖C·u‖ of the last step (u unit ⇒ the Rayleigh estimate).
+      //
+      // Convergence honesty: power iteration converges at the spectral-gap
+      // rate (λ2/λ1)^steps. Real embedding corpora have dominant
+      // directions (that's why whitening exists); THIS fixture is
+      // quasi-random, so its spectrum is nearly flat (measured λ1 ≈ 0.020
+      // vs trace/d ≈ 0.016) and 2 steps yield a deterministic,
+      // oracle-pinned direction — not a converged PC. On a genuinely
+      // spiked covariance the same 2 steps already recover the planted
+      // direction (PropertySpec plants one and asserts |cos| > 0.9);
+      // deployments needing tighter convergence run more steps — each is
+      // one more O(d²) driver multiply here and one more join-aggregate
+      // CTE in the oracle, nothing corpus-scaled.
       val dim = 64
       val c = covMatrix(KMeansOps.points(s, d), dim)
-      var v = Array.fill(dim)(0.125) // unit L2: 64 · 0.125² = 1
-      var lambda = 0.0
-      for (_ <- 1 to 2) {
-        val w = Array.tabulate(dim) { i =>
-          var acc = 0.0
-          var j = 0
-          while (j < dim) { acc += c(i * dim + j) * v(j); j += 1 }
-          acc
-        }
-        lambda = math.sqrt(w.map(x => x * x).sum)
-        v = w.map(_ / lambda)
-      }
+      val (v, lambda) = powerIterate(c, dim, steps = 2)
       val rows = (0 until dim).map(i => (i + 1, r6d(v(i)), r6d(lambda)))
       s.createDataFrame(rows).toDF("i", "pc1", "lambda")
     },
@@ -397,6 +398,27 @@ object SimilarityOps {
   /** rIeee@6 in driver scala — the same pure-IEEE floor form as
     * [[graft.functions.VectorOps.rIeee]]. */
   private def r6d(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+
+  /** `steps` power-iteration steps v ← Cv/‖Cv‖ on a row-major dim×dim
+    * matrix from the uniform unit start; returns (direction, ‖Cv‖ of the
+    * last step). Fixed ascending-j accumulation order — the IEEE sequence
+    * the embed_pca oracle mirrors. */
+  private[graft] def powerIterate(c: Array[Double], dim: Int,
+      steps: Int): (Array[Double], Double) = {
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to steps) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += c(i * dim + j) * v(j); j += 1 }
+        acc
+      }
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lambda)
+    }
+    (v, lambda)
+  }
 
   /** Full d×d covariance of the embeddings as a flattened row-major array:
     * ONE mapPartitions pass folds each partition into primitive

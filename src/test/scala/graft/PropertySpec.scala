@@ -292,6 +292,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("power iteration recovers a planted dominant direction (2 steps)") {
+    // spiked covariance: x_i = s_i·u + small noise ⇒ C ≈ E[s²]·uuᵀ. The
+    // embed_pca query's 2 fixed steps must align with u when a real
+    // spectral gap exists (the fixture's flat spectrum can't show this)
+    val u0 = Array(1.0, 2.0, 3.0, 4.0, 5.0)
+    val un = math.sqrt(u0.map(x => x * x).sum)
+    val u = u0.map(_ / un)
+    val pts = (0 until N).map { i =>
+      val s = if (i % 2 == 0) 1.0 else -1.0
+      val noise = vec(i, 2)
+      (i.toLong, Seq.tabulate(DIMS)(j => s * u(j) + 0.1 * noise(j)))
+    }.toDF("id", "v")
+    val c = graft.operators.SimilarityOps.covMatrix(pts, DIMS)
+    val (v, lambda) = graft.operators.SimilarityOps.powerIterate(c, DIMS, 2)
+    val align = math.abs(v.zip(u).map { case (a, b) => a * b }.sum)
+    assert(align > 0.9, s"planted direction not recovered: |cos|=$align")
+    assert(lambda > 0.5, s"spike eigenvalue too small: $lambda")
+  }
+
   test("CosineSim/SignBucket yield null, not an error, on short vectors") {
     // the dimension guard: malformed (mixed-dimension) embeddings must
     // produce a filterable null instead of failing the whole query
