@@ -288,6 +288,58 @@ object RelationalOps {
         .where(abs(col("z")) > 3.0)
     },
 
+    "event_funnel" -> { (s, d) =>
+      // ordered funnel (view → click → purchase): the stage a user
+      // reached, counted — with each stage's timestamp constrained to
+      // FOLLOW the previous stage's (an unordered "did both" is not a
+      // funnel). Three unordered aggregate windows over ONE user_id
+      // partitioning — a single shuffle, no sort (no orderBy ⇒ no
+      // per-partition sort pass), then a per-user rollup and a
+      // stage-domain-bounded count. user_id is high-cardinality, so the
+      // window partitioning scales with the cluster, never a funnel
+      // reducer. µs time math per join_asof conventions.
+      val w = Window.partitionBy(col("user_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val staged = ev
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" &&
+            col("ts_us") >= col("t_view"), col("ts_us"))).over(w))
+        .withColumn("t_purch",
+          min(when(col("event_type") === "purchase" &&
+            col("ts_us") >= col("t_click"), col("ts_us"))).over(w))
+      staged.groupBy(col("user_id"))
+        .agg(min(col("t_view")).as("tv"), min(col("t_click")).as("tc"),
+          min(col("t_purch")).as("tp"))
+        .select(when(col("tp").isNotNull, 3)
+          .when(col("tc").isNotNull, 2)
+          .when(col("tv").isNotNull, 1).otherwise(0).as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    },
+    "retention_cohort" -> { (s, d) =>
+      // cohort retention — the (cohort week × weeks-since) activity
+      // matrix behind every retention curve: cohort = the user's first
+      // active epoch-week, offset = active week − cohort week, cell = how
+      // many of the cohort's users were active at that offset. Shape:
+      // per-user min-week aggregate (map-side combined), a (user, week)
+      // distinct — the only row-scaled shuffle — and a cohort-bounded
+      // rollup. Pure integer week arithmetic (µs div 604800000000), so
+      // cross-engine equality is exact.
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 604800000000").as("week"))
+      val weekly = ev.distinct()
+      val cohorts = weekly.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      weekly.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // --- aggregation (§2.4 / §2.6) -------------------------------------
     "agg_distinct" -> { (s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
@@ -616,6 +668,42 @@ object RelationalOps {
         |          AS z
         |      FROM events)
         |WHERE abs(z) > 3.0""".stripMargin,
+    "event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |           AS tv
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT v.user_id, v.tv,
+        |         (SELECT min(epoch_us(e.ts)) FROM events e
+        |          WHERE e.user_id = v.user_id AND e.event_type = 'click'
+        |            AND epoch_us(e.ts) >= v.tv) AS tc
+        |  FROM v),
+        |p AS (
+        |  SELECT c.user_id, c.tv, c.tc,
+        |         (SELECT min(epoch_us(e.ts)) FROM events e
+        |          WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+        |            AND epoch_us(e.ts) >= c.tc) AS tp
+        |  FROM c)
+        |SELECT stage, count(*)::BIGINT AS n_users
+        |FROM (SELECT CASE WHEN tp IS NOT NULL THEN 3
+        |                  WHEN tc IS NOT NULL THEN 2
+        |                  WHEN tv IS NOT NULL THEN 1
+        |                  ELSE 0 END AS stage
+        |      FROM p)
+        |GROUP BY stage""".stripMargin,
+    "retention_cohort" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(week) AS cohort_week
+        |  FROM weekly GROUP BY user_id)
+        |SELECT cohort_week, (week - cohort_week) AS week_offset,
+        |       count(*)::BIGINT AS n_users
+        |FROM weekly JOIN cohorts USING (user_id)
+        |GROUP BY cohort_week, week_offset""".stripMargin,
     "agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value

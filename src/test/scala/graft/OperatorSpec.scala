@@ -510,6 +510,36 @@ class OperatorSpec extends SparkSpec {
     assert(total === Tables.lineitem(spark, sf).count())
   }
 
+  test("event_funnel buckets are exclusive and cover every user") {
+    val out = SparkEntry.queries("event_funnel")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(out.keySet.subsetOf(Set(0, 1, 2, 3)))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.values.sum === users, "stage buckets must partition users")
+    assert(out.getOrElse(3, 0L) > 0L, "fixture should convert some users")
+  }
+
+  test("retention_cohort: offsets start at 0 and cover every active week") {
+    val out = SparkEntry.queries("retention_cohort")(spark, sf)
+    assert(out.where(col("week_offset") < 0).count() === 0L)
+    // every user is active in their cohort week, so each cohort's
+    // offset-0 cell equals the cohort's size
+    val sizes = out.groupBy("cohort_week")
+      .agg(sum(when(col("week_offset") === 0, col("n_users"))).as("w0"))
+    val cohortSizes = Tables.events(spark, sf)
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("w"))
+      .groupBy("user_id").agg(min("w").as("cohort_week"))
+      .groupBy("cohort_week").agg(count(lit(1)).as("n"))
+    assert(sizes.join(cohortSizes, "cohort_week")
+      .where(col("w0") =!= col("n")).count() === 0L)
+    // cells sum to the distinct (user, week) activity count
+    val total = out.agg(sum("n_users")).first().getLong(0)
+    val weekly = Tables.events(spark, sf)
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("w"))
+      .distinct().count()
+    assert(total === weekly)
+  }
+
   test("embed_pca emits a unit direction with a trace-bounded eigenvalue") {
     val rows = SparkEntry.queries("embed_pca")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))

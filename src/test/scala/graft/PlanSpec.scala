@@ -281,6 +281,17 @@ class PlanSpec extends SparkSpec {
       s"interval probe fell back to a nested-loop scan:\n$plan")
   }
 
+  test("event_funnel shares one user shuffle across its three windows") {
+    // the three stage windows and the per-user rollup must all ride a
+    // single hashpartitioning(user_id) exchange — a second user shuffle
+    // means a window stopped reusing the partitioning
+    val plan = executed("event_funnel")
+    val userExchanges = plan.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1, s"expected 1 user_id exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("outlier_zscore broadcasts group stats; never windows the corpus") {
     // the per-group stats relation is |groups|-row bounded and must come
     // back as a broadcast join; a window form would shuffle + sort every
