@@ -299,6 +299,26 @@ object TextOps {
     "pack_sequences" -> { (s, d) =>
       packSequences(Tables.documents(s, d))
     },
+    "text_normalize" -> { (s, d) =>
+      // canonicalization — the projection every hashing/dedup stage runs
+      // FIRST so that case/whitespace/punctuation variants of one text
+      // collide (raw-byte digests treat "Foo  bar." and "foo bar" as
+      // distinct documents): lowercase → strip non-[a-z0-9 space] →
+      // collapse whitespace runs → trim. Narrow zero-shuffle codegen
+      // projection (lower + two regexp_replace passes); patterns stay in
+      // the ASCII Java∩RE2 common dialect (the pii_redact discipline) so
+      // both engines rewrite identically. Emits the normalized text, its
+      // length, and whether normalization changed anything — the monitor
+      // column a pipeline alerts on when a new source's raw/canonical
+      // delta jumps.
+      Tables.documents(s, d).select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            "  +", " ")).as("norm_text"), col("text"))
+        .select(col("doc_id"), col("norm_text"),
+          length(col("norm_text")).as("n_chars_norm"),
+          (col("norm_text") =!= col("text")).as("changed"))
+    },
     "pack_stats" -> { (s, d) =>
       // packing-efficiency audit — the "how many tokens am I padding
       // away?" monitor run beside any concat-and-chunk packer: per shard,
@@ -607,6 +627,18 @@ object TextOps {
         |        ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
         |      FROM documents)""".stripMargin,
     "pack_sequences" -> s"WITH ${packCtes("documents")}\n$packSelect",
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         '  +', ' ', 'g')) AS norm_text,
+        |       length(trim(regexp_replace(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         '  +', ' ', 'g')))::INT AS n_chars_norm,
+        |       (trim(regexp_replace(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         '  +', ' ', 'g')) != text) AS changed
+        |FROM documents""".stripMargin,
     "pack_stats" ->
       s"""WITH ${packCtes("documents")}
          |SELECT shard, count(*)::BIGINT AS n_docs,

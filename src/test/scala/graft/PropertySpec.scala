@@ -311,6 +311,24 @@ class PropertySpec extends SparkSpec {
     assert(lambda > 0.5, s"spike eigenvalue too small: $lambda")
   }
 
+  test("incremental dedup drops base collisions and within-delta dups") {
+    // constructed corpora exercising BOTH drop paths the fixture lacks
+    // below sf0.1: delta texts colliding with the base index, and
+    // duplicate texts inside the delta itself
+    val base = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha"), // base collision -> dropped
+      (11L, "delta"), (12L, "delta"), // within-delta dup -> min id survives
+      (13L, "beta"), // base collision -> dropped
+      (14L, "epsilon")) // fresh -> survives
+      .toDF("doc_id", "text")
+    val got = graft.operators.DedupOps
+      .incrementalSurvivors(base, delta)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(11L, 14L))
+  }
+
   test("CosineSim/SignBucket yield null, not an error, on short vectors") {
     // the dimension guard: malformed (mixed-dimension) embeddings must
     // produce a filterable null instead of failing the whole query
