@@ -12,6 +12,12 @@ object Verify {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
     }
+    // a typo'd filter name would otherwise dump nothing and exit 0 — the
+    // developer then mistakes a stale previous dump for fresh output
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query names in filter: $unknown")
+    }
     // Pin the sketch hashes to oracle mode BEFORE anything touches
     // DedupOps: its hash-mode switch freezes at first use, and a JVM that
     // somehow ran Bench first (fork disabled, ad-hoc harness) would

@@ -244,6 +244,11 @@ object KMeansOps {
   private[operators] val FLAGSHIP_K = 8
   private val MEMBER_CAP = 100 // bounded member sample in format_clusters
 
+  /** Elbow-sweep k values — ONE list shared by the kmeans_cost_sweep query
+    * and its oracle builder so the two can never drift (KMeansSpec's shape
+    * check reads the query's own output). */
+  private val SWEEP_KS = Seq(2, 4, 8)
+
   /** Frozen deterministic center set shared by the oracle-checked
     * assignment queries: first K points of the id permutation — the same
     * set `ORDER BY (vec_id*2654435761)%4294967296, vec_id LIMIT K` yields
@@ -443,7 +448,7 @@ object KMeansOps {
       // decreasing on the fixture and asserted in KMeansSpec as a
       // regression tripwire alongside the hash oracle).
       val pts = points(s, d).localCheckpoint()
-      Seq(2, 4, 8).map { k =>
+      SWEEP_KS.map { k =>
         val c1 = lloydStep(pts, collectCenters(sampleK(pts, k)))
         pts.select(r4(sqrt(minSqDistCol(col("v"), c1))).as("md"))
           .agg(round(sum(col("md")), 2).as("cost"))
@@ -664,7 +669,7 @@ object KMeansOps {
       // each branch re-trains its own k-cell single-step model
       // (trainedCellsSqlCtes — the same unrolled snap12 machinery the IVF
       // oracle uses), namespaced per branch by the parenthesized WITH
-      "kmeans_cost_sweep" -> Seq(2, 4, 8).map { k =>
+      "kmeans_cost_sweep" -> SWEEP_KS.map { k =>
         s"""(WITH ${trainedCellsSqlCtes(k, 1)}
            |SELECT $k AS k, round(sum(md), 2) AS cost FROM (
            |  SELECT round(sqrt(min(${V.sqDist("e.embedding", "c.cv")})), 4) AS md

@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
+  /** join_range's price brackets — ONE definition feeding both the Spark
+    * relation and the oracle's VALUES literal (via [[bracketsSql]]) so the
+    * two tables can never drift. */
+  private val BRACKETS = Seq(
+    (0, 0.0, 1000.0), (1, 1000.0, 2500.0), (2, 2500.0, 5000.0),
+    (3, 5000.0, 10000.0), (4, 10000.0, 25000.0), (5, 25000.0, 50000.0),
+    (6, 50000.0, 75000.0), (7, 75000.0, 105000.0), (8, 105000.0, 200000.0))
+
+  private def bracketsSql: String = BRACKETS
+    .map { case (id, lo, hi) => s"($id, $lo, $hi)" }.mkString(", ")
+
   /** Banded interval join core (see the `join_range` query for the scale
     * rationale): brackets `(bracket_id, lo, hi)` replicate onto each
     * width-`w` band they cover, the probe's `price` computes its band with
@@ -32,9 +43,14 @@ object RelationalOps {
     * must be coarser-grained than 0.01 (prices are 2-decimal). */
   private[graft] def bandedRangeJoin(probe: DataFrame, brackets: DataFrame,
       w: Double): DataFrame = {
+    // floor BEFORE the long cast on the bracket side too: a bare cast
+    // truncates toward zero, which on a negative lo (z-scores, deltas)
+    // would start the replication one band HIGH and silently drop
+    // matches the naive join returns (PropertySpec covers a negative
+    // domain)
     val br = brackets.withColumn("band",
-      explode(sequence((col("lo") / w).cast("long"),
-        ((col("hi") - lit(0.01)) / w).cast("long"))))
+      explode(sequence(floor(col("lo") / w).cast("long"),
+        floor((col("hi") - lit(0.01)) / w).cast("long"))))
     val p = probe.withColumn("band", floor(col("price") / w).cast("long"))
     p.join(broadcast(br),
       p("band") === br("band") &&
@@ -254,12 +270,7 @@ object RelationalOps {
       // CONFIG (a real pipeline's banding table), the probe is the
       // fixture fact table. Output aggregated per bracket so the declared
       // result stays bracket-bounded.
-      val brackets = Seq(
-        (0, 0.0, 1000.0), (1, 1000.0, 2500.0), (2, 2500.0, 5000.0),
-        (3, 5000.0, 10000.0), (4, 10000.0, 25000.0), (5, 25000.0, 50000.0),
-        (6, 50000.0, 75000.0), (7, 75000.0, 105000.0),
-        (8, 105000.0, 200000.0))
-      val br = s.createDataFrame(brackets).toDF("bracket_id", "lo", "hi")
+      val br = s.createDataFrame(BRACKETS).toDF("bracket_id", "lo", "hi")
       val li = Tables.lineitem(s, d)
         .select(col("l_extendedprice").as("price"))
       bandedRangeJoin(li, br, w = 5000.0)
@@ -650,11 +661,7 @@ object RelationalOps {
     // the banding is engine-internal (band equi-key + residual filter ==
     // the bare interval predicate); the oracle states the plain range join
     "join_range" ->
-      """WITH br(bracket_id, lo, hi) AS (VALUES
-        |  (0, 0.0, 1000.0), (1, 1000.0, 2500.0), (2, 2500.0, 5000.0),
-        |  (3, 5000.0, 10000.0), (4, 10000.0, 25000.0), (5, 25000.0, 50000.0),
-        |  (6, 50000.0, 75000.0), (7, 75000.0, 105000.0),
-        |  (8, 105000.0, 200000.0))
+      s"""WITH br(bracket_id, lo, hi) AS (VALUES $bracketsSql)
         |SELECT bracket_id, count(*)::BIGINT AS n_items,
         |       round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem JOIN br

@@ -129,22 +129,27 @@ object TextOps {
     * Shared by the `pack_sequences` query and the composed
     * `pipeline_pack` (which packs the curated train split), so the two
     * can never drift. */
+  /** Packing config — ONE definition feeding packSequences, pack_stats,
+    * and every SQL mirror (packCtes/packSelect/pack_stats oracle) so the
+    * engine and the oracles can never disagree on the sequence length or
+    * lane count. */
+  private[graft] val PACK_SEQ = 512
+  private[graft] val PACK_SHARDS = 32
+
   private[graft] def packSequences(docs: DataFrame): DataFrame = {
-    val SEQ = 512
-    val NSHARDS = 32
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"),
         size(wordsCol(col("text"))).as("n_tokens"),
         pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
-          lit(NSHARDS.toLong)).cast("int").as("shard"))
+          lit(PACK_SHARDS.toLong)).cast("int").as("shard"))
       .where(col("n_tokens") > 0)
       .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
       .select(col("doc_id"), col("shard"),
         (col("cum") - col("n_tokens")).as("tok_start"), col("n_tokens"),
-        expr(s"(cum - n_tokens) div $SEQ").as("first_seq"),
-        expr(s"(cum - 1) div $SEQ").as("last_seq"))
+        expr(s"(cum - n_tokens) div $PACK_SEQ").as("first_seq"),
+        expr(s"(cum - 1) div $PACK_SEQ").as("last_seq"))
   }
 
   /** DuckDB CTE pair `t, c` mirroring [[packSequences]] over a
@@ -153,7 +158,7 @@ object TextOps {
     * oracles (prefix with `WITH` / extend the chain as needed). */
   private[graft] def packCtes(src: String): String =
     s"""t AS (SELECT doc_id, len($wSql)::INT AS n_tokens,
-       |             ((doc_id * 2654435761) % 4294967296 % 32)::INT AS shard
+       |             ((doc_id * 2654435761) % 4294967296 % $PACK_SHARDS)::INT AS shard
        |      FROM $src),
        |c AS (SELECT doc_id, shard, n_tokens,
        |             sum(n_tokens::BIGINT) OVER (PARTITION BY shard
@@ -161,9 +166,9 @@ object TextOps {
        |      FROM t WHERE n_tokens > 0)""".stripMargin
 
   private[graft] val packSelect: String =
-    """SELECT doc_id, shard, (cum - n_tokens)::BIGINT AS tok_start, n_tokens,
-      |       ((cum - n_tokens) // 512)::BIGINT AS first_seq,
-      |       ((cum - 1) // 512)::BIGINT AS last_seq
+    s"""SELECT doc_id, shard, (cum - n_tokens)::BIGINT AS tok_start, n_tokens,
+      |       ((cum - n_tokens) // $PACK_SEQ)::BIGINT AS first_seq,
+      |       ((cum - 1) // $PACK_SEQ)::BIGINT AS last_seq
       |FROM c""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -338,7 +343,7 @@ object TextOps {
         .select(col("shard"), col("n_docs"), col("n_toks"), col("n_seqs"),
           graft.functions.VectorOps.rIeee(
             col("n_toks").cast("double") /
-              (col("n_seqs") * 512).cast("double"), 4).as("fill"))
+              (col("n_seqs") * PACK_SEQ).cast("double"), 4).as("fill"))
     },
     "ngram_topk" -> { (s, d) =>
       // corpus heavy-hitter word 3-grams (phrase-level vocabulary /
@@ -643,9 +648,9 @@ object TextOps {
       s"""WITH ${packCtes("documents")}
          |SELECT shard, count(*)::BIGINT AS n_docs,
          |       sum(n_tokens::BIGINT)::BIGINT AS n_toks,
-         |       (max((cum - 1) // 512) + 1)::BIGINT AS n_seqs,
+         |       (max((cum - 1) // $PACK_SEQ) + 1)::BIGINT AS n_seqs,
          |       ${graft.functions.VectorSql.rIeee(
-               "sum(n_tokens::BIGINT)::DOUBLE / ((max((cum - 1) // 512) + 1) * 512)::DOUBLE", 4)}
+               s"sum(n_tokens::BIGINT)::DOUBLE / ((max((cum - 1) // $PACK_SEQ) + 1) * $PACK_SEQ)::DOUBLE", 4)}
          |         AS fill
          |FROM c GROUP BY shard""".stripMargin,
     "ngram_topk" -> {
