@@ -40,9 +40,11 @@ object PipelineOps {
     * under oracle parity, asserted in OperatorSpec). */
   private val QMIN = 0.45
 
-  /** (doc_id, quality, split) for the curated corpus — the shared
-    * curation DAG of both declared pipelines. */
-  private def curated(s: SparkSession, d: String): DataFrame = {
+  /** The curation DAG's successive stage relations — (raw docs, quality
+    * keeps, dedup survivors, decontaminated) — shared by the composed
+    * pipelines and the per-stage loss report. */
+  private def stages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
     val keep = TextOps.qualityScored(docs)
       .where(col("quality") >= QMIN)
@@ -54,6 +56,13 @@ object PipelineOps {
     val hits = DedupOps.contamPairs(docs).select(col("doc_id")).distinct()
     val clean = sur.where(col("doc_id") >= DedupOps.NEVAL)
       .join(DedupOps.dropSetHint(sur, hits), Seq("doc_id"), "left_anti")
+    (docs, keep, sur, clean)
+  }
+
+  /** (doc_id, quality, split) for the curated corpus — the shared
+    * curation DAG of both declared pipelines. */
+  private def curated(s: SparkSession, d: String): DataFrame = {
+    val clean = stages(s, d)._4
     val u = graft.functions.VectorOps.unitUniform(col("doc_id"))
     clean.select(col("doc_id"), col("quality"),
       when(u < 0.8, "train").when(u < 0.9, "val")
@@ -94,6 +103,24 @@ object PipelineOps {
         .select(col("doc_id"))
       TextOps.packSequences(
         Tables.documents(s, d).join(ids, "doc_id"))
+    },
+    "pipeline_report" -> { (s, d) =>
+      // per-stage loss accounting — the observability artifact a curation
+      // pass ships beside its output (how many docs each stage cost is
+      // the first question asked of any corpus drop; a stage suddenly
+      // eating 40% is an alert, invisible from the survivors alone).
+      // Four 1-row aggregates over the SAME shared stage DAG the
+      // pipelines run (not re-implementations that could drift), unioned
+      // into a 4-row funnel. Each count is a map-side-combined aggregate;
+      // output is stage-domain-bounded.
+      val (docs, keep, sur, clean) = stages(s, d)
+      Seq(("raw", 0, docs), ("quality", 1, keep),
+        ("dedup", 2, sur), ("decontam", 3, clean))
+        .map { case (name, id, df) =>
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(id).as("stage_id"), lit(name).as("stage"),
+              col("n_docs"))
+        }.reduce(_ union _)
     }
   )
 
@@ -101,6 +128,15 @@ object PipelineOps {
     "pipeline_curate" ->
       s"""WITH $curatedCtes
          |SELECT doc_id, quality, split FROM cur""".stripMargin,
+    // counts over the same shared CTE fragments the pipelines' oracles
+    // use; `cur` counts the decontaminated set (the split adds no rows)
+    "pipeline_report" ->
+      s"""WITH $curatedCtes
+         |SELECT 0 AS stage_id, 'raw' AS stage,
+         |       (SELECT count(*) FROM documents)::BIGINT AS n_docs
+         |UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM keep)::BIGINT
+         |UNION ALL SELECT 2, 'dedup', (SELECT count(*) FROM sur)::BIGINT
+         |UNION ALL SELECT 3, 'decontam', (SELECT count(*) FROM cur)::BIGINT""".stripMargin,
     "pipeline_pack" ->
       s"""WITH $curatedCtes,
          |curdocs AS (SELECT d.doc_id, d.text FROM documents d
