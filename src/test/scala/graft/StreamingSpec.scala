@@ -109,6 +109,41 @@ class StreamingSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected)
   }
 
+  test("streaming compaction revises state across micro-batches") {
+    // two half-files + maxFilesPerTrigger=1 force TWO micro-batches, so a
+    // key's batch-1 winner must be REVISED when batch 2 brings a later
+    // event — the path a single-batch run never exercises. Splitting by
+    // even/odd event_id puts later events of most users in both halves.
+    import java.nio.file.{Files, Paths}
+    val dir = "target/stream-fixtures/test-compact-2batch"
+    graft.sources.Staging.deleteRecursively(Paths.get(dir))
+    Files.createDirectories(Paths.get(dir))
+    val ev = graft.Tables.events(spark, sf)
+    ev.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/half-a")
+    ev.where(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/half-b")
+    val twoFiles = Seq("half-a", "half-b").flatMap { h =>
+      Files.list(Paths.get(s"$dir/$h")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+    }
+    twoFiles.zipWithIndex.foreach { case (f, i) =>
+      Files.move(Paths.get(f), Paths.get(s"$dir/part-$i.parquet"))
+    }
+    Seq("half-a", "half-b").foreach(h =>
+      graft.sources.Staging.deleteRecursively(Paths.get(s"$dir/$h")))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamed = StreamingOps.runToMemorySink(
+      StreamingOps.compactAgg(
+        spark.readStream.schema(StreamingOps.eventsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)),
+      "stream_compact_2b")
+    val batch = SparkEntry.queries("compact_changelog")(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming compaction matches the batch compact_changelog") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.compactStream(spark, sf), "stream_compact")
