@@ -324,6 +324,27 @@ object TextOps {
           length(col("norm_text")).as("n_chars_norm"),
           (col("norm_text") =!= col("text")).as("changed"))
     },
+    "shuffle_assign" -> { (s, d) =>
+      // global training-order shuffle — the step that breaks source/crawl
+      // locality before sequence packing (adjacent training examples from
+      // one domain correlate gradients; every pretraining pipeline
+      // shuffles first). Deterministic: order = the multiplicative-hash
+      // permutation of doc_id (reproducible on any cluster layout, unlike
+      // orderBy(rand)), sharded into PACK_SHARDS reader lanes by the
+      // permutation's low bits with the POSITION ranked per shard — a
+      // per-shard window over the lane's rows, never a global-order
+      // single reducer (the same funnel discipline as pack_sequences,
+      // whose lane arithmetic this feeds).
+      val ev = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.VectorOps.perm(col("doc_id")).as("p"))
+        .withColumn("shard",
+          pmod(col("p"), lit(PACK_SHARDS.toLong)).cast("int"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("p"), col("doc_id"))
+      ev.select(col("doc_id"), col("shard"),
+        (row_number().over(w) - 1).as("pos"))
+    },
     "pack_stats" -> { (s, d) =>
       // packing-efficiency audit — the "how many tokens am I padding
       // away?" monitor run beside any concat-and-chunk packer: per shard,
@@ -632,6 +653,15 @@ object TextOps {
         |        ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
         |      FROM documents)""".stripMargin,
     "pack_sequences" -> s"WITH ${packCtes("documents")}\n$packSelect",
+    "shuffle_assign" ->
+      s"""SELECT doc_id, shard,
+         |       (row_number() OVER (PARTITION BY shard
+         |          ORDER BY p, doc_id) - 1)::INT AS pos
+         |FROM (SELECT doc_id,
+         |        ((doc_id * 2654435761) % 4294967296) AS p,
+         |        (((doc_id * 2654435761) % 4294967296) % $PACK_SHARDS)::INT
+         |          AS shard
+         |      FROM documents)""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(

@@ -473,6 +473,26 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("shuffle_assign is a gapless per-shard permutation, locality broken") {
+    val out = SparkEntry.queries("shuffle_assign")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() === docs.count())
+    // positions are 0..n_shard-1 gapless within each shard
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+    assert(byShard.where(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+      .count() === 0L)
+    // locality actually broken: consecutive doc_ids land in distinct
+    // shards far more often than a sorted assignment would
+    val moved = out.withColumn("next_shard",
+        lead(col("shard"), 1).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))))
+      .where(col("next_shard").isNotNull &&
+        col("shard") === col("next_shard")).count()
+    assert(moved < docs.count() / 4,
+      s"adjacent docs share a shard $moved times — locality not broken")
+  }
+
   test("pack_stats agrees with pack_sequences and bounds the fill ratio") {
     val packed = SparkEntry.queries("pack_sequences")(spark, sf)
     val stats = SparkEntry.queries("pack_stats")(spark, sf)
