@@ -53,6 +53,9 @@ object SimilarityOps {
   private val BUCKET_CAP = 1000 // max docs per (table, bucket) in self-joins
   private val NCELLS = 16 // IVF: centroid cells in the inverted file
   private val NPROBE = 4 // IVF: cells probed per query
+  // nprobe sweep widths — ONE list shared by the ivf_nprobe_sweep query
+  // and its oracle builder so the two can never drift
+  private val SWEEP_NPROBES = Seq(2, 4, 8)
 
   /** Pair-scoring cosine via the native fused-loop
     * [[org.apache.spark.sql.graft.CosineSim]] expression — bit-identical
@@ -311,6 +314,28 @@ object SimilarityOps {
         .select(col("vec_id"), col("pos"), col("q"),
           r4(col("scale")).as("scale"))
     },
+    "ivf_nprobe_sweep" -> { (s, d) =>
+      // the ANN tuning sweep — recall@TOPK at probe widths {2,4,8},
+      // answering "what nprobe do I serve at?" the way kmeans_cost_sweep
+      // answers "what k?". The whole point of the persisted-index design
+      // shows here: all three branches PROBE THE SAME LAYOUT (ensureIvf-
+      // Index is idempotent; probe width is a query-time knob, cells are
+      // not retrained per configuration), and the exact baseline is
+      // computed once and checkpointed. Mean recall is the hit fraction
+      // over NQ·TOPK exact slots — micro = macro here since every query
+      // contributes exactly TOPK exact rows; the division is the same
+      // two-operand IEEE op in both engines.
+      val exact = queries("similarity_topk")(s, d)
+        .select(col("q_id"), col("vec_id")).localCheckpoint()
+      SWEEP_NPROBES.map { np =>
+        val iv = ivfTopK(s, d, np).select(col("q_id"), col("vec_id"))
+        exact.join(iv, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(np).as("nprobe"), col("n_hit"),
+            (col("n_hit").cast("double") /
+              lit((NQ * TOPK).toDouble)).as("mean_recall"))
+      }.reduce(_ union _)
+    },
     "embed_cov" -> { (s, d) =>
       // d×d embedding covariance — the PCA/whitening/OPQ precursor every
       // embedding-space pipeline runs before dimensionality reduction or
@@ -507,10 +532,10 @@ object SimilarityOps {
        |  JOIN keep USING (t, b))""".stripMargin
   }
 
-  /** IVF top-k oracle body — shared verbatim by `sim_topk_ivf` and (as a
-    * nested CTE) by the recall oracle. Lazy: referenced from the `oracles`
-    * map literal (plain-val init order would bite, see project notes). */
-  private lazy val ivfTopkSql: String =
+  /** IVF top-k oracle body at an arbitrary probe width — shared by
+    * `sim_topk_ivf` (at [[NPROBE]]), the recall oracle, and the
+    * nprobe-sweep oracle's branches. */
+  private def ivfTopkSqlFor(nprobe: Int): String =
     s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
          |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
          |qc AS (
@@ -521,7 +546,7 @@ object SimilarityOps {
          |                      c.cid) AS rn
          |    FROM embeddings q CROSS JOIN c2 c
          |    WHERE q.vec_id < $NQ)
-         |  WHERE rn <= $NPROBE),
+         |  WHERE rn <= $nprobe),
          |cand AS (
          |  SELECT qc.q_id, a.vec_id FROM a JOIN qc ON a.cluster_id = qc.cell
          |  WHERE a.vec_id <> qc.q_id),
@@ -537,6 +562,10 @@ object SimilarityOps {
          |                            ORDER BY sim DESC, vec_id)::INT AS rnk
          |  FROM scored)
          |WHERE rnk <= $TOPK""".stripMargin
+
+  /** The declared probe width's oracle body. Lazy: referenced from the
+    * `oracles` map literal (plain-val init order would bite, see notes). */
+  private lazy val ivfTopkSql: String = ivfTopkSqlFor(NPROBE)
 
   /** Exact brute-force top-k oracle body — shared by `similarity_topk` and
     * the recall oracle. */
@@ -567,6 +596,15 @@ object SimilarityOps {
          |FROM ex LEFT JOIN iv
          |  ON ex.q_id = iv.q_id AND ex.vec_id = iv.vec_id
          |GROUP BY ex.q_id""".stripMargin,
+    // per-branch parenthesized WITH namespaces each probe width's CTEs
+    // (the kmeans_cost_sweep oracle pattern)
+    "ivf_nprobe_sweep" -> SWEEP_NPROBES.map { np =>
+      s"""(WITH ex AS ($simTopkSql),
+         |iv AS (${ivfTopkSqlFor(np)})
+         |SELECT $np AS nprobe, count(*)::BIGINT AS n_hit,
+         |       (count(*)::DOUBLE / ${NQ * TOPK}::DOUBLE) AS mean_recall
+         |FROM ex JOIN iv ON ex.q_id = iv.q_id AND ex.vec_id = iv.vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "sim_topk_lsh" ->
       s"""WITH ${lshCtes(64, PLANES_TOPK)},
          |q AS (SELECT vec_id AS q_id, t, b FROM bkt WHERE vec_id < $NQ),

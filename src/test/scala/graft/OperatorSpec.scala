@@ -574,6 +574,19 @@ class OperatorSpec extends SparkSpec {
     assert(total === weekly)
   }
 
+  test("ivf_nprobe_sweep: recall rises monotonically with probe width") {
+    val rows = SparkEntry.queries("ivf_nprobe_sweep")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(2, 4, 8))
+    val rec = rows.map(_._2)
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: ${rec.toSeq}")
+    assert(rec.forall(r => r >= 0.0 && r <= 1.0))
+    // at nprobe = NCELLS the probe would be exhaustive; 8 of 16 cells on
+    // the quasi-random fixture must already clear a meaningful floor
+    assert(rec.last >= 0.5, s"nprobe=8 recall ${rec.last} below floor")
+  }
+
   test("embed_pca emits a unit direction with a trace-bounded eigenvalue") {
     val rows = SparkEntry.queries("embed_pca")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
