@@ -164,6 +164,23 @@ object TextIO {
         .where(col("lang") === "en")
         .select(col("doc_id"), col("source"), col("n_chars"))
     },
+    "sink_jsonl" -> { (s, d) =>
+      // JSONL EXPORT round-trip — the interchange handoff at the END of a
+      // curation pass (scan_jsonl covers the landing side; a corpus that
+      // can only be read is half an engine). Write the documents table as
+      // JSON-lines, read it back with an explicit schema, compare PER ROW
+      // against the parquet source of truth: JSON string escaping and
+      // Spark's shortest-decimal rendering make the round-trip lossless.
+      // Same single-shard contract note as sink_text: a 100 TB export
+      // drops the coalesce and writes one shard per task.
+      val out = s"target/text-fixtures/${sfName(d)}/docs_sink_jsonl"
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      Tables.documents(s, d).select(cols.map(col): _*)
+        .coalesce(1).write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, " +
+          "source STRING, n_chars LONG").json(out)
+        .select(cols.map(col): _*)
+    },
     "sink_text" -> { (s, d) =>
       // full round-trip through the single-shard sink: write, read back,
       // and compare PER ROW against the parquet source of truth. (An
@@ -204,6 +221,8 @@ object TextIO {
          |       ${dSql(3, "d2")},
          |       ${dSql(4, "d3")}
          |FROM embeddings""".stripMargin,
+    "sink_jsonl" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "sink_text" ->
       s"""SELECT vec_id, ${dSql(1, "d0")},
          |       ${dSql(2, "d1")},
