@@ -42,17 +42,25 @@ object PipelineOps {
 
   /** The curation DAG's successive stage relations — (raw docs, quality
     * keeps, dedup survivors, decontaminated) — shared by the composed
-    * pipelines and the per-stage loss report. */
-  private def stages(s: SparkSession, d: String)
+    * pipelines and the per-stage loss report. `pin` localCheckpoints the
+    * keep/sur prefixes: the report consumes every stage (without pinning,
+    * its four union branches re-run the quality projection ~3× and the
+    * digest shuffle ~2× — per-branch column pruning makes the exchanges
+    * non-identical, so ReuseExchange cannot dedupe them); the pipelines
+    * consume only the final linear chain, where pinning would be pure
+    * materialization overhead. */
+  private def stages(s: SparkSession, d: String, pin: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def maybePin(df: DataFrame): DataFrame =
+      if (pin) df.localCheckpoint() else df
     val docs = Tables.documents(s, d)
-    val keep = TextOps.qualityScored(docs)
-      .where(col("quality") >= QMIN)
+    val keep = maybePin(TextOps.qualityScored(docs)
+      .where(col("quality") >= QMIN))
     // survivors: one doc per distinct text; quality is a pure function
     // of text, so min() is just "the" group value, kept for the output
-    val sur = keep
+    val sur = maybePin(keep
       .groupBy(DedupOps.digest(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality")))
     val hits = DedupOps.contamPairs(docs).select(col("doc_id")).distinct()
     val clean = sur.where(col("doc_id") >= DedupOps.NEVAL)
       .join(DedupOps.dropSetHint(sur, hits), Seq("doc_id"), "left_anti")
@@ -113,7 +121,7 @@ object PipelineOps {
       // pipelines run (not re-implementations that could drift), unioned
       // into a 4-row funnel. Each count is a map-side-combined aggregate;
       // output is stage-domain-bounded.
-      val (docs, keep, sur, clean) = stages(s, d)
+      val (docs, keep, sur, clean) = stages(s, d, pin = true)
       Seq(("raw", 0, docs), ("quality", 1, keep),
         ("dedup", 2, sur), ("decontam", 3, clean))
         .map { case (name, id, df) =>

@@ -136,14 +136,23 @@ object TextOps {
   private[graft] val PACK_SEQ = 512
   private[graft] val PACK_SHARDS = 32
 
+  /** The reader-lane assignment — permutation low bits mod PACK_SHARDS —
+    * shared (Spark + SQL forms) by packSequences and shuffle_assign so
+    * shuffle lanes can never silently desynchronize from pack lanes. */
+  private def packShardCol(id: Column): Column =
+    pmod(graft.functions.VectorOps.perm(id),
+      lit(PACK_SHARDS.toLong)).cast("int")
+
+  private def packShardSql(id: String): String =
+    s"((${graft.functions.VectorSql.perm(id)}) % $PACK_SHARDS)::INT"
+
   private[graft] def packSequences(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"),
         size(wordsCol(col("text"))).as("n_tokens"),
-        pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
-          lit(PACK_SHARDS.toLong)).cast("int").as("shard"))
+        packShardCol(col("doc_id")).as("shard"))
       .where(col("n_tokens") > 0)
       .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
       .select(col("doc_id"), col("shard"),
@@ -158,7 +167,7 @@ object TextOps {
     * oracles (prefix with `WITH` / extend the chain as needed). */
   private[graft] def packCtes(src: String): String =
     s"""t AS (SELECT doc_id, len($wSql)::INT AS n_tokens,
-       |             ((doc_id * 2654435761) % 4294967296 % $PACK_SHARDS)::INT AS shard
+       |             ${packShardSql("doc_id")} AS shard
        |      FROM $src),
        |c AS (SELECT doc_id, shard, n_tokens,
        |             sum(n_tokens::BIGINT) OVER (PARTITION BY shard
@@ -338,8 +347,7 @@ object TextOps {
       val ev = Tables.documents(s, d)
         .select(col("doc_id"),
           graft.functions.VectorOps.perm(col("doc_id")).as("p"))
-        .withColumn("shard",
-          pmod(col("p"), lit(PACK_SHARDS.toLong)).cast("int"))
+        .withColumn("shard", packShardCol(col("doc_id")))
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("p"), col("doc_id"))
       ev.select(col("doc_id"), col("shard"),
@@ -658,9 +666,8 @@ object TextOps {
          |       (row_number() OVER (PARTITION BY shard
          |          ORDER BY p, doc_id) - 1)::INT AS pos
          |FROM (SELECT doc_id,
-         |        ((doc_id * 2654435761) % 4294967296) AS p,
-         |        (((doc_id * 2654435761) % 4294967296) % $PACK_SHARDS)::INT
-         |          AS shard
+         |        ${graft.functions.VectorSql.perm("doc_id")} AS p,
+         |        ${packShardSql("doc_id")} AS shard
          |      FROM documents)""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,

@@ -133,11 +133,23 @@ class StreamingSpec extends SparkSpec {
     Seq("half-a", "half-b").foreach(h =>
       graft.sources.Staging.deleteRecursively(Paths.get(s"$dir/$h")))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamed = StreamingOps.runToMemorySink(
-      StreamingOps.compactAgg(
+    // drive the query directly (not via runToMemorySink, which discards
+    // the handle) so the test can PROVE more than one micro-batch ran —
+    // otherwise a typo'd option or a trigger semantics change silently
+    // degenerates this back to the single-batch case
+    spark.catalog.dropTempView("stream_compact_2b")
+    val q = StreamingOps.compactAgg(
         spark.readStream.schema(StreamingOps.eventsSchema)
-          .option("maxFilesPerTrigger", "1").parquet(dir)),
-      "stream_compact_2b")
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+      .writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("stream_compact_2b").start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 2,
+      s"expected >=2 data micro-batches, got $dataBatches — the revision " +
+        "path is not being exercised")
+    val streamed = spark.table("stream_compact_2b")
     val batch = SparkEntry.queries("compact_changelog")(spark, sf)
     assert(streamed.count() === batch.count())
     assert(streamed.exceptAll(batch).count() === 0L)
