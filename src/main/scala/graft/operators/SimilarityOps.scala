@@ -318,17 +318,45 @@ object SimilarityOps {
       // the ANN tuning sweep — recall@TOPK at probe widths {2,4,8},
       // answering "what nprobe do I serve at?" the way kmeans_cost_sweep
       // answers "what k?". The whole point of the persisted-index design
-      // shows here: all three branches PROBE THE SAME LAYOUT (ensureIvf-
-      // Index is idempotent; probe width is a query-time knob, cells are
-      // not retrained per configuration), and the exact baseline is
-      // computed once and checkpointed. Mean recall is the hit fraction
-      // over NQ·TOPK exact slots — micro = macro here since every query
-      // contributes exactly TOPK exact rows; the division is the same
-      // two-operand IEEE op in both engines.
+      // shows here: probe width is a query-time knob (cells are never
+      // retrained), so the sweep scans the index ONCE at the widest
+      // width, tags every scored candidate with its cell's per-query
+      // rank, and each branch is a FILTER (rn <= np) over that one
+      // checkpointed scored relation — narrowing a probe never changes a
+      // candidate's score, and each vector lives in exactly one cell, so
+      // the filtered set is identical to an independent np-probe run
+      // (ivfTopK's own pipeline; equivalence is what the oracle's
+      // per-branch independent replay verifies). The exact baseline is
+      // likewise computed once. Mean recall = hit fraction over NQ·TOPK
+      // exact slots — micro = macro, each query contributes exactly TOPK
+      // exact rows; the division is the same two-operand IEEE op in both
+      // engines.
+      val dir = ensureIvfIndex(s, d)
+      val maxNp = SWEEP_NPROBES.max
+      val qCells = queriesDf(s, d)
+        .crossJoin(broadcast(s.read.parquet(s"$dir/cells")))
+        .withColumn("dist", sqDist(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("dist").asc, col("cell"))))
+        .where(col("rn") <= maxNp)
+        .select(col("q_id"), col("cell"), col("rn"))
+        .localCheckpoint()
+      val probed = qCells.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val scored = s.read.parquet(s"$dir/vectors")
+        .where(col("cell").isin(probed.toSeq: _*))
+        .join(broadcast(qCells), "cell")
+        .where(col("id") =!= col("q_id"))
+        .join(broadcast(queriesDf(s, d)), "q_id")
+        .select(col("q_id"), col("id").as("vec_id"), col("rn"),
+          r4(cos(col("v"), col("qv"))).as("sim"))
+        .localCheckpoint()
       val exact = queries("similarity_topk")(s, d)
         .select(col("q_id"), col("vec_id")).localCheckpoint()
       SWEEP_NPROBES.map { np =>
-        val iv = ivfTopK(s, d, np).select(col("q_id"), col("vec_id"))
+        val iv = topKPerQuery(scored.where(col("rn") <= np)
+            .select(col("q_id"), col("vec_id"), col("sim")))
+          .select(col("q_id"), col("vec_id"))
         exact.join(iv, Seq("q_id", "vec_id"), "left_semi")
           .agg(count(lit(1)).as("n_hit"))
           .select(lit(np).as("nprobe"), col("n_hit"),
