@@ -529,6 +529,27 @@ object RelationalOps {
     },
 
     // --- JSON / time (§2.6) --------------------------------------------
+    "window_trailing" -> { (s, d) =>
+      // trailing-1h per-user spend at EVERY event — a RANGE frame over µs
+      // (rows frames count rows; range frames bound the ORDER VALUE, the
+      // only correct frame when events arrive irregularly — a "last 100
+      // events" frame is meaningless for a rate limit / rolling spend).
+      // Frame membership is a pure predicate on ts, so ties change
+      // nothing: both engines use the SQL-standard peer-inclusive frame
+      // end. The rIeee@2 output absorbs the frame's float summation
+      // order (the streaming sums discipline). Partitioned by the
+      // high-cardinality user_id — scales with the cluster.
+      import graft.functions.VectorOps.rIeee
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .withColumn("trail_1h", rIeee(sum(col("value")).over(w), 2))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("trail_1h"))
+    },
     "json_extract" -> { (s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -675,6 +696,13 @@ object RelationalOps {
         |          AS z
         |      FROM events)
         |WHERE abs(z) > 3.0""".stripMargin,
+    "window_trailing" ->
+      s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |       ${graft.functions.VectorSql.rIeee(
+           "sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+             "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)", 2)}
+         |         AS trail_1h
+         |FROM events""".stripMargin,
     "event_funnel" ->
       """WITH v AS (
         |  SELECT user_id,

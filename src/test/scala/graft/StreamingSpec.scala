@@ -156,6 +156,56 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("dedup state survives a checkpointed stop/restart (exactly once)") {
+    // the production property none of the single-run tests touch: stop a
+    // stateful query, add data, RESTART from its checkpoint — recovered
+    // state must keep suppressing ids it saw before the restart. File B
+    // deliberately re-ships every file-A event (plus the new half): if
+    // the dedup state did not survive, the A-events emit twice.
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "target/stream-fixtures/test-dedup-recovery"
+    graft.sources.Staging.deleteRecursively(Paths.get(base))
+    val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
+    Files.createDirectories(Paths.get(src))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.Tables.events(spark, sf)
+    def run(): Unit = {
+      val q = spark.readStream.schema(StreamingOps.eventsSchema)
+        .parquet(src)
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").start(out)
+      q.awaitTermination()
+    }
+    // run 1: first half
+    stageOne(ev.where(col("event_id") % 2 === 0), s"$base/h0", src, "a")
+    run()
+    val afterA = spark.read.parquet(out).count()
+    assert(afterA === ev.where(col("event_id") % 2 === 0).count())
+    // run 2: a file carrying ALL events — the first half again + the rest
+    stageOne(ev, s"$base/h1", src, "b")
+    run()
+    val got = spark.read.parquet(out)
+    assert(got.count() === ev.count(),
+      "restart re-emitted pre-restart ids — dedup state was lost")
+    assert(got.select("event_id").distinct().count() === ev.count())
+  }
+
+  /** Write `df` as one parquet file and move it into `src` as `$tag.parquet`. */
+  private def stageOne(df: org.apache.spark.sql.DataFrame, tmp: String,
+      src: String, tag: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.move(Paths.get(part), Paths.get(s"$src/$tag.parquet"))
+    graft.sources.Staging.deleteRecursively(Paths.get(tmp))
+  }
+
   test("streaming compaction matches the batch compact_changelog") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.compactStream(spark, sf), "stream_compact")
