@@ -79,6 +79,33 @@ object TextIO {
         .option("header", "true").csv(tmp)
     }
 
+  /** Fraction knob for the planted-corruption CSV fixture: rows with
+    * vec_id % BAD_EVERY == BAD_PHASE are replaced by an unparseable line.
+    * Deterministic, so the oracle reconstructs the good/bad split from
+    * the parquet source without reading the file. */
+  private val BAD_EVERY = 50
+  private val BAD_PHASE = 7
+
+  /** Write a DELIBERATELY part-corrupted points CSV once per scale
+    * factor: the real world's ingest input (truncated uploads, encoding
+    * damage, log lines mixed into data files). Rendered as text so bad
+    * lines can be planted; the header sorts first via the -1 key and the
+    * single-shard write preserves the sort. */
+  def ensurePointsCsvBad(s: SparkSession, d: String): String =
+    Staging.ensureDir(s"target/text-fixtures/${sfName(d)}/points_csv_bad") {
+      tmp =>
+        val header = s.range(1).select(lit(-1L).as("k"),
+          lit("vec_id," + (1 to 4).map(i => s"f$i").mkString(",")).as("value"))
+        val rows = Tables.embeddings(s, d).select(col("vec_id").as("k"),
+          when(pmod(col("vec_id"), lit(BAD_EVERY)) === BAD_PHASE,
+            lit("### corrupted upload fragment ###"))
+            .otherwise(concat_ws(",", col("vec_id").cast("string"),
+              transform(slice(asDouble(col("embedding")), 1, 4),
+                _.cast("string")))).as("value"))
+        header.union(rows).orderBy(col("k")).select(col("value"))
+          .coalesce(1).write.mode("overwrite").text(tmp)
+    }
+
   /** Write the events table as JSON-lines once per scale factor — the
     * interchange format of LLM training-data pipelines. Timestamps are
     * emitted as epoch-µs longs (JSON has no timestamp type; µs stays in
@@ -164,6 +191,36 @@ object TextIO {
         .where(col("lang") === "en")
         .select(col("doc_id"), col("source"), col("n_chars"))
     },
+    "scan_csv_badrecords" -> { (s, d) =>
+      // malformed-record-TOLERANT ingestion — PERMISSIVE mode with a
+      // corrupt-record column, the machinery a real ingest runs on dirty
+      // uploads (FAILFAST kills the job on line one; silently DROPMALFORMED
+      // hides data loss). Bad lines surface as rows with the raw line in
+      // the corrupt column and null data fields — countable, quarantinable,
+      // re-parseable. The fixture plants an unparseable line every
+      // BAD_EVERY rows, so the expected split is a pure function of the
+      // parquet source and the summary is fully oracle-checked: good/bad
+      // counts and the good rows' f1 sum (the value a silent drop or a
+      // mis-typed good row would shift).
+      val schema = "vec_id LONG, f1 DOUBLE, f2 DOUBLE, f3 DOUBLE, " +
+        "f4 DOUBLE, _bad STRING"
+      // localCheckpoint BEFORE aggregating: Spark's documented
+      // corrupt-column caveat — under column pruning the parser only
+      // parses the referenced subset, so a row can pass without its
+      // corruption being detected (observed: n_bad = 0 without this).
+      // Materializing the fully-parsed rows is exactly the "cache the
+      // parsed results first" guidance, with the repo's checkpoint
+      // lifecycle instead of a session-lifetime cache.
+      val parsed = s.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema(schema).csv(ensurePointsCsvBad(s, d))
+        .localCheckpoint()
+      parsed.agg(
+        count(when(col("_bad").isNull, 1)).as("n_good"),
+        count(col("_bad")).as("n_bad"),
+        rIeee(sum(when(col("_bad").isNull, r4(col("f1")))), 2).as("sum_f1"))
+    },
     "sink_jsonl" -> { (s, d) =>
       // JSONL EXPORT round-trip — the interchange handoff at the END of a
       // curation pass (scan_jsonl covers the landing side; a corpus that
@@ -220,6 +277,15 @@ object TextIO {
          |       ${dSql(2, "d1")},
          |       ${dSql(3, "d2")},
          |       ${dSql(4, "d3")}
+         |FROM embeddings""".stripMargin,
+    "scan_csv_badrecords" ->
+      s"""SELECT count(CASE WHEN vec_id % $BAD_EVERY <> $BAD_PHASE THEN 1 END)::BIGINT
+         |         AS n_good,
+         |       count(CASE WHEN vec_id % $BAD_EVERY = $BAD_PHASE THEN 1 END)::BIGINT
+         |         AS n_bad,
+         |       ${graft.functions.VectorSql.rIeee(
+           s"sum(CASE WHEN vec_id % $BAD_EVERY <> $BAD_PHASE " +
+             "THEN round(embedding[1]::DOUBLE, 4) END)", 2)} AS sum_f1
          |FROM embeddings""".stripMargin,
     "sink_jsonl" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
