@@ -137,6 +137,7 @@ object TextIO {
   def ensureFixtures(s: SparkSession, d: String): Unit = {
     ensurePointsText(s, d)
     ensurePointsCsv(s, d)
+    ensurePointsCsvBad(s, d)
     ensureEventsJsonl(s, d)
     ensureDocsOrc(s, d)
   }
