@@ -168,7 +168,8 @@ class StreamingSpec extends SparkSpec {
     graft.sources.Staging.deleteRecursively(Paths.get(base))
     val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
     Files.createDirectories(Paths.get(src))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // no nanosAsLong conf needed: Tables.events sets it for the fixture
+    // read, and the re-staged halves store ts as plain INT64 already
     val ev = graft.Tables.events(spark, sf)
     def run(): Unit = {
       val q = spark.readStream.schema(StreamingOps.eventsSchema)
@@ -200,8 +201,10 @@ class StreamingSpec extends SparkSpec {
       src: String, tag: String): Unit = {
     import java.nio.file.{Files, Paths}
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-      .filter(_.endsWith(".parquet")).head
+    val entries = Files.list(Paths.get(tmp))
+    val part =
+      try entries.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      finally entries.close()
     Files.move(Paths.get(part), Paths.get(s"$src/$tag.parquet"))
     graft.sources.Staging.deleteRecursively(Paths.get(tmp))
   }
