@@ -63,7 +63,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // under a dev filter, restrict the oracle map to the filtered names:
+    // a full map beside partial dumps would let check_oracle.py compare
+    // stale sibling dumps against fresh SQL as if they were current
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

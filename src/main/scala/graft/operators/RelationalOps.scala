@@ -37,25 +37,57 @@ object RelationalOps {
     * one floor division, and the non-equi predicate becomes a broadcast
     * hash EQUI-join on the band + residual bounds filter. Equivalent to
     * `probe JOIN brackets ON price >= lo AND price < hi` for any interval
-    * set (overlapping or not — PropertySpec proves it against the naive
-    * join on generated intervals). `0.01` under `hi` keeps the exclusive
-    * upper bound on the previous band when `hi` is band-aligned; bounds
-    * must be coarser-grained than 0.01 (prices are 2-decimal). */
+    * set — overlapping or not, any bound granularity; PropertySpec proves
+    * it against the naive join on generated intervals. */
   private[graft] def bandedRangeJoin(probe: DataFrame, brackets: DataFrame,
       w: Double): DataFrame = {
     // floor BEFORE the long cast on the bracket side too: a bare cast
     // truncates toward zero, which on a negative lo (z-scores, deltas)
     // would start the replication one band HIGH and silently drop
     // matches the naive join returns (PropertySpec covers a negative
-    // domain)
+    // domain). The upper bound replicates to floor(hi/w) directly — when
+    // hi is band-aligned that is one extra band whose rows the residual
+    // `price < hi` filter drops, which is strictly safer than any
+    // epsilon-under-hi form (an epsilon imposes a silent granularity
+    // precondition on the interval bounds).
     val br = brackets.withColumn("band",
       explode(sequence(floor(col("lo") / w).cast("long"),
-        floor((col("hi") - lit(0.01)) / w).cast("long"))))
+        floor(col("hi") / w).cast("long"))))
     val p = probe.withColumn("band", floor(col("price") / w).cast("long"))
     p.join(broadcast(br),
       p("band") === br("band") &&
         col("price") >= col("lo") && col("price") < col("hi"))
   }
+
+  /** CDC/log compaction — latest state per key (the snapshot-merge step
+    * of an incrementally updated corpus): ONE map-side-combinable
+    * `max(struct(...))` aggregate, NOT a per-key window sort. A
+    * row_number window must shuffle and sort every changelog row; the
+    * struct-max carries one candidate row per (partition, key) into the
+    * shuffle — O(keys) reducer input at any log length, the compaction
+    * shape that survives a 100 TB changelog. The struct compares
+    * lexicographically (ts_us, then the unique event_id), so the
+    * comparison never reaches the payload fields and the winner is
+    * total-order deterministic. µs time math per the join_asof
+    * conventions (DuckDB reads TIMESTAMP(NANOS) at µs resolution).
+    *
+    * ONE definition applied to any events relation, batch or stream: the
+    * `compact_changelog` query runs it over the table, `StreamingOps`
+    * runs it in complete mode as the always-fresh materialized view, and
+    * StreamingSpec drives it over a multi-file source — the field-for-
+    * field identity the shared oracle and the row-identical stream/batch
+    * proof rely on lives here, not in two hand-synced copies. */
+  private[graft] def compactAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+        col("value"))).as("last"), count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("last.ts_us").as("ts_us"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"),
+        round(col("last.value"), 2).as("value"), col("n_versions"))
 
   /** events with `ts` (epoch nanos, see [[graft.Tables.table]]) plus an
     * epoch-hour bucket — the tumbling-window key used by batch + oracle. */
@@ -233,27 +265,7 @@ object RelationalOps {
         .select(col("c_custkey"), col("c_mktsegment"))
     },
     "compact_changelog" -> { (s, d) =>
-      // CDC/log compaction — latest state per key (the snapshot-merge step
-      // of an incrementally updated corpus): ONE map-side-combinable
-      // `max(struct(...))` aggregate, NOT a per-key window sort. A
-      // row_number window must shuffle and sort every changelog row; the
-      // struct-max carries one candidate row per (partition, key) into the
-      // shuffle — O(keys) reducer input at any log length, the compaction
-      // shape that survives a 100 TB changelog. The struct compares
-      // lexicographically (ts_us, then the unique event_id), so the
-      // comparison never reaches the payload fields and the winner is
-      // total-order deterministic. µs time math per the join_asof
-      // conventions (DuckDB reads TIMESTAMP(NANOS) at µs resolution).
-      Tables.events(s, d)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-          col("event_id"), col("event_type"), col("value"))
-        .groupBy(col("user_id"))
-        .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
-          col("value"))).as("last"), count(lit(1)).as("n_versions"))
-        .select(col("user_id"), col("last.ts_us").as("ts_us"),
-          col("last.event_id").as("event_id"),
-          col("last.event_type").as("event_type"),
-          round(col("last.value"), 2).as("value"), col("n_versions"))
+      compactAgg(Tables.events(s, d))
     },
 
     "join_range" -> { (s, d) =>
@@ -290,8 +302,13 @@ object RelationalOps {
       // (dedup_embedding's sim>=0.3 discipline).
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
+      // sigma > 0 on BOTH sides: a zero-variance group has no outliers by
+      // definition, and the engines disagree on z there (Spark's non-ANSI
+      // divide yields NULL and drops the rows; DuckDB's IEEE 0/0 yields
+      // NaN, which its total float order ranks above every cutoff)
       val stats = ev.groupBy(col("event_type"))
         .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
+        .where(col("sigma") > 0)
       ev.join(broadcast(stats), "event_type")
         .select(col("event_id"), col("event_type"),
           round(col("value"), 2).as("value"),
@@ -693,9 +710,10 @@ object RelationalOps {
         |FROM (SELECT event_id, event_type, value,
         |        round((value - avg(value) OVER (PARTITION BY event_type))
         |              / stddev_pop(value) OVER (PARTITION BY event_type), 4)
-        |          AS z
+        |          AS z,
+        |        stddev_pop(value) OVER (PARTITION BY event_type) AS sigma
         |      FROM events)
-        |WHERE abs(z) > 3.0""".stripMargin,
+        |WHERE sigma > 0 AND abs(z) > 3.0""".stripMargin,
     "window_trailing" ->
       s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          |       ${graft.functions.VectorSql.rIeee(

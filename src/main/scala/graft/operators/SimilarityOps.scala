@@ -221,7 +221,17 @@ object SimilarityOps {
     * query hash-pins the exact per-query values each round, so ANY
     * quality drift is a visible diff, not a silent degradation. */
   private[graft] def ivfTopK(s: SparkSession, d: String,
-      nprobe: Int = NPROBE): DataFrame = {
+      nprobe: Int = NPROBE): DataFrame =
+    topKPerQuery(scoredCandidates(s, d, nprobe)
+      .select(col("q_id"), col("vec_id"), col("sim")))
+
+  /** The IVF candidate-generation pipeline at `nprobe`, emitting
+    * (q_id, vec_id, rn, sim) where `rn` is the candidate cell's per-query
+    * rank — ONE definition shared by [[ivfTopK]] and the nprobe sweep (the
+    * sweep scans once at the widest width and filters rn per branch), so
+    * the sweep can never desynchronize from the query it sweeps. */
+  private def scoredCandidates(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
     val dir = ensureIvfIndex(s, d)
     val cellsDf = s.read.parquet(s"$dir/cells")
     val qCells = queriesDf(s, d).crossJoin(broadcast(cellsDf))
@@ -229,20 +239,19 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("dist").asc, col("cell"))))
       .where(col("rn") <= nprobe)
-      .select(col("q_id"), col("cell"))
+      .select(col("q_id"), col("cell"), col("rn"))
       .localCheckpoint() // reused: probed-cell collect + the probe join
     // ≤ NQ·nprobe cell ids — O(1) driver traffic, like the O(k·d) center
     // collects; literal ids make the index scan statically partition-pruned
     val probed = qCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val cands = s.read.parquet(s"$dir/vectors")
+    s.read.parquet(s"$dir/vectors")
       .where(col("cell").isin(probed.toSeq: _*))
       .join(broadcast(qCells), "cell")
       .where(col("id") =!= col("q_id"))
       .join(broadcast(queriesDf(s, d)), "q_id")
-      .select(col("q_id"), col("id").as("vec_id"),
+      .select(col("q_id"), col("id").as("vec_id"), col("rn"),
         r4(cos(col("v"), col("qv"))).as("sim"))
-    topKPerQuery(cands)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -331,25 +340,7 @@ object SimilarityOps {
       // exact slots — micro = macro, each query contributes exactly TOPK
       // exact rows; the division is the same two-operand IEEE op in both
       // engines.
-      val dir = ensureIvfIndex(s, d)
-      val maxNp = SWEEP_NPROBES.max
-      val qCells = queriesDf(s, d)
-        .crossJoin(broadcast(s.read.parquet(s"$dir/cells")))
-        .withColumn("dist", sqDist(col("qv"), col("cv")))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
-          .orderBy(col("dist").asc, col("cell"))))
-        .where(col("rn") <= maxNp)
-        .select(col("q_id"), col("cell"), col("rn"))
-        .localCheckpoint()
-      val probed = qCells.select(col("cell")).distinct()
-        .collect().map(_.getInt(0)).sorted
-      val scored = s.read.parquet(s"$dir/vectors")
-        .where(col("cell").isin(probed.toSeq: _*))
-        .join(broadcast(qCells), "cell")
-        .where(col("id") =!= col("q_id"))
-        .join(broadcast(queriesDf(s, d)), "q_id")
-        .select(col("q_id"), col("id").as("vec_id"), col("rn"),
-          r4(cos(col("v"), col("qv"))).as("sim"))
+      val scored = scoredCandidates(s, d, SWEEP_NPROBES.max)
         .localCheckpoint()
       val exact = queries("similarity_topk")(s, d)
         .select(col("q_id"), col("vec_id")).localCheckpoint()

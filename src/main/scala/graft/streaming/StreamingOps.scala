@@ -241,27 +241,10 @@ object StreamingOps {
     * append) is the only sound output mode here. */
   def compactStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    compactAgg(spark.readStream.schema(eventsSchema)
-      .parquet(stageDir(sfDir, "events")))
+    graft.operators.RelationalOps.compactAgg(
+      spark.readStream.schema(eventsSchema)
+        .parquet(stageDir(sfDir, "events")))
   }
-
-  /** The compaction aggregation applied to any events relation (batch or
-    * stream) — factored so StreamingSpec can drive it over a multi-file
-    * source with `maxFilesPerTrigger=1`, proving the latest-per-key state
-    * is genuinely REVISED across micro-batches (the declared query's
-    * single staged file runs in one batch, which alone would leave the
-    * cross-batch revision path untested). */
-  private[graft] def compactAgg(events: DataFrame): DataFrame =
-    events
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-        col("event_id"), col("event_type"), col("value"))
-      .groupBy(col("user_id"))
-      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
-        col("value"))).as("last"), count(lit(1)).as("n_versions"))
-      .select(col("user_id"), col("last.ts_us").as("ts_us"),
-        col("last.event_id").as("event_id"),
-        col("last.event_type").as("event_type"),
-        round(col("last.value"), 2).as("value"), col("n_versions"))
 
   /** Batch form of [[thresholdAlerts]] for the equivalence test: the same
     * integer-cents quantization, an exact long cumsum window, and a

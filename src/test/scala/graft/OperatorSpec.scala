@@ -137,7 +137,8 @@ class OperatorSpec extends SparkSpec {
     assert(gaps.count() === 0L, "packing left a gap or overlap in a shard")
     // sequence ids follow from the offsets
     assert(df.where(col("first_seq") =!=
-      (col("tok_start").cast("long")).divide(512).cast("long")).count() === 0L)
+      (col("tok_start").cast("long"))
+        .divide(graft.operators.TextOps.PACK_SEQ).cast("long")).count() === 0L)
     assert(df.where(col("last_seq") < col("first_seq")).count() === 0L)
     // every doc with tokens is packed exactly once
     val tokenized = spark.read.parquet(s"$sf/documents.parquet")
@@ -505,7 +506,8 @@ class OperatorSpec extends SparkSpec {
       col("n_seqs") =!= col("t_seqs")).count() === 0L)
     assert(stats.where(col("fill") <= 0.0 || col("fill") > 1.0).count() === 0L)
     // sequences are the minimum covering the tokens: seqs-1 would not fit
-    assert(stats.where(col("n_toks") <= (col("n_seqs") - 1) * 512).count() === 0L)
+    assert(stats.where(col("n_toks") <=
+      (col("n_seqs") - 1) * graft.operators.TextOps.PACK_SEQ).count() === 0L)
   }
 
   test("outlier_zscore flags exactly the beyond-cutoff rows") {

@@ -243,11 +243,13 @@ class PropertySpec extends SparkSpec {
     // irregular, partially OVERLAPPING intervals (a value can match
     // several) and band-aligned bounds — the cases the band replication
     // and residual filter must not mishandle
-    // spans straddle zero: the negative domain is where a truncating
-    // (instead of flooring) band cast on the bracket side loses matches
+    // spans straddle zero (the negative domain is where a truncating
+    // band cast on the bracket side loses matches) and bounds carry
+    // sub-cent fractions (where any epsilon-under-hi band form imposes a
+    // silent granularity precondition)
     val brackets = (0 until 40).map { i =>
-      val lo = (i * 173 % 97) * 10.0 - 480.0
-      (i, lo, lo + 5.0 + (i * 37 % 11) * 25.0)
+      val lo = (i * 173 % 97) * 10.0 - 480.0 + (i % 3) * 0.003
+      (i, lo, lo + 5.0 + (i * 37 % 11) * 25.0 + (i % 7) * 0.001)
     }.toDF("bracket_id", "lo", "hi")
     val probe = (0 until 500)
       .map(i => ((i * 2654435761L % 100000L) / 100.0) - 500.0)

@@ -124,8 +124,9 @@ class StreamingSpec extends SparkSpec {
     ev.where(col("event_id") % 2 === 1).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/half-b")
     val twoFiles = Seq("half-a", "half-b").flatMap { h =>
-      Files.list(Paths.get(s"$dir/$h")).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet"))
+      val entries = Files.list(Paths.get(s"$dir/$h"))
+      try entries.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      finally entries.close()
     }
     twoFiles.zipWithIndex.foreach { case (f, i) =>
       Files.move(Paths.get(f), Paths.get(s"$dir/part-$i.parquet"))
@@ -138,7 +139,7 @@ class StreamingSpec extends SparkSpec {
     // otherwise a typo'd option or a trigger semantics change silently
     // degenerates this back to the single-batch case
     spark.catalog.dropTempView("stream_compact_2b")
-    val q = StreamingOps.compactAgg(
+    val q = graft.operators.RelationalOps.compactAgg(
         spark.readStream.schema(StreamingOps.eventsSchema)
           .option("maxFilesPerTrigger", "1").parquet(dir))
       .writeStream.outputMode("complete")
