@@ -63,13 +63,25 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // under a dev filter, restrict the oracle map to the filtered names:
-    // a full map beside partial dumps would let check_oracle.py compare
-    // stale sibling dumps against fresh SQL as if they were current
-    val json = SparkEntry.oracleSql
+    // under a dev filter, MERGE the filtered entries into any existing
+    // oracle map rather than replacing it: each sibling dump dir was
+    // written together with its oracle entry, so preserved entries stay
+    // consistent with the dumps they describe, while a plain overwrite
+    // would silently demote every other query to rows-only on the next
+    // check_oracle.py pass over a previously-full dump dir
+    val fresh = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
+    val jsonPath = Paths.get(s"$outDir/oracle_sql.json")
+    val prior: Map[String, String] =
+      if (only.isDefined && Files.exists(jsonPath)) {
+        import scala.jdk.CollectionConverters._
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(jsonPath.toFile, classOf[java.util.Map[String, String]])
+          .asScala.toMap
+      } else Map.empty
+    val json = (prior ++ fresh)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(jsonPath, json)
     spark.stop()
   }
 }

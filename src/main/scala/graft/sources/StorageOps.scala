@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
 object StorageOps {
 
   private def sfName(d: String): String =
-    java.nio.file.Paths.get(d).getFileName.toString.replace(".", "_")
+    // table names derive from the fixture dir name; sanitize every
+    // non-identifier char (dots, hyphens, ...) so any dir is usable
+    java.nio.file.Paths.get(d).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
 
   /** Idempotently create the bucketed table layouts for a scale factor.
     * Layout creation is one-time ETL, not query work: callers that time
