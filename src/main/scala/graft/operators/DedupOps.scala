@@ -347,6 +347,11 @@ object DedupOps {
   private[graft] def componentsOf(pairs0: DataFrame,
       maxIter: Int = 30): DataFrame = {
     val pairs = pairs0.localCheckpoint()
+    // an empty pair graph has an empty labeling (and the sum-of-labels
+    // convergence probe below would read a null aggregate) — exit early
+    if (pairs.take(1).isEmpty)
+      return pairs.select(col("doc_a").as("doc_id"),
+        col("doc_b").as("cluster_rep"))
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
       .localCheckpoint()
@@ -432,6 +437,40 @@ object DedupOps {
       .select(col("doc_id"))
   }
 
+  /** Incremental NEAR-dup core (see `dedup_minhash_incremental`): delta
+    * docs whose bands collide with the base band index exit first, the
+    * rest collapse within-delta to their component-min survivor. Band
+    * cells are capped over the COMBINED base+delta population (a cell hot
+    * in the base must not be probed). Both inputs need (doc_id, text);
+    * bandless docs (<3 words) pass through. */
+  private[graft] def incrementalNearDupSurvivors(base: DataFrame,
+      delta: DataFrame, cap: Int = BAND_CAP): DataFrame = {
+    val tagged = minhashBands(base).withColumn("is_base", lit(true))
+      .union(minhashBands(delta).withColumn("is_base", lit(false)))
+    // checkpoint once: the capped relation feeds the probe join AND the
+    // within-delta self-join (extra columns pass through cappedBands)
+    val capped = cappedBands(tagged.localCheckpoint(), cap).localCheckpoint()
+    val baseB = capped.where(col("is_base"))
+    val deltaB = capped.where(!col("is_base"))
+    val collide = deltaB
+      .join(baseB.select(col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val rem = deltaB.join(collide, Seq("doc_id"), "left_anti")
+    val pairs = rem.select(col("doc_id").as("doc_a"), col("band_id"),
+        col("band_hash"))
+      .join(rem.select(col("doc_id").as("doc_b"), col("band_id"),
+        col("band_hash")), Seq("band_id", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val nonRep = componentsOf(pairs)
+      .where(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"))
+    delta.select(col("doc_id"))
+      .join(collide, Seq("doc_id"), "left_anti")
+      .join(nonRep, Seq("doc_id"), "left_anti")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, d) =>
       // hash-groupBy dedup: at 100 TB you group by a digest, never the raw
@@ -472,6 +511,31 @@ object DedupOps {
     },
     "dedup_minhash" -> { (s, d) =>
       minhashPairs(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))
+    },
+    "dedup_minhash_incremental" -> { (s, d) =>
+      // NEAR-dup twin of `dedup_incremental`: a crawl delta probed against
+      // the standing corpus's MinHash BAND INDEX — the production ingest
+      // shape where the base index is a persisted layout (here rebuilt
+      // from the base split, exactly as the digest index is in
+      // `dedup_incremental`). Three stages, each scale-clean:
+      //   1. delta bands probe the base index (equi-join on the band cell;
+      //      left_semi, so base-side cell population never fans out) —
+      //      any collision means "near-dup of something we already have".
+      //   2. surviving delta bands self-join within the delta (the
+      //      dedup_minhash shape at delta ≪ corpus size).
+      //   3. within-delta components collapse to their min-id rep
+      //      (transitive: A~B, B~C keep only A — the dedup_clusters
+      //      fixed point over delta-only edges).
+      // Cap discipline: cells are capped over the WHOLE corpus population
+      // before the split (a cell hot in the base must not be probed —
+      // same cells the batch queries drop). Docs with <3 words have no
+      // bands, can't near-dup, and pass through. Output: delta doc ids
+      // worth ingesting. Core factored as [[incrementalNearDupSurvivors]]
+      // (PropertySpec proves both drop paths on constructed corpora).
+      val docs = Tables.documents(s, d)
+      val uu = graft.functions.VectorOps.unitUniform(col("doc_id"))
+      incrementalNearDupSurvivors(docs.where(uu < 0.7),
+        docs.where(uu >= 0.7))
     },
     "dedup_minhash_scored" -> { (s, d) =>
       // LSH candidates + the MinHash similarity ESTIMATE: the fraction of
@@ -629,6 +693,40 @@ object DedupOps {
         |          FROM u WHERE uu >= 0.7 GROUP BY md5(text))
         |SELECT doc_id FROM delta
         |WHERE h NOT IN (SELECT h FROM base)""".stripMargin,
+    "dedup_minhash_incremental" ->
+      s"""WITH RECURSIVE $sigSql,
+         |$bandsSql,
+         |$cappedBandsSql,
+         |u AS (SELECT doc_id,
+         |             ((doc_id * 2654435761) % 4294967296 + 0.5)
+         |               / 4294967296.0 AS uu
+         |      FROM documents),
+         |baseb AS (SELECT c.doc_id, band_id, band_hash
+         |          FROM cbands c JOIN u USING (doc_id) WHERE uu < 0.7),
+         |deltab AS (SELECT c.doc_id, band_id, band_hash
+         |           FROM cbands c JOIN u USING (doc_id) WHERE uu >= 0.7),
+         |collide AS (SELECT DISTINCT d.doc_id FROM deltab d
+         |            WHERE EXISTS (SELECT 1 FROM baseb b
+         |                          WHERE b.band_id = d.band_id
+         |                            AND b.band_hash = d.band_hash)),
+         |rem AS (SELECT * FROM deltab
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM collide)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM rem a JOIN rem b
+         |            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |          WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (SELECT s, s FROM edges
+         |                   UNION
+         |                   SELECT e.s, r.r FROM edges e
+         |                   JOIN reach r ON e.t = r.node),
+         |nonrep AS (SELECT node AS doc_id FROM reach
+         |           GROUP BY node HAVING min(r) < node)
+         |SELECT doc_id::BIGINT AS doc_id FROM u
+         |WHERE uu >= 0.7
+         |  AND doc_id NOT IN (SELECT doc_id FROM collide)
+         |  AND doc_id NOT IN (SELECT doc_id FROM nonrep)""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $sigSql,
          |$bandsSql,

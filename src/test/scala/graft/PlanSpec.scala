@@ -141,6 +141,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("dedup_minhash_incremental probes the base index as a semi join") {
+    // the base-index probe must be LeftSemi (a base cell holding n docs
+    // must not fan each delta band out n times before the distinct), and
+    // nothing in the composition may degenerate to a cartesian
+    val plan = executed("dedup_minhash_incremental")
+    assert(plan.contains("LeftSemi"), "base-index probe lost its semi join")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sketch-only bench plans stay pure sketch paths") {
     // the bench-only production projections must never re-grow the exact
     // sides their declared siblings carry as verification gates: no

@@ -333,6 +333,38 @@ class PropertySpec extends SparkSpec {
     assert(got.toSeq === Seq(11L, 14L))
   }
 
+  test("incremental NEAR-dup drops base collisions and collapses the delta") {
+    // the minhash twin: identical texts guarantee identical signatures,
+    // hence band collisions — exercising (a) the base-index probe drop,
+    // (b) the within-delta component collapse to the min id, (c) the
+    // bandless (<3 words) pass-through, (d) fresh docs surviving
+    val D = graft.operators.DedupOps
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // base hit -> dropped
+      (11L, "red orange yellow green blue indigo"), // delta dup cluster...
+      (12L, "red orange yellow green blue indigo"), // ...min id 11 survives
+      (13L, "red orange yellow green blue indigo"), // ...dropped
+      (14L, "tiny doc"), // <3 words: bandless, passes through
+      (15L, "completely fresh unseen document text here")) // survives
+      .toDF("doc_id", "text")
+    val got = D.incrementalNearDupSurvivors(base, delta)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(11L, 14L, 15L))
+    // cap discipline holds across the split: an over-cap cell (identical
+    // corpus spanning base and delta) generates NO candidates — every
+    // delta doc passes the near-dup stage (exact dedup owns that corpus)
+    val text = "same words in every single document here"
+    val bigBase = (0 until 600).map(i => (i.toLong, text))
+      .toDF("doc_id", "text")
+    val bigDelta = (1000 until 1600).map(i => (i.toLong, text))
+      .toDF("doc_id", "text")
+    assert(D.incrementalNearDupSurvivors(bigBase, bigDelta).count() === 600L)
+  }
+
   test("CosineSim/SignBucket yield null, not an error, on short vectors") {
     // the dimension guard: malformed (mixed-dimension) embeddings must
     // produce a filterable null instead of failing the whole query
