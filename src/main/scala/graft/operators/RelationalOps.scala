@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,29 @@ import org.apache.spark.sql.functions._
   *    no single-partition global windows.
   */
 object RelationalOps {
+
+  /** Exact revenue aggregate `sum(l_extendedprice * (1 - l_discount))`
+    * rounded to cents, in INTEGER arithmetic: prices/discounts are exact
+    * 2-decimal values, so cents × (100 − pct) sums exactly (decimal
+    * accumulator — no overflow cliff) and only the final single division
+    * touches floating point ([[graft.functions.VectorOps.rIeee]] keeps
+    * the half-boundary cross-engine safe). A double `sum()` is
+    * summation-ORDER-dependent: at 8× sf0.1 the accumulated error crossed
+    * a round-half boundary and flipped the last cent between engines —
+    * at 100 TB every such aggregate would sit on coin-flip boundaries.
+    * ONE definition for `join_equi` and `join_bucketed` plus its DuckDB
+    * rendering ([[revenueSumSql]]; HUGEINT accumulator there). */
+  private[graft] def revenueSum: Column = {
+    val units = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    graft.functions.VectorOps.rIeee(
+      sum(units.cast("decimal(38,0)")).cast("double") / 1e4, 2)
+  }
+
+  private[graft] val revenueSumSql: String =
+    graft.functions.VectorSql.rIeee(
+      "sum(round(l_extendedprice * 100)::BIGINT * " +
+        "(100 - round(l_discount * 100)::BIGINT))::DOUBLE / 10000.0", 2)
 
   /** join_range's price brackets — ONE definition feeding both the Spark
     * relation and the oracle's VALUES literal (via [[bracketsSql]]) so the
@@ -139,8 +162,7 @@ object RelationalOps {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        .agg(revenueSum.as("revenue"),
           count(lit(1)).as("n_rows"))
     },
     "join_semi" -> { (s, d) =>
@@ -653,7 +675,7 @@ object RelationalOps {
         |               s -> s::DOUBLE) AS pt
         |      FROM lineitem)""".stripMargin,
     "join_equi" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT n_name, $revenueSumSql AS revenue,
         |       count(*)::BIGINT AS n_rows
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey

@@ -89,8 +89,7 @@ object StorageOps {
         .join(s.table(s"o_b_$tag"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          graft.operators.RelationalOps.revenueSum.as("revenue"))
     }
   )
 
@@ -100,8 +99,8 @@ object StorageOps {
         |       sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY lang""".stripMargin,
     "join_bucketed" ->
-      """SELECT o_orderstatus, count(*)::BIGINT AS n_items,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT o_orderstatus, count(*)::BIGINT AS n_items,
+        |       ${graft.operators.RelationalOps.revenueSumSql} AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin
   )
