@@ -92,6 +92,13 @@ object DedupOps {
        |       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
        |  ELSE [] END)""".stripMargin
 
+  /** Exact-substring window length (words). Production corpora use ~50
+    * tokens (the "Deduplicating Training Data Makes Language Models
+    * Better" convention: long enough that a collision means lifted text);
+    * 12 keeps the fixture's 16-96-token docs carrying multiple windows.
+    * ONE constant feeding query + oracle. */
+  private[graft] val SUBSTR_L = 12
+
   // ------------------------------------------------------------- MinHash
 
   private val MINHASH_PERMS = 32
@@ -471,6 +478,38 @@ object DedupOps {
       .join(nonRep, Seq("doc_id"), "left_anti")
   }
 
+  /** EXACT-substring dedup audit (the suffix-array ExactSubstr step of
+    * the modern curation stack, re-expressed for a cluster — see the
+    * `dedup_substring` query): every length-[[SUBSTR_L]] word window
+    * (positional multiset — within-doc repeats count) hashes to 60 bits;
+    * a window whose hash occurs more than once ANYWHERE in the corpus is
+    * a duplicated span. Output is the per-doc audit `(doc_id, n_spans,
+    * n_dup_spans)` a removal pass filters on. Scale shape: explode →
+    * hash → one count aggregate keyed by the 60-bit hash (map-side
+    * combined; only longs shuffle) → semi-join back. The dup-hash set is
+    * corpus-scaled in the worst case, so it is never STATICALLY
+    * broadcast (AQE may still runtime-convert when the measured set is
+    * tiny — the size-gated safe case); all window strings live only
+    * inside the scan-side projection. Docs with <L words carry no
+    * windows and drop out (no spans to audit). */
+  private[graft] def substringAudit(docs: DataFrame): DataFrame = {
+    val wins = spread(docs)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordShingles.all(col("text"), SUBSTR_L))
+        .as("win"))
+      .select(col("doc_id"), h60(col("win")).as("h"))
+      .localCheckpoint()
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("h"))
+    val perDoc = wins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = wins.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_spans"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, d) =>
       // hash-groupBy dedup: at 100 TB you group by a digest, never the raw
@@ -564,6 +603,9 @@ object DedupOps {
       pairs.join(sigA, "doc_a").join(sigB, "doc_b")
         .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+    "dedup_substring" -> { (s, d) =>
+      substringAudit(Tables.documents(s, d))
     },
     "dedup_simhash" -> { (s, d) =>
       simhashFingerprints(Tables.documents(s, d))
@@ -776,6 +818,19 @@ object DedupOps {
          |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.node)
          |SELECT node::BIGINT AS doc_id, min(r)::BIGINT AS cluster_rep
          |FROM reach GROUP BY node""".stripMargin,
+    "dedup_substring" -> {
+      val terms = (0 until SUBSTR_L).map(k => s"w[i+$k]").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, $wSql AS w FROM documents),
+         |wins AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, len(w) - ${SUBSTR_L - 1}),
+         |    i -> ${h60Sql(s"concat_ws(' ', $terms)")})) AS h
+         |  FROM w WHERE len(w) >= $SUBSTR_L),
+         |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1)
+         |SELECT doc_id, count(*)::BIGINT AS n_spans,
+         |       sum(CASE WHEN h IN (SELECT h FROM dup)
+         |                THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+         |FROM wins GROUP BY doc_id""".stripMargin
+    },
     "dedup_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM fp""".stripMargin,

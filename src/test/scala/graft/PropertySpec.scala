@@ -333,6 +333,35 @@ class PropertySpec extends SparkSpec {
     assert(got.toSeq === Seq(11L, 14L))
   }
 
+  test("substringAudit counts lifted and self-repeated spans exactly") {
+    // constructed corpus with known window arithmetic (L = 12):
+    //  - doc 0: 12 distinct words -> exactly 1 window, duplicated into
+    //    doc 1's tail (cross-doc lift)
+    //  - doc 1: 23 words = doc 0's 12-gram + 11 fresh -> 12 windows, of
+    //    which only the LAST is doc 0's window (the 11 stragglers mix)
+    //  - doc 2: the same word 23 times -> 12 windows, ALL identical
+    //    (within-doc repetition: every span duplicated)
+    //  - doc 3: 11 words -> no windows, absent from the audit
+    //  - doc 4: 12 fresh distinct words -> 1 window, clean
+    val w0 = (0 until 12).map(i => s"w$i").mkString(" ")
+    val fresh = (0 until 11).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (0L, w0),
+      (1L, s"$fresh $w0"),
+      (2L, Seq.fill(23)("rep").mkString(" ")),
+      (3L, (0 until 11).map(i => s"s$i").mkString(" ")),
+      (4L, (0 until 12).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.DedupOps.substringAudit(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(
+      0L -> ((1L, 1L)),   // its only window is lifted into doc 1
+      1L -> ((12L, 1L)),  // 23-11 windows; only the tail window collides
+      2L -> ((12L, 12L)), // all windows are the same repeated span
+      4L -> ((1L, 0L))))  // clean doc, zero dup spans; doc 3 absent
+  }
+
   test("incremental NEAR-dup drops base collisions and collapses the delta") {
     // the minhash twin: identical texts guarantee identical signatures,
     // hence band collisions — exercising (a) the base-index probe drop,
