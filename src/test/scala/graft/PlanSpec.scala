@@ -151,6 +151,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedup_substring shuffles hashes, never window strings") {
+    // the windows relation materializes L-word strings only in the
+    // scan-side projection; everything past the explode is 60-bit longs.
+    // A refactor that lets the window column reach an Exchange re-grows
+    // the shuffle by ~12 words per row — check no Exchange carries `win`,
+    // and the composition stays cartesian-free
+    val plan = executed("dedup_substring")
+    assert(!plan.contains("CartesianProduct"))
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("win#")),
+      "window strings reached a shuffle")
+  }
+
   test("sketch-only bench plans stay pure sketch paths") {
     // the bench-only production projections must never re-grow the exact
     // sides their declared siblings carry as verification gates: no
