@@ -79,7 +79,10 @@ object Verify {
           .readValue(jsonPath.toFile, classOf[java.util.Map[String, String]])
           .asScala.toMap
       } else Map.empty
-    val json = (prior ++ fresh)
+    // evict every FILTERED name from the prior map before merging: a
+    // query just demoted to rows-only (entry deleted from oracleSql)
+    // must not keep its obsolete SQL alive beside its fresh dump
+    val json = (prior -- only.getOrElse(Set.empty) ++ fresh)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(jsonPath, json)
     spark.stop()

@@ -129,6 +129,12 @@ object VectorSql {
   def cosine(a: String, b: String): String =
     s"(${dot(a, b)} / (${l2(a)} * ${l2(b)}))"
   def perm(id: String): String = s"(($id * 2654435761) % 4294967296)"
+  /** DuckDB rendering of [[VectorOps.unitUniform]] — the deterministic
+    * id → (0,1) hash uniform behind every base/delta and train/holdout
+    * split; ONE definition so split oracles can't drift from each other
+    * or from the Spark column. */
+  def unitUniform(id: String): String =
+    s"((($id * 2654435761) % 4294967296 + 0.5) / 4294967296.0)"
   def roundUniform(id: String, r: Int): String =
     s"((((($id * 31 + $r) % 2147483648) * 2654435761) % 4294967296) + 0.5) / 4294967296.0"
   def rIeee(e: String, decimals: Int): String = {

@@ -448,17 +448,20 @@ object DedupOps {
     * docs whose bands collide with the base band index exit first, the
     * rest collapse within-delta to their component-min survivor. Band
     * cells are capped over the COMBINED base+delta population (a cell hot
-    * in the base must not be probed). Both inputs need (doc_id, text);
-    * bandless docs (<3 words) pass through. */
-  private[graft] def incrementalNearDupSurvivors(base: DataFrame,
-      delta: DataFrame, cap: Int = BAND_CAP): DataFrame = {
-    val tagged = minhashBands(base).withColumn("is_base", lit(true))
-      .union(minhashBands(delta).withColumn("is_base", lit(false)))
+    * in the base must not be probed). `docs` needs (doc_id, text);
+    * `isBase` must be a pure function of `doc_id` (it is evaluated on
+    * both the docs and the band relation), which is what lets the whole
+    * corpus run ONE scan + ONE signature aggregate and split afterwards —
+    * the single-pass shape the DuckDB oracle uses too. Bandless docs
+    * (<3 words) pass through. */
+  private[graft] def incrementalNearDupSurvivors(docs: DataFrame,
+      isBase: Column, cap: Int = BAND_CAP): DataFrame = {
     // checkpoint once: the capped relation feeds the probe join AND the
-    // within-delta self-join (extra columns pass through cappedBands)
-    val capped = cappedBands(tagged.localCheckpoint(), cap).localCheckpoint()
-    val baseB = capped.where(col("is_base"))
-    val deltaB = capped.where(!col("is_base"))
+    // within-delta self-join
+    val capped = cappedBands(minhashBands(docs).localCheckpoint(), cap)
+      .localCheckpoint()
+    val baseB = capped.where(isBase)
+    val deltaB = capped.where(!isBase)
     val collide = deltaB
       .join(baseB.select(col("band_id"), col("band_hash")),
         Seq("band_id", "band_hash"), "left_semi")
@@ -473,7 +476,7 @@ object DedupOps {
     val nonRep = componentsOf(pairs)
       .where(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"))
-    delta.select(col("doc_id"))
+    docs.where(!isBase).select(col("doc_id"))
       .join(collide, Seq("doc_id"), "left_anti")
       .join(nonRep, Seq("doc_id"), "left_anti")
   }
@@ -499,15 +502,16 @@ object DedupOps {
         .as("win"))
       .select(col("doc_id"), h60(col("win")).as("h"))
       .localCheckpoint()
+    // dup has DISTINCT h (a groupBy key), so the left join marks rather
+    // than fans out, and ONE per-doc aggregate carries both counts — the
+    // oracle's own shape, one shuffle cheaper than separate total/dup
+    // aggregates reconciled by a doc_id join
     val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .where(col("c") > 1).select(col("h"))
-    val perDoc = wins.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"))
-    val dupPerDoc = wins.join(dup, Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
-    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
-        coalesce(col("nd"), lit(0L)).as("n_dup_spans"))
+      .where(col("c") > 1).select(col("h"), lit(1L).as("d"))
+    wins.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("d"), lit(0L))).as("n_dup_spans"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -573,8 +577,7 @@ object DedupOps {
       // (PropertySpec proves both drop paths on constructed corpora).
       val docs = Tables.documents(s, d)
       val uu = graft.functions.VectorOps.unitUniform(col("doc_id"))
-      incrementalNearDupSurvivors(docs.where(uu < 0.7),
-        docs.where(uu >= 0.7))
+      incrementalNearDupSurvivors(docs, uu < 0.7)
     },
     "dedup_minhash_scored" -> { (s, d) =>
       // LSH candidates + the MinHash similarity ESTIMATE: the fraction of
@@ -726,9 +729,8 @@ object DedupOps {
     "dedup_exact_docs" ->
       "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)",
     "dedup_incremental" ->
-      """WITH u AS (SELECT doc_id, text,
-        |             ((doc_id * 2654435761) % 4294967296 + 0.5)
-        |               / 4294967296.0 AS uu
+      s"""WITH u AS (SELECT doc_id, text,
+        |             ${graft.functions.VectorSql.unitUniform("doc_id")} AS uu
         |           FROM documents),
         |base AS (SELECT DISTINCT md5(text) AS h FROM u WHERE uu < 0.7),
         |delta AS (SELECT md5(text) AS h, min(doc_id)::BIGINT AS doc_id
@@ -740,8 +742,7 @@ object DedupOps {
          |$bandsSql,
          |$cappedBandsSql,
          |u AS (SELECT doc_id,
-         |             ((doc_id * 2654435761) % 4294967296 + 0.5)
-         |               / 4294967296.0 AS uu
+         |             ${graft.functions.VectorSql.unitUniform("doc_id")} AS uu
          |      FROM documents),
          |baseb AS (SELECT c.doc_id, band_id, band_hash
          |          FROM cbands c JOIN u USING (doc_id) WHERE uu < 0.7),

@@ -91,8 +91,7 @@ object PipelineOps {
        |               WHEN u < 0.9 THEN 'val'
        |               ELSE 'test' END AS split
        |        FROM (SELECT doc_id, quality,
-       |                ((doc_id * 2654435761) % 4294967296 + 0.5)
-       |                  / 4294967296.0 AS u
+       |                ${graft.functions.VectorSql.unitUniform("doc_id")} AS u
        |              FROM sur
        |              WHERE doc_id >= ${DedupOps.NEVAL}
        |                AND doc_id NOT IN (SELECT doc_id FROM hit)))""".stripMargin

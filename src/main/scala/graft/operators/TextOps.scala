@@ -648,17 +648,17 @@ object TextOps {
          |WHERE n_3grams > 0""".stripMargin
     },
     "sample_stratified" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 <
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ${graft.functions.VectorSql.unitUniform("doc_id")} <
         |      CASE WHEN lang = 'en' THEN 0.5
         |           WHEN lang = 'es' THEN 0.25 ELSE 1.0 END""".stripMargin,
     "split_assign" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |       CASE WHEN u < 0.8 THEN 'train'
         |            WHEN u < 0.9 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM (SELECT doc_id,
-        |        ((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
+        |        ${graft.functions.VectorSql.unitUniform("doc_id")} AS u
         |      FROM documents)""".stripMargin,
     "pack_sequences" -> s"WITH ${packCtes("documents")}\n$packSelect",
     "shuffle_assign" ->
@@ -736,7 +736,7 @@ object TextOps {
          |                ORDER BY score DESC, t)::INT AS rk FROM scored)
          |WHERE rk <= 3""".stripMargin,
     "mix_sample" ->
-      """WITH t(lang, t) AS (VALUES ('en', 0.30::DOUBLE), ('es', 0.20::DOUBLE),
+      s"""WITH t(lang, t) AS (VALUES ('en', 0.30::DOUBLE), ('es', 0.20::DOUBLE),
         |                           ('de', 0.20::DOUBLE), ('fr', 0.15::DOUBLE),
         |                           ('zh', 0.15::DOUBLE)),
         |c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
@@ -744,7 +744,7 @@ object TextOps {
         |s AS (SELECT min(c / t) AS smax FROM j),
         |r AS (SELECT lang, least(1.0::DOUBLE, t * smax / c) AS rate FROM j, s)
         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-        |WHERE ((d.doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+        |WHERE ${graft.functions.VectorSql.unitUniform("d.doc_id")}
         |      < rate""".stripMargin,
     "pii_redact" ->
       """SELECT c_custkey,

@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object StorageOps {
 
-  private def sfName(d: String): String =
+  private def sfName(d: String): String = {
     // table names derive from the fixture dir name; sanitize every
-    // non-identifier char (dots, hyphens, ...) so any dir is usable
-    java.nio.file.Paths.get(d).getFileName.toString
-      .replaceAll("[^A-Za-z0-9_]", "_")
+    // non-identifier char (dots, hyphens, ...) so any dir is usable, and
+    // suffix a short hash of the RAW name so two dirs that sanitize to
+    // the same tag (sf0.8-flat vs sf0.8.flat) can never alias each
+    // other's bucketed layout (String.hashCode is stable across JVMs)
+    val raw = java.nio.file.Paths.get(d).getFileName.toString
+    raw.replaceAll("[^A-Za-z0-9_]", "_") + "_" + f"${raw.hashCode}%08x"
+  }
 
   /** Idempotently create the bucketed table layouts for a scale factor.
     * Layout creation is one-time ETL, not query work: callers that time

@@ -155,13 +155,20 @@ class PlanSpec extends SparkSpec {
     // the windows relation materializes L-word strings only in the
     // scan-side projection; everything past the explode is 60-bit longs.
     // A refactor that lets the window column reach an Exchange re-grows
-    // the shuffle by ~12 words per row — check no Exchange carries `win`,
-    // and the composition stays cartesian-free
-    val plan = executed("dedup_substring")
+    // the shuffle by ~12 words per row. The simpleString plan only prints
+    // an Exchange's PARTITIONING expressions, so inspect the formatted
+    // plan, whose per-operator Input/Output attribute lists show what the
+    // shuffle actually carries
+    val df = SparkEntry.queries("dedup_substring")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
-    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
-    assert(exchanges.nonEmpty)
-    assert(!exchanges.exists(_.contains("win#")),
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted output: "(n) Exchange" header, then Input [k]: [attrs...]
+    val exchangeBlocks = fmt.split("\n\n")
+      .filter(_.split("\n").head.matches(""".*\(\d+\) Exchange.*"""))
+    assert(exchangeBlocks.nonEmpty)
+    assert(!exchangeBlocks.exists(_.contains("win#")),
       "window strings reached a shuffle")
   }
 

@@ -380,7 +380,8 @@ class PropertySpec extends SparkSpec {
       (14L, "tiny doc"), // <3 words: bandless, passes through
       (15L, "completely fresh unseen document text here")) // survives
       .toDF("doc_id", "text")
-    val got = D.incrementalNearDupSurvivors(base, delta)
+    val got = D.incrementalNearDupSurvivors(base.union(delta),
+        col("doc_id") <= 2)
       .collect().map(_.getLong(0)).sorted
     assert(got.toSeq === Seq(11L, 14L, 15L))
     // cap discipline holds across the split: an over-cap cell (identical
@@ -391,7 +392,8 @@ class PropertySpec extends SparkSpec {
       .toDF("doc_id", "text")
     val bigDelta = (1000 until 1600).map(i => (i.toLong, text))
       .toDF("doc_id", "text")
-    assert(D.incrementalNearDupSurvivors(bigBase, bigDelta).count() === 600L)
+    assert(D.incrementalNearDupSurvivors(bigBase.union(bigDelta),
+      col("doc_id") < 1000).count() === 600L)
   }
 
   test("CosineSim/SignBucket yield null, not an error, on short vectors") {
