@@ -447,12 +447,20 @@ object KMeansOps {
       // after a Lloyd step from nested seed PREFIXES, but measured strictly
       // decreasing on the fixture and asserted in KMeansSpec as a
       // regression tripwire alongside the hash oracle).
+      // the per-point md values sit on a 1e-4 grid (r4), so the branch cost
+      // is accumulated as EXACT scaled integers (md·1e4 as long) and only
+      // the final grid→2-decimal step runs in floats — via rIeee, identical
+      // IEEE ops both engines. An order-dependent double `sum(md)` can land
+      // exactly on a x.xx5 half-boundary where the engines' round()
+      // disagree by a cent — the same failure class the revenueSum
+      // integer-cents accumulator fixed at 8× volume (round-9 ADVICE).
       val pts = points(s, d).localCheckpoint()
       SWEEP_KS.map { k =>
         val c1 = lloydStep(pts, collectCenters(sampleK(pts, k)))
         pts.select(r4(sqrt(minSqDistCol(col("v"), c1))).as("md"))
-          .agg(round(sum(col("md")), 2).as("cost"))
-          .select(lit(k).as("k"), col("cost"))
+          .agg(sum(round(col("md") * lit(1e4)).cast("long")).as("s4"))
+          .select(lit(k).as("k"),
+            rIeee(col("s4").cast("double") / lit(1e4), 2).as("cost"))
       }.reduce(_ union _)
     },
     "kmeans_fit" -> { (s, d) => MLlibKMeans.fit(s, d, FLAGSHIP_K) },
@@ -669,9 +677,14 @@ object KMeansOps {
       // each branch re-trains its own k-cell single-step model
       // (trainedCellsSqlCtes — the same unrolled snap12 machinery the IVF
       // oracle uses), namespaced per branch by the parenthesized WITH
+      // cost mirrors the Spark side's exact scaled-integer accumulation:
+      // the r4-gridded md values sum as longs (order-independent), and only
+      // the final 2-decimal step is float — rIeee, bit-identical both
+      // engines (round-9 ADVICE half-boundary fix).
       "kmeans_cost_sweep" -> SWEEP_KS.map { k =>
         s"""(WITH ${trainedCellsSqlCtes(k, 1)}
-           |SELECT $k AS k, round(sum(md), 2) AS cost FROM (
+           |SELECT $k AS k,
+           |       ${V.rIeee("sum(round(md * 10000)::BIGINT)::DOUBLE / 10000.0", 2)} AS cost FROM (
            |  SELECT round(sqrt(min(${V.sqDist("e.embedding", "c.cv")})), 4) AS md
            |  FROM embeddings e CROSS JOIN c1 c
            |  GROUP BY e.vec_id))""".stripMargin
