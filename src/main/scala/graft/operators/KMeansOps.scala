@@ -304,10 +304,17 @@ object KMeansOps {
         r4(sqrt(minSqDistCol(col("v"), c))).as("min_dist"))
     },
     "sum_min_dist" -> { (s, d) =>
+      // same exact scaled-integer accumulation as kmeans_cost_sweep: the
+      // r4-gridded md values sum as longs, only the final 2-decimal step
+      // is float (rIeee — identical IEEE ops both engines), so the total
+      // can't flip a cent on a summation-order half-boundary at untested
+      // volumes (round-9 ADVICE failure class).
       val c = frozenCenters(s, d)
       points(s, d)
         .select(r4(sqrt(minSqDistCol(col("v"), c))).as("md"))
-        .agg(round(sum(col("md")), 2).as("total_min_dist"))
+        .agg(sum(round(col("md") * lit(1e4)).cast("long")).as("s4"))
+        .select(rIeee(col("s4").cast("double") / lit(1e4), 2)
+          .as("total_min_dist"))
     },
     "assign_nearest" -> { (s, d) =>
       val c = frozenCenters(s, d)
@@ -578,7 +585,7 @@ object KMeansOps {
            |FROM embeddings e CROSS JOIN ${frozenCentersSql()} c
            |GROUP BY e.vec_id""".stripMargin,
       "sum_min_dist" ->
-        s"""SELECT round(sum(md),2) AS total_min_dist FROM (
+        s"""SELECT ${V.rIeee("sum(round(md * 10000)::BIGINT)::DOUBLE / 10000.0", 2)} AS total_min_dist FROM (
            |  SELECT round(sqrt(min(${V.sqDist("e.embedding", "c.embedding")})),4) AS md
            |  FROM embeddings e CROSS JOIN ${frozenCentersSql()} c
            |  GROUP BY e.vec_id)""".stripMargin,
@@ -672,6 +679,11 @@ object KMeansOps {
       },
       "init_farthest" -> farthestSql,
       "init_plusplus" -> plusPlusSql,
+      // the flagship loop itself, promoted from rows-only: 5 unrolled
+      // snap12 steps + the tol early-stop CASE (lloydLoopSql doc) — the
+      // only remaining rows-only queries are the 3 MLlib fits, which have
+      // no SQL mirror by construction.
+      "kmeans_lloyd" -> lloydLoopSql(FLAGSHIP_K, 5, 1e-4),
       "kmeans_lloyd_2iter" -> lloydUnrollSql(V.sqDist),
       "kmeans_lloyd_manhattan" -> lloydUnrollSql(V.manhattan),
       // each branch re-trains its own k-cell single-step model
@@ -745,6 +757,48 @@ object KMeansOps {
          |    GROUP BY a.cluster_id) n USING (cid))""".stripMargin
     }
     (s"c0 AS ${frozenCentersSql(k)}" +: steps).mkString(",\n")
+  }
+
+  /** Full DuckDB mirror of the [[lloyd]] LOOP — cap + tolerance, not a
+    * fixed trip count: `maxIter` snap12 steps unroll via
+    * [[trainedCellsSqlCtes]], per-step max center movement is computed
+    * from the same snapped grids both engines share, and the final center
+    * set is the one after the FIRST step whose movement drops below `tol`
+    * (else the capped step) — exactly `while (it < maxIter && moved >=
+    * tol)`. On every tested fixture (sf0.001/0.01/0.1) the loop runs the
+    * full 5 iterations (measured this round: movement stays ≫1e-4), but
+    * the early-stop CASE keeps the oracle faithful at ANY scale factor
+    * instead of assuming the cap — the flake mode the fixed-unroll
+    * shortcut would have had. Movement parity: both engines difference
+    * snap12-gridded means (bit-identical inputs) with in-order
+    * sums, so the `< tol` branch cannot disagree.
+    * Final relation: per-cluster n_points + RMS distance, mirroring
+    * [[clusterStats]]. */
+  private[operators] def lloydLoopSql(k: Int, maxIter: Int,
+      tol: Double): String = {
+    import graft.functions.{VectorSql => V}
+    val mv = (1 to maxIter).map { i =>
+      val prev = s"c${i - 1}"
+      val prevCv = if (i == 1) s"$prev.embedding" else s"$prev.cv"
+      s"""SELECT $i AS it, max(sqrt(${V.sqDist(prevCv, s"c$i.cv")})) AS m
+         |      FROM $prev JOIN c$i USING (cid)""".stripMargin
+    }.mkString("\n      UNION ALL ")
+    val fin = (1 to maxIter).map { i =>
+      s"SELECT cid, cv FROM c$i WHERE (SELECT j FROM js) = $i"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH ${trainedCellsSqlCtes(k, maxIter)},
+       |mv AS ($mv),
+       |js AS (SELECT coalesce(min(it), $maxIter) AS j FROM mv WHERE m < $tol),
+       |cf AS ($fin)
+       |SELECT cluster_id, count(*)::BIGINT AS n_points,
+       |       round(sqrt(avg(mdr)), 4) AS rmse
+       |FROM (
+       |  SELECT vec_id, min(cid)::INT AS cluster_id, min(mdr) AS mdr FROM (
+       |    SELECT vec_id, cid, dr, min(dr) OVER (PARTITION BY vec_id) AS mdr FROM (
+       |      SELECT e.vec_id, c.cid, ${V.sqDist("e.embedding", "c.cv")} AS dr
+       |      FROM embeddings e CROSS JOIN cf c))
+       |  WHERE dr = mdr GROUP BY vec_id)
+       |GROUP BY cluster_id""".stripMargin
   }
 
   private def lloydUnrollSql(dist: (String, String) => String): String = {
