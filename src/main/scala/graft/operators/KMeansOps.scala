@@ -521,23 +521,125 @@ object KMeansOps {
         .join(Tables.documents(s, d)
           .select(col("doc_id").as("id"), col("lang")), "id")
       purityOf(assigned)
+    },
+    "kmeans_reference_data" -> { (s, _) =>
+      // the reference's own shipped artifact clustered end-to-end
+      // (`/root/reference/data/10000_point_4_center_2_feature.txt`, the
+      // file its README points every program at): scan_text → parse →
+      // content-keyed farthest seeding (the MaxFarthest program family's
+      // init, `/root/reference/SparKMeansGroupByPlusPlusInitMaxFarthest
+      // .java:91-120`) → the full tol+cap Lloyd loop → per-cluster stats.
+      // The input is a committed fixture, so the result is identical at
+      // every sfDir — and the loop's trip count on it is a fixed, measured
+      // constant the oracle unrolls exactly (refLloydSql doc).
+      val pts = refPoints(s).localCheckpoint()
+      val init = farthestSeedsByContent(pts, K, dim = 2)
+      val (centers, _) = lloyd(pts, init, maxIter = 5, tol = 1e-4)
+      pts.withColumn("nc",
+          org.apache.spark.sql.graft.NearestCenter.struct(col("v"), centers))
+        .groupBy(col("nc.cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n_points"),
+          r4(sqrt(avg(col("nc.dist")))).as("rmse"),
+          r4(avg(element_at(col("v"), 1))).as("cx"),
+          r4(avg(element_at(col("v"), 2))).as("cy"))
+        .orderBy("cluster_id")
+    },
+    "cluster_eval_uci" -> { (s, _) =>
+      // the reference's UCI train/test methodology over its ACTUAL HTRU_2
+      // split (`/root/reference/data/UCI/HTRU_2_train.csv` 14,318 unlabeled
+      // rows / `_test.csv` 3,580 labeled rows — README.md:11-27): fit k=2
+      // centers unsupervised on the train side (content-keyed farthest
+      // seeds + one snap12 Lloyd step), assign the held-out labeled side,
+      // score majority-label purity — external validation at the dataset's
+      // native 8-feature dimensionality (cluster_eval_holdout proves the
+      // same flow at d=64 over driver fixtures).
+      val train = uciTrain(s).localCheckpoint()
+      val c1 = lloydStep(train, farthestSeedsByContent(train, 2, dim = 8))
+      val assigned = uciTest(s)
+        .select(nearestCol(col("v"), c1).as("cluster_id"), col("label"))
+      purityOf(assigned, "label", "top_label")
     }
   )
 
-  /** Majority-label purity per cluster of an (id, cluster_id, lang)
-    * assignment — shared by cluster_eval and cluster_eval_holdout. The
-    * window runs over the already-aggregated k×|langs| relation. */
-  private def purityOf(assigned: DataFrame): DataFrame = {
-    val counts = assigned.groupBy(col("cluster_id"), col("lang"))
+  // ------------------------------------- reference shipped-data queries
+
+  /** Resolve a committed repo fixture from any cwd: relative when the
+    * checkout is the working directory (sbt, tests), canonical absolute
+    * path otherwise (driver-run Verify/Bench, the DuckDB oracle — whose
+    * SQL embeds the absolute form so `read_csv` is cwd-immune). */
+  private def repoPath(rel: String): String = {
+    val p = java.nio.file.Paths.get(rel)
+    if (java.nio.file.Files.exists(p)) p.toAbsolutePath.toString
+    else s"/root/repo/$rel"
+  }
+  private def refPointsPath: String =
+    repoPath("data/reference/10000_point_4_center_2_feature.txt")
+  private def uciTrainPath: String = repoPath("data/reference/HTRU_2_train.csv")
+  private def uciTestPath: String = repoPath("data/reference/HTRU_2_test.csv")
+
+  /** The staged 10000-point file as (v: array<double>) — the scan_text →
+    * parse_points composition over the reference's own data format
+    * (`x,y` per line, `/root/reference/Point.java` parse). */
+  def refPoints(spark: SparkSession): DataFrame =
+    spark.read.text(refPointsPath)
+      .select(split(col("value"), ",").cast("array<double>").as("v"))
+
+  private def uciFeatureDdl = (1 to 8).map(i => s"x$i DOUBLE").mkString(", ")
+  private def uciVec = array((1 to 8).map(i => col(s"x$i")): _*)
+
+  /** HTRU_2 train split: 8 pulsar-candidate features, no label — the
+    * unsupervised fit side. */
+  def uciTrain(spark: SparkSession): DataFrame =
+    spark.read.schema(uciFeatureDdl).csv(uciTrainPath).select(uciVec.as("v"))
+
+  /** HTRU_2 test split: same 8 features plus the 0/1 pulsar label — the
+    * held-out external-validation side. */
+  def uciTest(spark: SparkSession): DataFrame =
+    spark.read.schema(s"$uciFeatureDdl, label INT").csv(uciTestPath)
+      .select(uciVec.as("v"), col("label"))
+
+  /** Farthest-point seeding keyed purely by CONTENT (no row ids): the
+    * reference's data files carry no stable identifiers, and any
+    * synthesized id (zipWithIndex, monotonically_increasing_id) depends
+    * on partition layout — unusable for a cross-engine oracle. First seed
+    * = max L2 norm; each later seed = argmax of min squared distance to
+    * the chosen set; ALL ties break by the point's lexicographic
+    * component order — a total order because the staged files hold no
+    * duplicate rows (verified at staging). Every round is one distributed
+    * TakeOrdered(1): O(k·d) driver traffic, like [[farthestSeeds]]. */
+  def farthestSeedsByContent(pts: DataFrame, k: Int, dim: Int)
+      : Array[(Int, Array[Double])] = {
+    val comps = (1 to dim).map(i => element_at(col("v"), i))
+    val lex = comps.map(_.asc)
+    val norm = comps.map(c => c * c).reduce(_ + _)
+    var seeds = pts.orderBy(norm.desc +: lex: _*).limit(1)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    while (seeds.length < k) {
+      val centers = seeds.zipWithIndex.map { case (v, i) => (i, v) }
+      seeds = seeds ++ pts
+        .withColumn("md", minSqDistCol(col("v"), centers))
+        .orderBy(col("md").desc +: lex: _*).limit(1)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    }
+    seeds.zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
+  /** Majority-label purity per cluster of a (cluster_id, label)
+    * assignment — shared by cluster_eval, cluster_eval_holdout
+    * (lang labels) and cluster_eval_uci (0/1 pulsar labels). The window
+    * runs over the already-aggregated k×|labels| relation. */
+  private def purityOf(assigned: DataFrame, labelCol: String = "lang",
+      topCol: String = "top_lang"): DataFrame = {
+    val counts = assigned.groupBy(col("cluster_id"), col(labelCol))
       .agg(count(lit(1)).as("cnt"))
     val byCluster = Window.partitionBy(col("cluster_id"))
     counts
       .withColumn("n_points", sum(col("cnt")).over(byCluster))
       .withColumn("rn", row_number().over(
-        byCluster.orderBy(col("cnt").desc, col("lang").desc)))
+        byCluster.orderBy(col("cnt").desc, col(labelCol).desc)))
       .where(col("rn") === 1)
       .select(col("cluster_id"), col("n_points"),
-        col("lang").as("top_lang"),
+        col(labelCol).as(topCol),
         r4(col("cnt").cast("double") / col("n_points")).as("purity"))
   }
 
@@ -684,6 +786,8 @@ object KMeansOps {
       // only remaining rows-only queries are the 3 MLlib fits, which have
       // no SQL mirror by construction.
       "kmeans_lloyd" -> lloydLoopSql(FLAGSHIP_K, 5, 1e-4),
+      "kmeans_reference_data" -> refLloydSql(5),
+      "cluster_eval_uci" -> uciEvalSql,
       "kmeans_lloyd_2iter" -> lloydUnrollSql(V.sqDist),
       "kmeans_lloyd_manhattan" -> lloydUnrollSql(V.manhattan),
       // each branch re-trains its own k-cell single-step model
@@ -799,6 +903,112 @@ object KMeansOps {
        |      FROM embeddings e CROSS JOIN cf c))
        |  WHERE dr = mdr GROUP BY vec_id)
        |GROUP BY cluster_id""".stripMargin
+  }
+
+  /** DuckDB mirror of kmeans_reference_data. The staged 10000-point file
+    * is a COMMITTED fixture, so the tol+cap loop's trip count over it is a
+    * fixed constant — measured 5 (the cap; max center movement never
+    * drops below 1e-4) — and the oracle unrolls exactly that many snap12
+    * steps; no early-stop CASE needed because the input can never vary
+    * (unlike lloydLoopSql, whose input scales with sfDir). Content-keyed
+    * throughout: the file ships no row ids, so every argmin/argmax breaks
+    * ties by (x, y) — a total order over this file's 10000 distinct
+    * rows. */
+  private def refLloydSql(iters: Int): String = {
+    import graft.functions.{VectorSql => V}
+    def sqd(p: String, c: String) =
+      s"($p.x-$c.x)*($p.x-$c.x)+($p.y-$c.y)*($p.y-$c.y)"
+    val laterSeeds = (1 to 3).map { r =>
+      val prev = (0 until r).map(i => s"s$i")
+      val md = if (r == 1) sqd("p", "s0")
+        else s"least(${prev.map(q => sqd("p", q)).mkString(", ")})"
+      s"""s$r AS (SELECT p.x, p.y FROM refpts p, ${prev.mkString(", ")}
+         |        ORDER BY $md DESC, p.x, p.y LIMIT 1)""".stripMargin
+    }
+    val c0 = (0 until K).map(i => s"SELECT $i AS cid, x, y FROM s$i")
+      .mkString("c0 AS (", " UNION ALL ", ")")
+    def assignCte(name: String, centers: String, outCid: String,
+        carryDist: Boolean) = {
+      val distSel = if (carryDist) ", min(mdr) AS mdr" else ""
+      s"""$name AS (SELECT x, y, min(cid)::INT AS $outCid$distSel FROM (
+         |    SELECT x, y, cid, dr, min(dr) OVER (PARTITION BY x, y) AS mdr FROM (
+         |      SELECT p.x, p.y, c.cid, ${sqd("p", "c")} AS dr
+         |      FROM refpts p CROSS JOIN $centers c))
+         |  WHERE dr = mdr GROUP BY x, y)""".stripMargin
+    }
+    val steps = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""${assignCte(s"a$i", prev, "cid", carryDist = false)},
+         |c$i AS (SELECT $prev.cid, coalesce(n.x, $prev.x) AS x,
+         |               coalesce(n.y, $prev.y) AS y
+         |        FROM $prev LEFT JOIN (
+         |          SELECT cid, ${V.rIeee("avg(x)", 12)} AS x,
+         |                 ${V.rIeee("avg(y)", 12)} AS y
+         |          FROM a$i GROUP BY cid) n USING (cid))""".stripMargin
+    }
+    s"""WITH refpts AS (
+       |  SELECT column0 AS x, column1 AS y FROM read_csv('$refPointsPath',
+       |    header=false, columns={'column0': 'DOUBLE', 'column1': 'DOUBLE'})),
+       |s0 AS (SELECT x, y FROM refpts ORDER BY x*x + y*y DESC, x, y LIMIT 1),
+       |${laterSeeds.mkString(",\n")},
+       |$c0,
+       |${steps.mkString(",\n")},
+       |${assignCte("af", s"c$iters", "cluster_id", carryDist = true)}
+       |SELECT cluster_id, count(*)::BIGINT AS n_points,
+       |       round(sqrt(avg(mdr)), 4) AS rmse,
+       |       (round(avg(x), 4) + 0) AS cx, (round(avg(y), 4) + 0) AS cy
+       |FROM af GROUP BY cluster_id""".stripMargin
+  }
+
+  /** DuckDB mirror of cluster_eval_uci: unsupervised k=2 fit on the
+    * unlabeled train split (content-keyed farthest seeds + one snap12
+    * step), held-out assignment of the labeled test split, majority-label
+    * purity — the same CTE shapes as refLloydSql at the dataset's native
+    * 8 dimensions. Both splits hold no duplicate 8-feature rows
+    * (verified at staging), so feature tuples are valid argmin keys. */
+  private def uciEvalSql: String = {
+    import graft.functions.{VectorSql => V}
+    val xs = (1 to 8).map(i => s"x$i")
+    val cols = xs.mkString(", ")
+    val pcols = xs.map(x => s"p.$x").mkString(", ")
+    val colsSpec = xs.map(x => s"'$x': 'DOUBLE'").mkString(", ")
+    def sqd(p: String, c: String) =
+      xs.map(x => s"($p.$x-$c.$x)*($p.$x-$c.$x)").mkString(" + ")
+    s"""WITH tr AS (SELECT $cols FROM read_csv('$uciTrainPath',
+       |  header=false, columns={$colsSpec})),
+       |te AS (SELECT $cols, label FROM read_csv('$uciTestPath',
+       |  header=false, columns={$colsSpec, 'label': 'INTEGER'})),
+       |s0 AS (SELECT $cols FROM tr
+       |       ORDER BY ${xs.map(x => s"$x*$x").mkString(" + ")} DESC, $cols LIMIT 1),
+       |s1 AS (SELECT $pcols FROM tr p, s0
+       |       ORDER BY ${sqd("p", "s0")} DESC, $pcols LIMIT 1),
+       |c0 AS (SELECT 0 AS cid, $cols FROM s0
+       |       UNION ALL SELECT 1, $cols FROM s1),
+       |a1 AS (SELECT $cols, min(cid)::INT AS cid FROM (
+       |    SELECT $cols, cid, dr, min(dr) OVER (PARTITION BY $cols) AS mdr FROM (
+       |      SELECT $pcols, c.cid, ${sqd("p", "c")} AS dr
+       |      FROM tr p CROSS JOIN c0 c))
+       |  WHERE dr = mdr GROUP BY $cols),
+       |c1 AS (SELECT c0.cid,
+       |       ${xs.map(x => s"coalesce(n.$x, c0.$x) AS $x").mkString(", ")}
+       |       FROM c0 LEFT JOIN (
+       |         SELECT cid, ${xs.map(x => V.rIeee(s"avg($x)", 12) + s" AS $x").mkString(", ")}
+       |         FROM a1 GROUP BY cid) n USING (cid)),
+       |a2 AS (SELECT label, min(cid)::INT AS cluster_id FROM (
+       |    SELECT $cols, label, cid, dr, min(dr) OVER (PARTITION BY $cols) AS mdr FROM (
+       |      SELECT $pcols, p.label, c.cid, ${sqd("p", "c")} AS dr
+       |      FROM te p CROSS JOIN c1 c))
+       |  WHERE dr = mdr GROUP BY $cols, label),
+       |cnt AS (SELECT cluster_id, label, count(*) AS cnt
+       |        FROM a2 GROUP BY cluster_id, label)
+       |SELECT cluster_id, n_points, top_label,
+       |       round(top_cnt::DOUBLE / n_points, 4) AS purity
+       |FROM (SELECT cluster_id, label AS top_label, cnt AS top_cnt,
+       |             sum(cnt) OVER (PARTITION BY cluster_id)::BIGINT AS n_points,
+       |             row_number() OVER (PARTITION BY cluster_id
+       |                                ORDER BY cnt DESC, label DESC) AS rn
+       |      FROM cnt)
+       |WHERE rn = 1""".stripMargin
   }
 
   private def lloydUnrollSql(dist: (String, String) => String): String = {

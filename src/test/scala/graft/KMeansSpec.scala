@@ -175,6 +175,34 @@ class KMeansSpec extends SparkSpec {
       s"cost not decreasing in k: ${rows.toSeq}")
   }
 
+  test("kmeans_reference_data recovers the 4 generating centers") {
+    // the staged file IS the reference's generated fixture (4 centers,
+    // 2500 points each by construction): the end-to-end query must find 4
+    // clusters of near-equal size, and the trip count on the committed
+    // file must stay at the measured constant the oracle unrolls (5 = the
+    // cap) — a change here means the oracle and engine have diverged.
+    val rows = SparkEntry.queries("kmeans_reference_data")(spark, sf)
+      .collect()
+    assert(rows.length === 4)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.sum === 10000L)
+    assert(sizes.min > 2000L, s"degenerate cluster sizes: ${sizes.toSeq}")
+    val pts = KMeansOps.refPoints(spark).localCheckpoint()
+    val init = KMeansOps.farthestSeedsByContent(pts, 4, dim = 2)
+    val (_, iters) = KMeansOps.lloyd(pts, init, maxIter = 5, tol = 1e-4)
+    assert(iters === 5, s"oracle unrolls 5 steps but the loop ran $iters")
+  }
+
+  test("cluster_eval_uci: purity over the full labeled holdout") {
+    // 3,580 labeled test rows, ~91% majority class: every cluster's
+    // purity must beat the 0.5 coin-flip floor and the cluster sizes must
+    // cover the whole holdout (no dropped assignments).
+    val rows = SparkEntry.queries("cluster_eval_uci")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === 3580L)
+    assert(rows.forall(_.getDouble(3) > 0.5))
+    assert(rows.forall(r => Set(0, 1).contains(r.getInt(2))))
+  }
+
   test("MLlib initMode variants reach lloyd-comparable cost on the fixture") {
     // SURVEY §7 step 4: random -> "random", ++/farthest -> "k-means||".
     // Both modes must land in the same cost regime as the expression-based
