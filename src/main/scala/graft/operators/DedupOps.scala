@@ -669,8 +669,40 @@ object DedupOps {
       docs.where(col("doc_id") >= NEVAL)
         .join(dropSetHint(docs, hits), Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
+    },
+    "decontam_incremental" -> { (s, d) =>
+      // the decontamination twin of dedup_incremental — the production
+      // shape once a corpus is live: only the crawl DELTA is gram-checked
+      // against the STANDING eval-gram index (benchmark-sized by
+      // construction, so it broadcasts); the corpus is neither rescanned
+      // nor shuffled — decontamination cost tracks delta size, not corpus
+      // size. Delta = the hash-uniform slice of training docs (the same
+      // deterministic split discipline as dedup_incremental); output =
+      // the delta ids clean to append to the corpus.
+      val uu = graft.functions.VectorOps.unitUniform(col("doc_id"))
+      decontamIncremental(Tables.documents(s, d), uu >= 0.7)
     }
   )
+
+  /** Incremental-decontamination core (see the `decontam_incremental`
+    * query): gram-check ONLY the delta rows against the standing
+    * eval-gram index. `docs` needs (doc_id, text); rows with
+    * `doc_id < NEVAL` are the eval suite, training rows split
+    * base/delta by `isDelta` (a pure function of the row). The corpus
+    * (non-delta training side) appears in no join — the relation a
+    * deployment would not even read. */
+  private[graft] def decontamIncremental(docs: DataFrame,
+      isDelta: Column): DataFrame = {
+    val ev = docs.where(col("doc_id") < NEVAL)
+      .select(explode(sh5(col("text"))).as("s")).distinct()
+    val delta = docs.where(col("doc_id") >= NEVAL && isDelta)
+    val hits = spread(delta)
+      .select(col("doc_id"), explode(sh5(col("text"))).as("s"))
+      .join(broadcast(ev), "s")
+      .select(col("doc_id")).distinct()
+    delta.join(dropSetHint(docs, hits), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
 
   // ------------------------------------------------------------- oracles
 
@@ -875,7 +907,17 @@ object DedupOps {
          |hit AS (SELECT DISTINCT t.doc_id FROM trg t JOIN evg e USING (s))
          |SELECT d.doc_id FROM documents d
          |WHERE d.doc_id >= $NEVAL
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+    "decontam_incremental" ->
+      s"""WITH $deconCtes,
+         |delta AS (SELECT doc_id FROM documents
+         |          WHERE doc_id >= $NEVAL
+         |            AND ${graft.functions.VectorSql.unitUniform("doc_id")} >= 0.7),
+         |hit AS (SELECT DISTINCT t.doc_id FROM trg t
+         |        JOIN evg e USING (s)
+         |        JOIN delta USING (doc_id))
+         |SELECT doc_id FROM delta
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin
   )
 
   /** Distinct word n-gram SQL over a bound `w` token list — the

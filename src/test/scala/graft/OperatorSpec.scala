@@ -86,6 +86,37 @@ class OperatorSpec extends SparkSpec {
     assert(clean + hit === all, s"clean $clean + contaminated $hit != $all")
   }
 
+  test("decontam_incremental: only the delta is checked, hits drop") {
+    import spark.implicits._
+    // constructed corpus: eval doc 0; train docs 25 (contaminated) and 27
+    // (clean) land in the DELTA, 26 (also contaminated, but base) must
+    // neither be checked nor emitted — the standing corpus is out of
+    // scope by definition
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta"),
+      (25L, "alpha beta gamma delta epsilon zeta eta"),
+      (26L, "alpha beta gamma delta epsilon extra pad words"),
+      (27L, "one two three four five six seven"),
+      (28L, "too short")).toDF("doc_id", "text")
+    val isDelta = col("doc_id").isin(25L, 27L, 28L)
+    val kept = graft.operators.DedupOps
+      .decontamIncremental(docs, isDelta)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 25 collides with eval and drops; 27 is clean; 28 carries no 5-gram
+    // so it can never collide; 26 is base and must not appear either way
+    assert(kept === Seq(27L, 28L))
+    // fixture-backed conservation: delta keep + delta hits = whole delta
+    val uu = graft.functions.VectorOps.unitUniform(col("doc_id"))
+    val delta = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") >= 20 && uu >= 0.7)
+    val keepN = SparkEntry.queries("decontam_incremental")(spark, sf).count()
+    val hitIds = SparkEntry.queries("decontam_report")(spark, sf)
+      .select("doc_id").distinct()
+    val deltaHits = delta.join(hitIds, "doc_id").count()
+    assert(keepN + deltaHits === delta.count(),
+      s"keep $keepN + hits $deltaHits != delta ${delta.count()}")
+  }
+
   test("split_assign partitions every doc deterministically") {
     val df = SparkEntry.queries("split_assign")(spark, sf)
     val total = spark.read.parquet(s"$sf/documents.parquet").count()

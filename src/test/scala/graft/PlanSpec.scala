@@ -201,6 +201,13 @@ class PlanSpec extends SparkSpec {
     assert(clean.split("\n").exists(l =>
         l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
       "hit-set anti-join broadcast missing")
+    // the incremental form: the delta's gram join must broadcast the eval
+    // side, and no corpus-scale relation may shuffle to meet it — an SMJ
+    // or cartesian here means decontamination cost went O(corpus) again
+    val inc = executed("decontam_incremental")
+    assert(inc.contains("BroadcastHashJoin"))
+    assert(!inc.contains("SortMergeJoin") && !inc.contains("CartesianProduct"),
+      s"decontam_incremental shuffles a corpus-scale side:\n$inc")
   }
 
   test("split_assign and doc_chunks are shuffle-free narrow plans") {
