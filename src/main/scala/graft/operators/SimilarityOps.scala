@@ -53,6 +53,7 @@ object SimilarityOps {
   private val BUCKET_CAP = 1000 // max docs per (table, bucket) in self-joins
   private val NCELLS = 16 // IVF: centroid cells in the inverted file
   private val NPROBE = 4 // IVF: cells probed per query
+  private val RERANK = 20 // IVF-PQ: int8-scored shortlist width per query
   // nprobe sweep widths — ONE list shared by the ivf_nprobe_sweep query
   // and its oracle builder so the two can never drift
   private val SWEEP_NPROBES = Seq(2, 4, 8)
@@ -231,6 +232,16 @@ object SimilarityOps {
     * sweep scans once at the widest width and filters rn per branch), so
     * the sweep can never desynchronize from the query it sweeps. */
   private def scoredCandidates(s: SparkSession, d: String,
+      nprobe: Int): DataFrame =
+    probedCandidates(s, d, nprobe)
+      .select(col("q_id"), col("vec_id"), col("rn"),
+        r4(cos(col("v"), col("qv"))).as("sim"))
+
+  /** The probe pipeline up to (but excluding) scoring — (q_id, vec_id,
+    * rn, v, qv) — shared by the float scorer above and the PQ scorer
+    * (`sim_topk_ivf_pq`), which differ only in the distance they compute
+    * over identical candidates. */
+  private def probedCandidates(s: SparkSession, d: String,
       nprobe: Int): DataFrame = {
     val dir = ensureIvfIndex(s, d)
     val cellsDf = s.read.parquet(s"$dir/cells")
@@ -251,8 +262,23 @@ object SimilarityOps {
       .where(col("id") =!= col("q_id"))
       .join(broadcast(queriesDf(s, d)), "q_id")
       .select(col("q_id"), col("id").as("vec_id"), col("rn"),
-        r4(cos(col("v"), col("qv"))).as("sim"))
+        col("v"), col("qv"))
   }
+
+  /** embed_quantize's exact per-vector scale / int8 code formulas, applied
+    * in-plan for PQ candidate scoring. Codes are exact small integers in
+    * both engines, so everything built on them is bit-reproducible. */
+  private def q8Scale(v: Column): Column =
+    lit(127.0) / greatest(array_max(transform(v, x => abs(x))), lit(1e-12))
+  private def q8Codes(v: Column): Column = {
+    val sc = q8Scale(v)
+    transform(v, x => round(x * sc).cast("int"))
+  }
+  /** Exact integer dot product of two int8 code arrays (≤ 127²·64 ≈ 1M —
+    * far inside long range). */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk" -> { (s, d) =>
@@ -286,6 +312,53 @@ object SimilarityOps {
       topKPerQuery(cands)
     },
     "sim_topk_ivf" -> { (s, d) => ivfTopK(s, d) },
+    "sim_topk_ivf_pq" -> { (s, d) =>
+      // IVF-PQ — the memory-bound ANN serving shape at 100 TB vector
+      // volume: probe candidates are scored on their int8 codes
+      // (embed_quantize's format — the 8×-smaller resident set a serving
+      // node actually holds), a RERANK-deep shortlist per query survives,
+      // and ONLY the shortlist pays the exact float cosine via a per-id
+      // point lookup of the full vectors (O(NQ·RERANK) rows — the
+      // disk-fetch rerank of a real IVF-PQ deployment). The quantized
+      // score is an exact integer dot over deterministic codes divided by
+      // the two scales — bit-identical in both engines — so the SHORTLIST
+      // itself, not just the final ranks, replays in the DuckDB oracle.
+      val pq = probedCandidates(s, d, NPROBE)
+        .select(col("q_id"), col("vec_id"),
+          (intDot(q8Codes(col("qv")), q8Codes(col("v"))).cast("double") /
+            (q8Scale(col("qv")) * q8Scale(col("v")))).as("sim_q"))
+      val short = pq
+        .withColumn("rn_pq", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("sim_q").desc, col("vec_id"))))
+        .where(col("rn_pq") <= RERANK)
+        .select(col("q_id"), col("vec_id"))
+      val rer = KMeansOps.points(s, d)
+        .select(col("id").as("vec_id"), col("v"))
+        .join(broadcast(short), "vec_id")
+        .join(broadcast(queriesDf(s, d)), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          r4(cos(col("v"), col("qv"))).as("sim"))
+      topKPerQuery(rer)
+    },
+    "sim_topk_ivf_pq_recall" -> { (s, d) =>
+      // recall@TOPK of the quantized-scored + float-reranked path against
+      // the exact brute force — the quality gate for the PQ serving shape
+      // (sim_topk_ivf_recall's methodology): with RERANK ≥ TOPK the exact
+      // rerank absorbs quantization rank noise INSIDE the shortlist, so
+      // any recall loss vs the float IVF path isolates to true neighbors
+      // quantization pushed out of the shortlist entirely — pinned per
+      // query by the hash oracle, drift is a visible diff.
+      val exact = queries("similarity_topk")(s, d)
+        .select(col("q_id"), col("vec_id"))
+      val pq = queries("sim_topk_ivf_pq")(s, d)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(pq, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("hit")).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(TOPK.toDouble)).as("recall"))
+    },
     "sim_topk_ivf_recall" -> { (s, d) =>
       // ANN retrieval QUALITY pinned as a declared, hash-checked query
       // (round-6 verdict #1 — the reference's held-out-evaluation
@@ -551,24 +624,32 @@ object SimilarityOps {
        |  JOIN keep USING (t, b))""".stripMargin
   }
 
+  /** Shared IVF candidate CTEs (trained cells → corpus assignment →
+    * probed cells per query → candidate pairs) at an arbitrary probe
+    * width; final relation `cand(q_id, vec_id)`. Shared by the float
+    * top-k body below and the PQ body so the two paths can never probe
+    * different candidates. */
+  private def ivfCandCtes(nprobe: Int): String =
+    s"""${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+       |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
+       |qc AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.vec_id AS q_id, c.cid AS cell,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${VectorSql.sqDist("q.embedding", "c.cv")} ASC,
+       |                      c.cid) AS rn
+       |    FROM embeddings q CROSS JOIN c2 c
+       |    WHERE q.vec_id < $NQ)
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT qc.q_id, a.vec_id FROM a JOIN qc ON a.cluster_id = qc.cell
+       |  WHERE a.vec_id <> qc.q_id)""".stripMargin
+
   /** IVF top-k oracle body at an arbitrary probe width — shared by
     * `sim_topk_ivf` (at [[NPROBE]]), the recall oracle, and the
     * nprobe-sweep oracle's branches. */
   private def ivfTopkSqlFor(nprobe: Int): String =
-    s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
-         |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
-         |qc AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT q.vec_id AS q_id, c.cid AS cell,
-         |           row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY ${VectorSql.sqDist("q.embedding", "c.cv")} ASC,
-         |                      c.cid) AS rn
-         |    FROM embeddings q CROSS JOIN c2 c
-         |    WHERE q.vec_id < $NQ)
-         |  WHERE rn <= $nprobe),
-         |cand AS (
-         |  SELECT qc.q_id, a.vec_id FROM a JOIN qc ON a.cluster_id = qc.cell
-         |  WHERE a.vec_id <> qc.q_id),
+    s"""WITH ${ivfCandCtes(nprobe)},
          |scored AS (
          |  SELECT cand.q_id, cand.vec_id,
          |         (round(${VectorSql.cosine("d.embedding", "qe.embedding")}, 4) + 0) AS sim
@@ -581,6 +662,49 @@ object SimilarityOps {
          |                            ORDER BY sim DESC, vec_id)::INT AS rnk
          |  FROM scored)
          |WHERE rnk <= $TOPK""".stripMargin
+
+  /** SQL mirrors of the in-plan PQ formulas (q8Scale/q8Codes/intDot —
+    * embed_quantize's exact arithmetic). Inner lambda variable is `y` so
+    * nesting inside an outer `x ->` lambda never shadows. */
+  private def scaleSql(v: String): String =
+    s"(127.0 / greatest(list_aggregate(list_transform($v::DOUBLE[], y -> abs(y)), 'max'), 1e-12))"
+  private def codesSql(v: String): String =
+    s"list_transform($v::DOUBLE[], x -> round(x * ${scaleSql(v)})::INT)"
+  private def intDotSql(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), p -> (p[1] * p[2])::BIGINT), 'sum')"
+
+  /** IVF-PQ top-k oracle body: identical candidates (ivfCandCtes), int8
+    * shortlist of RERANK by the exact-integer quantized score, float
+    * rerank of the shortlist only — the bit-for-bit replay of
+    * `sim_topk_ivf_pq`. */
+  private lazy val ivfPqTopkSql: String =
+    s"""WITH ${ivfCandCtes(NPROBE)},
+       |pq AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |         ${intDotSql(codesSql("qe.embedding"), codesSql("d.embedding"))}::DOUBLE
+       |           / (${scaleSql("qe.embedding")} * ${scaleSql("d.embedding")}) AS sim_q
+       |  FROM cand
+       |  JOIN embeddings d  ON cand.vec_id = d.vec_id
+       |  JOIN embeddings qe ON cand.q_id = qe.vec_id),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY sim_q DESC, vec_id) AS rn_pq
+       |    FROM pq)
+       |  WHERE rn_pq <= $RERANK),
+       |rer AS (
+       |  SELECT short.q_id, short.vec_id,
+       |         (round(${VectorSql.cosine("d.embedding", "qe.embedding")}, 4) + 0) AS sim
+       |  FROM short
+       |  JOIN embeddings d  ON short.vec_id = d.vec_id
+       |  JOIN embeddings qe ON short.q_id = qe.vec_id)
+       |SELECT q_id, vec_id, rnk, sim FROM (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY sim DESC, vec_id)::INT AS rnk
+       |  FROM rer)
+       |WHERE rnk <= $TOPK""".stripMargin
 
   /** The declared probe width's oracle body. Lazy: referenced from the
     * `oracles` map literal (plain-val init order would bite, see notes). */
@@ -603,6 +727,15 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "sim_topk_ivf" -> ivfTopkSql,
+    "sim_topk_ivf_pq" -> ivfPqTopkSql,
+    "sim_topk_ivf_pq_recall" ->
+      s"""WITH ex AS ($simTopkSql),
+         |iv AS ($ivfPqTopkSql)
+         |SELECT ex.q_id, count(iv.vec_id)::BIGINT AS n_hit,
+         |       (count(iv.vec_id)::DOUBLE / ${TOPK}::DOUBLE) AS recall
+         |FROM ex LEFT JOIN iv
+         |  ON ex.q_id = iv.q_id AND ex.vec_id = iv.vec_id
+         |GROUP BY ex.q_id""".stripMargin,
     // recall@k: each side's full oracle nests as a CTE subquery (both are
     // standalone SELECTs; DuckDB allows a WITH inside a CTE body). The
     // division is BIGINT::DOUBLE / DOUBLE so the result is a double like

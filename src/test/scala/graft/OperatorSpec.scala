@@ -285,6 +285,16 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("n_hit") <= 5))
     val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
     assert(mean >= 0.55, s"mean recall@5 $mean below the 0.55 floor")
+    // the PQ path sees the same candidates and exact-reranks a 20-deep
+    // int8 shortlist, so its recall may trail the float path only by
+    // true neighbors quantization pushed out of the shortlist — bound
+    // the gap, not just a static floor
+    val pqRows = SparkEntry.queries("sim_topk_ivf_pq_recall")(spark, sf)
+      .collect()
+    assert(pqRows.length === 10)
+    val pqMean = pqRows.map(_.getAs[Double]("recall")).sum / pqRows.length
+    assert(pqMean >= mean - 0.1,
+      s"PQ recall $pqMean fell more than 0.1 below float-path recall $mean")
   }
 
   test("minhash estimate tracks exact 3-gram Jaccard and finds high-J pairs") {
