@@ -210,6 +210,59 @@ class StreamingSpec extends SparkSpec {
     graft.sources.Staging.deleteRecursively(Paths.get(tmp))
   }
 
+  test("compaction killed mid-drain resumes to the batch fixed point") {
+    // the chaos property the clean stop/restart test cannot prove: STOP
+    // the query while the AvailableNow drain is in flight (stop()
+    // interrupts whatever micro-batch is running rather than letting the
+    // trigger finish), then resume from the checkpoint — the recovered
+    // run must land on exactly the batch fixed point, with the
+    // interrupted batch replayed, never skipped or double-applied. The
+    // sink is a complete-mode foreachBatch parquet rewrite — recoverable
+    // (the memory sink is not), and the same idempotent-overwrite shape a
+    // production compaction job uses.
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "target/stream-fixtures/test-compact-chaos"
+    graft.sources.Staging.deleteRecursively(Paths.get(base))
+    val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
+    Files.createDirectories(Paths.get(src))
+    val ev = graft.Tables.events(spark, sf)
+    // four quarter-files + maxFilesPerTrigger=1 => four data micro-batches,
+    // so a kill after the first progress report lands mid-drain
+    (0 until 4).foreach { i =>
+      stageOne(ev.where(col("event_id") % 4 === i), s"$base/h$i", src, s"q$i")
+    }
+    def start() = graft.operators.RelationalOps.compactAgg(
+        spark.readStream.schema(StreamingOps.eventsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src))
+      .writeStream.outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(out)
+      }.start()
+    val q1 = start()
+    val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+    while (q1.recentProgress.isEmpty && q1.isActive &&
+      System.nanoTime < deadline) Thread.sleep(10)
+    q1.stop()
+    q1.awaitTermination()
+    val q2 = start()
+    q2.awaitTermination()
+    // all four files were committed by SOME run (an interrupted batch
+    // replays in run 2, so the combined data-batch count can exceed 4 but
+    // never undershoot it)
+    val dataBatches = (q1.recentProgress ++ q2.recentProgress)
+      .count(_.numInputRows > 0)
+    assert(dataBatches >= 4,
+      s"only $dataBatches data micro-batches committed across both runs")
+    val streamed = spark.read.parquet(out)
+    val batch = SparkEntry.queries("compact_changelog")(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming compaction matches the batch compact_changelog") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.compactStream(spark, sf), "stream_compact")
