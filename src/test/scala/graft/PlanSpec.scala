@@ -133,6 +133,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_topk_ivf_pq: pruned index probe, broadcast shortlist rerank") {
+    // the PQ path must keep the float path's probe shape (pruned
+    // partition scan of the persisted index, no in-plan cell retraining)
+    // AND rerank through broadcast joins only — an SMJ in the rerank means
+    // the O(NQ·RERANK) shortlist shuffled the corpus to fetch 200 vectors
+    val plan = executed("sim_topk_ivf_pq")
+    assert(!plan.toLowerCase.contains("nearestcenter"),
+      "PQ probe plan must not retrain/assign cells in-query")
+    val scan = plan.split("\n").find(l =>
+      l.contains("PartitionFilters") && l.contains("cell"))
+    assert(scan.isDefined, s"no partition-filtered scan of the index:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"shortlist rerank lost its broadcast shape:\n$plan")
+  }
+
   test("sim_topk_ivf_recall composes the two pipelines without a cartesian") {
     // the recall join must stay a key join of two tiny (<= NQ*TOPK row)
     // results; the only broadcast nested loops allowed are the intentional
