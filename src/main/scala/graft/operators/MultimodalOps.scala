@@ -80,6 +80,42 @@ object MultimodalOps {
     media.mapPartitions(_.map(StubCodec.decode))
   }
 
+  /** Resize plan of a decoded visual payload: fit the (stub-decoded)
+    * dimensions into a [[MAX_DIM]]² box preserving aspect ratio. Pure
+    * integer arithmetic (floor division on positive dims — identical in
+    * Scala and DuckDB `//`), so the whole stage oracle-replays. A real
+    * pipeline swaps the out_bytes estimate for the actual resampled
+    * payload; the shape (typed per-row plan emitted by a partition-local
+    * stage, no shuffle) is the production one. */
+  case class MediaResize(doc_id: Long, media_type: String, width: Int,
+      height: Int, out_w: Int, out_h: Int, out_bytes: Long)
+  private[graft] val MAX_DIM = 256
+  def resizePlan(f: MediaFeatures): MediaResize = {
+    val m = math.max(f.width, f.height)
+    val (ow, oh) =
+      if (m <= MAX_DIM) (f.width, f.height)
+      else (math.max(1, f.width * MAX_DIM / m),
+        math.max(1, f.height * MAX_DIM / m))
+    MediaResize(f.doc_id, f.media_type, f.width, f.height, ow, oh,
+      3L * ow * oh)
+  }
+
+  /** Frame sampling of a (stub-decoded) video stream: every `step`-th
+    * frame, at most [[MAX_FRAMES]] per video, with the frame timestamp in
+    * integer milliseconds at [[FPS]]. The fake frame count derives from
+    * the payload size; the fan-out shape (per-row iterator flatMap inside
+    * one partition-local stage — the batched frame-grab of a real
+    * decoder) is what's under test. */
+  case class MediaFrame(doc_id: Long, frame_idx: Int, ts_ms: Long)
+  private[graft] val FPS = 24
+  private[graft] val MAX_FRAMES = 8
+  def sampleFrames(f: MediaFeatures): Iterator[MediaFrame] = {
+    val nFrames = 1 + f.n_bytes % 240
+    val step = math.max(1, nFrames / MAX_FRAMES)
+    (0 until nFrames by step).take(MAX_FRAMES).iterator
+      .map(i => MediaFrame(f.doc_id, i, i * 1000L / FPS))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> { (s, d) =>
       // rIeee, not round: the byte-sum features are integer/integer ratios
@@ -99,6 +135,25 @@ object MultimodalOps {
         .agg(count(lit(1)).as("n"),
           sum(col("n_bytes")).as("total_bytes"),
           round(avg(col("f0")), 4).as("avg_f0"))
+    },
+    "multimodal_resize" -> { (s, d) =>
+      // the resize stage of a visual-ingest pipeline: decode → aspect-fit
+      // plan into MAX_DIM², visual rows only (audio has no frame to
+      // resize). One partition-local narrow stage; nothing shuffles.
+      val s2 = s; import s2.implicits._
+      decodeFeatures(mediaTable(s, d))
+        .filter((f: MediaFeatures) => f.media_type != "audio")
+        .mapPartitions(_.map(resizePlan)).toDF()
+    },
+    "multimodal_frames" -> { (s, d) =>
+      // the frame-sampling stage of a video-ingest pipeline: decode →
+      // every-step-th frame capped at MAX_FRAMES, integer-ms timestamps
+      // at FPS. Fan-out is an iterator flatMap inside the same
+      // partition-local stage — the batched frame grab of a real decoder.
+      val s2 = s; import s2.implicits._
+      decodeFeatures(mediaTable(s, d))
+        .filter((f: MediaFeatures) => f.media_type == "video")
+        .mapPartitions(_.flatMap(sampleFrames)).toDF()
     }
   )
 
@@ -123,6 +178,39 @@ object MultimodalOps {
          |       ${graft.functions.VectorSql.rIeee(fSql(1), 4)} AS f1
          |FROM documents""".stripMargin
     },
+    // resize: the dims formulas are the feature oracle's, the aspect-fit
+    // is pure positive-integer floor division (`//` = Scala Int `/` here)
+    "multimodal_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+        |         (64 + (31 * length(text) + CASE WHEN length(text) > 0
+        |            THEN ascii(text[1]) ELSE 0 END) % 512)::INT AS width,
+        |         (64 + (17 * length(text) + CASE WHEN length(text) > 0
+        |            THEN ascii(text[length(text)]) ELSE 0 END) % 512)::INT AS height
+        |  FROM documents),
+        |r AS (SELECT doc_id, media_type, width, height,
+        |             greatest(width, height) AS m
+        |      FROM dims WHERE media_type <> 'audio'),
+        |o AS (SELECT doc_id, media_type, width, height,
+        |        (CASE WHEN m <= 256 THEN width
+        |              ELSE greatest(1, (width * 256) // m) END)::INT AS out_w,
+        |        (CASE WHEN m <= 256 THEN height
+        |              ELSE greatest(1, (height * 256) // m) END)::INT AS out_h
+        |      FROM r)
+        |SELECT doc_id, media_type, width, height, out_w, out_h,
+        |       (3 * out_w * out_h)::BIGINT AS out_bytes FROM o""".stripMargin,
+    // frame sampling: generate_series(0, nf-1, step) IS Scala's
+    // `0 until nf by step`; list_slice caps at MAX_FRAMES like take(8)
+    "multimodal_frames" ->
+      """WITH q AS (
+        |  SELECT doc_id, nf, greatest(1, nf // 8) AS step FROM (
+        |    SELECT doc_id, 1 + length(text)::INT % 240 AS nf
+        |    FROM documents WHERE doc_id % 3 = 2))
+        |SELECT doc_id, f::INT AS frame_idx, ((f * 1000) // 24)::BIGINT AS ts_ms
+        |FROM (SELECT doc_id,
+        |             unnest(list_slice(generate_series(0, nf - 1, step), 1, 8)) AS f
+        |      FROM q)""".stripMargin,
     "multimodal_stats" ->
       """SELECT media_type, count(*)::BIGINT AS n,
         |       sum(length(text))::BIGINT AS total_bytes,

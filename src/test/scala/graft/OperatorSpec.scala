@@ -366,6 +366,29 @@ class OperatorSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0L)
   }
 
+  test("multimodal resize fits the box; frame sampling respects the cap") {
+    // resize invariants: visual rows only, output dims within the 256²
+    // box, aspect order preserved (w >= h in iff out_w >= out_h), and an
+    // already-fitting payload passes through untouched
+    val rs = SparkEntry.queries("multimodal_resize")(spark, sf).collect()
+    assert(rs.nonEmpty && rs.forall(_.getString(1) != "audio"))
+    assert(rs.forall(r => r.getInt(4) <= 256 && r.getInt(5) <= 256))
+    assert(rs.forall(r => (r.getInt(2) >= r.getInt(3)) ==
+      (r.getInt(4) >= r.getInt(5))))
+    assert(rs.filter(r => r.getInt(2) <= 256 && r.getInt(3) <= 256)
+      .forall(r => r.getInt(4) == r.getInt(2) && r.getInt(5) == r.getInt(3)))
+    // frame invariants: every video emits 1..MAX_FRAMES frames, indices
+    // ascend from 0, timestamps are the exact integer-ms grid
+    val fr = SparkEntry.queries("multimodal_frames")(spark, sf).collect()
+    val perDoc = fr.groupBy(_.getLong(0))
+    val nVideos = Tables.documents(spark, sf)
+      .where(col("doc_id") % 3 === 2).count()
+    assert(perDoc.size === nVideos)
+    assert(perDoc.values.forall(g => g.length >= 1 && g.length <= 8))
+    assert(perDoc.values.forall(_.map(_.getInt(1)).min === 0))
+    assert(fr.forall(r => r.getLong(2) === r.getInt(1) * 1000L / 24))
+  }
+
   test("unigram_logprob: OOV path exercised, surprisal bounds hold") {
     import graft.operators.DedupOps.wordsCol
     // the fixture vocabulary must exceed the VOCAB=16 model cap, or the

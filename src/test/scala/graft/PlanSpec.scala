@@ -225,6 +225,16 @@ class PlanSpec extends SparkSpec {
       s"decontam_incremental shuffles a corpus-scale side:\n$inc")
   }
 
+  test("multimodal resize/frames stay shuffle-free narrow plans") {
+    // both are per-row stages of the partition-local decode pipeline: an
+    // Exchange would mean the binary payloads shuffle, which at 100 TB of
+    // media is the whole job's cost
+    val rs = executed("multimodal_resize")
+    assert(!rs.contains("Exchange"), s"multimodal_resize gained a shuffle:\n$rs")
+    val fr = executed("multimodal_frames")
+    assert(!fr.contains("Exchange"), s"multimodal_frames gained a shuffle:\n$fr")
+  }
+
   test("split_assign and doc_chunks are shuffle-free narrow plans") {
     // both are pure per-row shapes: any Exchange in the plan means a
     // refactor introduced a shuffle that at 100 TB moves the whole corpus
