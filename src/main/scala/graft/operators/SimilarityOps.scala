@@ -144,7 +144,15 @@ object SimilarityOps {
     * concurrent-JVM safe — [[graft.sources.Staging.ensureDir]]):
     *
     *   <dir>/cells/    (cell INT, cv ARRAY<DOUBLE>) — the NCELLS-row model
-    *   <dir>/vectors/  (id LONG, v ARRAY<DOUBLE>) PARTITIONED BY cell
+    *   <dir>/vectors/  (id LONG, v ARRAY<DOUBLE>, codes ARRAY<INT>,
+    *                    scale DOUBLE) PARTITIONED BY cell
+    *
+    * `codes`/`scale` are the int8 PQ serving columns ([[q8Codes]] /
+    * [[q8Scale]] — embed_quantize's exact formulas, applied ONCE at build
+    * time): the quantized path's candidate scan reads ONLY
+    * (cell, id, codes, scale) — the 8×-smaller resident set a PQ serving
+    * node holds — and the full float `v` is fetched solely for the RERANK
+    * shortlist (round-10 verdict #1; PlanSpec pins the pruned ReadSchema).
     *
     * Cells are trained with two snap12 Lloyd iterations from the frozen
     * deterministic seeds (the round-4 verdict item — trained cells balance
@@ -156,7 +164,7 @@ object SimilarityOps {
   def ensureIvfIndex(s: SparkSession, d: String): String = {
     val sfTag = java.nio.file.Paths.get(d).getFileName.toString
     graft.sources.Staging.ensureDir(
-      s"target/ivf-index/$sfTag/nc$NCELLS", marker = "vectors/_SUCCESS") {
+      s"target/ivf-index/$sfTag/nc$NCELLS-q8", marker = "vectors/_SUCCESS") {
       tmp => buildIvfIndexInto(s, d, tmp)
     }
   }
@@ -172,6 +180,7 @@ object SimilarityOps {
       .toDF("cell", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/cells")
     pts.select(col("id"), col("v"),
+        q8Codes(col("v")).as("codes"), q8Scale(col("v")).as("scale"),
         KMeansOps.nearestCol(col("v"), cells).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
   }
@@ -238,9 +247,13 @@ object SimilarityOps {
         r4(cos(col("v"), col("qv"))).as("sim"))
 
   /** The probe pipeline up to (but excluding) scoring — (q_id, vec_id,
-    * rn, v, qv) — shared by the float scorer above and the PQ scorer
-    * (`sim_topk_ivf_pq`), which differ only in the distance they compute
-    * over identical candidates. */
+    * rn, v, codes, scale, qv) — shared by the float scorer above and the
+    * PQ scorer (`sim_topk_ivf_pq`), which differ only in the distance they
+    * compute over identical candidates. Each caller selects only the value
+    * columns its distance needs, so Catalyst column-prunes the index scan:
+    * the float path reads `v` and never `codes`; the PQ path reads
+    * `codes`/`scale` and never `v` (the pruned ReadSchema is the PQ
+    * serving contract, PlanSpec-pinned). */
   private def probedCandidates(s: SparkSession, d: String,
       nprobe: Int): DataFrame = {
     val dir = ensureIvfIndex(s, d)
@@ -262,12 +275,15 @@ object SimilarityOps {
       .where(col("id") =!= col("q_id"))
       .join(broadcast(queriesDf(s, d)), "q_id")
       .select(col("q_id"), col("id").as("vec_id"), col("rn"),
-        col("v"), col("qv"))
+        col("v"), col("codes"), col("scale"), col("qv"))
   }
 
-  /** embed_quantize's exact per-vector scale / int8 code formulas, applied
-    * in-plan for PQ candidate scoring. Codes are exact small integers in
-    * both engines, so everything built on them is bit-reproducible. */
+  /** embed_quantize's exact per-vector scale / int8 code formulas —
+    * applied ONCE at index-build time for the corpus side (persisted
+    * `codes`/`scale` columns, [[buildIvfIndexInto]]) and in-plan for the
+    * O(NQ) query side. Codes are exact small integers in both engines, so
+    * everything built on them is bit-reproducible: persisting vs
+    * recomputing them cannot change a value. */
   private def q8Scale(v: Column): Column =
     lit(127.0) / greatest(array_max(transform(v, x => abs(x))), lit(1e-12))
   private def q8Codes(v: Column): Column = {
@@ -314,19 +330,22 @@ object SimilarityOps {
     "sim_topk_ivf" -> { (s, d) => ivfTopK(s, d) },
     "sim_topk_ivf_pq" -> { (s, d) =>
       // IVF-PQ — the memory-bound ANN serving shape at 100 TB vector
-      // volume: probe candidates are scored on their int8 codes
+      // volume: probe candidates are scored on the int8 `codes`/`scale`
+      // columns PERSISTED in the index layout at build time
       // (embed_quantize's format — the 8×-smaller resident set a serving
-      // node actually holds), a RERANK-deep shortlist per query survives,
-      // and ONLY the shortlist pays the exact float cosine via a per-id
-      // point lookup of the full vectors (O(NQ·RERANK) rows — the
-      // disk-fetch rerank of a real IVF-PQ deployment). The quantized
-      // score is an exact integer dot over deterministic codes divided by
-      // the two scales — bit-identical in both engines — so the SHORTLIST
-      // itself, not just the final ranks, replays in the DuckDB oracle.
+      // node actually holds; the candidate scan's ReadSchema carries codes
+      // and NOT the float v, PlanSpec-pinned), a RERANK-deep shortlist per
+      // query survives, and ONLY the shortlist pays the exact float cosine
+      // via a per-id point lookup of the full vectors (O(NQ·RERANK) rows —
+      // the disk-fetch rerank of a real IVF-PQ deployment; the query side
+      // quantizes in-plan, O(NQ) tiny). The quantized score is an exact
+      // integer dot over deterministic codes divided by the two scales —
+      // bit-identical in both engines — so the SHORTLIST itself, not just
+      // the final ranks, replays in the DuckDB oracle.
       val pq = probedCandidates(s, d, NPROBE)
         .select(col("q_id"), col("vec_id"),
-          (intDot(q8Codes(col("qv")), q8Codes(col("v"))).cast("double") /
-            (q8Scale(col("qv")) * q8Scale(col("v")))).as("sim_q"))
+          (intDot(q8Codes(col("qv")), col("codes")).cast("double") /
+            (q8Scale(col("qv")) * col("scale"))).as("sim_q"))
       val short = pq
         .withColumn("rn_pq", row_number().over(
           Window.partitionBy(col("q_id"))

@@ -146,6 +146,21 @@ class PlanSpec extends SparkSpec {
     assert(scan.isDefined, s"no partition-filtered scan of the index:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"shortlist rerank lost its broadcast shape:\n$plan")
+    // the PQ serving contract (round-10 verdict #1): the candidate scan
+    // reads the PERSISTED int8 code table — ReadSchema carries codes+scale
+    // and NOT the float vectors; v is fetched only by the shortlist rerank
+    // (a different scan, of the embeddings table). A regression that
+    // re-derives codes from v in-plan re-grows the scan to the float
+    // footprint and fails here.
+    val pqScan = plan.split("\n").filter(_.contains("ReadSchema"))
+      .find(_.contains("codes"))
+    assert(pqScan.isDefined,
+      s"candidate scan must read the persisted code table:\n$plan")
+    val rs = pqScan.get.split("ReadSchema:")(1)
+    assert(rs.contains("codes") && rs.contains("scale"),
+      s"code-table scan missing codes/scale: $rs")
+    assert(!rs.contains("v:"),
+      s"candidate scan must not read float vectors: $rs")
   }
 
   test("sim_topk_ivf_recall composes the two pipelines without a cartesian") {
