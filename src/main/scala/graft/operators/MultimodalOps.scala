@@ -137,22 +137,27 @@ object MultimodalOps {
           round(avg(col("f0")), 4).as("avg_f0"))
     },
     "multimodal_resize" -> { (s, d) =>
-      // the resize stage of a visual-ingest pipeline: decode → aspect-fit
-      // plan into MAX_DIM², visual rows only (audio has no frame to
-      // resize). One partition-local narrow stage; nothing shuffles.
+      // the resize stage of a visual-ingest pipeline: visual rows only
+      // (audio has no frame to resize) → decode → aspect-fit plan into
+      // MAX_DIM². The media-type predicate is a COLUMN filter on the
+      // ingest table BELOW the decode stage (round-10 verdict #2): it
+      // evaluates in codegen before any row deserializes into the decode
+      // mapPartitions, so a real codec never decodes a payload the query
+      // immediately discards. One partition-local narrow stage; nothing
+      // shuffles.
       val s2 = s; import s2.implicits._
-      decodeFeatures(mediaTable(s, d))
-        .filter((f: MediaFeatures) => f.media_type != "audio")
+      decodeFeatures(mediaTable(s, d).where(col("media_type") =!= "audio"))
         .mapPartitions(_.map(resizePlan)).toDF()
     },
     "multimodal_frames" -> { (s, d) =>
-      // the frame-sampling stage of a video-ingest pipeline: decode →
-      // every-step-th frame capped at MAX_FRAMES, integer-ms timestamps
-      // at FPS. Fan-out is an iterator flatMap inside the same
-      // partition-local stage — the batched frame grab of a real decoder.
+      // the frame-sampling stage of a video-ingest pipeline: video rows
+      // only (column predicate below the decode, as above — 2/3 of the
+      // corpus never reaches the decoder) → decode → every-step-th frame
+      // capped at MAX_FRAMES, integer-ms timestamps at FPS. Fan-out is an
+      // iterator flatMap inside the same partition-local stage — the
+      // batched frame grab of a real decoder.
       val s2 = s; import s2.implicits._
-      decodeFeatures(mediaTable(s, d))
-        .filter((f: MediaFeatures) => f.media_type == "video")
+      decodeFeatures(mediaTable(s, d).where(col("media_type") === "video"))
         .mapPartitions(_.flatMap(sampleFrames)).toDF()
     }
   )

@@ -248,6 +248,21 @@ class PlanSpec extends SparkSpec {
     assert(!rs.contains("Exchange"), s"multimodal_resize gained a shuffle:\n$rs")
     val fr = executed("multimodal_frames")
     assert(!fr.contains("Exchange"), s"multimodal_frames gained a shuffle:\n$fr")
+    // round-10 verdict #2: the media-type predicate must sit BELOW the
+    // decode stage — a codegen Filter between scan and the typed decode
+    // mapPartitions (the plan prints root-first, so "below" = a LATER
+    // line than every MapPartitions) — never a typed lambda filter over
+    // decoded objects. Once StubCodec is a real codec, decoding rows the
+    // query discards is the dominant wasted cost.
+    for ((plan, name) <- Seq((rs, "multimodal_resize"),
+        (fr, "multimodal_frames"))) {
+      val lines = plan.split("\n")
+      val lastMp = lines.lastIndexWhere(_.contains("MapPartitions"))
+      val flt = lines.indexWhere(l =>
+        l.contains("Filter") && l.contains("element_at"))
+      assert(lastMp >= 0 && flt > lastMp,
+        s"$name media-type filter not below the decode stage:\n$plan")
+    }
   }
 
   test("split_assign and doc_chunks are shuffle-free narrow plans") {
