@@ -203,6 +203,69 @@ class KMeansSpec extends SparkSpec {
     assert(rows.forall(r => Set(0, 1).contains(r.getInt(2))))
   }
 
+  test("cluster_eval_seeds: k=3 multi-way vote covers the whole holdout") {
+    // 42 labeled test rows, 14 per wheat variety: the k>2 branch — purity
+    // must beat the 1/3 uniform floor in every cluster (a coin-flip floor
+    // no longer exists), labels come from the 3-way set, and at least two
+    // distinct varieties must win somewhere (a single-variety sweep would
+    // mean the fit collapsed).
+    val rows = SparkEntry.queries("cluster_eval_seeds")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === 42L)
+    assert(rows.forall(_.getDouble(3) > 1.0 / 3.0))
+    assert(rows.forall(r => Set(1, 2, 3).contains(r.getInt(2))))
+    assert(rows.map(_.getInt(2)).distinct.length >= 2)
+  }
+
+  test("cluster_eval_usermodel: categorical string labels, full coverage") {
+    // 52 labeled test rows over 4 knowledge-level categories: the string-
+    // label branch of the purity vote — every top_label must be one of the
+    // raw category strings (exact case: the vote compares binary UTF-8 in
+    // both engines) and the clusters must cover the whole holdout.
+    val rows = SparkEntry.queries("cluster_eval_usermodel")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum === 52L)
+    val cats = Set("very_low", "Low", "Middle", "High")
+    assert(rows.forall(r => cats.contains(r.getString(2))))
+    assert(rows.forall(_.getDouble(3) > 0.25))
+  }
+
+  test("kmeans_reference_data_100k: same structure at 10x rows, trip pinned") {
+    // the larger shipped file comes from the same 4-center generator: the
+    // end-to-end flow must find 4 near-equal clusters covering all 100,000
+    // points, and the measured trip count the oracle unrolls (5 = the cap)
+    // must hold — a drift here means engine and oracle diverged.
+    val rows = SparkEntry.queries("kmeans_reference_data_100k")(spark, sf)
+      .collect()
+    assert(rows.length === 4)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.sum === 100000L)
+    assert(sizes.min > 20000L, s"degenerate cluster sizes: ${sizes.toSeq}")
+    val pts = KMeansOps.refPoints100k(spark).localCheckpoint()
+    val init = KMeansOps.farthestSeedsByContent(pts, 4, dim = 2)
+    val (_, iters) = KMeansOps.lloyd(pts, init, maxIter = 5, tol = 1e-4)
+    assert(iters === 5, s"oracle unrolls 5 steps but the loop ran $iters")
+  }
+
+  test("staged reference fixtures hold only distinct content rows") {
+    // every content-keyed argmin/argmax in the shipped-data queries ties
+    // by feature tuple; that is a TOTAL order only while the staged files
+    // hold no duplicate rows — the precondition the oracles' GROUP BY
+    // content relies on. Covers all staged splits (HTRU_2, seeds,
+    // User-Modeling) and both shipped point files.
+    for ((df, n) <- Seq(
+        (KMeansOps.refPoints(spark), 10000L),
+        (KMeansOps.refPoints100k(spark), 100000L),
+        (KMeansOps.uciTrainSplit(spark,
+          "data/reference/HTRU_2_train.csv", 8), 14318L),
+        (KMeansOps.uciTrainSplit(spark,
+          "data/reference/seeds_dataset_train.csv", 7), 168L),
+        (KMeansOps.uciTrainSplit(spark,
+          "data/reference/user_modeling_train.csv", 5), 206L))) {
+      assert(df.count() === n)
+      assert(df.distinct().count() === n, "duplicate content rows staged")
+    }
+  }
+
   test("MLlib initMode variants reach lloyd-comparable cost on the fixture") {
     // SURVEY §7 step 4: random -> "random", ++/farthest -> "k-means||".
     // Both modes must land in the same cost regime as the expression-based
