@@ -99,6 +99,13 @@ object DedupOps {
     * ONE constant feeding query + oracle. */
   private[graft] val SUBSTR_L = 12
 
+  /** dedup_substring_apply's keep rule: DROP a doc when more than
+    * NUM/DEN of its windows are duplicated spans. Compared as the exact
+    * integer cross-product (dup·DEN ≤ spans·NUM) — no float ratio, no
+    * half-boundary hazard; ONE constant pair feeding query + oracle. */
+  private[graft] val SUBSTR_DROP_NUM = 1
+  private[graft] val SUBSTR_DROP_DEN = 2
+
   // ------------------------------------------------------------- MinHash
 
   private val MINHASH_PERMS = 32
@@ -514,6 +521,19 @@ object DedupOps {
         sum(coalesce(col("d"), lit(0L))).as("n_dup_spans"))
   }
 
+  /** The substring-removal core (see the `dedup_substring_apply` query):
+    * keep docs whose duplicated-span fraction stays within
+    * [[SUBSTR_DROP_NUM]]/[[SUBSTR_DROP_DEN]], windowless docs reinstated
+    * with a zeroed audit. */
+  private[graft] def substringApply(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(substringAudit(docs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .where(col("n_dup_spans") * SUBSTR_DROP_DEN <=
+        col("n_spans") * SUBSTR_DROP_NUM)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, d) =>
       // hash-groupBy dedup: at 100 TB you group by a digest, never the raw
@@ -609,6 +629,18 @@ object DedupOps {
     },
     "dedup_substring" -> { (s, d) =>
       substringAudit(Tables.documents(s, d))
+    },
+    "dedup_substring_apply" -> { (s, d) =>
+      // the REMOVAL step the audit feeds (the ExactSubstr discipline's
+      // consuming pass): keep documents whose duplicated-span fraction
+      // stays within SUBSTR_DROP_NUM/SUBSTR_DROP_DEN — the exact integer
+      // cross-product compare — and pass windowless docs (<L words, no
+      // spans to audit) through with a zeroed audit. Output carries the
+      // audit columns, so downstream reporting needs no re-join. Scale
+      // shape: the audit's explode/hash-count machinery unchanged; the
+      // reinstating join is doc-id-keyed between two doc-count-sized
+      // relations (never the exploded windows).
+      substringApply(Tables.documents(s, d))
     },
     "dedup_simhash" -> { (s, d) =>
       simhashFingerprints(Tables.documents(s, d))
@@ -707,6 +739,24 @@ object DedupOps {
   // ------------------------------------------------------------- oracles
 
   /** DuckDB CTE computing the 32-column MinHash signature table. */
+  /** w/wins/dup/aud CTEs — the substring audit pipeline, shared by the
+    * `dedup_substring` oracle (aud verbatim) and `dedup_substring_apply`
+    * (threshold over aud, windowless docs reinstated). Lazy: referenced
+    * from the `oracles` map literal. */
+  private lazy val substrAuditCtes: String = {
+    val terms = (0 until SUBSTR_L).map(k => s"w[i+$k]").mkString(", ")
+    s"""w AS (SELECT doc_id, $wSql AS w FROM documents),
+       |wins AS (SELECT doc_id,
+       |  unnest(list_transform(generate_series(1, len(w) - ${SUBSTR_L - 1}),
+       |    i -> ${h60Sql(s"concat_ws(' ', $terms)")})) AS h
+       |  FROM w WHERE len(w) >= $SUBSTR_L),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+       |aud AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+       |        sum(CASE WHEN h IN (SELECT h FROM dup)
+       |                 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+       |        FROM wins GROUP BY doc_id)""".stripMargin
+  }
+
   private lazy val sigSql: String = {
     val minExprs = (0 until MINHASH_PERMS).map(j =>
       s"min((h * ${permA(j)} + ${permB(j)}) % $M) AS m$j").mkString(",\n       ")
@@ -851,19 +901,16 @@ object DedupOps {
          |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.node)
          |SELECT node::BIGINT AS doc_id, min(r)::BIGINT AS cluster_rep
          |FROM reach GROUP BY node""".stripMargin,
-    "dedup_substring" -> {
-      val terms = (0 until SUBSTR_L).map(k => s"w[i+$k]").mkString(", ")
-      s"""WITH w AS (SELECT doc_id, $wSql AS w FROM documents),
-         |wins AS (SELECT doc_id,
-         |  unnest(list_transform(generate_series(1, len(w) - ${SUBSTR_L - 1}),
-         |    i -> ${h60Sql(s"concat_ws(' ', $terms)")})) AS h
-         |  FROM w WHERE len(w) >= $SUBSTR_L),
-         |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1)
-         |SELECT doc_id, count(*)::BIGINT AS n_spans,
-         |       sum(CASE WHEN h IN (SELECT h FROM dup)
-         |                THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
-         |FROM wins GROUP BY doc_id""".stripMargin
-    },
+    "dedup_substring" ->
+      s"""WITH $substrAuditCtes
+         |SELECT doc_id, n_spans, n_dup_spans FROM aud""".stripMargin,
+    "dedup_substring_apply" ->
+      s"""WITH $substrAuditCtes
+         |SELECT d.doc_id, coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+         |       coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans
+         |FROM documents d LEFT JOIN aud a USING (doc_id)
+         |WHERE coalesce(a.n_dup_spans, 0) * $SUBSTR_DROP_DEN <=
+         |      coalesce(a.n_spans, 0) * $SUBSTR_DROP_NUM""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM fp""".stripMargin,

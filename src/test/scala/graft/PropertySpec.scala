@@ -360,6 +360,19 @@ class PropertySpec extends SparkSpec {
       1L -> ((12L, 1L)),  // 23-11 windows; only the tail window collides
       2L -> ((12L, 12L)), // all windows are the same repeated span
       4L -> ((1L, 0L))))  // clean doc, zero dup spans; doc 3 absent
+
+    // the removal pass over the same corpus (threshold 1/2, integer
+    // cross-product): doc 0 (1/1 dup) and doc 2 (12/12) cross it and
+    // drop; doc 1 (1/12) and doc 4 (0/1) stay; windowless doc 3 is
+    // REINSTATED with a zeroed audit — absent from the audit is not
+    // evidence of duplication
+    val kept = graft.operators.DedupOps.substringApply(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(kept === Map(
+      1L -> ((12L, 1L)),
+      3L -> ((0L, 0L)),
+      4L -> ((1L, 0L))))
   }
 
   test("incremental NEAR-dup drops base collisions and collapses the delta") {
