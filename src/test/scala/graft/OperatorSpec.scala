@@ -389,6 +389,43 @@ class OperatorSpec extends SparkSpec {
     assert(fr.forall(r => r.getLong(2) === r.getInt(1) * 1000L / 24))
   }
 
+  test("dedup_media: banded pairs are complete for L-inf < eps, modality-scoped") {
+    import graft.operators.MultimodalOps
+    val eps = MultimodalOps.MEDIA_EPS
+    // synthetic features: (1,2) near within eps; (2,3) straddle a grid-0
+    // cell boundary (0.008k) but remain within eps — the offset grid must
+    // still surface them; (1,4) differ by > eps; (1,5) near but different
+    // modality — never a pair
+    def row(id: Long, mt: String, f: Double) =
+      (id, mt, 100 + id.toInt, 100, f, 0.5, 0.5, 0.5)
+    val feats = spark.createDataFrame(Seq(
+      row(1L, "image", 0.1000),
+      row(2L, "image", 0.1000 + eps * 0.5),
+      row(3L, "image", 0.008 * 50 - eps * 0.1), // just below a boundary...
+      row(4L, "image", 0.2000),
+      row(5L, "audio", 0.1000),
+      row(6L, "image", 0.008 * 50 + eps * 0.1) // ...just above the same one
+    )).toDF("doc_id", "media_type", "width", "height",
+      "f0", "f1", "f2", "f3")
+    val pairs = MultimodalOps.mediaPairsOf(feats)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L), (3L, 6L)),
+      s"expected {(1,2),(3,6)}, got ${pairs.toSet}")
+  }
+
+  test("dedup_media on the fixture: verified distances, ordered ids, modality") {
+    val rows = SparkEntry.queries("dedup_media")(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(3) <
+      graft.operators.MultimodalOps.MEDIA_EPS + 1e-9))
+    // modality is derived from doc_id % 3 — both members must agree with it
+    assert(rows.forall { r =>
+      val mt = Seq("image", "audio", "video")
+      mt((r.getLong(0) % 3).toInt) == r.getString(2) &&
+        mt((r.getLong(1) % 3).toInt) == r.getString(2)
+    })
+  }
+
   test("unigram_logprob: OOV path exercised, surprisal bounds hold") {
     import graft.operators.DedupOps.wordsCol
     // the fixture vocabulary must exceed the VOCAB=16 model cap, or the

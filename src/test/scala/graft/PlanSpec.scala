@@ -265,6 +265,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_media joins banded cells, capped — never all-pairs") {
+    val plan = executed("dedup_media")
+    // the whole point of the grid banding: candidate generation must be a
+    // keyed join of band cells, never a cross/nested-loop product of the
+    // media corpus against itself
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the cell-population cap follows the dedup family's drop-set
+    // discipline: a LeftAnti join against a broadcast of the OVER-cap set
+    assert(plan.split("\n").exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"over-cap anti-join broadcast missing:\n$plan")
+  }
+
   test("split_assign and doc_chunks are shuffle-free narrow plans") {
     // both are pure per-row shapes: any Exchange in the plan means a
     // refactor introduced a shuffle that at 100 TB moves the whole corpus
