@@ -741,11 +741,12 @@ object DedupOps {
   /** DuckDB CTE computing the 32-column MinHash signature table. */
   /** w/wins/dup/aud CTEs — the substring audit pipeline, shared by the
     * `dedup_substring` oracle (aud verbatim) and `dedup_substring_apply`
-    * (threshold over aud, windowless docs reinstated). Lazy: referenced
-    * from the `oracles` map literal. */
-  private lazy val substrAuditCtes: String = {
+    * (threshold over aud, windowless docs reinstated). Parameterized over
+    * the source relation so [[PipelineOps]]'s composed oracles can audit
+    * the post-dedup survivor corpus instead of raw `documents`. */
+  private[graft] def substrAuditCtesFor(src: String): String = {
     val terms = (0 until SUBSTR_L).map(k => s"w[i+$k]").mkString(", ")
-    s"""w AS (SELECT doc_id, $wSql AS w FROM documents),
+    s"""w AS (SELECT doc_id, $wSql AS w FROM $src),
        |wins AS (SELECT doc_id,
        |  unnest(list_transform(generate_series(1, len(w) - ${SUBSTR_L - 1}),
        |    i -> ${h60Sql(s"concat_ws(' ', $terms)")})) AS h
@@ -756,6 +757,7 @@ object DedupOps {
        |                 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
        |        FROM wins GROUP BY doc_id)""".stripMargin
   }
+  private lazy val substrAuditCtes: String = substrAuditCtesFor("documents")
 
   private lazy val sigSql: String = {
     val minExprs = (0 until MINHASH_PERMS).map(j =>

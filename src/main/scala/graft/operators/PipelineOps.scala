@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * proven to compose (and so Catalyst optimizes across the stage
   * boundaries instead of per-fragment):
   *
-  *   pipeline_curate: quality filter → exact dedup → decontamination → split
+  *   pipeline_curate: quality filter → exact dedup → substring removal →
+  *                    decontamination → split
   *   pipeline_pack:   …curate… → keep the train split → pack_sequences
   *
   * Reference ancestor: the full scan→…→sink pipeline of
@@ -18,12 +19,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale audit of the composition (each stage inherits its operator's
   * shape): the quality stage is a narrow codegen projection; dedup groups
-  * by a 16-byte digest, never raw text; the decontamination hit set is
-  * contaminated-docs-sized and takes the conf-gated drop-set broadcast;
-  * the split is a pure per-row hash; packing shuffles (id, n_tokens,
-  * shard) triples — never text — into 32 balanced lanes. The row-scaled
-  * shuffles in the whole pack pass are the dedup digest groupBy, the
-  * curated-id equi-join handoff, and the lane exchange.
+  * by a 16-byte digest, never raw text; the substring stage explodes
+  * 60-bit window HASHES of the survivor corpus (window strings never
+  * shuffle) and hands its keep set back as a bare-id semi-join; the
+  * decontamination hit set is contaminated-docs-sized and takes the
+  * conf-gated drop-set broadcast; the split is a pure per-row hash;
+  * packing shuffles (id, n_tokens, shard) triples — never text — into 32
+  * balanced lanes. The row-scaled shuffles in the whole pack pass are the
+  * dedup digest groupBy, the substring window-hash aggregates, the
+  * curated-id equi-join handoffs, and the lane exchange.
   *
   * Composition semantics worth stating: dedup runs BEFORE the eval-id
   * fence, so a duplicate cluster whose survivor (min doc_id) is an eval
@@ -41,16 +45,18 @@ object PipelineOps {
   private val QMIN = 0.45
 
   /** The curation DAG's successive stage relations — (raw docs, quality
-    * keeps, dedup survivors, decontaminated) — shared by the composed
-    * pipelines and the per-stage loss report. `pin` localCheckpoints the
-    * keep/sur prefixes: the report consumes every stage (without pinning,
-    * its four union branches re-run the quality projection ~3× and the
-    * digest shuffle ~2× — per-branch column pruning makes the exchanges
-    * non-identical, so ReuseExchange cannot dedupe them); the pipelines
-    * consume only the final linear chain, where pinning would be pure
-    * materialization overhead. */
+    * keeps, dedup survivors, substring-pass survivors, decontaminated) —
+    * shared by the composed pipelines and the per-stage loss report.
+    * `pin` localCheckpoints the keep prefix: the report consumes every
+    * stage (without pinning, its union branches re-run the quality
+    * projection ~3× — per-branch column pruning makes the exchanges
+    * non-identical, so ReuseExchange cannot dedupe them). `sur` pins
+    * UNCONDITIONALLY since the substring stage made the DAG branch there
+    * in every pipeline: the survivor relation feeds both the audit's
+    * text rejoin and the keep semi-join, and without the pin the digest
+    * shuffle (and everything upstream) runs twice per plan. */
   private def stages(s: SparkSession, d: String, pin: Boolean = false)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     def maybePin(df: DataFrame): DataFrame =
       if (pin) df.localCheckpoint() else df
     val docs = Tables.documents(s, d)
@@ -58,19 +64,30 @@ object PipelineOps {
       .where(col("quality") >= QMIN))
     // survivors: one doc per distinct text; quality is a pure function
     // of text, so min() is just "the" group value, kept for the output
-    val sur = maybePin(keep
+    val sur = keep
       .groupBy(DedupOps.digest(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality")))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"))
+      .localCheckpoint()
+    // substring removal over the SURVIVOR corpus (the ExactSubstr stage
+    // runs after exact dedup: what recurs among survivors is cross-doc
+    // boilerplate/lifted text, not the clone clusters the digest already
+    // collapsed). The handoff is a narrow id equi-join — text flows from
+    // the scan into the window explode, never through the digest
+    // aggregate (the "never raw text through dedup shuffles" discipline).
+    val surDocs = docs.join(sur.select(col("doc_id")), Seq("doc_id"))
+    val sub = maybePin(sur.join(
+      DedupOps.substringApply(surDocs).select(col("doc_id")),
+      Seq("doc_id"), "left_semi"))
     val hits = DedupOps.contamPairs(docs).select(col("doc_id")).distinct()
-    val clean = sur.where(col("doc_id") >= DedupOps.NEVAL)
-      .join(DedupOps.dropSetHint(sur, hits), Seq("doc_id"), "left_anti")
-    (docs, keep, sur, clean)
+    val clean = sub.where(col("doc_id") >= DedupOps.NEVAL)
+      .join(DedupOps.dropSetHint(sub, hits), Seq("doc_id"), "left_anti")
+    (docs, keep, sur, sub, clean)
   }
 
   /** (doc_id, quality, split) for the curated corpus — the shared
     * curation DAG of both declared pipelines. */
   private def curated(s: SparkSession, d: String): DataFrame = {
-    val clean = stages(s, d)._4
+    val clean = stages(s, d)._5
     val u = graft.functions.VectorOps.unitUniform(col("doc_id"))
     clean.select(col("doc_id"), col("quality"),
       when(u < 0.8, "train").when(u < 0.9, "val")
@@ -84,6 +101,13 @@ object PipelineOps {
        |keep AS (SELECT doc_id, text, quality FROM q WHERE quality >= $QMIN),
        |sur AS (SELECT min(doc_id) AS doc_id, min(quality) AS quality
        |        FROM keep GROUP BY md5(text)),
+       |surdocs AS (SELECT sur.doc_id, d.text
+       |            FROM sur JOIN documents d USING (doc_id)),
+       |${DedupOps.substrAuditCtesFor("surdocs")},
+       |sub AS (SELECT sur.doc_id, sur.quality FROM sur
+       |        LEFT JOIN aud USING (doc_id)
+       |        WHERE coalesce(aud.n_dup_spans, 0) * ${DedupOps.SUBSTR_DROP_DEN} <=
+       |              coalesce(aud.n_spans, 0) * ${DedupOps.SUBSTR_DROP_NUM}),
        |${DedupOps.deconCtes},
        |hit AS (SELECT DISTINCT t.doc_id FROM trg t JOIN evg e USING (s)),
        |cur AS (SELECT doc_id, quality,
@@ -92,7 +116,7 @@ object PipelineOps {
        |               ELSE 'test' END AS split
        |        FROM (SELECT doc_id, quality,
        |                ${graft.functions.VectorSql.unitUniform("doc_id")} AS u
-       |              FROM sur
+       |              FROM sub
        |              WHERE doc_id >= ${DedupOps.NEVAL}
        |                AND doc_id NOT IN (SELECT doc_id FROM hit)))""".stripMargin
 
@@ -120,9 +144,9 @@ object PipelineOps {
       // pipelines run (not re-implementations that could drift), unioned
       // into a 4-row funnel. Each count is a map-side-combined aggregate;
       // output is stage-domain-bounded.
-      val (docs, keep, sur, clean) = stages(s, d, pin = true)
-      Seq(("raw", 0, docs), ("quality", 1, keep),
-        ("dedup", 2, sur), ("decontam", 3, clean))
+      val (docs, keep, sur, sub, clean) = stages(s, d, pin = true)
+      Seq(("raw", 0, docs), ("quality", 1, keep), ("dedup", 2, sur),
+        ("substring", 3, sub), ("decontam", 4, clean))
         .map { case (name, id, df) =>
           df.agg(count(lit(1)).as("n_docs"))
             .select(lit(id).as("stage_id"), lit(name).as("stage"),
@@ -143,7 +167,8 @@ object PipelineOps {
          |       (SELECT count(*) FROM documents)::BIGINT AS n_docs
          |UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM keep)::BIGINT
          |UNION ALL SELECT 2, 'dedup', (SELECT count(*) FROM sur)::BIGINT
-         |UNION ALL SELECT 3, 'decontam', (SELECT count(*) FROM cur)::BIGINT""".stripMargin,
+         |UNION ALL SELECT 3, 'substring', (SELECT count(*) FROM sub)::BIGINT
+         |UNION ALL SELECT 4, 'decontam', (SELECT count(*) FROM cur)::BIGINT""".stripMargin,
     "pipeline_pack" ->
       s"""WITH $curatedCtes,
          |curdocs AS (SELECT d.doc_id, d.text FROM documents d

@@ -708,13 +708,14 @@ class OperatorSpec extends SparkSpec {
   test("pipeline_report is a monotone funnel consistent with the stages") {
     val rows = SparkEntry.queries("pipeline_report")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
-    assert(rows.map(_._2).toSeq === Seq("raw", "quality", "dedup", "decontam"))
+    assert(rows.map(_._2).toSeq ===
+      Seq("raw", "quality", "dedup", "substring", "decontam"))
     val ns = rows.map(_._3)
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
       s"stage counts must be non-increasing: ${ns.toSeq}")
     // consistency with the declared artifacts the stages feed
     assert(ns(0) === Tables.documents(spark, sf).count())
-    assert(ns(3) === SparkEntry.queries("pipeline_curate")(spark, sf).count())
+    assert(ns(4) === SparkEntry.queries("pipeline_curate")(spark, sf).count())
   }
 
   test("window_cumsum final row equals group sum") {

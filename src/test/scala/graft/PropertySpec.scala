@@ -333,6 +333,48 @@ class PropertySpec extends SparkSpec {
     assert(got.toSeq === Seq(11L, 14L))
   }
 
+  test("pipeline substring stage audits SURVIVORS, not the raw corpus") {
+    // the composition claim worth proving: the pipeline runs the
+    // substring removal AFTER the quality floor and exact dedup, so a doc
+    // whose only duplicate partner is quality-eliminated must be KEPT by
+    // the pipeline while the standalone (raw-corpus) pass drops it.
+    // Constructed corpus (L = 12, drop rule dup·2 > spans·1):
+    //  - doc 40 = P(60 short words) ++ Q(30 ten-char words): 90 words →
+    //    79 windows, 49 inside the P prefix; quality ≈ 0.63 (passes)
+    //  - doc 41 = P alone: quality = 0.5·0.6 + 0.3·0.4 = 0.42 (FAILS the
+    //    0.45 floor) — the only other carrier of P's windows
+    //  - doc 51 = R(200 five-char words): quality 0.65; 189 windows
+    //  - doc 50 = R's first 72 words: quality 0.51; 61 windows, ALL
+    //    shared with doc 51 → dropped by BOTH passes (lifted text that
+    //    genuinely recurs among survivors)
+    val p = (1 to 60).map(i => f"p$i%03d")
+    val q = (1 to 30).map(i => f"q$i%09d")
+    val r = (1 to 200).map(i => f"r$i%04d")
+    def doc(id: Long, words: Seq[String]) =
+      (id, words.mkString(" "), "en", "crafted", words.mkString(" ").length.toLong)
+    val dir = "target/pipeline-substr-spec"
+    graft.sources.Staging.deleteRecursively(java.nio.file.Paths.get(dir))
+    Seq(doc(40L, p ++ q), doc(41L, p), doc(50L, r.take(72)), doc(51L, r))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // standalone raw-corpus pass: doc 40's 49 P-windows are duplicated by
+    // doc 41 (98 > 79 → drop); only doc 51 survives the threshold
+    val standalone = SparkEntry.queries("dedup_substring_apply")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(standalone === Set(51L), s"standalone kept $standalone")
+    // pipeline: doc 41 falls at the quality floor, P's windows become
+    // unique among survivors, doc 40 is rescued; doc 50 still drops
+    val curated = SparkEntry.queries("pipeline_curate")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curated === Set(40L, 51L), s"pipeline curated $curated")
+    // the funnel counts each stage's bite: raw 4 → quality 3 → dedup 3 →
+    // substring 2 → decontam 2
+    val funnel = SparkEntry.queries("pipeline_report")(spark, dir)
+      .collect().map(rr => (rr.getInt(0), rr.getLong(2))).sortBy(_._1)
+    assert(funnel.map(_._2).toSeq === Seq(4L, 3L, 3L, 2L, 2L),
+      s"funnel ${funnel.toSeq}")
+  }
+
   test("substringAudit counts lifted and self-repeated spans exactly") {
     // constructed corpus with known window arithmetic (L = 12):
     //  - doc 0: 12 distinct words -> exactly 1 window, duplicated into
