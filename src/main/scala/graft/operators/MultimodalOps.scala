@@ -171,8 +171,13 @@ object MultimodalOps {
   /** The banded pair core over any (doc_id, media_type, width, height,
     * f0..f3) relation — factored (like the dedup family's `*Pairs`
     * helpers) so the spec can drive it with synthetic feature vectors. */
-  private[graft] def mediaPairsOf(feats0: DataFrame): DataFrame = {
-    val feats = feats0.localCheckpoint()
+  private[graft] def mediaPairsOf(feats0: DataFrame): DataFrame =
+    mediaPairsPinned(feats0.localCheckpoint())
+
+  /** Pair core over an ALREADY-PINNED feature relation — split out so
+    * [[mediaApplyOf]], which pins feats for its own argmax/reinstate
+    * joins too, does not materialize the decode output twice. */
+  private def mediaPairsPinned(feats: DataFrame): DataFrame = {
     val keyCols = "media_type" +: "combo" +:
       (0 until MEDIA_LANES).map(i => s"c$i")
     val bands = mediaFeatureBands(feats)
@@ -205,6 +210,44 @@ object MultimodalOps {
         (col("wa") === col("wb") && col("ha") === col("hb"))
           .cast("int").as("same_dims"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** `dedup_media_apply`: the keep set the media near-dup pass feeds a
+    * curation pipeline — per near-dup CLUSTER (connected components over
+    * the banded pair graph, the dedup family's [[DedupOps.componentsOf]]
+    * fixed point) keep the HIGHEST-RESOLUTION member, ties to the lowest
+    * doc_id; docs in no pair keep themselves. This is the visual twin of
+    * `dedup_substring_apply`'s audit→removal step: two resolutions of one
+    * image are near-dups and the pipeline trains on the sharper one.
+    * Scale shape: components run over the capped pair graph (nodes ≪
+    * corpus), the argmax is one map-side-combined struct-max per cluster,
+    * and the singleton reinstatement is a bare-id anti-join. */
+  private[graft] def mediaApply(s: SparkSession, d: String): DataFrame =
+    mediaApplyOf(decodeFeatures(mediaTable(s, d)).toDF()
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("f0"), col("f1"), col("f2"), col("f3")))
+
+  /** The removal core over any feature relation — factored like
+    * [[mediaPairsOf]] so the spec can drive synthetic clusters. */
+  private[graft] def mediaApplyOf(feats0: DataFrame): DataFrame = {
+    val feats = feats0.localCheckpoint()
+    val pairs = mediaPairsPinned(feats).select(col("doc_a"), col("doc_b"))
+    val comps = DedupOps.componentsOf(pairs)
+    // argmax via struct-max: (res, -doc_id) orders by resolution first,
+    // then LOWEST id on ties — bit-identical to the oracle's
+    // ORDER BY res DESC, doc_id ASC window
+    val members = comps.join(feats.select(col("doc_id"),
+      (col("width").cast("long") * col("height")).as("res")), "doc_id")
+    val best = members.groupBy(col("cluster_rep"))
+      .agg(max(struct(col("res"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select((-col("m.nid")).as("doc_id"), col("cluster_rep"),
+        col("n_members"))
+    val singles = feats.select(col("doc_id"))
+      .join(comps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_rep"),
+        lit(1L).as("n_members"))
+    best.unionByName(singles).orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -256,6 +299,11 @@ object MultimodalOps {
       // near-dup detection over decoded media feature vectors, banded and
       // cell-capped like every other dedup path — never all-pairs
       mediaPairs(s, d)
+    },
+    "dedup_media_apply" -> { (s, d) =>
+      // the removal pass those pairs feed: keep the highest-resolution
+      // member of each near-dup cluster, reinstate untouched docs
+      mediaApply(s, d)
     }
   )
 
@@ -268,13 +316,14 @@ object MultimodalOps {
        |           i -> CASE WHEN (i - 1) % 4 = $lane THEN ascii(text[i]) ELSE 0 END),
        |           'sum')::DOUBLE / (64.0 * length(text)) END""".stripMargin
 
-  /** The dedup_media oracle: the SAME two-offset-grid banding, cell cap
-    * (keep-join HAVING form, per the dedup-family oracle convention),
-    * distinct candidate pairs, and strict L∞ verify as [[mediaPairs]].
-    * Every constant is the same decimal literal as the Spark side, so the
-    * parsed doubles — and hence every floor cell and compare — are
-    * bit-identical. */
-  private def dedupMediaSql: String = {
+  /** f/b/keep/cb/cand/v CTE chain of the dedup_media oracles: the SAME
+    * two-offset-grid banding, cell cap (keep-join HAVING form, per the
+    * dedup-family oracle convention), distinct candidate pairs, and strict
+    * L∞ verify as [[mediaPairs]]. Every constant is the same decimal
+    * literal as the Spark side, so the parsed doubles — and hence every
+    * floor cell and compare — are bit-identical. Shared by the pair and
+    * removal oracles so the two can never drift on banding arithmetic. */
+  private def mediaPairCtes: String = {
     val cells = (0 until MEDIA_LANES).map { i =>
       s"""         floor((f$i + CASE WHEN (combo // ${1 << i}) % 2 = 1
          |           THEN 0.004 ELSE 0.0 END) / 0.008)::BIGINT AS c$i""".stripMargin
@@ -283,7 +332,7 @@ object MultimodalOps {
       (0 until MEDIA_LANES).map(i => s"c$i").mkString(", ")
     val linf = "greatest(" + (0 until MEDIA_LANES)
       .map(i => s"abs(fa.f$i - fb.f$i)").mkString(", ") + ")"
-    s"""WITH f AS (
+    s"""f AS (
        |  SELECT doc_id,
        |         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
        |         (64 + (31 * length(text) + CASE WHEN length(text) > 0
@@ -313,14 +362,48 @@ object MultimodalOps {
        |         CASE WHEN fa.width = fb.width AND fa.height = fb.height
        |              THEN 1 ELSE 0 END AS same_dims
        |  FROM cand JOIN f fa ON fa.doc_id = cand.doc_a
-       |            JOIN f fb ON fb.doc_id = cand.doc_b)
-       |SELECT doc_a, doc_b, media_type,
-       |       ${graft.functions.VectorSql.rIeee("linf", 6)} AS dist, same_dims
-       |FROM v WHERE linf < 0.004 ORDER BY doc_a, doc_b""".stripMargin
+       |            JOIN f fb ON fb.doc_id = cand.doc_b)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
-    "dedup_media" -> dedupMediaSql,
+    "dedup_media" ->
+      s"""WITH $mediaPairCtes
+         |SELECT doc_a, doc_b, media_type,
+         |       ${graft.functions.VectorSql.rIeee("linf", 6)} AS dist, same_dims
+         |FROM v WHERE linf < 0.004 ORDER BY doc_a, doc_b""".stripMargin,
+    // the removal oracle: recursive-CTE closure over the verified pairs
+    // (the dedup_clusters convention), then the per-cluster resolution
+    // argmax as a window — ORDER BY res DESC, doc_id ASC is exactly the
+    // Spark side's max(struct(res, -doc_id))
+    "dedup_media_apply" ->
+      s"""WITH RECURSIVE $mediaPairCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM v WHERE linf < 0.004),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS t FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.node),
+         |comp AS (SELECT node::BIGINT AS doc_id, min(r)::BIGINT AS cluster_rep
+         |         FROM reach GROUP BY node),
+         |members AS (
+         |  SELECT c.doc_id, c.cluster_rep,
+         |         (f.width::BIGINT * f.height) AS res
+         |  FROM comp c JOIN f USING (doc_id)),
+         |best AS (
+         |  SELECT doc_id, cluster_rep, n_members FROM (
+         |    SELECT doc_id, cluster_rep,
+         |           count(*) OVER (PARTITION BY cluster_rep) AS n_members,
+         |           row_number() OVER (PARTITION BY cluster_rep
+         |                              ORDER BY res DESC, doc_id ASC) AS rn
+         |    FROM members) WHERE rn = 1)
+         |SELECT doc_id, cluster_rep, n_members::BIGINT AS n_members FROM best
+         |UNION ALL
+         |SELECT doc_id, doc_id AS cluster_rep, 1::BIGINT AS n_members
+         |FROM f WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+         |ORDER BY doc_id""".stripMargin,
     // the byte-sum feature math is reproducible from the utf-8 text in SQL
     // (the fixture docs are ASCII, so char positions == byte positions);
     // media_type cycles doc_id % 3 → image/audio/video

@@ -413,6 +413,31 @@ class OperatorSpec extends SparkSpec {
       s"expected {(1,2),(3,6)}, got ${pairs.toSet}")
   }
 
+  test("dedup_media_apply keeps the sharpest cluster member, reinstates singles") {
+    import graft.operators.MultimodalOps
+    val eps = MultimodalOps.MEDIA_EPS
+    // chain cluster {1,2,3} (1~2 and 2~3 within eps; 1~3 is 0.8·eps < eps
+    // too, but transitivity must hold regardless): doc 2 carries the
+    // highest resolution and must be the sole survivor; doc 7 ties doc
+    // 2's... (no — 7 is a singleton and keeps itself); tie case {8,9}:
+    // equal resolution -> lowest id 8 survives
+    def row(id: Long, f: Double, w: Int, h: Int) =
+      (id, "image", w, h, f, 0.5, 0.5, 0.5)
+    val feats = spark.createDataFrame(Seq(
+      row(1L, 0.1000, 100, 100),
+      row(2L, 0.1000 + eps * 0.4, 200, 200),
+      row(3L, 0.1000 + eps * 0.8, 150, 150),
+      row(7L, 0.3000, 10, 10),
+      row(8L, 0.5000, 120, 120),
+      row(9L, 0.5000 + eps * 0.3, 120, 120)
+    )).toDF("doc_id", "media_type", "width", "height",
+      "f0", "f1", "f2", "f3")
+    val got = MultimodalOps.mediaApplyOf(feats).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((2L, 1L, 3L), (7L, 7L, 1L), (8L, 8L, 2L)),
+      s"got $got")
+  }
+
   test("dedup_media on the fixture: verified distances, ordered ids, modality") {
     val rows = SparkEntry.queries("dedup_media")(spark, sf).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
