@@ -333,6 +333,41 @@ class PropertySpec extends SparkSpec {
     assert(got.toSeq === Seq(11L, 14L))
   }
 
+  test("mediaPairsOf == brute-force L-inf pairs on generated feature clouds") {
+    // the banding-completeness claim, checked exhaustively: on a dense
+    // deterministic cloud (many pairs straddling grid boundaries at every
+    // offset), the banded pair set must equal the all-pairs scan's —
+    // completeness is the two-offset-grid theorem, soundness the exact
+    // verify. Features cluster at ~2.5·eps spacing so hits, misses, and
+    // boundary cases all occur in volume.
+    import graft.operators.MultimodalOps
+    val eps = MultimodalOps.MEDIA_EPS
+    val rows = (0 until 150).map { i =>
+      def f(s: Int): Double = {
+        // the repo's multiplicative-hash uniform, driver-side
+        val u = (Math.floorMod((i * 7 + s) * 2654435761L, 4294967296L)
+          + 0.5) / 4294967296.0
+        0.3 + math.floor(u * 40) * (eps * 0.4)
+      }
+      (i.toLong, if (i % 2 == 0) "image" else "video", 64 + i, 64,
+        f(1), f(2), f(3), f(4))
+    }
+    val feats = rows.toDF("doc_id", "media_type", "width", "height",
+      "f0", "f1", "f2", "f3")
+    val got = MultimodalOps.mediaPairsOf(feats)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- rows; b <- rows if a._1 < b._1 && a._2 == b._2
+      linf = Seq(a._5 - b._5, a._6 - b._6, a._7 - b._7, a._8 - b._8)
+        .map(math.abs).max if linf < eps
+    } yield (a._1, b._1)).toSet
+    assert(got === expected,
+      s"banded=${got.size} brute=${expected.size}; " +
+        s"missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(expected.nonEmpty, "degenerate case generator: no pairs at all")
+  }
+
   test("pipeline substring stage audits SURVIVORS, not the raw corpus") {
     // the composition claim worth proving: the pipeline runs the
     // substring removal AFTER the quality floor and exact dedup, so a doc
