@@ -592,17 +592,17 @@ object KMeansOps {
     repoPath("data/reference/10000_point_4_center_2_feature.txt")
   private def refPoints100kPath: String =
     repoPath("data/reference/100000_point_4_center_2_feature.txt")
-  private def uciTrainPath: String = repoPath("data/reference/HTRU_2_train.csv")
-  private def uciTestPath: String = repoPath("data/reference/HTRU_2_test.csv")
-  private def seedsTrainPath: String =
+  private[graft] def uciTrainPath: String = repoPath("data/reference/HTRU_2_train.csv")
+  private[graft] def uciTestPath: String = repoPath("data/reference/HTRU_2_test.csv")
+  private[graft] def seedsTrainPath: String =
     repoPath("data/reference/seeds_dataset_train.csv")
-  private def seedsTestPath: String =
+  private[graft] def seedsTestPath: String =
     repoPath("data/reference/seeds_dataset_test.csv")
   // staged from /root/reference/data/UCI/Data_User_Modeling_Dataset_
   // Hamdi_Tolga_KAHRAMAN_{train,test}.csv (names shortened; bytes intact)
-  private def umTrainPath: String =
+  private[graft] def umTrainPath: String =
     repoPath("data/reference/user_modeling_train.csv")
-  private def umTestPath: String =
+  private[graft] def umTestPath: String =
     repoPath("data/reference/user_modeling_test.csv")
 
   /** A staged reference points file as (v: array<double>) — the scan_text
@@ -1051,7 +1051,8 @@ object KMeansOps {
     * step), held-out assignment of the labeled test split, majority-label
     * purity — the same CTE shapes as refLloydSql at the dataset's native
     * dimensionality. No split holds duplicate feature tuples (the
-    * staged-fixtures spec verifies all six files), so feature tuples are
+    * staged-fixtures spec verifies every staged file, TRAIN and TEST
+    * splits both), so feature tuples are
     * valid argmin keys; `labelDuck` is INTEGER (HTRU_2, seeds) or VARCHAR
     * (User-Modeling — label comparisons are binary-collation in both
     * engines). */

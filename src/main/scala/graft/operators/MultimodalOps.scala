@@ -209,8 +209,11 @@ object MultimodalOps {
         graft.functions.VectorOps.rIeee(col("linf"), 6).as("dist"),
         (col("wa") === col("wb") && col("ha") === col("hb"))
           .cast("int").as("same_dims"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+  // NOTE: sort-free on purpose (the minhashPairs factoring): the
+  // presentation orderBy lives in the dedup_media query, so the apply
+  // path's component propagation never materializes a global sort its
+  // fixed point cannot use.
 
   /** `dedup_media_apply`: the keep set the media near-dup pass feeds a
     * curation pipeline — per near-dup CLUSTER (connected components over
@@ -298,7 +301,7 @@ object MultimodalOps {
       // the visual member of the dedup family (round-10 verdict #7):
       // near-dup detection over decoded media feature vectors, banded and
       // cell-capped like every other dedup path — never all-pairs
-      mediaPairs(s, d)
+      mediaPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
     },
     "dedup_media_apply" -> { (s, d) =>
       // the removal pass those pairs feed: keep the highest-resolution
@@ -408,11 +411,6 @@ object MultimodalOps {
     // (the fixture docs are ASCII, so char positions == byte positions);
     // media_type cycles doc_id % 3 → image/audio/video
     "multimodal_features" -> {
-      def fSql(lane: Int): String =
-        s"""CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           |         list_aggregate(list_transform(generate_series(1, length(text)),
-           |           i -> CASE WHEN (i - 1) % 4 = $lane THEN ascii(text[i]) ELSE 0 END),
-           |           'sum')::DOUBLE / (64.0 * length(text)) END""".stripMargin
       s"""SELECT doc_id,
          |       ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
          |       length(text)::INT AS n_bytes,
@@ -420,8 +418,8 @@ object MultimodalOps {
          |          THEN ascii(text[1]) ELSE 0 END) % 512)::INT AS width,
          |       (64 + (17 * length(text) + CASE WHEN length(text) > 0
          |          THEN ascii(text[length(text)]) ELSE 0 END) % 512)::INT AS height,
-         |       ${graft.functions.VectorSql.rIeee(fSql(0), 4)} AS f0,
-         |       ${graft.functions.VectorSql.rIeee(fSql(1), 4)} AS f1
+         |       ${graft.functions.VectorSql.rIeee(laneSql(0), 4)} AS f0,
+         |       ${graft.functions.VectorSql.rIeee(laneSql(1), 4)} AS f1
          |FROM documents""".stripMargin
     },
     // resize: the dims formulas are the feature oracle's, the aspect-fit
@@ -458,19 +456,14 @@ object MultimodalOps {
         |             unnest(list_slice(generate_series(0, nf - 1, step), 1, 8)) AS f
         |      FROM q)""".stripMargin,
     "multimodal_stats" ->
-      """SELECT media_type, count(*)::BIGINT AS n,
-        |       sum(length(text))::BIGINT AS total_bytes,
-        |       round(avg(f0), 4) AS avg_f0
-        |FROM (SELECT doc_id,
-        |             ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
-        |             CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |               list_aggregate(
-        |                 list_transform(generate_series(1, length(text)),
-        |                   i -> CASE WHEN (i - 1) % 4 = 0
-        |                        THEN ascii(text[i]) ELSE 0 END),
-        |                 'sum')::DOUBLE / (64.0 * length(text)) END AS f0,
-        |             text
-        |      FROM documents)
-        |GROUP BY media_type""".stripMargin
+      s"""SELECT media_type, count(*)::BIGINT AS n,
+         |       sum(length(text))::BIGINT AS total_bytes,
+         |       round(avg(f0), 4) AS avg_f0
+         |FROM (SELECT doc_id,
+         |             ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+         |             ${laneSql(0)} AS f0,
+         |             text
+         |      FROM documents)
+         |GROUP BY media_type""".stripMargin
   )
 }

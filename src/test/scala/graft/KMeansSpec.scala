@@ -252,15 +252,22 @@ class KMeansSpec extends SparkSpec {
     // hold no duplicate rows — the precondition the oracles' GROUP BY
     // content relies on. Covers all staged splits (HTRU_2, seeds,
     // User-Modeling) and both shipped point files.
+    // paths via the production repoPath-resolved accessors (cwd-immune,
+    // and a fixture rename breaks here rather than silently diverging),
+    // TEST splits included: the oracle side GROUPs the labeled test rows
+    // by content too, so ITS precondition is test-split distinctness
     for ((df, n) <- Seq(
         (KMeansOps.refPoints(spark), 10000L),
         (KMeansOps.refPoints100k(spark), 100000L),
-        (KMeansOps.uciTrainSplit(spark,
-          "data/reference/HTRU_2_train.csv", 8), 14318L),
-        (KMeansOps.uciTrainSplit(spark,
-          "data/reference/seeds_dataset_train.csv", 7), 168L),
-        (KMeansOps.uciTrainSplit(spark,
-          "data/reference/user_modeling_train.csv", 5), 206L))) {
+        (KMeansOps.uciTrainSplit(spark, KMeansOps.uciTrainPath, 8), 14318L),
+        (KMeansOps.uciTrainSplit(spark, KMeansOps.seedsTrainPath, 7), 168L),
+        (KMeansOps.uciTrainSplit(spark, KMeansOps.umTrainPath, 5), 206L),
+        (KMeansOps.uciTestSplit(spark, KMeansOps.uciTestPath, 8, "INT"),
+          3580L),
+        (KMeansOps.uciTestSplit(spark, KMeansOps.seedsTestPath, 7, "INT"),
+          42L),
+        (KMeansOps.uciTestSplit(spark, KMeansOps.umTestPath, 5, "STRING"),
+          52L))) {
       assert(df.count() === n)
       assert(df.distinct().count() === n, "duplicate content rows staged")
     }

@@ -309,27 +309,43 @@ class PlanSpec extends SparkSpec {
   }
 
   test("composed pipelines keep their stages' plan shapes") {
-    // pipeline_curate: eval grams + hit set broadcast; the substring
-    // stage's window-hash (h) and bare-id (doc_id) joins are the only
-    // legitimate sort-merge shapes — narrow (id, count) relations the
-    // audit shuffles by design. A SortMergeJoin on ANY other key means a
-    // stage handoff silently started shuffling the corpus (the round-5
-    // failure mode this pin was written for: text riding a join).
-    val smjOk = """SortMergeJoin \[(doc_id|h)#""".r
-    def badSmj(plan: String): Seq[String] = plan.split("\n").toSeq
-      .filter(_.contains("SortMergeJoin"))
-      .filterNot(l => smjOk.findFirstIn(l).isDefined)
+    // the substring stage's three joins are the only legitimate
+    // sort-merge shapes in the pipelines — all narrow (id, count-ish)
+    // relations the audit shuffles by design: wins⋈dup on the window
+    // hash (LeftOuter), apply's id⋈audit (LeftOuter), and the survivor
+    // keep semi-join (LeftSemi). Pinned as an EXACT multiset of
+    // (key, join type), not a key whitelist: a corpus-text handoff
+    // regressing from broadcast to sort-merge would ride doc_id too (the
+    // round-5 failure mode — text riding a join), but it would appear as
+    // an ADDITIONAL SortMergeJoin and fail the multiset compare.
+    val smjRe = """SortMergeJoin \[([a-zA-Z_]+)#\d+L?\].*?, (\w+)\s*$""".r.unanchored
+    def smjShapes(plan: String): Seq[(String, String)] = plan.split("\n")
+      .toSeq.filter(_.contains("SortMergeJoin"))
+      .map { l =>
+        smjRe.findFirstMatchIn(l) match {
+          case Some(m) => (m.group(1), m.group(2))
+          case None    => fail(s"unparseable SortMergeJoin line: $l")
+        }
+      }
+    val expected =
+      Seq(("h", "LeftOuter"), ("doc_id", "LeftOuter"), ("doc_id", "LeftSemi"))
     val pc = executed("pipeline_curate")
-    assert(badSmj(pc).isEmpty && !pc.contains("CartesianProduct"),
-      s"pipeline_curate shuffles a non-audit key:\n$pc")
+    assert(smjShapes(pc).sorted == expected.sorted &&
+        !pc.contains("CartesianProduct"),
+      s"pipeline_curate join shapes drifted (${smjShapes(pc)}):\n$pc")
     assert(pc.split("\n").exists(l =>
         l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
       "decontamination drop-set anti-join broadcast missing")
-    // pipeline_pack adds only the curated-id handoff (broadcast onto the
-    // scan at fixture scale) and the balanced lane exchange
+    // pipeline_pack adds only the curated-id handoff (BROADCAST onto the
+    // scan — asserted, since that is exactly the join that must never
+    // become a text-shuffling SMJ) and the balanced lane exchange
     val pp = executed("pipeline_pack")
-    assert(badSmj(pp).isEmpty && !pp.contains("CartesianProduct"),
-      s"pipeline_pack shuffles a non-audit key:\n$pp")
+    assert(smjShapes(pp).sorted == expected.sorted &&
+        !pp.contains("CartesianProduct"),
+      s"pipeline_pack join shapes drifted (${smjShapes(pp)}):\n$pp")
+    assert(pp.split("\n").exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("Inner")),
+      "curated-id handoff broadcast missing")
     assert(pp.split("\n").exists(l =>
         l.contains("Exchange hashpartitioning(shard")),
       "packing lane exchange missing")
