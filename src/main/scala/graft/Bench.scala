@@ -21,17 +21,31 @@ object Bench {
     // the scan_*/streaming_* queries the scan (not the staging write),
     // and kmeans_fit the MLlib fit (not the memo fill of the reference-
     // Lloyd cost its three variants share — round-7 ADVICE).
-    graft.sources.StorageOps.ensureLayouts(spark, sfDir)
-    graft.sources.TextIO.ensureFixtures(spark, sfDir)
-    graft.streaming.StreamingOps.stageDir(sfDir, "events")
-    graft.operators.SimilarityOps.ensureIvfIndex(spark, sfDir)
-    graft.operators.MLlibKMeans.warmRef(spark, sfDir)
+    // each setup stage fails in ISOLATION: queries self-ensure their own
+    // staging, so a broken stage here costs those queries (their ensure
+    // re-throws inside the per-query try) — never the whole round. Round
+    // 11's bench died in THIS block on a fixture encoding change and
+    // zeroed every number.
+    def setup(what: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] setup $what failed " +
+            s"(continuing; affected queries will fail individually): $e")
+      }
+    setup("bucketed layouts") {
+      graft.sources.StorageOps.ensureLayouts(spark, sfDir) }
+    setup("text fixtures") { graft.sources.TextIO.ensureFixtures(spark, sfDir) }
+    setup("streaming landing dir") {
+      graft.streaming.StreamingOps.stageDir(spark, sfDir, "events"); () }
+    setup("ivf index") {
+      graft.operators.SimilarityOps.ensureIvfIndex(spark, sfDir); () }
+    setup("mllib ref warm") { graft.operators.MLlibKMeans.warmRef(spark, sfDir) }
     // one untimed scan+aggregate+noop-write warmup: whole-session JIT,
     // codegen compilation, parquet-reader and noop-sink init otherwise all
     // land on whichever queries sort first alphabetically (the agg_*/
     // approx_* family), making their round-over-round numbers reflect
     // warmup luck rather than plan changes
-    locally {
+    setup("warmup") {
       import org.apache.spark.sql.functions._
       graft.Tables.events(spark, sfDir)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))

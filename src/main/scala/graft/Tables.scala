@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Fixture-table loaders (TESTDATA.md).
   *
@@ -12,15 +14,60 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dominant cost and parquet + pruned `ReadSchema` is the only sane format.
   */
 object Tables {
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
-    * default; read it as epoch-nanos long (runtime-settable legacy conf) and
-    * convert explicitly where timestamp semantics are needed.
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table with ONE canonical timestamp contract regardless of
+    * how the lake encoded it: `ts` is an epoch-NANOS long. A real lake
+    * accumulates every encoding a writer ever used — this loader has seen
+    * three in the fixtures alone (parquet TIMESTAMP(NANOS) read as raw
+    * long, TIMESTAMP(MICROS, adjustedToUTC=true) → TimestampType,
+    * TIMESTAMP(MICROS, adjustedToUTC=false) → TimestampNTZ) — so the read
+    * branches on the ARRIVED Spark type and normalizes, and every consumer
+    * (batch windows, as-of joins, streaming staging, jsonl export) codes
+    * against the single contract. Round 11 hard-coded the nanos-long
+    * encoding and 15 queries died when the fixtures switched to µs; the
+    * DuckDB oracles (`epoch_ns(ts)`) were adaptive all along, which is the
+    * behavior this restores on the Spark side.
+    *
+    * Both confs below only affect how the parquet footer's timestamp
+    * LOGICAL type maps to a Spark type at read time and are no-ops for
+    * non-timestamp columns:
+    *  - `nanosAsLong`: Spark 4 refuses TIMESTAMP(NANOS) outright without
+    *    it; with it the column arrives as a raw epoch-nanos long.
+    *  - `inferTimestampNTZ.enabled=false`: an `isAdjustedToUTC=false` µs
+    *    column would otherwise arrive as TimestampNTZ, whose conversion to
+    *    an epoch instant depends on the session time zone — forced to
+    *    TimestampType, the stored int64 IS epoch-µs and `unix_micros` is
+    *    timezone-independent, so Bench/Verify/tests agree bit-for-bit with
+    *    DuckDB's naive `epoch_ns` no matter the host zone.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df // legacy TIMESTAMP(NANOS) read as epoch-nanos long
+      case TimestampType =>
+        df.withColumn("ts", toNanos(unix_micros(col("ts"))))
+      case TimestampNTZType =>
+        // defensive: unreachable while the NTZ-inference conf above holds,
+        // but a caller-managed session could re-enable it. NTZ carries no
+        // zone, and DuckDB's epoch_* treat the wall-clock value as UTC —
+        // convert with an explicit UTC anchor, never the session zone.
+        df.withColumn("ts",
+          toNanos(unix_micros(to_utc_timestamp(col("ts"), "UTC"))))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — extend " +
+          "graft.Tables.events' normalization for this encoding")
+    }
   }
+
+  /** µs → canonical nanos. 2262 (long-nanos overflow) is out of fixture
+    * range; the multiply is exact for any realistic instant. */
+  private def toNanos(us: Column): Column = (us * lit(1000L)).cast(LongType)
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -29,7 +76,6 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -33,6 +33,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query failures are recorded HERE as well as on stderr: a query
+    // that throws at dump time would otherwise just have no dump dir and
+    // silently vanish from the driver's CORRECTNESS report — round 11's
+    // 11 events-table casualties left no row at all and cost the judge a
+    // diagnosis pass. errors.json makes an erroring query a visible
+    // artifact of the round.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -49,6 +56,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -85,6 +94,9 @@ object Verify {
     val json = (prior -- only.getOrElse(Set.empty) ++ fresh)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(jsonPath, json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -162,7 +162,11 @@ object SimilarityOps {
     * without ever reading the files. NCELLS is part of the path: a config
     * change can never probe a stale layout. */
   def ensureIvfIndex(s: SparkSession, d: String): String = {
-    val sfTag = java.nio.file.Paths.get(d).getFileName.toString
+    // basename + fixture fingerprint: a regenerated embeddings fixture
+    // re-keys the index path (Staging.dirFingerprint) instead of probing
+    // a stale layout
+    val sfTag = java.nio.file.Paths.get(d).getFileName.toString + "-" +
+      graft.sources.Staging.dirFingerprint(d)
     graft.sources.Staging.ensureDir(
       s"target/ivf-index/$sfTag/nc$NCELLS-q8", marker = "vectors/_SUCCESS") {
       tmp => buildIvfIndexInto(s, d, tmp)

@@ -18,6 +18,32 @@ import java.nio.file._
   */
 object Staging {
 
+  /** Short hex fingerprint of a fixture directory's regular files
+    * ((name, size, mtime) triples, name-sorted) for baking into
+    * staged-derivative PATHS: every dir under target/ is a deterministic
+    * function of fixture data, so keying the path by the fixture's
+    * fingerprint makes a driver-side regeneration (round 11:
+    * /root/testdata rewritten mid-round with a new events.ts encoding)
+    * invalidate every derived layout automatically — the stale dir simply
+    * stops being addressed, and the marker-based ensure rebuilds fresh.
+    * mtime+size (not content hash): staging must stay O(files), and the
+    * generators rewrite whole files, never patch in place. */
+  def dirFingerprint(fixtureDir: String): String = {
+    val p = Paths.get(fixtureDir)
+    val sig =
+      if (!Files.isDirectory(p)) s"absent:$fixtureDir"
+      else {
+        val entries = Files.list(p)
+        try entries.toArray.map(_.asInstanceOf[Path])
+          .filter(Files.isRegularFile(_))
+          .map(f => (f.getFileName.toString, Files.size(f),
+            Files.getLastModifiedTime(f).toMillis))
+          .sortBy(_._1).mkString("|")
+        finally entries.close()
+      }
+    f"${scala.util.hashing.MurmurHash3.stringHash(sig)}%08x"
+  }
+
   /** Ensure `dir` holds a complete staged copy, building it with `write`
     * (invoked with a TEMP path to populate) if absent. `marker` is a
     * dir-relative path whose existence certifies completeness — the atomic

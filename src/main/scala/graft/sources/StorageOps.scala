@@ -20,8 +20,13 @@ object StorageOps {
     // suffix a short hash of the RAW name so two dirs that sanitize to
     // the same tag (sf0.8-flat vs sf0.8.flat) can never alias each
     // other's bucketed layout (String.hashCode is stable across JVMs)
+    // the fixture-content fingerprint is part of the tag (and so of every
+    // bucketed TABLE NAME and layout path): a driver-side fixture
+    // regeneration re-keys the layout instead of silently serving stale
+    // buckets (Staging.dirFingerprint)
     val raw = java.nio.file.Paths.get(d).getFileName.toString
-    raw.replaceAll("[^A-Za-z0-9_]", "_") + "_" + f"${raw.hashCode}%08x"
+    raw.replaceAll("[^A-Za-z0-9_]", "_") + "_" + f"${raw.hashCode}%08x" +
+      "_" + Staging.dirFingerprint(d)
   }
 
   /** Idempotently create the bucketed table layouts for a scale factor.

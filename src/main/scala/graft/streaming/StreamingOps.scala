@@ -17,28 +17,39 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Events schema when read as a stream: `ts` arrives as epoch-nanos long
-    * (see [[graft.Tables.table]]) and is converted to a real timestamp. */
+  /** Events schema when read as a stream: `ts` is the CANONICAL epoch-nanos
+    * long ([[graft.Tables.events]]' contract), true of the staged landing
+    * file by construction ([[stageDir]] writes the normalized table) no
+    * matter which timestamp encoding the fixture itself used. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Spark's file-stream source lists a *directory*; the fixture is a single
-    * parquet file. Stage a hard copy under target/ once per sfDir (a real
-    * deployment streams from a landing directory anyway — this mirrors that
-    * layout without touching the read-only fixtures). */
-  def stageDir(sfDir: String, table: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val sfName = Paths.get(sfDir).getFileName.toString
-    // atomically staged (the copied file is its own completion marker — it
-    // lands in the temp dir before the rename publishes the dir)
+    * parquet file. Stage a landing dir under target/ once per fixture
+    * version (a real deployment streams from a landing directory anyway —
+    * this mirrors that layout without touching the read-only fixtures).
+    *
+    * The staged file is written THROUGH [[graft.Tables.table]], not file-
+    * copied: the landing file then carries the canonical column contract
+    * (`ts` = epoch-nanos long) regardless of the fixture's own timestamp
+    * encoding — round 11's raw copy shipped the fixture's new µs encoding
+    * straight into a schema that declared nanos long, and four streaming
+    * queries silently computed 1000×-compressed timestamps. The path is
+    * keyed by the fixture fingerprint ([[graft.sources.Staging
+    * .dirFingerprint]]), so a regenerated fixture restages automatically.
+    * `coalesce(1)`: one landing file ⇒ the whole fixture is one
+    * AvailableNow micro-batch unless a test opts into maxFilesPerTrigger —
+    * the determinism contract [[thresholdAlerts]]' per-batch ordering
+    * documents. */
+  def stageDir(spark: SparkSession, sfDir: String, table: String): String = {
+    val key = java.nio.file.Paths.get(sfDir).getFileName.toString + "-" +
+      graft.sources.Staging.dirFingerprint(sfDir)
     graft.sources.Staging.ensureDir(
-      s"target/stream-fixtures/$sfName/$table", marker = s"$table.parquet") {
-      tmp =>
-        Files.copy(Paths.get(s"$sfDir/$table.parquet"),
-          Paths.get(tmp).resolve(s"$table.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+      s"target/stream-fixtures/$key/$table") { tmp =>
+      graft.Tables.table(spark, sfDir, table)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
   }
 
@@ -51,9 +62,8 @@ object StreamingOps {
     * avoid (round-6 ADVICE). */
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorOps.rIeee
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsSchema)
-      .parquet(stageDir(sfDir, "events"))
+      .parquet(stageDir(spark, sfDir, "events"))
       .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       .withWatermark("tstamp", "2 hours")
       .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
@@ -69,9 +79,8 @@ object StreamingOps {
     * a hand-rolled flatMapGroupsWithState for this shape. */
   def sessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorOps.rIeee
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsSchema)
-      .parquet(stageDir(sfDir, "events"))
+      .parquet(stageDir(spark, sfDir, "events"))
       .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       .withWatermark("tstamp", "4 hours")
       .groupBy(col("user_id"), session_window(col("tstamp"), "2 hours"))
@@ -87,9 +96,8 @@ object StreamingOps {
     * one key per id and the watermark bounds its lifetime (an unbounded
     * `dropDuplicates` would accumulate state forever on a real stream). */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsSchema)
-      .parquet(stageDir(sfDir, "events"))
+      .parquet(stageDir(spark, sfDir, "events"))
       .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       .withWatermark("tstamp", "24 hours")
       .dropDuplicatesWithinWatermark("event_id")
@@ -103,12 +111,11 @@ object StreamingOps {
     * state is involved, which is why this is the FIRST tool to reach for
     * before a stateful stream-stream join. */
   def enrichStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val userDim = graft.Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("user_total_events"))
     spark.readStream.schema(eventsSchema)
-      .parquet(stageDir(sfDir, "events"))
+      .parquet(stageDir(spark, sfDir, "events"))
       .join(org.apache.spark.sql.functions.broadcast(userDim), "user_id")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("user_total_events"))
@@ -123,10 +130,9 @@ object StreamingOps {
     * stream join survives. Equality key `user_id` keeps state partitioned
     * and the range condition bounds it in time. */
   def clickToPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(tag: String, typ: String) =
       spark.readStream.schema(eventsSchema)
-        .parquet(stageDir(sfDir, "events"))
+        .parquet(stageDir(spark, sfDir, "events"))
         .where(col("event_type") === typ)
         .select(col("event_id").as(s"${tag}_id"),
           col("user_id").as(s"${tag}_user"),
@@ -191,7 +197,6 @@ object StreamingOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val thresholdCents = math.rint(threshold * 100).toLong
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // null AND NaN values are dropped BEFORE the typed decode: .as[... Long]
     // would fail on a null cents, and floor(NaN*100+0.5) maps NaN to 0L
     // silently in Spark while the DuckDB oracle's floor(...)::BIGINT errors
@@ -200,7 +205,7 @@ object StreamingOps {
     // A skipped row never moves the running total, so it can never be the
     // crossing row the batch form emits either.
     val ev = spark.readStream.schema(eventsSchema)
-      .parquet(stageDir(sfDir, "events"))
+      .parquet(stageDir(spark, sfDir, "events"))
       .where(col("value").isNotNull && !isnan(col("value")))
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
         floor(col("value") * 100 + lit(0.5)).as("cents"))
@@ -240,10 +245,9 @@ object StreamingOps {
     * stay revisable by later arrivals, exactly why complete mode (not
     * append) is the only sound output mode here. */
   def compactStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.operators.RelationalOps.compactAgg(
       spark.readStream.schema(eventsSchema)
-        .parquet(stageDir(sfDir, "events")))
+        .parquet(stageDir(spark, sfDir, "events")))
   }
 
   /** Batch form of [[thresholdAlerts]] for the equivalence test: the same
