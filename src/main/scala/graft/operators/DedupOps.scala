@@ -651,6 +651,31 @@ object DedupOps {
     "dedup_clusters" -> { (s, d) =>
       duplicateClusters(Tables.documents(s, d))
     },
+    "split_leakage_safe" -> { (s, d) =>
+      // DEDUP-AWARE train/val/test split — the leakage-safe form of
+      // split_assign: a near-dup pair straddling train and test leaks
+      // eval content into training, so the split key is the document's
+      // near-dup CLUSTER (its connected-component representative in the
+      // minhash pair graph; its own id when unpaired), and every member
+      // of a cluster inherits one assignment. The split itself is the
+      // same pure hash-uniform as split_assign, applied to group_rep —
+      // stable under repartitioning and re-runs, disjoint and exhaustive.
+      // Scale shape: comps is O(nodes-in-pairs) ≪ corpus; the corpus
+      // attaches group_rep with ONE shuffled left equi-join on doc_id
+      // (comps is not broadcast-bounded — a heavily-duplicated crawl can
+      // pair most of its docs), then the assignment is a narrow
+      // projection. PropertySpec pins the invariant: no minhash pair
+      // straddles two splits.
+      val docs = Tables.documents(s, d)
+      val grouped = docs.select(col("doc_id"))
+        .join(duplicateClusters(docs), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("group_rep"))
+      val u = graft.functions.VectorOps.unitUniform(col("group_rep"))
+      grouped.select(col("doc_id"), col("group_rep"),
+        when(u < 0.8, "train").when(u < 0.9, "val")
+          .otherwise("test").as("split"))
+    },
     "dedup_ngram" -> { (s, d) =>
       // n-gram Jaccard of every doc against a fixed 10-doc query set.
       // Inverted-index join: |A∩B| = match count of the exploded shingle
@@ -903,6 +928,39 @@ object DedupOps {
          |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.node)
          |SELECT node::BIGINT AS doc_id, min(r)::BIGINT AS cluster_rep
          |FROM reach GROUP BY node""".stripMargin,
+    "split_leakage_safe" ->
+      // dedup_clusters' closure CTEs + the split_assign CASE over the
+      // component representative (unitUniform is the ONE shared SQL
+      // rendering, so the split thresholds cannot drift between oracles)
+      s"""WITH RECURSIVE $sigSql,
+         |$bandsSql,
+         |$cappedBandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cbands a JOIN cbands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS t FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.node),
+         |comps AS (
+         |  SELECT node AS doc_id, min(r) AS cluster_rep
+         |  FROM reach GROUP BY node),
+         |grouped AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS group_rep
+         |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id)
+         |SELECT doc_id::BIGINT AS doc_id, group_rep::BIGINT AS group_rep,
+         |       CASE WHEN u < 0.8 THEN 'train'
+         |            WHEN u < 0.9 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, group_rep,
+         |             ${graft.functions.VectorSql.unitUniform("group_rep")} AS u
+         |      FROM grouped)""".stripMargin,
     "dedup_substring" ->
       s"""WITH $substrAuditCtes
          |SELECT doc_id, n_spans, n_dup_spans FROM aud""".stripMargin,

@@ -10,6 +10,29 @@ class PlanSpec extends SparkSpec {
   private def executed(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("events ts normalization is plan-transparent (prune + pushdown)") {
+    // Tables.events wraps the scan in a normalizing Project (any lake
+    // timestamp encoding → canonical epoch-nanos long); that Project must
+    // never cost a 100 TB scan anything it didn't already pay: a query not
+    // touching ts prunes the ts column out of the parquet ReadSchema
+    // entirely, and predicates on OTHER columns still reach the scan as
+    // pushed filters.
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf)
+    val pruned = ev.select(col("user_id"))
+      .queryExecution.executedPlan.toString
+    val read = pruned.split("\n").find(_.contains("ReadSchema")).get
+      .split("ReadSchema:")(1)
+    assert(!read.contains("ts:"),
+      s"ts must be pruned from a ts-free projection: $read")
+    val filtered = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts"))
+      .queryExecution.executedPlan.toString
+    val scan = filtered.split("\n").find(_.contains("PushedFilters")).get
+    assert(scan.contains("EqualTo(event_type,click)"),
+      s"event_type filter not pushed below the ts normalization: $scan")
+  }
+
   test("scan_docs prunes the read schema to the selected columns") {
     val plan = executed("scan_docs")
     val read = plan.split("\n").find(_.contains("ReadSchema")).get

@@ -184,6 +184,27 @@ class PropertySpec extends SparkSpec {
     assert(DedupOps.cappedBands(bands, cap = n - 1).count() === 0L)
   }
 
+  test("split_leakage_safe: no near-dup pair straddles two splits") {
+    // the operator's whole point: a minhash candidate pair split across
+    // train and test leaks eval content into training. Verified against
+    // the REAL pair graph on the fixture, plus the partition contract
+    // split_assign guarantees (exhaustive: one row per document).
+    import org.apache.spark.sql.functions.col
+    val split = SparkEntry.queries("split_leakage_safe")(spark, sf)
+      .localCheckpoint()
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val straddle = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .where(col("sa") =!= col("sb"))
+    assert(straddle.count() === 0L, "a near-dup pair straddles two splits")
+    assert(split.count() === Tables.documents(spark, sf).count())
+    assert(split.select("doc_id").distinct().count() === split.count())
+  }
+
   test("componentsOf matches a driver union-find on generated graphs") {
     // min-label propagation must reach the exact connected-components fixed
     // point on arbitrary pair graphs — including long paths (multi-round
