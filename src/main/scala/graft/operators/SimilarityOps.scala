@@ -34,6 +34,14 @@ object SimilarityOps {
 
   private val NQ = 10 // fixed query set: vec_id < 10
   private val TOPK = 5
+  // semantic-decontam eval set (vec_id < SEM_EVAL_N) and flag threshold.
+  // τ=0.35 sits inside the fixture's populated cosine range (max
+  // eval-vs-corpus cos measured 0.43–0.49 per SF; the fixture plants no
+  // true near-dup embeddings — the dedup_embedding honesty note), so the
+  // report is non-degenerate at every SF; a production benchmark sweep
+  // would run τ≈0.95+ against a real eval set.
+  private val SEM_EVAL_N = 20
+  private val SEM_TAU = 0.35
   private val SALT = 16 // first-phase top-k fan-out per query
   private val TABLES = 4
   private val PLANES_DEDUP = 12 // 4096 buckets/table: near-dup detection
@@ -532,6 +540,31 @@ object SimilarityOps {
           r4(cos(col("va"), col("vb"))).as("sim"))
         .where(col("sim") >= 0.3)
         .orderBy(col("id_a"), col("id_b"))
+    },
+    "decontam_semantic" -> { (s, d) =>
+      // semantic decontamination — the embedding-space complement of the
+      // n-gram decontam family: eval-set vectors scored against the whole
+      // corpus by cosine, reported per eval vector as (flagged count,
+      // max sim). A paraphrased eval item shares no 8-gram with its
+      // training leak, but its embedding still sits next to it — this is
+      // the report a pipeline reads before trusting a benchmark number.
+      // Scale shape is decontam_report's exactly: the eval set is
+      // benchmark-sized and BROADCAST, the corpus is never shuffled (one
+      // narrow codegen'd CosineSim projection per corpus row), and the
+      // aggregate is a map-side-combined O(|eval|) rollup. Zero-flag eval
+      // vectors keep their row (the aggregation runs over ALL pairs, the
+      // threshold lives inside the conditional sum) — an eval item with
+      // NO neighbors is the finding that matters.
+      val pts = KMeansOps.points(s, d)
+      val eval = pts.where(col("id") < SEM_EVAL_N)
+        .select(col("id").as("q_id"), col("v").as("qv"))
+      pts.where(col("id") >= SEM_EVAL_N)
+        .crossJoin(broadcast(eval))
+        .select(col("q_id"), r4(cos(col("v"), col("qv"))).as("sim"))
+        .groupBy(col("q_id"))
+        .agg(sum(when(col("sim") >= SEM_TAU, 1L).otherwise(0L))
+            .as("n_flagged"),
+          max(col("sim")).as("max_sim"))
     }
   )
 
@@ -812,6 +845,23 @@ object SimilarityOps {
          |  JOIN embeddings ea ON cand.id_a = ea.vec_id
          |  JOIN embeddings eb ON cand.id_b = eb.vec_id)
          |WHERE sim >= 0.3""".stripMargin,
+    // the same (round(cos,4)+0) convention as every cosine oracle; the
+    // conditional sum compares the ROUNDED sim in both engines so the
+    // τ boundary cannot drift
+    "decontam_semantic" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+         |           WHERE vec_id < $SEM_EVAL_N),
+         |c AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id >= $SEM_EVAL_N),
+         |s AS (SELECT q.q_id,
+         |        (round(${VectorSql.cosine("c.embedding", "q.embedding")}, 4)
+         |         + 0) AS sim
+         |      FROM c, q)
+         |SELECT q_id,
+         |       sum(CASE WHEN sim >= $SEM_TAU THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_flagged,
+         |       max(sim) AS max_sim
+         |FROM s GROUP BY q_id""".stripMargin,
     "embed_quantize" ->
       """SELECT vec_id, pos, round(val * scale)::INT AS q,
         |       round(scale, 4) AS scale
