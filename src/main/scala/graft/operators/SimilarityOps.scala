@@ -541,6 +541,33 @@ object SimilarityOps {
         .where(col("sim") >= 0.3)
         .orderBy(col("id_a"), col("id_b"))
     },
+    "dedup_embedding_apply" -> { (s, d) =>
+      // the keep set the embedding near-dup pass feeds a pipeline — the
+      // apply form completing the pairs → components → keep family
+      // (dedup_media_apply, dedup_substring_apply): connected components
+      // over the verified candidate pairs, keep = LOWEST vec_id per
+      // component (embeddings carry no resolution/quality signal, so the
+      // exact-dedup min-id convention applies — and the component rep IS
+      // that minimum by construction), vectors in no pair keep
+      // themselves. Scale shape: components run over the capped candidate
+      // graph (nodes ≪ corpus), the cluster rollup is a map-side-combined
+      // count per rep, and singleton reinstatement is a bare-id
+      // anti-join — the corpus never shuffles its vectors.
+      val pts = KMeansOps.points(s, d)
+      val pairs = queries("dedup_embedding")(s, d)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val comps = DedupOps.componentsOf(pairs)
+      val best = comps.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("cluster_rep").as("vec_id"), col("cluster_rep"),
+          col("n_members"))
+      val singles = pts.select(col("id").as("vec_id"))
+        .join(comps.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_anti")
+        .select(col("vec_id"), col("vec_id").as("cluster_rep"),
+          lit(1L).as("n_members"))
+      best.unionByName(singles)
+    },
     "decontam_semantic" -> { (s, d) =>
       // semantic decontamination — the embedding-space complement of the
       // n-gram decontam family: eval-set vectors scored against the whole
@@ -845,6 +872,41 @@ object SimilarityOps {
          |  JOIN embeddings ea ON cand.id_a = ea.vec_id
          |  JOIN embeddings eb ON cand.id_b = eb.vec_id)
          |WHERE sim >= 0.3""".stripMargin,
+    // dedup_embedding's candidate CTEs + the dedup_clusters closure: the
+    // fixed point is iteration-count-independent, so the apply stays
+    // hash-verified like every other member of the apply family
+    "dedup_embedding_apply" ->
+      s"""WITH RECURSIVE ${lshCtes(64, PLANES_DEDUP)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM capped a JOIN capped b2 ON a.t = b2.t AND a.b = b2.b
+         |  WHERE a.vec_id < b2.vec_id),
+         |vpairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT cand.id_a, cand.id_b,
+         |           round(${VectorSql.cosine("ea.embedding", "eb.embedding")},
+         |                 4) AS sim
+         |    FROM cand
+         |    JOIN embeddings ea ON cand.id_a = ea.vec_id
+         |    JOIN embeddings eb ON cand.id_b = eb.vec_id)
+         |  WHERE sim >= 0.3),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS t FROM vpairs
+         |  UNION ALL
+         |  SELECT id_b AS s, id_a AS t FROM vpairs),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.node),
+         |comps AS (
+         |  SELECT node AS vec_id, min(r) AS rep FROM reach GROUP BY node)
+         |SELECT rep::BIGINT AS vec_id, rep::BIGINT AS cluster_rep,
+         |       count(*)::BIGINT AS n_members
+         |FROM comps GROUP BY rep
+         |UNION ALL
+         |SELECT vec_id::BIGINT, vec_id::BIGINT, 1::BIGINT
+         |FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM comps)""".stripMargin,
     // the same (round(cos,4)+0) convention as every cosine oracle; the
     // conditional sum compares the ROUNDED sim in both engines so the
     // τ boundary cannot drift
