@@ -312,6 +312,33 @@ object RelationalOps {
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("price")), 2).as("sum_price"))
     },
+    "skew_report" -> { (s, d) =>
+      // heavy-hitter key profile — the diagnostic that DECIDES the salting
+      // / AQE-skew-join treatment every shuffle-on-this-key operator in
+      // the repo applies (join_salted's hot set, the dedup cell caps): the
+      // top-20 keys by row count with each key's exact parts-per-million
+      // share. At 100 TB you run this BEFORE the join that would have one
+      // task eat a 40 GB key. Shape: one map-side-combined count per key,
+      // a 1-row total broadcast back over the (key-domain-bounded) count
+      // relation, TakeOrdered(20) — the raw stream is aggregated once and
+      // never re-shuffled. The share is EXACT INTEGER ppm
+      // (n·10⁶ div total): a float share would hash-drift on the division
+      // while integer floor-div is bit-identical in both engines.
+      // the count relation feeds BOTH the total and the share join;
+      // without pinning, Catalyst re-derives each branch from the raw
+      // scan and a 100 TB stream is read twice (PlanSpec caught exactly
+      // that). localCheckpoint materializes the key-domain-bounded
+      // aggregate once; both branches read the pinned blocks.
+      val counts = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .localCheckpoint()
+      val total = counts.agg(sum(col("n_events")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("user_id"), col("n_events"),
+          expr("n_events * 1000000 div total").as("ppm"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(20)
+    },
     "outlier_zscore" -> { (s, d) =>
       // statistical outlier listing — the numeric-field cleaning pass a
       // data pipeline runs before training on telemetry-like columns:
@@ -727,6 +754,15 @@ object RelationalOps {
         |FROM lineitem JOIN br
         |  ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY bracket_id""".stripMargin,
+    "skew_report" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS n_events
+        |           FROM events GROUP BY user_id),
+        |t AS (SELECT sum(n_events) AS total FROM c)
+        |SELECT user_id, n_events,
+        |       ((n_events * 1000000) // total)::BIGINT AS ppm
+        |FROM c, t
+        |ORDER BY n_events DESC, user_id
+        |LIMIT 20""".stripMargin,
     "outlier_zscore" ->
       """SELECT event_id, event_type, round(value, 2) AS value, z
         |FROM (SELECT event_id, event_type, value,

@@ -33,6 +33,31 @@ class PlanSpec extends SparkSpec {
       s"event_type filter not pushed below the ts normalization: $scan")
   }
 
+  test("decontam_semantic broadcasts the eval set; corpus never shuffles pre-agg") {
+    val plan = executed("decontam_semantic")
+    // the eval-side cross product must be a broadcast nested-loop (the
+    // benchmark is O(1)-sized by construction), never a materialized
+    // cartesian or a shuffle of corpus vectors
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "eval set is not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus vectors must not shuffle to meet the eval set")
+  }
+
+  test("skew_report aggregates once; the total joins back as a broadcast") {
+    val plan = executed("skew_report")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), "1-row total is not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    // the raw stream is aggregated ONCE: both the total and the share
+    // join read the pinned count relation, never a second parquet scan
+    assert(!plan.contains("Scan parquet"),
+      "raw events rescanned — the pinned count relation is not being reused")
+    assert(plan.contains("Scan ExistingRDD"),
+      "count relation is not the materialized checkpoint")
+  }
+
   test("scan_docs prunes the read schema to the selected columns") {
     val plan = executed("scan_docs")
     val read = plan.split("\n").find(_.contains("ReadSchema")).get
