@@ -426,10 +426,19 @@ object DedupOps {
     * case: per-gram collision across unrelated docs is what DECON_N is
     * sized to exclude). Both shingle sets are per-doc DISTINCT, so each
     * (train, eval) gram match counts once in both engines. */
-  private[graft] def contamPairs(docs: DataFrame): DataFrame = {
-    val ev = docs.where(col("doc_id") < NEVAL)
+  private[graft] def contamPairs(docs: DataFrame): DataFrame =
+    contamPairsOf(docs.where(col("doc_id") >= NEVAL),
+      docs.where(col("doc_id") < NEVAL))
+
+  /** The pair core over SEPARATE train/eval relations — factored so the
+    * streaming form ([[graft.streaming.StreamingOps]] `streaming_decontam`)
+    * can gram-check a document STREAM against the standing batch eval
+    * side; the eval grams stay broadcast either way. */
+  private[graft] def contamPairsOf(train0: DataFrame,
+      evalDocs: DataFrame): DataFrame = {
+    val ev = evalDocs
       .select(col("doc_id").as("eval_id"), explode(sh5(col("text"))).as("s"))
-    val train = spread(docs.where(col("doc_id") >= NEVAL))
+    val train = spread(train0)
       .select(col("doc_id"), explode(sh5(col("text"))).as("s"))
     train.join(broadcast(ev), "s")
       .groupBy(col("doc_id"), col("eval_id"))

@@ -53,6 +53,35 @@ object StreamingOps {
     }
   }
 
+  /** Documents schema when read as a stream (the landing-file contract,
+    * staged via [[stageDir]] like events). */
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming decontamination — the continuous-ingestion form of the
+    * batch `decontam_incremental`: each ARRIVING training document is
+    * word-5-gram-checked against the STANDING eval-gram set, which is
+    * batch-derived and BROADCAST (a stream-static join — no stream-stream
+    * state, the enrichStream discipline, and the same
+    * benchmark-sized-eval scale contract as every decontam form: the
+    * corpus stream is never shuffled to meet the eval side). The only
+    * stateful operator is the (doc, eval) pair count — state is
+    * O(contaminated pairs), rare by construction. Complete mode re-emits
+    * the full audit with the final batch, so the batch `decontam_report`
+    * oracle applies verbatim (StreamingSpec proves the two
+    * row-identical). */
+  def decontamStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val neval = graft.operators.DedupOps.NEVAL
+    val stream = spark.readStream.schema(docsSchema)
+      .parquet(stageDir(spark, sfDir, "documents"))
+      .where(col("doc_id") >= neval)
+    val evalDocs = graft.Tables.documents(spark, sfDir)
+      .where(col("doc_id") < neval)
+    graft.operators.DedupOps.contamPairsOf(stream, evalDocs)
+  }
+
   /** Streaming tumbling 1h window per event_type with a 2h watermark.
     * The float sum rounds through [[graft.functions.VectorOps.rIeee]]@2
     * (floor(x·100+0.5)/100 — identical IEEE ops in both engines), not
@@ -353,7 +382,9 @@ object StreamingOps {
       runToMemorySink(thresholdAlerts(s, d, ALERT_THRESHOLD),
         "vq_stream_alerts", "append") },
     "streaming_compact" -> { (s, d) =>
-      runToMemorySink(compactStream(s, d), "vq_stream_compact") }
+      runToMemorySink(compactStream(s, d), "vq_stream_compact") },
+    "streaming_decontam" -> { (s, d) =>
+      runToMemorySink(decontamStream(s, d), "vq_stream_decontam") }
   )
 
   val oracles: Map[String, String] = Map(
@@ -361,6 +392,10 @@ object StreamingOps {
     // StreamingSpec proves the two row-identical, so the oracle is shared
     "streaming_compact" ->
       graft.operators.RelationalOps.oracles("compact_changelog"),
+    // identical semantics to the batch contamination audit (StreamingSpec
+    // proves the stream row-identical), so the oracle is shared
+    "streaming_decontam" ->
+      graft.operators.DedupOps.oracles("decontam_report"),
     "streaming_window_agg" ->
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
          |       event_type, count(*)::BIGINT AS n,

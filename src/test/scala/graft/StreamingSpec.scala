@@ -272,6 +272,15 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming decontamination matches the batch decontam_report") {
+    val streamed = StreamingOps.runToMemorySink(
+      StreamingOps.decontamStream(spark, sf), "stream_decontam")
+    val batch = SparkEntry.queries("decontam_report")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming session_window matches batch session_window_agg") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.sessionCounts(spark, sf), "stream_sess")
