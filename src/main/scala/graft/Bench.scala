@@ -26,9 +26,12 @@ object Bench {
     // re-throws inside the per-query try) — never the whole round. Round
     // 11's bench died in THIS block on a fixture encoding change and
     // zeroed every number.
+    // NonFatal only: an OOM/LinkageError leaves the JVM in a state where
+    // every subsequent timing is garbage — better the rc=1 than a full
+    // round of numbers from a corrupted session
     def setup(what: String)(body: => Unit): Unit =
       try body catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] setup $what failed " +
             s"(continuing; affected queries will fail individually): $e")
       }
@@ -36,7 +39,8 @@ object Bench {
       graft.sources.StorageOps.ensureLayouts(spark, sfDir) }
     setup("text fixtures") { graft.sources.TextIO.ensureFixtures(spark, sfDir) }
     setup("streaming landing dir") {
-      graft.streaming.StreamingOps.stageDir(spark, sfDir, "events"); () }
+      graft.streaming.StreamingOps.stageDir(spark, sfDir, "events")
+      graft.streaming.StreamingOps.stageDir(spark, sfDir, "documents"); () }
     setup("ivf index") {
       graft.operators.SimilarityOps.ensureIvfIndex(spark, sfDir); () }
     setup("mllib ref warm") { graft.operators.MLlibKMeans.warmRef(spark, sfDir) }

@@ -94,8 +94,23 @@ object Verify {
     val json = (prior -- only.getOrElse(Set.empty) ++ fresh)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(jsonPath, json)
-    Files.writeString(Paths.get(s"$outDir/errors.json"),
-      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+    // errors.json follows the SAME merge discipline as oracle_sql.json
+    // above: under a dev filter, un-filtered queries' prior errors must
+    // survive (a wholesale overwrite would re-enable the exact
+    // 'erroring query vanishes without a trace' failure this file
+    // prevents), while every FILTERED name is evicted so a just-fixed
+    // query's stale error dies with its fresh dump
+    val errPath = Paths.get(s"$outDir/errors.json")
+    val priorErr: Map[String, String] =
+      if (only.isDefined && Files.exists(errPath)) {
+        import scala.jdk.CollectionConverters._
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(errPath.toFile, classOf[java.util.Map[String, String]])
+          .asScala.toMap
+      } else Map.empty
+    Files.writeString(errPath,
+      (priorErr -- only.getOrElse(Set.empty) ++ errors)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))
     spark.stop()
   }

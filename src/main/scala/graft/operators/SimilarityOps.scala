@@ -171,10 +171,9 @@ object SimilarityOps {
     * change can never probe a stale layout. */
   def ensureIvfIndex(s: SparkSession, d: String): String = {
     // basename + fixture fingerprint: a regenerated embeddings fixture
-    // re-keys the index path (Staging.dirFingerprint) instead of probing
-    // a stale layout
-    val sfTag = java.nio.file.Paths.get(d).getFileName.toString + "-" +
-      graft.sources.Staging.dirFingerprint(d)
+    // re-keys the index path (Staging.fixtureKey) instead of probing a
+    // stale layout
+    val sfTag = graft.sources.Staging.fixtureKey(d)
     graft.sources.Staging.ensureDir(
       s"target/ivf-index/$sfTag/nc$NCELLS-q8", marker = "vectors/_SUCCESS") {
       tmp => buildIvfIndexInto(s, d, tmp)
@@ -307,6 +306,31 @@ object SimilarityOps {
   private def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
       lit(0L), (acc, x) => acc + x)
+
+  /** The verified embedding near-dup pair core, SORT-FREE (the
+    * minhashPairs factoring — presentation `orderBy` lives only in the
+    * declared `dedup_embedding` query, so `dedup_embedding_apply`'s
+    * component propagation never materializes a global sort its fixed
+    * point cannot use): multi-table LSH bucket → capped within-bucket
+    * pairs (deduped as BARE ID PAIRS — 2 longs through the distinct, not
+    * 2×64-double payloads) → vector rejoin → cosine verify. */
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val pts = KMeansOps.points(s, d)
+    val bucketed = capBuckets(bucketedAllTables(pts, dim, PLANES_DEDUP))
+      .select(col("id"), col("t"), col("b"))
+    val a = bucketed.select(col("id").as("id_a"), col("t"), col("b"))
+    val b = bucketed.select(col("id").as("id_b"), col("t"), col("b"))
+    val candIds = a.join(b, Seq("t", "b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candIds
+      .join(pts.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        r4(cos(col("va"), col("vb"))).as("sim"))
+      .where(col("sim") >= 0.3)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk" -> { (s, d) =>
@@ -524,22 +548,7 @@ object SimilarityOps {
       // The operator's guarantee domain is cos>=0.99 (~97% collision over
       // 4 tables), which the fixture leaves unpopulated; the oracle pins
       // the full pipeline bit-for-bit either way.
-      val dim = 64
-      val pts = KMeansOps.points(s, d)
-      val bucketed = capBuckets(bucketedAllTables(pts, dim, PLANES_DEDUP))
-        .select(col("id"), col("t"), col("b"))
-      val a = bucketed.select(col("id").as("id_a"), col("t"), col("b"))
-      val b = bucketed.select(col("id").as("id_b"), col("t"), col("b"))
-      val candIds = a.join(b, Seq("t", "b"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      candIds
-        .join(pts.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-        .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          r4(cos(col("va"), col("vb"))).as("sim"))
-        .where(col("sim") >= 0.3)
-        .orderBy(col("id_a"), col("id_b"))
+      embeddingPairs(s, d).orderBy(col("id_a"), col("id_b"))
     },
     "dedup_embedding_apply" -> { (s, d) =>
       // the keep set the embedding near-dup pass feeds a pipeline — the
@@ -554,7 +563,7 @@ object SimilarityOps {
       // count per rep, and singleton reinstatement is a bare-id
       // anti-join — the corpus never shuffles its vectors.
       val pts = KMeansOps.points(s, d)
-      val pairs = queries("dedup_embedding")(s, d)
+      val pairs = embeddingPairs(s, d)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       val comps = DedupOps.componentsOf(pairs)
       val best = comps.groupBy(col("cluster_rep"))

@@ -33,16 +33,28 @@ object Staging {
     val sig =
       if (!Files.isDirectory(p)) s"absent:$fixtureDir"
       else {
-        val entries = Files.list(p)
+        // RECURSIVE walk: a table may be a single parquet file (pyarrow
+        // layout) or a parquet DIRECTORY of part files (Spark layout) —
+        // a top-level-only listing would fingerprint the latter as the
+        // empty string and a regeneration would never re-key
+        val entries = Files.walk(p)
         try entries.toArray.map(_.asInstanceOf[Path])
           .filter(Files.isRegularFile(_))
-          .map(f => (f.getFileName.toString, Files.size(f),
+          .map(f => (p.relativize(f).toString, Files.size(f),
             Files.getLastModifiedTime(f).toMillis))
           .sortBy(_._1).mkString("|")
         finally entries.close()
       }
     f"${scala.util.hashing.MurmurHash3.stringHash(sig)}%08x"
   }
+
+  /** The staged-derivative key for a fixture dir: basename + content
+    * fingerprint — ONE derivation shared by every staging site
+    * (stream landing dirs, text fixtures, the IVF index) so the
+    * invalidation semantics cannot drift between them. */
+  def fixtureKey(fixtureDir: String): String =
+    Paths.get(fixtureDir).getFileName.toString + "-" +
+      dirFingerprint(fixtureDir)
 
   /** Ensure `dir` holds a complete staged copy, building it with `write`
     * (invoked with a TEMP path to populate) if absent. `marker` is a

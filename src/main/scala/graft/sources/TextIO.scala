@@ -31,10 +31,8 @@ object TextIO {
 
   /** Staged-dir key for a fixture dir: its basename + content fingerprint,
     * so a regenerated fixture can never be served a stale staged
-    * derivative ([[Staging.dirFingerprint]]). */
-  private def sfName(sfDir: String): String =
-    java.nio.file.Paths.get(sfDir).getFileName.toString + "-" +
-      Staging.dirFingerprint(sfDir)
+    * derivative ([[Staging.fixtureKey]]). */
+  private def sfName(sfDir: String): String = Staging.fixtureKey(sfDir)
 
   /** Text rendering of the embeddings table: "vec_id,f1,...,f64" per line. */
   private def pointLines(s: SparkSession, d: String): DataFrame =

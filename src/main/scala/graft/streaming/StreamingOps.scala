@@ -44,8 +44,7 @@ object StreamingOps {
     * the determinism contract [[thresholdAlerts]]' per-batch ordering
     * documents. */
   def stageDir(spark: SparkSession, sfDir: String, table: String): String = {
-    val key = java.nio.file.Paths.get(sfDir).getFileName.toString + "-" +
-      graft.sources.Staging.dirFingerprint(sfDir)
+    val key = graft.sources.Staging.fixtureKey(sfDir)
     graft.sources.Staging.ensureDir(
       s"target/stream-fixtures/$key/$table") { tmp =>
       graft.Tables.table(spark, sfDir, table)

@@ -74,12 +74,21 @@ class TablesSpec extends SparkSpec {
     // streaming queries silently computed 1000×-compressed timestamps
     val dir = fixture("stage", timestamp_micros(col("ts_src")))
     val staged = graft.streaming.StreamingOps.stageDir(spark, dir, "events")
-    val got = spark.read
-      .schema(graft.streaming.StreamingOps.eventsSchema).parquet(staged)
-      .select(col("event_id"), col("ts")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val expected = micros.zipWithIndex
-      .map { case (us, i) => (i.toLong, us * 1000L) }.toSet
-    assert(got === expected)
+    try {
+      val got = spark.read
+        .schema(graft.streaming.StreamingOps.eventsSchema).parquet(staged)
+        .select(col("event_id"), col("ts")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = micros.zipWithIndex
+        .map { case (us, i) => (i.toLong, us * 1000L) }.toSet
+      assert(got === expected)
+    } finally {
+      // the temp fixture's basename is unique per run, so its staged copy
+      // can never be reused — sweep both or target/stream-fixtures grows
+      // by one dir per sbt test run
+      graft.sources.Staging.deleteRecursively(
+        java.nio.file.Paths.get(staged).getParent)
+      graft.sources.Staging.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
   }
 }
