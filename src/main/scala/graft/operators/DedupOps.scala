@@ -660,6 +660,23 @@ object DedupOps {
     "dedup_clusters" -> { (s, d) =>
       duplicateClusters(Tables.documents(s, d))
     },
+    "dedup_minhash_apply" -> { (s, d) =>
+      // the corpus-wide KEEP set of the near-dup pass — the apply form
+      // the exact path has in `dedup_exact_docs`: each near-dup
+      // cluster's representative (its component-min doc) survives, the
+      // other members drop, docs in no pair keep themselves. Equivalent
+      // to corpus ∖ non-representative-members; the drop side is
+      // non-rep-sized (rare by construction), so it takes the same
+      // conf-gated broadcast hint as every dedup drop set
+      // (graft.dropSetBroadcast=false ⇒ AQE plans the shuffled fallback
+      // on a pathologically duplicated corpus).
+      val docs = Tables.documents(s, d)
+      val nonRep = duplicateClusters(docs)
+        .where(col("doc_id") =!= col("cluster_rep"))
+        .select(col("doc_id"))
+      docs.select(col("doc_id"))
+        .join(dropSetHint(docs, nonRep), Seq("doc_id"), "left_anti")
+    },
     "split_leakage_safe" -> { (s, d) =>
       // DEDUP-AWARE train/val/test split — the leakage-safe form of
       // split_assign: a near-dup pair straddling train and test leaks
@@ -937,6 +954,31 @@ object DedupOps {
          |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.node)
          |SELECT node::BIGINT AS doc_id, min(r)::BIGINT AS cluster_rep
          |FROM reach GROUP BY node""".stripMargin,
+    "dedup_minhash_apply" ->
+      // dedup_clusters' closure + the HAVING min(r) < node non-rep set
+      // (the dedup_minhash_incremental convention): corpus minus
+      // non-representative cluster members
+      s"""WITH RECURSIVE $sigSql,
+         |$bandsSql,
+         |$cappedBandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cbands a JOIN cbands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS t FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.node),
+         |nonrep AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING min(r) < node)
+         |SELECT doc_id::BIGINT AS doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)""".stripMargin,
     "split_leakage_safe" ->
       // dedup_clusters' closure CTEs + the split_assign CASE over the
       // component representative (unitUniform is the ONE shared SQL
