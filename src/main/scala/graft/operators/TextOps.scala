@@ -136,6 +136,26 @@ object TextOps {
   private[graft] val PACK_SEQ = 512
   private[graft] val PACK_SHARDS = 32
 
+  /** The key→decile map for quality banding — the scale-right decile
+    * machinery shared by `quality_deciles` and `curriculum_assign` (ONE
+    * derivation, so the band definition cannot drift between the audit
+    * and the ordering): frequency table of the bucketing key, cumsum over
+    * the tiny sorted frequency relation, decile = floor(10·before/n) in
+    * pure integer arithmetic. Broadcast-sized by the key domain. */
+  private def charDecileBuckets(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val freq = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    freq
+      .withColumn("before", sum(col("c")).over(wCum) - col("c"))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("n_chars"),
+        expr("(before * 10) div n").cast("int").as("decile"))
+  }
+
   /** The reader-lane assignment — permutation low bits mod PACK_SHARDS —
     * shared (Spark + SQL forms) by packSequences and shuffle_assign so
     * shuffle lanes can never silently desynchronize from pack lanes. */
@@ -250,17 +270,7 @@ object TextOps {
       // rows_before(key) / n): pure integer arithmetic, no float
       // thresholds to disagree on, ties share a bucket deterministically.
       val docs = Tables.documents(s, d)
-      val freq = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
-      val wCum = Window.orderBy(col("n_chars"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val buckets = freq
-        .withColumn("before", sum(col("c")).over(wCum) - col("c"))
-        .withColumn("n", sum(col("c")).over(
-          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
-        .select(col("n_chars"),
-          expr("(before * 10) div n").cast("int").as("decile"))
-      docs.join(broadcast(buckets), "n_chars")
+      docs.join(broadcast(charDecileBuckets(docs)), "n_chars")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_chars")).as("min_chars"),
@@ -332,6 +342,26 @@ object TextOps {
         .select(col("doc_id"), col("norm_text"),
           length(col("norm_text")).as("n_chars_norm"),
           (col("norm_text") =!= col("text")).as("changed"))
+    },
+    "curriculum_assign" -> { (s, d) =>
+      // curriculum training order — the quality-annealing schedule (end
+      // pretraining on the cleanest band): every doc gets (band, shard,
+      // pos) where band is the integer quality decile (the SAME
+      // charDecileBuckets map quality_deciles audits — one band
+      // definition, no drift), and within a band docs are hash-shuffled
+      // into reader lanes exactly like shuffle_assign (per-(band, shard)
+      // window, never a global-order single reducer). A reader walks
+      // bands ascending so the top decile streams last; within a band
+      // the deterministic hash permutation breaks source locality.
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy(col("band"), col("shard"))
+        .orderBy(col("p"), col("doc_id"))
+      docs.join(broadcast(charDecileBuckets(docs)), "n_chars")
+        .select(col("doc_id"), col("decile").as("band"),
+          graft.functions.VectorOps.perm(col("doc_id")).as("p"))
+        .withColumn("shard", packShardCol(col("doc_id")))
+        .select(col("doc_id"), col("band"), col("shard"),
+          (row_number().over(w) - 1).as("pos"))
     },
     "shuffle_assign" -> { (s, d) =>
       // global training-order shuffle — the step that breaks source/crawl
@@ -661,6 +691,23 @@ object TextOps {
         |        ${graft.functions.VectorSql.unitUniform("doc_id")} AS u
         |      FROM documents)""".stripMargin,
     "pack_sequences" -> s"WITH ${packCtes("documents")}\n$packSelect",
+    "curriculum_assign" ->
+      s"""WITH freq AS (SELECT n_chars, count(*) AS c
+         |             FROM documents GROUP BY n_chars),
+         |cum AS (SELECT n_chars,
+         |          sum(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+         |            - c AS before
+         |        FROM freq),
+         |tot AS (SELECT count(*) AS n FROM documents),
+         |b AS (SELECT n_chars, ((before * 10) // n)::INT AS band
+         |      FROM cum, tot)
+         |SELECT doc_id, band, shard,
+         |       (row_number() OVER (PARTITION BY band, shard
+         |          ORDER BY p, doc_id) - 1)::INT AS pos
+         |FROM (SELECT d.doc_id, b.band,
+         |        ${graft.functions.VectorSql.perm("d.doc_id")} AS p,
+         |        ${packShardSql("d.doc_id")} AS shard
+         |      FROM documents d JOIN b ON d.n_chars = b.n_chars)""".stripMargin,
     "shuffle_assign" ->
       s"""SELECT doc_id, shard,
          |       (row_number() OVER (PARTITION BY shard
