@@ -58,6 +58,17 @@ class PlanSpec extends SparkSpec {
       "count relation is not the materialized checkpoint")
   }
 
+  test("curriculum_assign: broadcast band map, no global-order reducer") {
+    val plan = executed("curriculum_assign")
+    assert(plan.contains("BroadcastHashJoin"),
+      "decile band map must broadcast onto the corpus")
+    // the position window must partition by (band, shard) — a global
+    // row_number would funnel 100 TB through one reducer
+    val windows = plan.split("\n").filter(_.contains("Window"))
+    assert(windows.exists(w => w.contains("band") && w.contains("shard")),
+      s"position window is not (band, shard)-partitioned: ${windows.toSeq}")
+  }
+
   test("scan_docs prunes the read schema to the selected columns") {
     val plan = executed("scan_docs")
     val read = plan.split("\n").find(_.contains("ReadSchema")).get
