@@ -496,9 +496,11 @@ object RelationalOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     },
     "percentile_agg" -> { (s, d) =>
-      // exact interpolated percentiles (sort-based aggregate; for sketched
-      // quantiles at scale the approx_percentile path mirrors
-      // approx_distinct's HLL — this is the exact, oracle-able form).
+      // exact interpolated percentiles, DISTRIBUTED (QuantileOps): the
+      // built-in percentile() aggregate would buffer each l_returnflag
+      // group in one reducer — ~4 tasks holding the full table at 100 TB.
+      // QuantileOps range-partitions the sort instead; no task ever holds
+      // more than one range-partition (PlanSpec pins the span).
       // rIeee@4, not round@2: the p50 of an even-count 2-decimal price
       // column is a midpoint sitting EXACTLY on the .005 rounding boundary,
       // where Spark's exact-decimal HALF_UP and DuckDB's float round
@@ -509,10 +511,11 @@ object RelationalOps {
       // floor(x*1e4+0.5)'s boundary (x*1e4 = k-0.5) is half a grid step
       // from any value, ulp-proof for both engines.
       import graft.functions.VectorOps.rIeee
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(rIeee(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-          rIeee(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
-          count(lit(1)).as("n"))
+      QuantileOps.exactPercentiles(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice", Seq("p50" -> 0.5, "p95" -> 0.95))
+        .select(col("l_returnflag"),
+          rIeee(col("p50"), 4).as("p50"), rIeee(col("p95"), 4).as("p95"),
+          col("n"))
     },
     "approx_percentile_agg" -> { (s, d) =>
       // the SKETCH path for quantiles at scale (mirrors approx_distinct's

@@ -275,6 +275,34 @@ class PlanSpec extends SparkSpec {
       "exact percentile crept into the sketch plan")
   }
 
+  test("percentile_agg: no task holds a full group (distributed exact quantile)") {
+    // the round-12 weak grade: built-in percentile() funnels each
+    // l_returnflag group into ONE reducer. QuantileOps range-partitions
+    // the sort instead — pin that (a) every task is bounded by ~|data|/P,
+    // not group size, and (b) the biggest group genuinely spans partitions
+    import graft.operators.QuantileOps
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val ranged = QuantileOps
+      .rangedByGroupValue(Tables.lineitem(spark, sf), "l_returnflag",
+        "l_extendedprice")
+    val perPidG = ranged.withColumn("pid", spark_partition_id())
+      .groupBy("pid", "g").count().collect()
+      .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    val total = perPidG.map(_._2).sum
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val perPid = perPidG.groupBy(_._1._1).map(_._2.map(_._2).sum)
+    assert(perPid.max <= 2 * total / parts + 1,
+      s"a range partition holds ${perPid.max} of $total rows — not data/P bounded")
+    val groupSpans = perPidG.groupBy(_._1._2).map { case (g, a) => (g, a.length) }
+    assert(groupSpans.values.max >= 2,
+      s"no group spans >1 partition ($groupSpans) — the sort degenerated to per-group tasks")
+    // and the declared plan must not contain the single-reducer aggregate
+    val plan = SparkEntry.queries("percentile_agg")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("percentile("),
+      "exact percentile() aggregate crept back into percentile_agg")
+  }
+
   test("decontamination plans: broadcast eval side, no corpus shuffle join") {
     // the eval gram relation is benchmark-sized by construction and must
     // broadcast; the corpus side is explode → broadcast-hash-join, never a
