@@ -250,8 +250,30 @@ object TextIO {
       val out = s"target/text-fixtures/${sfName(d)}/points_sink"
       pointLines(s, d).coalesce(1).write.mode("overwrite").text(out)
       parseLines(s, out)
+    },
+    "sink_text_sharded" -> { (s, d) =>
+      // the SCALE form of sink_text (round-12 verdict item 2): one shard
+      // per task, no coalesce(1) driver-side funnel — at 100 TB this is
+      // the only writable shape (a single-file text sink serializes the
+      // whole corpus through one task). Same per-row round-trip contract
+      // and oracle as sink_text; OperatorSpec pins that >1 part file was
+      // actually written (a silent coalesce would pass the row compare).
+      val out = s"target/text-fixtures/${sfName(d)}/points_sink_sharded"
+      pointLines(s, d)
+        .repartition(SINK_SHARDS, col("value"))
+        .write.mode("overwrite").text(out)
+      parseLines(s, out)
     }
   )
+
+  /** Shard count for the sharded text sink — on a cluster this is "one
+    * file per task" (repartition keyed on the line so shard assignment is
+    * content-deterministic, not round-robin scheduling-dependent). */
+  private[graft] val SINK_SHARDS = 8
+
+  /** The sharded sink's output dir for a fixture (spec hook: count files). */
+  private[graft] def shardedSinkDir(s: SparkSession, d: String): String =
+    s"target/text-fixtures/${sfName(d)}/points_sink_sharded"
 
   // `round(x,4) + 0` — NOT plain round: DuckDB's float round yields -0.0
   // for x in (-5e-5, 0), while Spark's exact-decimal round canonicalizes
@@ -293,6 +315,12 @@ object TextIO {
     "sink_jsonl" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "sink_text" ->
+      s"""SELECT vec_id, ${dSql(1, "d0")},
+         |       ${dSql(2, "d1")},
+         |       ${dSql(3, "d2")},
+         |       ${dSql(4, "d3")}
+         |FROM embeddings""".stripMargin,
+    "sink_text_sharded" ->
       s"""SELECT vec_id, ${dSql(1, "d0")},
          |       ${dSql(2, "d1")},
          |       ${dSql(3, "d2")},

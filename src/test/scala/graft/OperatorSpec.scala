@@ -38,6 +38,21 @@ class OperatorSpec extends SparkSpec {
     assert(k <= 4L && k >= 1L)
   }
 
+  test("sink_text_sharded writes >1 shard and round-trips every row") {
+    val sharded = SparkEntry.queries("sink_text_sharded")(spark, sf)
+    val single = SparkEntry.queries("sink_text")(spark, sf)
+    // per-row identical to the single-shard sink (sharding must only
+    // change file layout, never content)
+    assert(sharded.exceptAll(single).count() === 0L)
+    assert(single.exceptAll(sharded).count() === 0L)
+    // and the layout really is sharded — a silent coalesce would still
+    // pass the row compare
+    val dir = new java.io.File(
+      graft.sources.TextIO.shardedSinkDir(spark, sf))
+    val parts = dir.listFiles().count(f => f.getName.startsWith("part-"))
+    assert(parts > 1, s"expected >1 part files, found $parts in $dir")
+  }
+
   test("dedup_minhash emits ordered unique pairs") {
     val df = SparkEntry.queries("dedup_minhash")(spark, sf)
     assert(df.where(col("doc_a") >= col("doc_b")).count() === 0L)
