@@ -170,6 +170,48 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("kmeans_fit VALUE agreement: same-seed MLlib Lloyd tracks expression Lloyd") {
+    // round-12 verdict item 3: the three rows-only fit queries were the
+    // only surface whose VALUES no second engine checked — the ceiling
+    // gate bounds cost but not the clustering itself. The ml.clustering
+    // facade seeds internally, but mllib's RDD API accepts an initial
+    // model, so the two independent Lloyd implementations can start from
+    // IDENTICAL centers and run a fixed trip count (tol=0 both sides —
+    // no early-stop asymmetry). After 5 steps the per-cluster sizes must
+    // agree exactly and the costs to ~1e-6 relative: the only divergence
+    // channels are fp argmin ties and lloydStep's snap12 grid, both
+    // orders of magnitude below the fixture's point spacing.
+    import org.apache.spark.mllib.clustering.{KMeans => MllibKMeans, KMeansModel}
+    import org.apache.spark.mllib.linalg.Vectors
+    val pts = KMeansOps.points(spark, sf).localCheckpoint()
+    val init = KMeansOps.collectCenters(KMeansOps.sampleK(pts, 8))
+    val iters = 5
+
+    val (centers, _) = KMeansOps.lloyd(pts, init, maxIter = iters, tol = 0.0)
+    val exprSizes = pts
+      .select(KMeansOps.nearestCol(col("v"), centers).as("cid"))
+      .groupBy("cid").count().collect()
+      .map(r => r.getLong(1)).sorted.toSeq
+    val exprCost = pts
+      .agg(sum(KMeansOps.minSqDistCol(col("v"), centers)))
+      .head().getDouble(0)
+
+    val rdd = pts.select("v").rdd
+      .map(r => Vectors.dense(r.getSeq[Double](0).toArray))
+    val model = new MllibKMeans()
+      .setK(8).setMaxIterations(iters).setEpsilon(0.0)
+      .setInitialModel(new KMeansModel(init.map(c => Vectors.dense(c._2))))
+      .run(rdd)
+    val mlSizes = model.predict(rdd).countByValue()
+      .values.map(_.toLong).toSeq.sorted
+    val mlCost = model.computeCost(rdd)
+
+    assert(mlSizes === exprSizes,
+      s"cluster size profiles diverged: mllib=$mlSizes expr=$exprSizes")
+    assert(math.abs(mlCost - exprCost) <= exprCost * 1e-6,
+      s"same-seed costs diverged: mllib=$mlCost expr=$exprCost")
+  }
+
   test("kmeans_cost_sweep: cost strictly decreases with k on the fixture") {
     // the hash oracle pins the exact values; this pins the elbow SHAPE so
     // a seeding/assignment regression that still hashes (e.g. against a
