@@ -45,25 +45,57 @@ object Tables {
     *    DuckDB's naive `epoch_ns` no matter the host zone.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // SESSION-GLOBAL side effect, by necessity (round-12 ADVICE): both
+    // confs are read-path logical-type mappings with no per-read
+    // DataSource option equivalent (ParquetOptions exposes only rebase/
+    // compression/mergeSchema), and a set-read-restore dance would be
+    // unsafe — the mapping is re-consulted from the captured session conf
+    // at EXECUTION time, after any restore. They are no-ops for
+    // non-timestamp columns; in a caller-managed session their visible
+    // effect is that other parquet reads after the first events() access
+    // see TIMESTAMP(NANOS) as long and µs-NTZ as TimestampType — i.e.
+    // exactly this loader's canonical-encoding stance, applied globally.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** Normalize an events frame's `ts` to the canonical epoch-nanos long,
+    * whatever Spark type the parquet mapping produced. Split from
+    * [[events]] so the NTZ branch is spec-testable without re-enabling
+    * NTZ inference session-wide (TablesSpec drives it on a synthetic NTZ
+    * column under a non-UTC session zone). */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df // legacy TIMESTAMP(NANOS) read as epoch-nanos long
       case TimestampType =>
         df.withColumn("ts", toNanos(unix_micros(col("ts"))))
       case TimestampNTZType =>
-        // defensive: unreachable while the NTZ-inference conf above holds,
-        // but a caller-managed session could re-enable it. NTZ carries no
-        // zone, and DuckDB's epoch_* treat the wall-clock value as UTC —
-        // convert with an explicit UTC anchor, never the session zone.
-        df.withColumn("ts",
-          toNanos(unix_micros(to_utc_timestamp(col("ts"), "UTC"))))
+        // defensive: unreachable while the NTZ-inference conf in [[events]]
+        // holds, but a caller-managed session could re-enable it. NTZ
+        // carries no zone and DuckDB's epoch_* treat the wall clock as
+        // UTC — so compute epoch-µs from the wall-clock FIELDS, zone-free.
+        // (to_utc_timestamp(ntz, 'UTC') is NOT that: the implicit
+        // NTZ→Timestamp cast resolves through the SESSION zone and the
+        // 'UTC' shift is then a no-op, leaving the session offset baked
+        // in — round-12 ADVICE.)
+        df.withColumn("ts", toNanos(ntzEpochMicrosUtc(col("ts"))))
       case other => throw new IllegalStateException(
         s"events.ts arrived as unsupported type $other — extend " +
           "graft.Tables.events' normalization for this encoding")
     }
-  }
+
+  /** Epoch-µs of an NTZ wall clock interpreted as UTC, via field
+    * arithmetic only (`unix_date` of the wall date + µs-of-day) — every
+    * term reads NTZ fields directly, so no session-zone cast can leak in
+    * and DST transitions of the host zone are irrelevant. */
+  private[graft] def ntzEpochMicrosUtc(ntz: Column): Column =
+    unix_date(ntz.cast(DateType)).cast(LongType) * lit(86400000000L) +
+      hour(ntz).cast(LongType) * lit(3600000000L) +
+      minute(ntz).cast(LongType) * lit(60000000L) +
+      // SECOND is the finest extract field (Decimal(8,6), exact µs
+      // fraction); the decimal×1e6 product is exact before the long cast
+      (date_part(lit("SECOND"), ntz) * lit(1000000)).cast(LongType)
 
   /** µs → canonical nanos. 2262 (long-nanos overflow) is out of fixture
     * range; the multiply is exact for any realistic instant. */

@@ -103,10 +103,21 @@ object Verify {
     val errPath = Paths.get(s"$outDir/errors.json")
     val priorErr: Map[String, String] =
       if (only.isDefined && Files.exists(errPath)) {
-        import scala.jdk.CollectionConverters._
-        new com.fasterxml.jackson.databind.ObjectMapper()
-          .readValue(errPath.toFile, classOf[java.util.Map[String, String]])
-          .asScala.toMap
+        // best-effort: errors.json is a diagnostic artifact — a corrupt
+        // or hand-edited copy must not fail a Verify run whose dumps all
+        // landed (round-12 ADVICE); fall back to an empty prior map
+        try {
+          import scala.jdk.CollectionConverters._
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .readValue(errPath.toFile, classOf[java.util.Map[String, String]])
+            .asScala.toMap
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[verify] unreadable prior errors.json (${e.getMessage}); " +
+                "treating as empty")
+            Map.empty
+        }
       } else Map.empty
     Files.writeString(errPath,
       (priorErr -- only.getOrElse(Set.empty) ++ errors)

@@ -90,8 +90,42 @@ object Staging {
       } catch {
         case e: Throwable => deleteRecursively(tmp); throw e
       }
+      // a fresh build under a NEW fingerprint key means the fixture was
+      // regenerated — the superseded keys' staged copies are permanently
+      // unaddressable and would otherwise leak one full copy per
+      // regeneration (round-12 ADVICE). Swept only on this build path:
+      // the steady-state marker hit never lists or deletes anything.
+      sweepStaleKeys(target)
     }
     dir
+  }
+
+  private val KeyedSegment = "^(.+[-_])([0-9a-f]{8})$".r
+
+  /** Delete sibling staged dirs that share a fingerprint-keyed path
+    * segment's basename but carry a DIFFERENT fingerprint. The keyed
+    * segment is found walking `dir`'s segments top-down (shallowest
+    * first: for `bucketed/<tag>/<table>` the per-fixture `<tag>` dir is
+    * the sweep unit, not the table leaf). Concurrent JVMs staging the
+    * SAME fixture share a key and are never touched; only a concurrent
+    * reader of a PRE-regeneration copy could observe a mid-read delete,
+    * and such a reader is already reading data the lake no longer has. */
+  private[graft] def sweepStaleKeys(dir: Path): Unit = {
+    val abs = dir.toAbsolutePath
+    val keyed = (1 to abs.getNameCount).iterator
+      .map(i => abs.getRoot.resolve(abs.subpath(0, i)))
+      .find(p => KeyedSegment.matches(p.getFileName.toString))
+    keyed.foreach { p =>
+      val KeyedSegment(base, fp) = p.getFileName.toString
+      val entries = Files.list(p.getParent)
+      try entries.toArray.map(_.asInstanceOf[Path]).foreach { sib =>
+        sib.getFileName.toString match {
+          case KeyedSegment(`base`, otherFp) if otherFp != fp =>
+            deleteRecursively(sib)
+          case _ => ()
+        }
+      } finally entries.close()
+    }
   }
 
   /** Clear an apparently-unmarked `target` without the check-then-delete

@@ -47,6 +47,17 @@ object StorageOps {
     val tag = sfName(d)
     def ensure(table: String, df: => DataFrame, key: String): Unit = {
       if (s.catalog.tableExists(table)) return
+      // mid-JVM fixture regeneration: the PREVIOUS tag's registration
+      // points at a path Staging.sweepStaleKeys is about to (or already
+      // did) reclaim — drop any same-shape sibling with a different
+      // fingerprint before registering the fresh one (round-12 ADVICE).
+      // Table names end "..._<8-hex fingerprint>"; same length + same
+      // prefix-to-fingerprint identifies a superseded key.
+      val prefix = table.dropRight(8)
+      s.catalog.listTables().collect().map(_.name)
+        .filter(n => n.length == table.length && n.startsWith(prefix) &&
+          n != table)
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
       // absolute path: a relative one resolves under spark-warehouse
       val path = new java.io.File(s"target/bucketed/$tag/$table").getAbsolutePath
       Staging.ensureDir(path) { tmp =>

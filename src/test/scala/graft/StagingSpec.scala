@@ -51,6 +51,43 @@ class StagingSpec extends AnyFunSuite {
     assert(writes.get === before)
   }
 
+  test("a fresh build sweeps superseded fingerprint keys, spares the rest") {
+    // round-12 ADVICE: fixture regeneration re-keys every staged path;
+    // the old keys' copies leaked forever. A successful ensure under a
+    // new key must delete siblings with the same basename but another
+    // fingerprint — and ONLY those.
+    val base = Files.createTempDirectory(
+      Files.createDirectories(Paths.get("target")), "staging-sweep-")
+    def mk(rel: String): Unit = {
+      val p = base.resolve(rel)
+      Files.createDirectories(p)
+      Files.writeString(p.resolve("_SUCCESS"), "")
+    }
+    mk("sf0.01-aaaa1111/points")   // superseded key, same basename
+    mk("sf0.01-bbbb2222/points")   // another superseded key
+    mk("sf0.1-cccc3333/points")    // DIFFERENT basename — must survive
+    mk("plaindir/points")          // unkeyed — must survive
+    val fresh = base.resolve("sf0.01-dddd4444/points").toString
+    graft.sources.Staging.ensureDir(fresh) { tmp =>
+      Files.writeString(Paths.get(tmp).resolve("_SUCCESS"), "")
+    }
+    def alive(rel: String) = Files.exists(base.resolve(rel))
+    assert(!alive("sf0.01-aaaa1111"), "superseded key not swept")
+    assert(!alive("sf0.01-bbbb2222"), "superseded key not swept")
+    assert(alive("sf0.1-cccc3333/points/_SUCCESS"), "other basename swept")
+    assert(alive("plaindir/points/_SUCCESS"), "unkeyed dir swept")
+    assert(alive("sf0.01-dddd4444/points/_SUCCESS"))
+    // steady-state re-ensure (marker hit) must not list/delete anything:
+    // plant a new stale sibling and confirm it survives a no-op ensure
+    mk("sf0.01-eeee5555/points")
+    graft.sources.Staging.ensureDir(fresh) { _ =>
+      fail("writer must not run on a marker hit")
+    }
+    assert(alive("sf0.01-eeee5555/points/_SUCCESS"),
+      "marker-hit ensure must not sweep")
+    graft.sources.Staging.deleteRecursively(base)
+  }
+
   test("clearUnmarked restores a marked dir instead of deleting it") {
     // round-8 ADVICE TOCTOU: a concurrent JVM can publish a complete copy
     // between the caller's marker check and the clearing step. Calling

@@ -37,6 +37,11 @@ class TablesSpec extends SparkSpec {
   }
 
   test("events.ts canonical contract is identical across lake encodings") {
+    // NOTE (round-12 ADVICE): the "nanos" leg writes a plain INT64 —
+    // Spark cannot WRITE a TIMESTAMP(NANOS) logical type, so this leg
+    // covers only the unannotated-long arrival. The real annotated
+    // encoding is covered by the pyarrow-written committed resource in
+    // the 'TIMESTAMP(NANOS) annotated parquet' test below.
     val asNanosLong = fixture("nanos", (col("ts_src") * 1000L).cast(LongType))
     val asMicrosTs = fixture("uts", timestamp_micros(col("ts_src")))
     // TIMESTAMP(MICROS, isAdjustedToUTC=false) — the round-11 driver
@@ -54,6 +59,45 @@ class TablesSpec extends SparkSpec {
     val expected = micros.zipWithIndex
       .map { case (us, i) => (i.toLong, us * 1000L) }.toSet
     canon.foreach(got => assert(got === expected))
+  }
+
+  test("TIMESTAMP(NANOS) annotated parquet reads through the canonical contract") {
+    // a REAL TIMESTAMP(NANOS, isAdjustedToUTC=false) file (pyarrow-written
+    // committed resource — Spark cannot write this logical type itself, so
+    // the encoding-sweep test above can only fake it with a plain INT64;
+    // round-12 ADVICE). nanosAsLong must surface it as the raw epoch-nanos
+    // long, i.e. the LongType branch for the annotated case.
+    val dir = getClass.getResource("/events-nanos-fixture").getPath
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType === LongType)
+    val got = ev.select(col("event_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = micros.zipWithIndex
+      .map { case (us, i) => (i.toLong, us * 1000L) }.toSet
+    assert(got === expected)
+  }
+
+  test("NTZ branch is session-zone-proof (field arithmetic, not a zone cast)") {
+    // drives normalizeEventsTs' TimestampNTZ branch directly — unreachable
+    // through events() while its conf pin holds — under a NON-UTC session
+    // zone: the old to_utc_timestamp(ntz,'UTC') form resolved the implicit
+    // NTZ→Timestamp cast through the session zone and would come back
+    // offset by 8h here (round-12 ADVICE).
+    val wall = "2024-01-01 00:09:58.778549"
+    val inst = java.time.LocalDateTime.parse(wall.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+    val expectedNs = inst.getEpochSecond * 1000000000L + inst.getNano
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val df = spark.range(1)
+        .select(col("id").as("event_id"),
+          to_timestamp_ntz(lit(wall)).as("ts"))
+      val out = Tables.normalizeEventsTs(df)
+      assert(out.schema("ts").dataType === LongType)
+      assert(out.head().getLong(1) === expectedNs,
+        "NTZ wall clock did not land on its as-UTC epoch under a non-UTC zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
   test("the shipped events fixture arrives in canonical nanos") {
