@@ -53,6 +53,53 @@ class OperatorSpec extends SparkSpec {
     assert(parts > 1, s"expected >1 part files, found $parts in $dir")
   }
 
+  test("token_count_bpe matches a driver-side reference merge on every doc") {
+    // independent reimplementation: java.lang.String.replace applied
+    // rule-by-rule on the collected fixture vs the codegen replace-chain
+    import graft.operators.TextOps
+    val got = SparkEntry.queries("token_count_bpe")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    assert(docs.nonEmpty && got.size === docs.length)
+    docs.foreach { r =>
+      val text = r.getString(1)
+      val merged = TextOps.BPE_MERGES.foldLeft(text) {
+        case (acc, (p, t)) => acc.replace(p, t)
+      }
+      assert(got(r.getLong(0)) ===
+        (text.codePointCount(0, text.length),
+          merged.codePointCount(0, merged.length)),
+        s"doc ${r.getLong(0)} diverged from the reference merge")
+    }
+    // the ladder rules genuinely fire on the fixture (a table that never
+    // reaches level 2 wouldn't test multi-level merges at all)
+    val ladderHits = docs.count { r =>
+      val lvl1 = TextOps.BPE_MERGES.dropRight(4).foldLeft(r.getString(1)) {
+        case (acc, (p, t)) => acc.replace(p, t)
+      }
+      TextOps.BPE_MERGES.takeRight(4).exists { case (p, _) => lvl1.contains(p) }
+    }
+    assert(ladderHits > 0, "no fixture doc exercises a second-level merge")
+  }
+
+  test("pack_sequences_bpe keeps pack invariants under the BPE measure") {
+    val packed = SparkEntry.queries("pack_sequences_bpe")(spark, sf)
+    val counts = SparkEntry.queries("token_count_bpe")(spark, sf)
+      .select(col("doc_id"), col("bpe_tokens"))
+    // the packer's n_tokens IS the BPE count (no ws leakage)
+    val joined = packed.join(counts, "doc_id")
+    assert(joined.where(col("n_tokens") =!= col("bpe_tokens")).count() === 0L)
+    // per-shard contiguity: tok_start of each doc equals the previous
+    // doc's tok_start + n_tokens (same invariant pack_sequences pins)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val bad = packed.withColumn("prev_end",
+        lag(col("tok_start") + col("n_tokens"), 1, 0L).over(w))
+      .where(col("tok_start") =!= col("prev_end"))
+    assert(bad.count() === 0L, "BPE pack lost head-to-tail contiguity")
+  }
+
   test("dedup_minhash emits ordered unique pairs") {
     val df = SparkEntry.queries("dedup_minhash")(spark, sf)
     assert(df.where(col("doc_a") >= col("doc_b")).count() === 0L)
