@@ -260,6 +260,39 @@ class PropertySpec extends SparkSpec {
     labels.foreach { case (id, rep) => assert(rep <= id) }
   }
 
+  test("url canonicalization collapses surface variants, separates resources") {
+    import spark.implicits._
+    // every drift axis the canonicalizer claims to handle, hand-built
+    val variants = Seq(
+      "http://h3.example.com/d/12?a=5&b=3",
+      "https://h3.example.com/d/12?a=5&b=3",          // scheme
+      "http://www.h3.example.com/d/12?a=5&b=3",       // www
+      "http://h3.example.com/d/12/?a=5&b=3",          // trailing slash
+      "http://h3.example.com/d/12?b=3&a=5",           // param order
+      "http://h3.example.com/d/12?a=5&b=3#frag",      // fragment
+      "https://www.h3.example.com/d/12/?b=3&a=5")     // all axes stacked
+    val distinct = Seq(
+      "http://h4.example.com/d/12?a=5&b=3",           // other host
+      "http://h3.example.com/d/13?a=5&b=3",           // other path
+      "http://h3.example.com/d/12?a=6&b=3")           // other params
+    val canon = (variants ++ distinct).toDF("url")
+      .select(DedupOps.urlCanonCol(col("url")).as("c")).collect()
+      .map(_.getString(0))
+    assert(canon.take(variants.length).distinct.length === 1,
+      s"variants did not collapse: ${canon.take(variants.length).toSeq}")
+    assert((canon.drop(variants.length) :+ canon.head).distinct.length ===
+      distinct.length + 1, "distinct resources collapsed")
+    // and the fixture generator's 4 variants of one group collapse too,
+    // while adjacent groups stay apart (the dedup_url keep-rate contract)
+    val gen = spark.range(8).select(col("id").as("doc_id"))
+      .select(col("doc_id"), DedupOps.urlGenExpr.as("url"))
+      .select(col("doc_id"), DedupOps.urlCanonCol(col("url")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(gen.filter(_._1 < 4).map(_._2).distinct.length === 1)
+    assert(gen.filter(_._1 >= 4).map(_._2).distinct.length === 1)
+    assert(gen.map(_._2).distinct.length === 2)
+  }
+
   test("banded range join == naive interval join on generated intervals") {
     // irregular, partially OVERLAPPING intervals (a value can match
     // several) and band-aligned bounds — the cases the band replication
