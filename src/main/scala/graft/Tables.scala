@@ -107,7 +107,20 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `graft.lineitemDir` is a BENCH-ONLY scan-layout override (round-12
+    * verdict item 4): the driver fixture writes lineitem as one ~13.6 MB
+    * row group, an unsplittable 1-task scan that amplifies host
+    * contention 4-10× and has been BASELINE.md's recurring false
+    * "regression" mechanism. Bench stages a row-identical multi-file
+    * copy (fingerprint-keyed under target/) and points this property at
+    * it so lineitem scans parallelize like they would on any real lake
+    * layout. Verify/tests never set it — the oracle path always reads
+    * the fixture bytes; content is identical either way, only the file
+    * split changes. */
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    sys.props.get("graft.lineitemDir")
+      .map(s.read.parquet(_))
+      .getOrElse(table(s, d, "lineitem"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

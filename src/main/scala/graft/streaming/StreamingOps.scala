@@ -336,6 +336,17 @@ object StreamingOps {
     * them (all six outputs measured byte-identical across trigger ×
     * partition configs). A real deployment keeps no-data batches on; this
     * is run-to-completion harness shape, not operator semantics. */
+  /** Progress summary of the last [[runToMemorySink]] run per sink name
+    * (round-12 verdict item 8): the correctness story proves streams
+    * row-identical to batch, but nothing recorded RATE or STATE — the
+    * two numbers that decide whether a streaming deployment keeps up.
+    * Bench drains this after each streaming query and carries the
+    * summary in its JSON line. */
+  final case class StreamRunStats(inputRows: Long, batchMs: Long,
+      stateRows: Long, batches: Int)
+  val lastRunStats =
+    scala.collection.concurrent.TrieMap.empty[String, StreamRunStats]
+
   def runToMemorySink(df: DataFrame, name: String,
       mode: String = "complete", statePartitions: Int = 4): DataFrame = {
     val spark = df.sparkSession
@@ -350,6 +361,13 @@ object StreamingOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .format("memory").queryName(name).start()
       q.awaitTermination()
+      val progs = q.recentProgress
+      lastRunStats(name) = StreamRunStats(
+        progs.map(_.numInputRows).sum,
+        progs.map(_.batchDuration).sum,
+        progs.lastOption
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
+        progs.length)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
