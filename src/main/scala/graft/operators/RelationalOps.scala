@@ -186,7 +186,12 @@ object RelationalOps {
       // only where the skew is. AQE's skew split handles transient skew at
       // runtime; explicit salting is the deterministic tool when a key is
       // ALWAYS hot (the null-key / default-value pathologies of real
-      // training data). The hot set is the TOP-N keys BY FREQUENCY
+      // training data). Measured decision rule (BASELINE.md round-13
+      // A/B): AQE alone wins at ≲10%-on-one-key skew — salting's
+      // detection pass + R× replication is pure overhead there; at ≳30%
+      // persistent skew salt-plus-AQE won both runs, because the giant
+      // partition's map-side sort serializes BEFORE AQE's reducer-side
+      // split can help. The hot set is the TOP-N keys BY FREQUENCY
       // (distributed TakeOrdered — O(N) rows on the driver regardless of
       // input scale), NOT an absolute rows-per-key cutoff: lineitem
       // averages ~4 rows/key, so any fixed threshold selects a constant
