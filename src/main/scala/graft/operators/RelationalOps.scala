@@ -522,6 +522,20 @@ object RelationalOps {
           rIeee(col("p50"), 4).as("p50"), rIeee(col("p95"), 4).as("p95"),
           col("n"))
     },
+    "quantile_profile" -> { (s, d) =>
+      // the full distribution profile (p10/p25/p50/p75/p90/p99 per group)
+      // in ONE distributed pass: QuantileOps' ranked run is computed once
+      // and every cut point is just two more boundary rows picked from it
+      // — the amortization argument for the range-partitioned design (a
+      // per-percentile percentile() would be G reducers × 6 full buffers).
+      import graft.functions.VectorOps.rIeee
+      val ps = Seq("p10" -> 0.10, "p25" -> 0.25, "p50" -> 0.50,
+        "p75" -> 0.75, "p90" -> 0.90, "p99" -> 0.99)
+      QuantileOps.exactPercentiles(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice", ps)
+        .select(col("l_returnflag") +:
+          ps.map { case (n, _) => rIeee(col(n), 4).as(n) } :+ col("n"): _*)
+    },
     "approx_percentile_agg" -> { (s, d) =>
       // the SKETCH path for quantiles at scale (mirrors approx_distinct's
       // HLL role): fixed-size mergeable summaries, one pass, no global
@@ -868,6 +882,15 @@ object RelationalOps {
       s"""SELECT l_returnflag,
          |       ${graft.functions.VectorSql.rIeee("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
          |       ${graft.functions.VectorSql.rIeee("quantile_cont(l_extendedprice, 0.95)", 4)} AS p95,
+         |       count(*)::BIGINT AS n
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "quantile_profile" ->
+      s"""SELECT l_returnflag,
+         |       ${Seq("p10" -> 0.10, "p25" -> 0.25, "p50" -> 0.50,
+           "p75" -> 0.75, "p90" -> 0.90, "p99" -> 0.99).map { case (n, p) =>
+             graft.functions.VectorSql.rIeee(
+               s"quantile_cont(l_extendedprice, $p)", 4) + s" AS $n"
+           }.mkString(",\n|       ")},
          |       count(*)::BIGINT AS n
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "approx_percentile_agg" ->
