@@ -32,6 +32,13 @@ import org.apache.spark.sql.types._
   * the picked value. Reference scope: the reference engine has no
   * quantile operator at all (SURVEY.md §2.6 extended ops); semantics are
   * pinned to DuckDB `quantile_cont` via the shared oracle.
+  *
+  * Cardinality envelope: the driver-side maps are O(P·G), so this design
+  * targets LOW-cardinality groupings — exactly the regime where the
+  * built-in aggregate degenerates to G giant reducers. At high G the
+  * per-group buffers are small and already parallel, so the built-in
+  * `percentile()` (or the sketch path) is the right tool there; the two
+  * regimes meet around G ≈ shuffle parallelism.
   */
 object QuantileOps {
 
