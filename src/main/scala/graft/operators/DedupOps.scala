@@ -618,6 +618,20 @@ object DedupOps {
           min(col("doc_id")).over(Window.partitionBy(col("canon_url"))))
         .select(col("doc_id"), col("url"), col("canon_url"), col("keep"))
     },
+    "dedup_url_apply" -> { (s, d) =>
+      // the audit's consuming pass (the family's apply twin): one
+      // canonical resource → one surviving fetch (min doc_id) plus its
+      // variant count — the column a curation report tracks as "URL-level
+      // duplication rate". ONE map-side-combined hash aggregate on the
+      // canonical key; no window, no second shuffle.
+      Tables.documents(s, d)
+        .select(col("doc_id"), urlGenExpr.as("url"))
+        .withColumn("canon_url", urlCanonCol(col("url")))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_variants"))
+        .select(col("doc_id"), col("canon_url"), col("n_variants"))
+    },
     "dedup_exact" -> { (s, d) =>
       // hash-groupBy dedup: at 100 TB you group by a digest, never the raw
       // text; see digest() for the md5-oracle vs xxhash64-bench split.
@@ -938,6 +952,12 @@ object DedupOps {
          |SELECT doc_id, url, canon_url,
          |       doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep
          |FROM c""".stripMargin,
+    "dedup_url_apply" ->
+      s"""WITH u AS (SELECT doc_id, $urlGenSql AS url FROM documents),
+         |c AS (SELECT doc_id, ${urlCanonSql("url")} AS canon_url FROM u)
+         |SELECT min(doc_id)::BIGINT AS doc_id, canon_url,
+         |       count(*)::BIGINT AS n_variants
+         |FROM c GROUP BY canon_url""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

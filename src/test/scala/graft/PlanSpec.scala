@@ -296,11 +296,13 @@ class PlanSpec extends SparkSpec {
     val groupSpans = perPidG.groupBy(_._1._2).map { case (g, a) => (g, a.length) }
     assert(groupSpans.values.max >= 2,
       s"no group spans >1 partition ($groupSpans) — the sort degenerated to per-group tasks")
-    // and the declared plan must not contain the single-reducer aggregate
-    val plan = SparkEntry.queries("percentile_agg")(spark, sf)
-      .queryExecution.analyzed.toString
-    assert(!plan.contains("percentile("),
-      "exact percentile() aggregate crept back into percentile_agg")
+    // and the declared plans must not contain the single-reducer aggregate
+    for (q <- Seq("percentile_agg", "quantile_profile")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.analyzed.toString
+      assert(!plan.contains("percentile("),
+        s"exact percentile() aggregate crept back into $q")
+    }
   }
 
   test("decontamination plans: broadcast eval side, no corpus shuffle join") {
