@@ -118,6 +118,31 @@ object RelationalOps {
     Tables.events(s, d)
       .withColumn("hour_bucket", expr("ts div 3600000000000"))
 
+  /** Core of `outlier_mad` (factored out so OperatorSpec can drive it
+    * over a constructed group with hand-computable median/MAD): modified
+    * z-score outliers per group from an `(event_id, event_type, value)`
+    * relation — QuantileOps' distributed exact median twice, G-row stat
+    * relations broadcast back, membership decided on the ROUNDED mz. */
+  private[graft] def madOutliers(ev: DataFrame): DataFrame = {
+    import graft.functions.VectorOps.rIeee
+    val med = QuantileOps.exactPercentiles(ev, "event_type", "value",
+        Seq("med" -> 0.5))
+      .select(col("event_type"), col("med"))
+    val withMed = ev.join(broadcast(med), "event_type")
+    val mad = QuantileOps.exactPercentiles(
+        withMed.select(col("event_type"),
+          abs(col("value") - col("med")).as("adev")),
+        "event_type", "adev", Seq("mad" -> 0.5))
+      .select(col("event_type"), col("mad"))
+      .where(col("mad") > 0)
+    withMed.join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        rIeee(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4)
+          .as("mz"))
+      .where(abs(col("mz")) > 3.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scans / filters / parse (SURVEY.md §2.1–2.2) ------------------
     "scan_docs" -> { (s, d) =>
@@ -294,6 +319,27 @@ object RelationalOps {
     "compact_changelog" -> { (s, d) =>
       compactAgg(Tables.events(s, d))
     },
+    "scd2_snapshot" -> { (s, d) =>
+      // SCD2 dimension build — compact_changelog's history-keeping twin:
+      // where compaction keeps "latest per key", SCD2 keeps EVERY version
+      // with its validity interval [valid_from, valid_to) so facts can
+      // join "the value as of then" (the warehouse CDC→dimension step; at
+      // scale this is the output an as-of/range join probes). One window
+      // shuffle partitioned by the HIGH-cardinality user_id — scales with
+      // the cluster; interval edges decided at µs with the event_id
+      // tie-break (window_lag_delta's cross-engine ordering discipline);
+      // open intervals close with the -1 sentinel, not NULL (engine-
+      // neutral hashing, and a range probe can test it cheaply).
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"),
+          expr("ts div 1000").as("valid_from_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from_us"), col("event_id"))
+      ev.withColumn("valid_to_us",
+          coalesce(lead(col("valid_from_us"), 1).over(w), lit(-1L)))
+        .withColumn("is_current", col("valid_to_us") === lit(-1L))
+    },
 
     "join_range" -> { (s, d) =>
       // banded range join — the scale form of a non-equi interval probe
@@ -368,6 +414,23 @@ object RelationalOps {
           round(col("value"), 2).as("value"),
           round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
         .where(abs(col("z")) > 3.0)
+    },
+    "outlier_mad" -> { (s, d) =>
+      // ROBUST outlier listing — the modified z-score (Iglewicz–Hoaglin
+      // 0.6745·(x−med)/MAD) that telemetry cleaning actually wants when
+      // the column has the heavy tail that breaks mean/stddev: the
+      // outliers themselves inflate sigma, masking each other, while the
+      // median and MAD ignore them entirely. Rides QuantileOps' range-
+      // partitioned EXACT quantile twice (median, then median absolute
+      // deviation) — no task ever buffers a full group, unlike a
+      // percentile()-based median — then both G-row stat relations
+      // broadcast back onto the stream (outlier_zscore's shape). MAD > 0
+      // on both sides for the same divide-semantics reason as sigma > 0;
+      // the cutoff compares the ROUNDED mz (rIeee@4, pure-IEEE — the
+      // interpolated med/mad may differ cross-engine in the last ulp, so
+      // the grid step must be engine-neutral too).
+      madOutliers(Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value")))
     },
 
     "event_funnel" -> { (s, d) =>
@@ -767,6 +830,17 @@ object RelationalOps {
         |               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+    "scd2_snapshot" ->
+      """SELECT user_id, event_id, event_type, value, valid_from_us,
+        |       valid_to_us, (valid_to_us = -1) AS is_current
+        |FROM (SELECT user_id, event_id, event_type,
+        |             round(value, 2) AS value,
+        |             epoch_us(ts) AS valid_from_us,
+        |             coalesce(lead(epoch_us(ts))
+        |               OVER (PARTITION BY user_id
+        |                     ORDER BY epoch_us(ts), event_id), -1)
+        |               AS valid_to_us
+        |      FROM events)""".stripMargin,
     // the banding is engine-internal (band equi-key + residual filter ==
     // the bare interval predicate); the oracle states the plain range join
     "join_range" ->
@@ -794,6 +868,23 @@ object RelationalOps {
         |        stddev_pop(value) OVER (PARTITION BY event_type) AS sigma
         |      FROM events)
         |WHERE sigma > 0 AND abs(z) > 3.0""".stripMargin,
+    "outlier_mad" ->
+      s"""WITH med AS (
+         |  SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM events GROUP BY event_type),
+         |dev AS (
+         |  SELECT e.event_type,
+         |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+         |  FROM events e JOIN med m USING (event_type)
+         |  GROUP BY e.event_type)
+         |SELECT event_id, event_type, value, mz FROM (
+         |  SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+         |         ${graft.functions.VectorSql.rIeee(
+               "0.6745 * (e.value - m.med) / d.mad", 4)} AS mz
+         |  FROM events e JOIN med m USING (event_type)
+         |       JOIN dev d USING (event_type)
+         |  WHERE d.mad > 0)
+         |WHERE abs(mz) > 3.5""".stripMargin,
     "window_trailing" ->
       s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          |       ${graft.functions.VectorSql.rIeee(

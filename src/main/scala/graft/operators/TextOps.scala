@@ -254,6 +254,64 @@ object TextOps {
       |       ((cum - 1) // $PACK_SEQ)::BIGINT AS last_seq
       |FROM c""".stripMargin
 
+  /** Core of `heavy_hitters`: exact tokens-with-share ≥ 1/`phiDen` via a
+    * per-partition Misra–Gries candidate pass of capacity `m` (m ≥
+    * 2·phiDen − 1 keeps the pigeonhole guarantee with margin: survival
+    * holds for share > 1/(m+1)) + an exact candidate-only recount.
+    * Factored out so OperatorSpec can drive a small-capacity instance
+    * over a constructed high-vocabulary corpus — the fixture's 31-word
+    * vocabulary never overflows m=399, so the decrement path and the
+    * candidates ⊇ true-hitters guarantee are proven there instead. */
+  private[graft] def heavyHittersOf(docs: DataFrame, m: Int,
+      phiDen: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(explode(wordsCol(col("text"))).as("w"))
+    val cands = toks.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        counts.get(w) match {
+          case Some(c) => counts.update(w, c + 1L)
+          case None if counts.size < m => counts.update(w, 1L)
+          case None =>
+            val ks = counts.keys.toArray
+            var i = 0
+            while (i < ks.length) {
+              val c = counts(ks(i)) - 1L
+              if (c == 0L) counts.remove(ks(i)) else counts.update(ks(i), c)
+              i += 1
+            }
+        }
+      }
+      counts.keysIterator
+    }.toDF("w").distinct()
+    val total = docs.agg(sum(size(wordsCol(col("text")))).as("n_total"))
+    toks.join(broadcast(cands), Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(total))
+      .where(col("n_occ") * lit(phiDen.toLong) >= col("n_total"))
+      .select(col("w"), col("n_occ"))
+  }
+
+  /** Core of `drift_report`: per-bucket Laplace-smoothed PSI contribution
+    * from a `(bucket, is_base)` slice relation. Factored out so
+    * OperatorSpec can assert the identical-distribution → ~0 and
+    * shifted-distribution → positive-total behaviors on constructed
+    * slices. */
+  private[graft] def driftOf(slices: DataFrame): DataFrame = {
+    import graft.functions.VectorOps.rIeee
+    val buckets = slices.groupBy(col("bucket"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_delta"))
+    val tot = buckets.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_delta")).as("t_delta"), count(lit(1)).as("n_buckets"))
+    val p = (col("n_base") + lit(1L)) / (col("t_base") + col("n_buckets"))
+    val q = (col("n_delta") + lit(1L)) / (col("t_delta") + col("n_buckets"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_base"), col("n_delta"),
+        rIeee((q - p) * log(q / p), 6).as("psi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> { (s, d) =>
       // MEASURED fixture honesty (quality-axis sweep, round 7): the
@@ -311,6 +369,45 @@ object TextOps {
         .select(explode(wordsCol(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w")).limit(100)
+    },
+    "heavy_hitters" -> { (s, d) =>
+      // exact φ-heavy-hitters (every token with ≥ 0.5% share) WITHOUT
+      // shuffling the token domain: token_topk's explode→groupBy shuffles
+      // the full vocabulary — fine for words, a wall at 100 TB of n-gram
+      // keys (billions distinct). Two-pass bound instead: (1) a
+      // per-partition Misra–Gries summary of capacity m=399 — any token
+      // with global share > 1/(m+1) must survive in SOME partition
+      // (pigeonhole over partition shares), so candidates ⊇ all true
+      // ≥0.5% hitters with a 2× guarantee margin — candidates are
+      // O(P·m), data-independent; (2) exact recount of CANDIDATES ONLY
+      // (broadcast semi-join prunes before the shuffle — the only keys
+      // shuffled are the ≤ P·m survivors), threshold as the pure-integer
+      // `200·n_occ ≥ N` (= share ≥ 1/200; no float boundary). Output is
+      // EXACT whatever the partitioning: extra candidates die on their
+      // exact counts. Fixture honesty: the synthetic 31-word vocabulary
+      // never overflows capacity, so the decrement path + the ⊇ guarantee
+      // are proven on a constructed high-vocab corpus in OperatorSpec.
+      heavyHittersOf(DedupOps.spread(Tables.documents(s, d)),
+        m = 399, phiDen = 200)
+    },
+    "drift_report" -> { (s, d) =>
+      // distribution-drift monitor (PSI, population stability index) —
+      // the check a continuous-ingestion pipeline runs before admitting a
+      // crawl delta: has the incoming length distribution shifted against
+      // the standing base? Slices via the repo's ONE deterministic
+      // base/delta hash (unitUniform — dedup_incremental's split), fixed-
+      // width n_chars buckets, Laplace +1 smoothing over the UNION bucket
+      // domain (PSI is undefined on empty cells; smoothing keeps every
+      // bucket comparable on both sides). 100 TB shape: one map-side-
+      // combined aggregate over the bucket domain (bounded by the length
+      // grid, not the corpus), then all float math on the TINY bucket
+      // relation against a broadcast 1-row totals join. Counts are exact
+      // ints; the only cross-engine float risk is ln()'s libm ulp,
+      // absorbed by the rIeee@6 grid (interpolation-ulp discipline).
+      driftOf(Tables.documents(s, d)
+        .select(expr("n_chars div 50").as("bucket"),
+          (graft.functions.VectorOps.unitUniform(col("doc_id")) < 0.9)
+            .as("is_base")))
     },
     "quality_deciles" -> { (s, d) =>
       // global decile bucketing for quality-based data mixing (curriculum /
@@ -722,6 +819,33 @@ object TextOps {
       s"""SELECT w, count(*)::BIGINT AS n
          |FROM (SELECT unnest($wSql) AS w FROM documents)
          |GROUP BY w ORDER BY n DESC, w LIMIT 100""".stripMargin,
+    "heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest($wSql) AS w FROM documents),
+         |t AS (SELECT count(*) AS n_total FROM w)
+         |SELECT w, count(*)::BIGINT AS n_occ
+         |FROM w, t GROUP BY w, t.n_total
+         |HAVING count(*) * 200 >= t.n_total""".stripMargin,
+    "drift_report" ->
+      s"""WITH b AS (
+         |  SELECT (n_chars // 50) AS bucket,
+         |         (${graft.functions.VectorSql.unitUniform("doc_id")} < 0.9)
+         |           AS is_base
+         |  FROM documents),
+         |c AS (SELECT bucket,
+         |        sum(CASE WHEN is_base THEN 1 ELSE 0 END)::BIGINT AS n_base,
+         |        sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END)::BIGINT
+         |          AS n_delta
+         |      FROM b GROUP BY bucket),
+         |t AS (SELECT sum(n_base)::BIGINT AS t_base,
+         |             sum(n_delta)::BIGINT AS t_delta,
+         |             count(*)::BIGINT AS n_buckets FROM c)
+         |SELECT bucket, n_base, n_delta,
+         |       ${graft.functions.VectorSql.rIeee(
+             "((n_delta + 1) / (t_delta + n_buckets) - " +
+               "(n_base + 1) / (t_base + n_buckets)) * " +
+               "ln(((n_delta + 1) / (t_delta + n_buckets)) / " +
+               "((n_base + 1) / (t_base + n_buckets)))", 6)} AS psi
+         |FROM c, t""".stripMargin,
     "quality_deciles" ->
       """WITH freq AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
         |cum AS (SELECT n_chars,

@@ -805,6 +805,95 @@ class OperatorSpec extends SparkSpec {
     assert(ns(4) === SparkEntry.queries("pipeline_curate")(spark, sf).count())
   }
 
+  test("heavy_hitters: exact output under MG decrements on a high-vocab corpus") {
+    import spark.implicits._
+    // 600 singleton tokens + hot×200 + cold×150; capacity m=9 ≪ vocab so
+    // the decrement path runs constantly. phiDen=5 → threshold is
+    // count·5 ≥ 950 → ≥190: hot qualifies, cold (750 < 950) must die on
+    // its EXACT recount even though it likely survives as a candidate.
+    val rareDocs = (1 to 600).map(i => s"tok$i").grouped(50)
+      .map(_.mkString(" ")).toSeq
+    val hotDocs = Seq.fill(4)(Seq.fill(50)("hot").mkString(" "))
+    val coldDocs = Seq.fill(3)(Seq.fill(50)("cold").mkString(" "))
+    val docs = (rareDocs ++ hotDocs ++ coldDocs).toDF("text")
+    val got = graft.operators.TextOps
+      .heavyHittersOf(docs.repartition(3), m = 9, phiDen = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("hot" -> 200L))
+    // guarantee margin: with the larger declared capacity the candidate
+    // pass may keep more, but the exact recount keeps the output stable
+    val got399 = graft.operators.TextOps
+      .heavyHittersOf(docs.repartition(7), m = 399, phiDen = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got399 === got)
+  }
+
+  test("outlier_mad flags exactly the hand-computed modified-z outliers") {
+    import spark.implicits._
+    // group a: 1..9 plus 100 → med 5.5, adevs {0.5,0.5,1.5,1.5,2.5,2.5,
+    // 3.5,3.5,4.5,94.5} → MAD 2.5; only 100 has |0.6745·(x−5.5)/2.5|>3.5.
+    // group b: constant → MAD 0 → excluded entirely (no NaN rows).
+    val ev = ((1 to 9).map(i => (i.toLong, "a", i.toDouble)) ++
+      Seq((10L, "a", 100.0)) ++
+      (11L to 15L).map(i => (i, "b", 7.0))).toDF("event_id", "event_type", "value")
+    val got = graft.operators.RelationalOps.madOutliers(ev).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("event_id") === 10L)
+    val mz = got(0).getAs[Double]("mz")
+    assert(math.abs(mz - 0.6745 * 94.5 / 2.5) < 1e-3, s"mz $mz")
+  }
+
+  test("outlier_mad is robust where zscore masks: the MAD flag survives") {
+    // the motivating case: heavy outliers inflate sigma (masking) but
+    // not the MAD — on the fixture every |z|>3 zscore outlier must also
+    // be an mz outlier (mz cutoff 3.5 is the stricter convention), while
+    // mad may flag MORE
+    val z = SparkEntry.queries("outlier_zscore")(spark, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val m = SparkEntry.queries("outlier_mad")(spark, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(m.nonEmpty)
+    assert(z.subsetOf(m), s"zscore-only ids: ${z -- m}")
+  }
+
+  test("drift_report: identical slices → 0 PSI; shifted slices → positive") {
+    import spark.implicits._
+    val same = ((1 to 50).map(i => (i % 5, true)) ++
+      (1 to 50).map(i => (i % 5, false))).toDF("bucket", "is_base")
+    val psiSame = graft.operators.TextOps.driftOf(same)
+      .collect().map(_.getAs[Double]("psi"))
+    assert(psiSame.forall(_ === 0.0), psiSame.toSeq.toString)
+    val shifted = ((1 to 50).map(i => (i % 5, true)) ++
+      (1 to 50).map(i => (i % 5 + 3, false))).toDF("bucket", "is_base")
+    val totalPsi = graft.operators.TextOps.driftOf(shifted)
+      .agg(sum("psi")).first().getDouble(0)
+    assert(totalPsi > 0.25, s"expected clear drift, got $totalPsi")
+  }
+
+  test("scd2_snapshot: intervals chain per user and agree with compaction") {
+    val scd = SparkEntry.queries("scd2_snapshot")(spark, sf)
+    // exactly one open (current) version per user
+    val perUser = scd.groupBy("user_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_open"))
+      .where(col("n_open") =!= 1)
+    assert(perUser.count() === 0L)
+    // each closed interval's valid_to is the next version's valid_from
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    val broken = scd.withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .where((col("next_from").isNotNull && col("valid_to_us") =!= col("next_from")) ||
+        (col("next_from").isNull && col("valid_to_us") =!= -1L))
+    assert(broken.count() === 0L)
+    // the current version IS compact_changelog's latest row
+    val cur = scd.where(col("is_current"))
+      .select(col("user_id"), col("event_id"))
+    val compact = SparkEntry.queries("compact_changelog")(spark, sf)
+      .select(col("user_id"), col("event_id"))
+    assert(cur.exceptAll(compact).count() === 0L)
+    assert(compact.exceptAll(cur).count() === 0L)
+  }
+
   test("window_cumsum final row equals group sum") {
     val ev = Tables.events(spark, sf)
     val sums = ev.groupBy("user_id").agg(round(sum("value"), 2).as("total"))
