@@ -293,6 +293,79 @@ object TextOps {
       .select(col("w"), col("n_occ"))
   }
 
+  /** `bpe_train`'s trip count. 12 steps is past the point where the
+    * winning pair first CONTAINS an earlier step's merged symbol (steps
+    * 8/9/12 on the fixture) — so the declared query exercises real
+    * multi-level BPE ladder formation, not just bigram counting. */
+  private[graft] val BPE_TRAIN_STEPS = 12
+
+  /** Core of `bpe_train`: learn `steps` BPE merges from a corpus of `t`
+    * strings — the tokenizer-induction twin of the K-Means control plane
+    * (§2.5): a driver loop whose per-trip state is ONE row (the argmax
+    * pair), with the corpus-side work a map-side-combined pair count.
+    * Each trip: (1) count adjacent symbol pairs (within words — pairs
+    * crossing a space are skipped; overlap counted, standard BPE), a
+    * hash aggregate bounded by vocab², never a corpus shuffle; (2) take
+    * the (count DESC, pair ASC) argmax — deterministic cross-engine
+    * (both binary collations order BMP codepoints identically); (3)
+    * rewrite the corpus with `replace` (identical left-to-right
+    * non-overlapping semantics in both engines — token_count_bpe's
+    * discipline), merged symbol = a fresh private-use code point
+    * (U+E101…, disjoint from BPE_MERGES' frozen U+E000 table), and
+    * localCheckpoint the new state (the repo-wide iterative idiom,
+    * KMeansOps.scala:35). Output = the learned merge table
+    * (step, pair, n_occ). */
+  private[graft] def bpeTrain(docs0: DataFrame, steps: Int): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+    var state = docs0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (k <- 1 to steps) {
+      val best = state
+        .where(length(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+          .as("pair"))
+        .where(!col("pair").contains(" "))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair")).limit(1)
+        .collect()(0)
+      merges += ((k, best.getString(0), best.getLong(1)))
+      state = state.select(org.apache.spark.sql.functions.replace(col("t"),
+          lit(best.getString(0)),
+          lit(new String(Character.toChars(0xE100 + k)))).as("t"))
+        .localCheckpoint()
+    }
+    merges.toSeq.toDF("step", "pair", "n_occ")
+  }
+
+  /** The identical training loop unrolled for DuckDB — one
+    * p/b/s CTE triple per step, `AS MATERIALIZED` so the chain
+    * evaluates linearly (the default inlining re-expands s_{k-1} under
+    * both its consumers → exponential re-execution past ~8 steps). */
+  private[graft] def bpeTrainSql(steps: Int): String = {
+    val sb = new StringBuilder(
+      "WITH s0 AS MATERIALIZED (SELECT text AS t FROM documents)")
+    for (k <- 1 to steps) {
+      val prev = s"s${k - 1}"
+      sb.append(s""",
+        |p$k AS MATERIALIZED (
+        |  SELECT pair, count(*)::BIGINT AS n_occ
+        |  FROM (SELECT substring(t, i, 2) AS pair
+        |        FROM $prev, unnest(range(1, length(t))) AS r(i))
+        |  WHERE NOT contains(pair, ' ') GROUP BY pair),
+        |b$k AS MATERIALIZED (
+        |  SELECT pair, n_occ FROM p$k ORDER BY n_occ DESC, pair LIMIT 1),
+        |s$k AS MATERIALIZED (
+        |  SELECT replace(t, (SELECT pair FROM b$k), chr(${57600 + k}))
+        |    AS t FROM $prev)""".stripMargin)
+    }
+    sb.append("\n" + (1 to steps)
+      .map(k => s"SELECT $k AS step, pair, n_occ FROM b$k")
+      .mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
   /** Core of `drift_report`: per-bucket Laplace-smoothed PSI contribution
     * from a `(bucket, is_base)` slice relation. Factored out so
     * OperatorSpec can assert the identical-distribution → ~0 and
@@ -389,6 +462,19 @@ object TextOps {
       // are proven on a constructed high-vocab corpus in OperatorSpec.
       heavyHittersOf(DedupOps.spread(Tables.documents(s, d)),
         m = 399, phiDen = 200)
+    },
+    "bpe_train" -> { (s, d) =>
+      // BPE tokenizer INDUCTION (token_count_bpe consumes a frozen merge
+      // table; this learns one): 12 driver-loop trips, each counting
+      // adjacent within-word symbol pairs corpus-wide and merging the
+      // argmax into a fresh private-use symbol — K-Means' iterative
+      // control plane (§2.5) applied to vocabulary learning. Per-trip
+      // driver state is ONE row; corpus work is a map-side-combined
+      // count bounded by vocab², and the rewrite chain localCheckpoints
+      // like Lloyd. Steps 8/9/12 merge PREVIOUSLY-merged symbols (the
+      // ladder), so multi-level BPE is exercised, not just bigrams.
+      bpeTrain(Tables.documents(s, d).select(col("text").as("t")),
+        BPE_TRAIN_STEPS)
     },
     "drift_report" -> { (s, d) =>
       // distribution-drift monitor (PSI, population stability index) —
@@ -825,6 +911,7 @@ object TextOps {
          |SELECT w, count(*)::BIGINT AS n_occ
          |FROM w, t GROUP BY w, t.n_total
          |HAVING count(*) * 200 >= t.n_total""".stripMargin,
+    "bpe_train" -> bpeTrainSql(BPE_TRAIN_STEPS),
     "drift_report" ->
       s"""WITH b AS (
          |  SELECT (n_chars // 50) AS bucket,

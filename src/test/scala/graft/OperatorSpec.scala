@@ -856,6 +856,29 @@ class OperatorSpec extends SparkSpec {
     assert(z.subsetOf(m), s"zscore-only ids: ${z -- m}")
   }
 
+  test("bpe_train learns hand-computable merges, ladder and tie-break included") {
+    import spark.implicits._
+    // "ababab"×2 → ab:6 (ba:4) merges first; state "XXX" → XX:4 merges
+    // (X = U+E101); state "YX" → YX:2 (Y = U+E102). Steps 2 and 3 both
+    // merge previously-merged symbols — the ladder in miniature.
+    val docs = Seq("ababab", "ababab").toDF("t")
+    val got = graft.operators.TextOps.bpeTrain(docs, 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val x = new String(Character.toChars(0xE101))
+    val y = new String(Character.toChars(0xE102))
+    assert(got.toSeq === Seq((1, "ab", 6L), (2, x + x, 4L), (3, y + x, 2L)))
+    // tie-break: ab/bb/ba all count 1 → lexicographically smallest wins
+    val tie = graft.operators.TextOps.bpeTrain(Seq("abba").toDF("t"), 1)
+      .collect()(0)
+    assert(tie.getString(1) === "ab" && tie.getLong(2) === 1L)
+    // and the declared 12-step run really reaches the ladder regime
+    val full = SparkEntry.queries("bpe_train")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(full.length === 12)
+    assert(full.exists(_.getString(1).exists(_ >= 0xE100.toChar)),
+      "no learned merge containing a merged symbol — ladder never reached")
+  }
+
   test("drift_report: identical slices → 0 PSI; shifted slices → positive") {
     import spark.implicits._
     val same = ((1 to 50).map(i => (i % 5, true)) ++
