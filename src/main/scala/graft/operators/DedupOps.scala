@@ -223,6 +223,33 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** `dedup_fuzzy`'s verification radius: the fixture's near-dup
+    * generator mutates ~4 characters, so τ=5 keeps the generated pairs
+    * and rejects the one transitive band candidate at distance 8 — the
+    * filter demonstrably does work on the fixture. */
+  private[graft] val FUZZY_TAU = 5
+
+  /** Edit-distance near-dup pairs — the dedup family's TRUE edit-metric
+    * member (MinHash ≈ shingle Jaccard, SimHash ≈ hamming; neither is an
+    * edit bound): [[minhashPairs]]' banded candidates verified by
+    * `levenshtein ≤ τ`. The verify uses Spark's THRESHOLD variant
+    * (banded O(len·τ) DP, not the O(len²) full matrix — at 100 TB the
+    * quadratic form is the difference between a verify pass and a second
+    * engine); for kept rows it returns the true distance, so the output
+    * column equals DuckDB's unbounded levenshtein on the same pairs.
+    * Texts join onto the BARE candidate ids (candidates ≪ corpus; the
+    * band self-join never carries text). */
+  private[graft] def fuzzyPairs(docs: DataFrame,
+      tau: Int = FUZZY_TAU): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"))
+    minhashPairs(docs)
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb"), tau).as("edit_dist"))
+      .where(col("edit_dist") =!= -1)
+  }
+
   /** Band relation from an existing signature relation (callers that also
     * need the signatures themselves compute them once and reuse). */
   def bandsOf(sig: DataFrame): DataFrame = {
@@ -672,6 +699,11 @@ object DedupOps {
     "dedup_minhash" -> { (s, d) =>
       minhashPairs(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))
     },
+    "dedup_fuzzy" -> { (s, d) =>
+      // edit-distance near-dups: banded MinHash candidates verified by a
+      // THRESHOLD levenshtein (≤ τ=5) — see [[fuzzyPairs]]
+      fuzzyPairs(Tables.documents(s, d))
+    },
     "dedup_minhash_incremental" -> { (s, d) =>
       // NEAR-dup twin of `dedup_incremental`: a crawl delta probed against
       // the standing corpus's MinHash BAND INDEX — the production ingest
@@ -1013,6 +1045,19 @@ object DedupOps {
          |FROM cbands a JOIN cbands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          |WHERE a.doc_id < b.doc_id""".stripMargin,
+    "dedup_fuzzy" ->
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$cappedBandsSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM cbands a JOIN cbands b
+         |           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |         WHERE a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       levenshtein(ta.text, tb.text)::INT AS edit_dist
+         |FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
+         |            JOIN documents tb ON tb.doc_id = c.doc_b
+         |WHERE levenshtein(ta.text, tb.text) <= $FUZZY_TAU""".stripMargin,
     "dedup_minhash_scored" -> {
       val matchSum = (0 until MINHASH_PERMS).map(j =>
         s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END")

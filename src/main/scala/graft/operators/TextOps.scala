@@ -366,6 +366,22 @@ object TextOps {
     sb.toString
   }
 
+  /** Core of `quality_entropy` (factored out so OperatorSpec can assert
+    * hand-computable histograms: "aaaa"→0, "abab"→1, "abcd"→2 bits). */
+  private[graft] def charEntropy(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorOps.rIeee
+    docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+        .as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("uniq_chars"),
+        sum(col("c") * log2(col("c"))).as("clc"))
+      .select(col("doc_id"), col("n"), col("uniq_chars"),
+        rIeee(log2(col("n")) - col("clc") / col("n"), 4).as("entropy"))
+  }
+
   /** Core of `drift_report`: per-bucket Laplace-smoothed PSI contribution
     * from a `(bucket, is_base)` slice relation. Factored out so
     * OperatorSpec can assert the identical-distribution → ~0 and
@@ -462,6 +478,20 @@ object TextOps {
       // are proven on a constructed high-vocab corpus in OperatorSpec.
       heavyHittersOf(DedupOps.spread(Tables.documents(s, d)),
         m = 399, phiDen = 200)
+    },
+    "quality_entropy" -> { (s, d) =>
+      // per-doc character Shannon entropy — the quality signal that
+      // catches what length/stopword ratios can't: repeated-character
+      // spam and boilerplate scream "low entropy", encrypted/binary
+      // junk "too high". H = log2(n) − Σc·log2(c)/n over the doc's
+      // codepoint histogram (one subtraction fewer float ops than the
+      // per-symbol −Σp·log2p, same value). Chars via the explicit
+      // substring walk (bpe_train's parity discipline — split('')
+      // edge-semantics differ cross-engine); two map-side-combined
+      // aggregates keyed by (doc_id, ch) then doc_id — high-cardinality
+      // keys, scales with the cluster; log2's libm ulp absorbed by
+      // rIeee@4.
+      charEntropy(Tables.documents(s, d))
     },
     "bpe_train" -> { (s, d) =>
       // BPE tokenizer INDUCTION (token_count_bpe consumes a frozen merge
@@ -911,6 +941,17 @@ object TextOps {
          |SELECT w, count(*)::BIGINT AS n_occ
          |FROM w, t GROUP BY w, t.n_total
          |HAVING count(*) * 200 >= t.n_total""".stripMargin,
+    "quality_entropy" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, substring(text, i, 1) AS ch
+         |  FROM documents, unnest(range(1, length(text) + 1)) AS r(i)),
+         |cnt AS (SELECT doc_id, ch, count(*)::BIGINT AS c
+         |        FROM ch GROUP BY doc_id, ch)
+         |SELECT doc_id, sum(c)::BIGINT AS n,
+         |       count(*)::BIGINT AS uniq_chars,
+         |       ${graft.functions.VectorSql.rIeee(
+             "log2(sum(c)) - sum(c * log2(c)) / sum(c)", 4)} AS entropy
+         |FROM cnt GROUP BY doc_id""".stripMargin,
     "bpe_train" -> bpeTrainSql(BPE_TRAIN_STEPS),
     "drift_report" ->
       s"""WITH b AS (

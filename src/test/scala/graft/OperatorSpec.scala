@@ -856,6 +856,47 @@ class OperatorSpec extends SparkSpec {
     assert(z.subsetOf(m), s"zscore-only ids: ${z -- m}")
   }
 
+  test("dedup_fuzzy verifies band candidates by edit distance, threshold honored") {
+    import spark.implicits._
+    // A/B: one word of a 40-word doc gets a 2-char substitution →
+    // shingle Jaccard stays high enough to band-collide, edit dist 2;
+    // C unrelated → no candidate pair at all
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("word20 ", "worZZ0 ")),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.operators.DedupOps.fuzzyPairs(docs, tau = 5).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      === Seq((1L, 2L, 2)))
+    // threshold variant: τ=1 must drop the same pair (distance 2 > 1)
+    assert(graft.operators.DedupOps.fuzzyPairs(docs, tau = 1).count() === 0L)
+    // fixture containment: fuzzy pairs ⊆ minhash candidates, dist ≤ τ
+    val fuzzy = SparkEntry.queries("dedup_fuzzy")(spark, sf)
+    val cands = SparkEntry.queries("dedup_minhash")(spark, sf)
+    assert(fuzzy.select("doc_a", "doc_b")
+      .exceptAll(cands.select("doc_a", "doc_b")).count() === 0L)
+    assert(fuzzy.where(col("edit_dist") > 5 || col("edit_dist") < 0)
+      .count() === 0L)
+  }
+
+  test("quality_entropy matches hand-computed histograms") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.charEntropy(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((4L, 1L, 0.0)))
+    assert(got(2L) === ((4L, 2L, 1.0)))
+    assert(got(3L) === ((4L, 4L, 2.0)))
+    // fixture sanity: entropy sits in (0, log2(uniq_chars)] for every doc
+    val fx = SparkEntry.queries("quality_entropy")(spark, sf)
+    assert(fx.where(col("entropy") <= 0 ||
+      col("entropy") > log2(col("uniq_chars")) + 0.0001).count() === 0L)
+  }
+
   test("bpe_train learns hand-computable merges, ladder and tie-break included") {
     import spark.implicits._
     // "ababab"×2 → ab:6 (ba:4) merges first; state "XXX" → XX:4 merges
