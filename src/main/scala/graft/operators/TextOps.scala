@@ -387,11 +387,17 @@ object TextOps {
     * OperatorSpec can assert the identical-distribution → ~0 and
     * shifted-distribution → positive-total behaviors on constructed
     * slices. */
-  private[graft] def driftOf(slices: DataFrame): DataFrame = {
-    import graft.functions.VectorOps.rIeee
-    val buckets = slices.groupBy(col("bucket"))
+  private[graft] def driftOf(slices: DataFrame): DataFrame =
+    driftFromCounts(slices.groupBy(col("bucket"))
       .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
-        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_delta"))
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_delta")))
+
+  /** The PSI float stage over an already-aggregated `(bucket, n_base,
+    * n_delta)` relation — split from [[driftOf]] so `streaming_drift`
+    * can feed it the stream-side state (its per-bucket delta counts)
+    * full-outer-joined with the standing base counts. */
+  private[graft] def driftFromCounts(buckets: DataFrame): DataFrame = {
+    import graft.functions.VectorOps.rIeee
     val tot = buckets.agg(sum(col("n_base")).as("t_base"),
       sum(col("n_delta")).as("t_delta"), count(lit(1)).as("n_buckets"))
     val p = (col("n_base") + lit(1L)) / (col("t_base") + col("n_buckets"))

@@ -81,6 +81,23 @@ object StreamingOps {
     graft.operators.DedupOps.contamPairsOf(stream, evalDocs)
   }
 
+  /** Streaming side of `streaming_drift` — the PSI drift monitor where
+    * it actually runs: ON the ingest stream, deciding whether to admit
+    * the arriving delta. The STREAM does only the corpus-scaled work
+    * (per-bucket delta counts — state is one row per length bucket,
+    * bucket-grid-bounded, the compaction-view state contract); complete
+    * mode re-emits the standing histogram every micro-batch. The PSI
+    * float math versus the batch-derived base histogram happens on the
+    * materialized bucket relation AFTER the sink (the dashboard query
+    * over the state store, in deployment terms) — see the declared query
+    * wiring in [[queries]]. */
+  def driftDeltaCounts(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(docsSchema)
+      .parquet(stageDir(spark, sfDir, "documents"))
+      .where(graft.functions.VectorOps.unitUniform(col("doc_id")) >= 0.9)
+      .select(expr("n_chars div 50").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_delta"))
+
   /** Streaming tumbling 1h window per event_type with a 2h watermark.
     * The float sum rounds through [[graft.functions.VectorOps.rIeee]]@2
     * (floor(x·100+0.5)/100 — identical IEEE ops in both engines), not
@@ -401,7 +418,25 @@ object StreamingOps {
     "streaming_compact" -> { (s, d) =>
       runToMemorySink(compactStream(s, d), "vq_stream_compact") },
     "streaming_decontam" -> { (s, d) =>
-      runToMemorySink(decontamStream(s, d), "vq_stream_decontam") }
+      runToMemorySink(decontamStream(s, d), "vq_stream_decontam") },
+    "streaming_drift" -> { (s, d) =>
+      // stream = delta bucket counts (the only corpus-scaled work);
+      // the PSI projection runs on the TINY materialized bucket relation
+      // against the standing base histogram — full outer on the bucket
+      // union so the Laplace smoothing domain matches the batch form
+      // exactly (StreamingSpec proves row-identity with drift_report)
+      val deltaCounts = runToMemorySink(driftDeltaCounts(s, d),
+        "vq_stream_drift")
+      val baseCounts = graft.Tables.documents(s, d)
+        .where(graft.functions.VectorOps.unitUniform(col("doc_id")) < 0.9)
+        .groupBy(expr("n_chars div 50").as("bucket"))
+        .agg(count(lit(1)).as("n_base"))
+      graft.operators.TextOps.driftFromCounts(
+        deltaCounts.join(baseCounts, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta")))
+    }
   )
 
   val oracles: Map[String, String] = Map(
@@ -413,6 +448,10 @@ object StreamingOps {
     // proves the stream row-identical), so the oracle is shared
     "streaming_decontam" ->
       graft.operators.DedupOps.oracles("decontam_report"),
+    // identical semantics (and smoothing domain) to the batch drift
+    // monitor — StreamingSpec proves the two row-identical
+    "streaming_drift" ->
+      graft.operators.TextOps.oracles("drift_report"),
     "streaming_window_agg" ->
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
          |       event_type, count(*)::BIGINT AS n,

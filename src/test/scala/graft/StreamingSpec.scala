@@ -281,6 +281,14 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming drift monitor matches the batch drift_report") {
+    val streamed = SparkEntry.queries("streaming_drift")(spark, sf)
+    val batch = SparkEntry.queries("drift_report")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming session_window matches batch session_window_agg") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.sessionCounts(spark, sf), "stream_sess")
