@@ -532,6 +532,70 @@ class PlanSpec extends SparkSpec {
       s"expected only the packer's lane exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("heavy_hitters prunes via broadcast semi-join; never a vocab SMJ") {
+    val plan = executed("heavy_hitters")
+    // the exact recount must see ONLY the MG candidates: the candidate
+    // set reaches the token stream as a broadcast left-semi before the
+    // counting shuffle — never a sort-merge join over the vocabulary
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "candidate pruning is not a broadcast semi-join")
+    assert(!plan.contains("SortMergeJoin"),
+      "token domain shuffled to meet the candidates — the MG point is lost")
+    // the 1-row total joins back as a broadcast too
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("outlier_mad broadcasts both quantile relations; corpus never re-shuffles") {
+    val plan = executed("outlier_mad")
+    // med and mad are G-row driver-built relations: both must come back
+    // as broadcast joins (outlier_zscore's shape) — a shuffled join here
+    // would move the corpus twice for two tiny stat tables
+    assert(plan.contains("BroadcastHashJoin"), "stat relations not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus shuffled to meet a G-row stat relation")
+    assert(!plan.contains("Window"),
+      "median must come from QuantileOps, not a corpus-wide window sort")
+  }
+
+  test("dedup_fuzzy joins texts onto bare candidate ids only") {
+    val plan = executed("dedup_fuzzy")
+    // the band self-join must run on (band_id, band_hash, doc_id) alone;
+    // text columns join AFTER candidates exist. If text appeared in the
+    // band join's output the pair shuffle would carry full documents.
+    assert(plan.contains("levenshtein"), "edit-distance verify missing")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degenerated to an all-pairs join")
+    val bandJoinLines = plan.split("\n")
+      .filter(l => l.contains("Join") && l.contains("band_hash"))
+    assert(bandJoinLines.nonEmpty, "banded candidate join missing")
+    assert(!bandJoinLines.exists(_.contains("text")),
+      "band self-join carries text columns — pairs shuffle full documents")
+  }
+
+  test("scd2_snapshot costs exactly one shuffle, keyed by user_id") {
+    val plan = executed("scd2_snapshot")
+    // one window over the high-cardinality key; no extra exchanges
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 hash exchange, found $exchanges")
+    assert(plan.contains("Window"), "validity intervals must come from lead()")
+  }
+
+  test("drift_report's float stage runs on the bucket relation, not the corpus") {
+    val plan = executed("drift_report")
+    // corpus-side work is one aggregate keyed by bucket; the totals join
+    // is a 1-row broadcast (never a shuffle of the bucket relation)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), "totals row is not broadcast")
+    assert(!plan.contains("SortMergeJoin"))
+    // ln/log only above the aggregate: the scan projects just the two
+    // narrow columns (bucket arithmetic + the split hash)
+    val read = plan.split("\n").find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("n_chars") &&
+      !read.contains("text"),
+      s"drift scan must read only doc_id/n_chars: $read")
+  }
+
   test("hot paths use the native expressions, not HOF fallbacks") {
     // a refactor that silently reverts to the interpreted
     // aggregate/zip_with/transform forms fails here (ExpressionSpec pins
