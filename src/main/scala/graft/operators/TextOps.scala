@@ -318,7 +318,17 @@ object TextOps {
   private[graft] def bpeTrain(docs0: DataFrame, steps: Int): DataFrame = {
     val s = docs0.sparkSession
     import s.implicits._
+    bpeTrainFull(docs0, steps)._2.toDF("step", "pair", "n_occ")
+  }
+
+  /** The training loop itself, returning BOTH the final rewritten state
+    * (every non-`t` input column carried through untouched, so callers
+    * can keep `doc_id`) and the learned merge list — `bpe_train` declares
+    * the merges, `token_count_learned` the applied measure. */
+  private[graft] def bpeTrainFull(docs0: DataFrame,
+      steps: Int): (DataFrame, Seq[(Int, String, Long)]) = {
     var state = docs0
+    val carried = docs0.columns.filterNot(_ == "t").map(col).toSeq
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (k <- 1 to steps) {
       val best = state
@@ -331,21 +341,22 @@ object TextOps {
         .orderBy(col("n_occ").desc, col("pair")).limit(1)
         .collect()(0)
       merges += ((k, best.getString(0), best.getLong(1)))
-      state = state.select(org.apache.spark.sql.functions.replace(col("t"),
-          lit(best.getString(0)),
-          lit(new String(Character.toChars(0xE100 + k)))).as("t"))
+      state = state.select(carried :+
+          org.apache.spark.sql.functions.replace(col("t"),
+            lit(best.getString(0)),
+            lit(new String(Character.toChars(0xE100 + k)))).as("t"): _*)
         .localCheckpoint()
     }
-    merges.toSeq.toDF("step", "pair", "n_occ")
+    (state, merges.toSeq)
   }
 
   /** The identical training loop unrolled for DuckDB — one
     * p/b/s CTE triple per step, `AS MATERIALIZED` so the chain
     * evaluates linearly (the default inlining re-expands s_{k-1} under
     * both its consumers → exponential re-execution past ~8 steps). */
-  private[graft] def bpeTrainSql(steps: Int): String = {
+  private[graft] def bpeTrainCtes(steps: Int): String = {
     val sb = new StringBuilder(
-      "WITH s0 AS MATERIALIZED (SELECT text AS t FROM documents)")
+      "WITH s0 AS MATERIALIZED (SELECT doc_id, text AS t FROM documents)")
     for (k <- 1 to steps) {
       val prev = s"s${k - 1}"
       sb.append(s""",
@@ -357,14 +368,16 @@ object TextOps {
         |b$k AS MATERIALIZED (
         |  SELECT pair, n_occ FROM p$k ORDER BY n_occ DESC, pair LIMIT 1),
         |s$k AS MATERIALIZED (
-        |  SELECT replace(t, (SELECT pair FROM b$k), chr(${57600 + k}))
+        |  SELECT doc_id, replace(t, (SELECT pair FROM b$k), chr(${57600 + k}))
         |    AS t FROM $prev)""".stripMargin)
     }
-    sb.append("\n" + (1 to steps)
-      .map(k => s"SELECT $k AS step, pair, n_occ FROM b$k")
-      .mkString("\nUNION ALL\n"))
     sb.toString
   }
+
+  private[graft] def bpeTrainSql(steps: Int): String =
+    bpeTrainCtes(steps) + "\n" + (1 to steps)
+      .map(k => s"SELECT $k AS step, pair, n_occ FROM b$k")
+      .mkString("\nUNION ALL\n")
 
   /** Core of `quality_entropy` (factored out so OperatorSpec can assert
     * hand-computable histograms: "aaaa"→0, "abab"→1, "abcd"→2 bits). */
@@ -498,6 +511,19 @@ object TextOps {
       // keys, scales with the cluster; log2's libm ulp absorbed by
       // rIeee@4.
       charEntropy(Tables.documents(s, d))
+    },
+    "token_count_learned" -> { (s, d) =>
+      // the induction→application composition: tokenize the corpus under
+      // the merges `bpe_train` JUST learned from it (token_count_bpe uses
+      // a frozen shipped table; this one closes the loop on the learned
+      // artifact — the "train tokenizer, then measure your corpus with
+      // it" step of a real pipeline). The final rewritten state already
+      // exists as the training loop's last checkpoint, so the measure is
+      // a zero-extra-pass projection: n_tokens = symbols remaining, the
+      // same measure contract as token_count_bpe.
+      val (state, _) = bpeTrainFull(Tables.documents(s, d)
+        .select(col("doc_id"), col("text").as("t")), BPE_TRAIN_STEPS)
+      state.select(col("doc_id"), length(col("t")).as("n_tokens"))
     },
     "bpe_train" -> { (s, d) =>
       // BPE tokenizer INDUCTION (token_count_bpe consumes a frozen merge
@@ -959,6 +985,8 @@ object TextOps {
              "log2(sum(c)) - sum(c * log2(c)) / sum(c)", 4)} AS entropy
          |FROM cnt GROUP BY doc_id""".stripMargin,
     "bpe_train" -> bpeTrainSql(BPE_TRAIN_STEPS),
+    "token_count_learned" -> (bpeTrainCtes(BPE_TRAIN_STEPS) +
+      s"\nSELECT doc_id, length(t)::INT AS n_tokens FROM s$BPE_TRAIN_STEPS"),
     "drift_report" ->
       s"""WITH b AS (
          |  SELECT (n_chars // 50) AS bucket,

@@ -920,6 +920,27 @@ class OperatorSpec extends SparkSpec {
       "no learned merge containing a merged symbol — ladder never reached")
   }
 
+  test("token_count_learned equals a driver-side replay of the learned merges") {
+    val merges = SparkEntry.queries("bpe_train")(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getString(1)))
+    assert(merges.length === 12)
+    val got = SparkEntry.queries("token_count_learned")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(got.size === docs.length)
+    docs.foreach { r =>
+      val end = merges.foldLeft(r.getString(1)) { case (acc, (k, p)) =>
+        acc.replace(p, new String(Character.toChars(0xE100 + k)))
+      }
+      assert(got(r.getLong(0)) === end.codePointCount(0, end.length),
+        s"doc ${r.getLong(0)} diverged from the merge replay")
+    }
+    // the learned merges genuinely compress: strictly fewer symbols than
+    // raw codepoints on at least one doc (in practice nearly all)
+    assert(docs.count(r => got(r.getLong(0)) < r.getString(1).length) >
+      docs.length / 2)
+  }
+
   test("drift_report: identical slices → 0 PSI; shifted slices → positive") {
     import spark.implicits._
     val same = ((1 to 50).map(i => (i % 5, true)) ++
