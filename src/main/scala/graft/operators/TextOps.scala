@@ -498,6 +498,38 @@ object TextOps {
       heavyHittersOf(DedupOps.spread(Tables.documents(s, d)),
         m = 399, phiDen = 200)
     },
+    "filter_report" -> { (s, d) =>
+      // the C4/Gopher-style filter CASCADE with per-rule attribution —
+      // what a curation team actually debugs with: not just keep/drop
+      // but WHICH rule fired (rule firing rates are the knobs they tune).
+      // Three orthogonal signals, every comparison on exact ints or
+      // rIeee-grid values so membership can't float-flip: token count
+      // (length floor), character entropy (gibberish/spam), 3-gram
+      // repetition (boilerplate). Sub-3-word docs carry no 3-grams and
+      // PASS the repetition rule (dedup_substring_apply's windowless-
+      // reinstatement discipline); docs absent from the entropy relation
+      // (empty text) FAIL r_entropy via the null-coalesce. One narrow
+      // codegen projection + the entropy aggregate joined back on
+      // doc_id — high-cardinality keys, cluster-scaling.
+      import graft.functions.VectorOps.rIeee
+      val all3 = org.apache.spark.sql.graft.WordShingles.all(col("text"), 3)
+      val uniq3 = DedupOps.shinglesOf(col("text"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(wordsCol(col("text"))).as("n_tok"),
+          size(all3).as("n3"), size(uniq3).as("nd3"))
+      val ent = charEntropy(Tables.documents(s, d))
+        .select(col("doc_id"), col("entropy"))
+      base.join(ent, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          (col("n_tok") >= 20).as("r_len"),
+          coalesce(col("entropy") >= 4.0, lit(false)).as("r_entropy"),
+          (col("n3") === 0 ||
+            rIeee(lit(1.0) - col("nd3").cast("double") / col("n3"), 4)
+              < 0.05).as("r_rep"))
+        .withColumn("keep",
+          col("r_len") && col("r_entropy") && col("r_rep"))
+    },
     "quality_entropy" -> { (s, d) =>
       // per-doc character Shannon entropy — the quality signal that
       // catches what length/stopword ratios can't: repeated-character
@@ -973,6 +1005,35 @@ object TextOps {
          |SELECT w, count(*)::BIGINT AS n_occ
          |FROM w, t GROUP BY w, t.n_total
          |HAVING count(*) * 200 >= t.n_total""".stripMargin,
+    "filter_report" -> {
+      val all3 =
+        """CASE WHEN len(w) >= 3
+          |  THEN list_transform(generate_series(1, len(w) - 2),
+          |       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+          |  ELSE [] END""".stripMargin
+      s"""WITH w0 AS (SELECT doc_id, $wSql AS w FROM documents),
+         |rep AS (SELECT doc_id, len(g)::INT AS n3,
+         |               len(list_distinct(g))::INT AS nd3
+         |        FROM (SELECT doc_id, $all3 AS g FROM w0)),
+         |ch AS (
+         |  SELECT doc_id, substring(text, i, 1) AS ch
+         |  FROM documents, unnest(range(1, length(text) + 1)) AS r(i)),
+         |cnt AS (SELECT doc_id, ch, count(*)::BIGINT AS c
+         |        FROM ch GROUP BY doc_id, ch),
+         |ent AS (SELECT doc_id,
+         |          ${graft.functions.VectorSql.rIeee(
+               "log2(sum(c)) - sum(c * log2(c)) / sum(c)", 4)} AS entropy
+         |        FROM cnt GROUP BY doc_id)
+         |SELECT w0.doc_id,
+         |       (len(w) >= 20) AS r_len,
+         |       coalesce(entropy >= 4.0, FALSE) AS r_entropy,
+         |       (n3 = 0 OR ${graft.functions.VectorSql.rIeee(
+               "1.0 - nd3::DOUBLE / n3", 4)} < 0.05) AS r_rep,
+         |       ((len(w) >= 20) AND coalesce(entropy >= 4.0, FALSE)
+         |        AND (n3 = 0 OR ${graft.functions.VectorSql.rIeee(
+               "1.0 - nd3::DOUBLE / n3", 4)} < 0.05)) AS keep
+         |FROM w0 JOIN rep USING (doc_id) LEFT JOIN ent USING (doc_id)""".stripMargin
+    },
     "quality_entropy" ->
       s"""WITH ch AS (
          |  SELECT doc_id, substring(text, i, 1) AS ch
