@@ -704,6 +704,23 @@ object DedupOps {
       // THRESHOLD levenshtein (≤ τ=5) — see [[fuzzyPairs]]
       fuzzyPairs(Tables.documents(s, d))
     },
+    "dedup_fuzzy_apply" -> { (s, d) =>
+      // the keep set under the EDIT-verified pair relation — same
+      // component-min survivor convention as dedup_minhash_apply, but
+      // clusters form only over pairs that passed the levenshtein
+      // verify: a candidate pair the edit metric rejects (the fixture's
+      // distance-8 transitive pair) contributes no edge, so chains of
+      // "each step similar" that drift far apart stop merging — the
+      // semantic difference between banding-as-candidates and
+      // banding-as-truth.
+      val docs = Tables.documents(s, d)
+      val nonRep = componentsOf(
+          fuzzyPairs(docs).select(col("doc_a"), col("doc_b")))
+        .where(col("doc_id") =!= col("cluster_rep"))
+        .select(col("doc_id"))
+      docs.select(col("doc_id"))
+        .join(dropSetHint(docs, nonRep), Seq("doc_id"), "left_anti")
+    },
     "dedup_minhash_incremental" -> { (s, d) =>
       // NEAR-dup twin of `dedup_incremental`: a crawl delta probed against
       // the standing corpus's MinHash BAND INDEX — the production ingest
@@ -1058,6 +1075,31 @@ object DedupOps {
          |FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
          |            JOIN documents tb ON tb.doc_id = c.doc_b
          |WHERE levenshtein(ta.text, tb.text) <= $FUZZY_TAU""".stripMargin,
+    "dedup_fuzzy_apply" ->
+      s"""WITH RECURSIVE $sigSql,
+         |$bandsSql,
+         |$cappedBandsSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM cbands a JOIN cbands b
+         |           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |         WHERE a.doc_id < b.doc_id),
+         |pairs AS (SELECT c.doc_a, c.doc_b
+         |          FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
+         |                      JOIN documents tb ON tb.doc_id = c.doc_b
+         |          WHERE levenshtein(ta.text, tb.text) <= $FUZZY_TAU),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS t FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.node),
+         |nonrep AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING min(r) < node)
+         |SELECT doc_id::BIGINT AS doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)""".stripMargin,
     "dedup_minhash_scored" -> {
       val matchSum = (0 until MINHASH_PERMS).map(j =>
         s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END")
