@@ -406,7 +406,9 @@ object TextOps {
     * hand-computable histograms: "aaaa"→0, "abab"→1, "abcd"→2 bits). */
   private[graft] def charEntropy(docs: DataFrame): DataFrame = {
     import graft.functions.VectorOps.rIeee
-    docs
+    // spread before the ~n_chars× explode: the single-file fixture is one
+    // partition, which would run the whole histogram single-task
+    DedupOps.spread(docs)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
         .as("ch"))
