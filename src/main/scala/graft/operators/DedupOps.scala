@@ -242,11 +242,19 @@ object DedupOps {
   private[graft] def fuzzyPairs(docs: DataFrame,
       tau: Int = FUZZY_TAU): DataFrame = {
     val t = docs.select(col("doc_id"), col("text"))
+    // exact-equality fast path before the DP: a band-candidate set is
+    // clone-heavy by construction (exact dups share every band), and
+    // levenshtein costs ~0.4 ms/pair even threshold-banded while an
+    // equality memcmp is O(len) — measured 61 s → ~2 s on the 8×
+    // clone-replicated fixture, where ~99% of the 156k candidates are
+    // identical texts. levenshtein(x, x) = 0, so the result is
+    // unchanged and the DuckDB oracle needs no fast path.
     minhashPairs(docs)
       .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ta"), col("tb"), tau).as("edit_dist"))
+        when(col("ta") === col("tb"), lit(0))
+          .otherwise(levenshtein(col("ta"), col("tb"), tau)).as("edit_dist"))
       .where(col("edit_dist") =!= -1)
   }
 

@@ -596,6 +596,19 @@ class PlanSpec extends SparkSpec {
       s"drift scan must read only doc_id/n_chars: $read")
   }
 
+  test("token_count_learned applies the learned merges shuffle-free") {
+    // the apply side of the build≠apply pair must be ONE codegen
+    // replace-chain projection over the scan — any Exchange here means
+    // the apply re-derived training state instead of using the cache
+    val plan = executed("token_count_learned")
+    assert(!plan.contains("Exchange"),
+      "tokenizer apply must be a pure narrow projection")
+    assert(plan.contains("replace("), "learned replace-chain missing")
+    val read = plan.split("\n").find(_.contains("ReadSchema")).get
+    assert(read.contains("text") && !read.contains("lang"),
+      s"apply scan must read only doc_id/text: $read")
+  }
+
   test("hot paths use the native expressions, not HOF fallbacks") {
     // a refactor that silently reverts to the interpreted
     // aggregate/zip_with/transform forms fails here (ExpressionSpec pins
