@@ -80,7 +80,49 @@ object StorageOps {
       .select(col("o_orderkey"), col("o_orderstatus")), "o_orderkey")
   }
 
+  /** 32-bit Morton (Z-order) interleave of two 16-bit grid coordinates —
+    * pure integer shifts/masks, bit-identical in both engines. The third
+    * layout lever beside partitioning and bucketing: sorting/range-
+    * partitioning by z clusters rows so every written file's min/max
+    * stats bound BOTH dimensions at once, and a reader's 2-D box
+    * predicate prunes files in both axes (a single-column sort gives
+    * pruning in one axis and none in the other). */
+  private[graft] def mortonCol(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  private[graft] def mortonSql(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"(((($x) >> $i) & 1) << ${2 * i + 1}) + (((($y) >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_layout" -> { (s, d) =>
+      // the data-skipping stats view of a Z-ordered lineitem layout: rows
+      // map to a 2-D (order-grid, part-grid) Morton key, coarse z-tiles
+      // (2^16-wide = what one written file would cover after a
+      // repartitionByRange(z) + sortWithinPartitions(z) write) report
+      // count + min/max of BOTH dims — exactly the footer stats a
+      // pruning reader consults. The declared form is the stats view
+      // (deterministic, oracle-able); the write path is the same
+      // projection fed to repartitionByRange, documented here rather
+      // than declared because file boundaries are cluster-shaped. Grid
+      // divisors are layout CONFIG (fixed literals), so the tile map is
+      // data-independent. OperatorSpec proves the locality payoff: a 2-D
+      // box query touches a tiny fraction of tiles.
+      val z = mortonCol(expr("l_orderkey div 3"), col("l_partkey"))
+      Tables.lineitem(s, d)
+        .select(z.as("z"), col("l_orderkey"), col("l_partkey"))
+        .groupBy(expr("z div 65536").as("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          min(col("l_partkey")).as("min_pk"),
+          max(col("l_partkey")).as("max_pk"))
+    },
     "sink_partitioned" -> { (s, d) =>
       // write documents hive-partitioned by lang, read back through
       // partition discovery, and reduce to per-partition stats the oracle
@@ -114,6 +156,15 @@ object StorageOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "zorder_layout" ->
+      s"""WITH z AS (
+         |  SELECT (${mortonSql("l_orderkey // 3", "l_partkey")}) AS z,
+         |         l_orderkey, l_partkey
+         |  FROM lineitem)
+         |SELECT (z // 65536) AS tile, count(*)::BIGINT AS n_rows,
+         |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+         |FROM z GROUP BY tile""".stripMargin,
     "sink_partitioned" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,
         |       sum(n_chars)::BIGINT AS sum_chars

@@ -920,6 +920,39 @@ class OperatorSpec extends SparkSpec {
       "no learned merge containing a merged symbol — ladder never reached")
   }
 
+  test("zorder: morton hand cases; a 2-D box stays inside one tile block") {
+    import spark.implicits._
+    import graft.sources.StorageOps
+    val m = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (255L, 0L), (0L, 255L))
+      .toDF("x", "y")
+      .select(StorageOps.mortonCol(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    // interleave: x takes odd bits, y even → (3,3)=1111b, (255,0)=0xAAAA…
+    assert(m === Seq(0L, 2L, 1L, 15L, 43690L, 21845L))
+    // locality: a full 256×256 grid, tiles of 4096 z-values = 64×64
+    // blocks; the box x,y ∈ [0,63] must land ENTIRELY in one tile of the
+    // 16 — the 2-D pruning payoff a single-column sort cannot give (the
+    // same x-range with y unconstrained touches 4 tiles, one per y-band)
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        StorageOps.mortonCol(col("x"), col("y")).as("z"))
+      .withColumn("tile", expr("z div 4096"))
+    assert(grid.select("tile").distinct().count() === 16L)
+    val boxTiles = grid.where(col("x") <= 63 && col("y") <= 63)
+      .select("tile").distinct().count()
+    assert(boxTiles === 1L, s"2-D box spilled into $boxTiles tiles")
+    val stripeTiles = grid.where(col("x") <= 63)
+      .select("tile").distinct().count()
+    assert(stripeTiles === 4L)
+    // fixture stats view: every tile's [min,max] really bounds its rows
+    // (they're min/max BY construction; assert non-degenerate tiling)
+    val tiles = SparkEntry.queries("zorder_layout")(spark, sf).collect()
+    assert(tiles.length > 1)
+    assert(tiles.map(_.getAs[Long]("n_rows")).sum ===
+      Tables.lineitem(spark, sf).count())
+  }
+
   test("filter_report attributes each rule and keep is their conjunction") {
     val rep = SparkEntry.queries("filter_report")(spark, sf)
     assert(rep.count() === Tables.documents(spark, sf).count(),
