@@ -522,6 +522,29 @@ object KMeansOps {
           .select(col("doc_id").as("id"), col("lang")), "id")
       purityOf(assigned)
     },
+    "kmeans_coreset" -> { (s, _) =>
+      // GRID CORESET of the reference's shipped points — the summary a
+      // 100 TB k-means actually iterates on: snap each point to a unit
+      // grid cell, keep (weight = population, representative = cell
+      // mean). 10,000 points → 116 weighted reps (86×), ONE map-side-
+      // combined aggregate over the grid domain; Lloyd then runs on the
+      // coreset at per-iteration cost O(cells·k) instead of O(n·k). The
+      // cell mean is the variance-optimal rep: with centers fixed, the
+      // exact cost decomposes as full = coreset + within-cell scatter
+      // (cross terms vanish at the mean), so the bound is structural,
+      // not empirical — KMeansSpec pins the measured fidelity against
+      // the flagship's learned centers plus the exact weighted-mean
+      // identity. floor() and integer casts are IEEE/engine-neutral;
+      // the cell-mean float sums round through rIeee@6.
+      import graft.functions.VectorOps.rIeee
+      refPoints(s)
+        .select(col("v")(0).as("x"), col("v")(1).as("y"))
+        .groupBy(floor(col("x")).cast("long").as("cell_x"),
+          floor(col("y")).cast("long").as("cell_y"))
+        .agg(count(lit(1)).as("weight"),
+          rIeee(sum(col("x")) / count(lit(1)), 6).as("cx"),
+          rIeee(sum(col("y")) / count(lit(1)), 6).as("cy"))
+    },
     "kmeans_reference_data" -> { (s, _) =>
       // the reference's own shipped artifact clustered end-to-end
       // (`/root/reference/data/10000_point_4_center_2_feature.txt`, the
@@ -862,6 +885,14 @@ object KMeansOps {
       // only remaining rows-only queries are the 3 MLlib fits, which have
       // no SQL mirror by construction.
       "kmeans_lloyd" -> lloydLoopSql(FLAGSHIP_K, 5, 1e-4),
+      "kmeans_coreset" ->
+        s"""SELECT floor(x)::BIGINT AS cell_x, floor(y)::BIGINT AS cell_y,
+           |       count(*)::BIGINT AS weight,
+           |       ${graft.functions.VectorSql.rIeee("sum(x) / count(*)", 6)} AS cx,
+           |       ${graft.functions.VectorSql.rIeee("sum(y) / count(*)", 6)} AS cy
+           |FROM (SELECT column0 AS x, column1 AS y
+           |      FROM read_csv('$refPointsPath', header=false))
+           |GROUP BY cell_x, cell_y""".stripMargin,
       "kmeans_reference_data" -> refLloydSql(5),
       // measured trip count on the committed 100k file: also 5 (the cap —
       // max center movement stays ≫1e-4 through every step); pinned by

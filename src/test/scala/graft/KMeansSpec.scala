@@ -335,4 +335,53 @@ class KMeansSpec extends SparkSpec {
       assert(c >= ours * 0.50, s"initMode=$mode cost $c implausibly low vs $ours")
     }
   }
+
+  test("kmeans_coreset: exact decomposition, mean identity, cost fidelity") {
+    import org.apache.spark.sql.functions._
+    val cells = SparkEntry.queries("kmeans_coreset")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val pts = graft.operators.KMeansOps.refPoints(spark)
+      .select(col("v")(0), col("v")(1)).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    // compression + exact weight partition
+    assert(cells.length < pts.length / 50, s"${cells.length} cells")
+    assert(cells.map(_._3).sum === pts.length.toLong)
+    // weighted-mean identity: the coreset preserves the global centroid
+    val (wx, wy, w) = cells.foldLeft((0.0, 0.0, 0L)) { case ((ax, ay, aw), c) =>
+      (ax + c._3 * c._4, ay + c._3 * c._5, aw + c._3) }
+    val (mx, my) = (pts.map(_._1).sum / pts.length, pts.map(_._2).sum / pts.length)
+    assert(math.abs(wx / w - mx) < 1e-5 && math.abs(wy / w - my) < 1e-5)
+    // cost decomposition against the flagship's learned centers: with the
+    // CELL's assignment fixed, full-through-rep cost == coreset cost +
+    // within-cell scatter EXACTLY (cross terms vanish at the cell mean);
+    // the truly-optimal per-point assignment can only be cheaper, and
+    // only by the boundary-crossing effect.
+    val centers = SparkEntry.queries("kmeans_reference_data")(spark, sf)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    def minSq(x: Double, y: Double) = centers.map { case (cx2, cy2) =>
+      (x - cx2) * (x - cx2) + (y - cy2) * (y - cy2) }.min
+    val coresetCost = cells.map(c => c._3 * minSq(c._4, c._5)).sum
+    val byCell = pts.groupBy(p => (math.floor(p._1).toLong, math.floor(p._2).toLong))
+    val cellRep = cells.map(c => ((c._1, c._2), (c._4, c._5))).toMap
+    val scatter = byCell.map { case (k, ps) =>
+      val (rx, ry) = cellRep(k)
+      ps.map(p => (p._1 - rx) * (p._1 - rx) + (p._2 - ry) * (p._2 - ry)).sum
+    }.sum
+    val throughRep = byCell.map { case (k, ps) =>
+      val (rx, ry) = cellRep(k)
+      // assign the whole cell to ITS REP's nearest center
+      val c = centers.minBy { case (cx2, cy2) =>
+        (rx - cx2) * (rx - cx2) + (ry - cy2) * (ry - cy2) }
+      ps.map(p => (p._1 - c._1) * (p._1 - c._1) + (p._2 - c._2) * (p._2 - c._2)).sum
+    }.sum
+    // 1e-6 relative: the reps round through rIeee@6, so the cross term
+    // doesn't vanish to machine precision, only to the rounding grid
+    assert(math.abs(throughRep - (coresetCost + scatter)) / throughRep < 1e-6,
+      s"decomposition broke: $throughRep vs ${coresetCost + scatter}")
+    val fullCost = pts.map(p => minSq(p._1, p._2)).sum
+    assert(fullCost <= throughRep + 1e-9)
+    assert((throughRep - fullCost) / fullCost < 0.05,
+      s"boundary effect ${(throughRep - fullCost) / fullCost} too large")
+  }
 }
