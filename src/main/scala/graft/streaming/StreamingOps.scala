@@ -98,6 +98,40 @@ object StreamingOps {
       .select(expr("n_chars div 50").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_delta"))
 
+  /** Streaming side of `streaming_outlier` — robust outlier flagging
+    * where it runs in production: ON the arriving telemetry, against the
+    * STANDING per-group median/MAD (computed batch-side by QuantileOps
+    * over the corpus — robust stats are a periodic batch artifact, not a
+    * per-event computation). A stateless stream-static broadcast join +
+    * filter (enrichStream's discipline): no stream state at all, every
+    * arriving event scores in its micro-batch. The mz formula, rounding
+    * grid, and MAD>0 gate are `outlier_mad`'s own — StreamingSpec proves
+    * the run row-identical to the batch listing, sharing its oracle. */
+  def outlierStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorOps.rIeee
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = graft.operators.QuantileOps.exactPercentiles(
+        ev, "event_type", "value", Seq("med" -> 0.5))
+      .select(col("event_type"), col("med"))
+    val mad = graft.operators.QuantileOps.exactPercentiles(
+        ev.join(broadcast(med), "event_type")
+          .select(col("event_type"), abs(col("value") - col("med")).as("adev")),
+        "event_type", "adev", Seq("mad" -> 0.5))
+      .select(col("event_type"), col("mad"))
+      .where(col("mad") > 0)
+    val stats = broadcast(med.join(mad, "event_type"))
+    spark.readStream.schema(eventsSchema)
+      .parquet(stageDir(spark, sfDir, "events"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(stats, "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        rIeee(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4)
+          .as("mz"))
+      .where(abs(col("mz")) > 3.5)
+  }
+
   /** Streaming tumbling 1h window per event_type with a 2h watermark.
     * The float sum rounds through [[graft.functions.VectorOps.rIeee]]@2
     * (floor(x·100+0.5)/100 — identical IEEE ops in both engines), not
@@ -419,6 +453,8 @@ object StreamingOps {
       runToMemorySink(compactStream(s, d), "vq_stream_compact") },
     "streaming_decontam" -> { (s, d) =>
       runToMemorySink(decontamStream(s, d), "vq_stream_decontam") },
+    "streaming_outlier" -> { (s, d) =>
+      runToMemorySink(outlierStream(s, d), "vq_stream_outlier", "append") },
     "streaming_drift" -> { (s, d) =>
       // stream = delta bucket counts (the only corpus-scaled work);
       // the PSI projection runs on the TINY materialized bucket relation
@@ -452,6 +488,10 @@ object StreamingOps {
     // monitor — StreamingSpec proves the two row-identical
     "streaming_drift" ->
       graft.operators.TextOps.oracles("drift_report"),
+    // identical mz formula/gates to the batch robust listing —
+    // StreamingSpec proves the two row-identical
+    "streaming_outlier" ->
+      graft.operators.RelationalOps.oracles("outlier_mad"),
     "streaming_window_agg" ->
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
          |       event_type, count(*)::BIGINT AS n,

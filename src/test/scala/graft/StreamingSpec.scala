@@ -289,6 +289,14 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming outlier flagging matches the batch outlier_mad") {
+    val streamed = SparkEntry.queries("streaming_outlier")(spark, sf)
+    val batch = SparkEntry.queries("outlier_mad")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming session_window matches batch session_window_agg") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.sessionCounts(spark, sf), "stream_sess")
