@@ -596,6 +596,19 @@ class PlanSpec extends SparkSpec {
       s"drift scan must read only doc_id/n_chars: $read")
   }
 
+  test("zorder_layout and kmeans_coreset are single-aggregate plans") {
+    // both are summary builders: ONE map-side-combined hash aggregate
+    // over a bounded key domain (z-tiles / grid cells), no joins, no
+    // windows — the shape that lets them run as a side pass of any scan
+    for (q <- Seq("zorder_layout", "kmeans_coreset")) {
+      val plan = executed(q)
+      val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges === 1, s"$q: expected 1 hash exchange, found $exchanges")
+      assert(!plan.contains("Join") && !plan.contains("Window"),
+        s"$q must be a pure aggregate")
+    }
+  }
+
   test("token_count_learned applies the learned merges shuffle-free") {
     // the apply side of the build≠apply pair must be ONE codegen
     // replace-chain projection over the scan — any Exchange here means
