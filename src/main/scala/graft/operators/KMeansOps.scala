@@ -536,14 +536,26 @@ object KMeansOps {
       // the flagship's learned centers plus the exact weighted-mean
       // identity. floor() and integer casts are IEEE/engine-neutral;
       // the cell-mean float sums round through rIeee@6.
-      import graft.functions.VectorOps.rIeee
-      refPoints(s)
-        .select(col("v")(0).as("x"), col("v")(1).as("y"))
-        .groupBy(floor(col("x")).cast("long").as("cell_x"),
-          floor(col("y")).cast("long").as("cell_y"))
-        .agg(count(lit(1)).as("weight"),
-          rIeee(sum(col("x")) / count(lit(1)), 6).as("cx"),
-          rIeee(sum(col("y")) / count(lit(1)), 6).as("cy"))
+      coresetReps(s)
+    },
+    "kmeans_lloyd_coreset" -> { (s, _) =>
+      // the flagship loop ITERATED ON THE SUMMARY — how k-means actually
+      // runs at 100 TB: the corpus contributes exactly one map-side-
+      // combined aggregate (the coreset); the Lloyd trips then touch
+      // only the 116 weighted reps, O(cells·k) DRIVER arithmetic at any
+      // corpus scale (embed_pca's power-iteration precedent: corpus work
+      // is the one-pass fold, iteration is summary-sized). Every loop
+      // quantity lives in EXACT INTEGER micro-units (reps are rIeee@6
+      // grid values → ×1e6 ints; distances, argmins, and the
+      // round-half-up weighted-mean division are all int64), so the
+      // trajectory is bit-identical cross-engine with no snap/tolerance
+      // machinery at all — the strongest determinism contract of any
+      // Lloyd form in the repo. Seeding = farthest-point from the max-L2
+      // rep (the reference's InitMaxFarthest discipline, on reps);
+      // 5 fixed trips (the reference flow's cap; input is a committed
+      // fixture so the trajectory is a constant). KMeansSpec pins the
+      // final centers against the full-data flagship's.
+      coresetLloyd(s)
     },
     "kmeans_reference_data" -> { (s, _) =>
       // the reference's own shipped artifact clustered end-to-end
@@ -646,6 +658,103 @@ object KMeansOps {
   /** The staged 100,000-point file. */
   def refPoints100k(spark: SparkSession): DataFrame =
     refPointsAt(spark, refPoints100kPath)
+
+  /** Unit-grid coreset of the shipped 10,000-point file — see the
+    * `kmeans_coreset` query comment. ONE map-side-combined aggregate;
+    * the rep is the cell mean (rIeee@6), the weight the population. */
+  private[graft] def coresetReps(s: SparkSession): DataFrame = {
+    import graft.functions.VectorOps.rIeee
+    refPoints(s)
+      .select(col("v")(0).as("x"), col("v")(1).as("y"))
+      .groupBy(floor(col("x")).cast("long").as("cell_x"),
+        floor(col("y")).cast("long").as("cell_y"))
+      .agg(count(lit(1)).as("weight"),
+        rIeee(sum(col("x")) / count(lit(1)), 6).as("cx"),
+        rIeee(sum(col("y")) / count(lit(1)), 6).as("cy"))
+  }
+
+  private[graft] val CORESET_TRIPS = 5
+
+  /** Weighted Lloyd over the coreset, every quantity in EXACT INTEGER
+    * micro-units (reps are rIeee@6 grid values → ×1e6 int64; squared
+    * distances ≤ 6e14; the weighted-mean update is the round-half-up
+    * integer division floorDiv(2·Σwx + Σw, 2·Σw)) — the trajectory is
+    * bit-identical cross-engine by construction, no snap/tolerance
+    * machinery. The loop itself is O(cells·k·trips) DRIVER arithmetic
+    * (embed_pca's precedent: the corpus contributes only the coreset
+    * fold; 116 reps make the iteration summary-sized at any corpus
+    * scale). Seeding: farthest-point from the max-L2 rep, ties broken
+    * by (x, y) ascending — the reference's InitMaxFarthest discipline
+    * applied to reps. */
+  private[graft] def coresetLloyd(s: SparkSession): DataFrame = {
+    val reps: Array[(Long, Long, Long)] = coresetReps(s)
+      .select(col("cx"), col("cy"), col("weight")).collect()
+      .map(r => (Math.round(r.getDouble(0) * 1e6),
+        Math.round(r.getDouble(1) * 1e6), r.getLong(2)))
+    def d2(ax: Long, ay: Long, bx: Long, by: Long): Long = {
+      val dx = ax - bx; val dy = ay - by; dx * dx + dy * dy
+    }
+    val pts = reps.map(t => (t._1, t._2))
+    var seeds = Vector(
+      pts.sortBy(p => (-(p._1 * p._1 + p._2 * p._2), p._1, p._2)).head)
+    while (seeds.size < K) {
+      val next = pts.sortBy { p =>
+        (-seeds.map(sd => d2(p._1, p._2, sd._1, sd._2)).min, p._1, p._2)
+      }.head
+      seeds = seeds :+ next
+    }
+    var centers: Array[(Long, Long)] = seeds.toArray
+    def nearest(x: Long, y: Long): Int = {
+      var best = 0; var bestD = Long.MaxValue; var i = 0
+      while (i < K) {
+        val d = d2(x, y, centers(i)._1, centers(i)._2)
+        if (d < bestD) { bestD = d; best = i } // ties → min cid, like the oracle
+        i += 1
+      }
+      best
+    }
+    for (_ <- 1 to CORESET_TRIPS) {
+      val swx = new Array[Long](K); val swy = new Array[Long](K)
+      val sw = new Array[Long](K)
+      reps.foreach { case (x, y, w) =>
+        val c = nearest(x, y)
+        swx(c) += w * x; swy(c) += w * y; sw(c) += w
+      }
+      // the committed fixture never empties a cluster under this seeding;
+      // require() rather than a silent keep-old fallback the SQL oracle
+      // does not model (a fixture change would fail loudly here)
+      require(sw.forall(_ > 0), "empty cluster — oracle contract broken")
+      // round-half-AWAY division (sign-symmetric): DuckDB's `//`
+      // truncates toward zero while Java's floorDiv floors, so the
+      // engine-neutral form works on |a| and restores the sign
+      def divHalfAway(a: Long, b: Long): Long = {
+        val q = (2 * math.abs(a) + b) / (2 * b)
+        if (a < 0) -q else q
+      }
+      centers = (0 until K).map { i =>
+        (divHalfAway(swx(i), sw(i)), divHalfAway(swy(i), sw(i)))
+      }.toArray
+    }
+    val out: Seq[org.apache.spark.sql.Row] =
+      reps.groupBy(t => nearest(t._1, t._2)).toSeq.map {
+        case (cid, members) =>
+          org.apache.spark.sql.Row(cid, members.length.toLong,
+            members.map(_._3).sum,
+            centers(cid)._1 / 1000000.0, centers(cid)._2 / 1000000.0)
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_cells",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("weight",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cx",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("cy",
+        org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+  }
 
   /** The shared reference-shipped-file clustering body: content-keyed
     * farthest seeding → full tol+cap Lloyd → per-cluster n/rmse/centroid
@@ -885,14 +994,8 @@ object KMeansOps {
       // only remaining rows-only queries are the 3 MLlib fits, which have
       // no SQL mirror by construction.
       "kmeans_lloyd" -> lloydLoopSql(FLAGSHIP_K, 5, 1e-4),
-      "kmeans_coreset" ->
-        s"""SELECT floor(x)::BIGINT AS cell_x, floor(y)::BIGINT AS cell_y,
-           |       count(*)::BIGINT AS weight,
-           |       ${graft.functions.VectorSql.rIeee("sum(x) / count(*)", 6)} AS cx,
-           |       ${graft.functions.VectorSql.rIeee("sum(y) / count(*)", 6)} AS cy
-           |FROM (SELECT column0 AS x, column1 AS y
-           |      FROM read_csv('$refPointsPath', header=false))
-           |GROUP BY cell_x, cell_y""".stripMargin,
+      "kmeans_coreset" -> coresetSql,
+      "kmeans_lloyd_coreset" -> coresetLloydSql,
       "kmeans_reference_data" -> refLloydSql(5),
       // measured trip count on the committed 100k file: also 5 (the cap —
       // max center movement stays ≫1e-4 through every step); pinned by
@@ -1030,6 +1133,70 @@ object KMeansOps {
     * input scales with sfDir). Content-keyed throughout: the files ship no
     * row ids, so every argmin/argmax breaks ties by (x, y) — a total order
     * because both files hold only distinct rows (staged-fixtures spec). */
+  /** Shared coreset fragment — ONE definition feeding the `kmeans_coreset`
+    * oracle and the loop oracle's input CTE, so the two cannot drift. */
+  private def coresetSql: String =
+    s"""SELECT floor(x)::BIGINT AS cell_x, floor(y)::BIGINT AS cell_y,
+       |       count(*)::BIGINT AS weight,
+       |       ${graft.functions.VectorSql.rIeee("sum(x) / count(*)", 6)} AS cx,
+       |       ${graft.functions.VectorSql.rIeee("sum(y) / count(*)", 6)} AS cy
+       |FROM (SELECT column0 AS x, column1 AS y
+       |      FROM read_csv('$refPointsPath', header=false))
+       |GROUP BY cell_x, cell_y""".stripMargin
+
+  /** DuckDB mirror of [[coresetLloyd]] — the unrolled weighted loop in the
+    * same exact integer micro-unit arithmetic (round(rep·1e6) ints,
+    * integer squared distances, the identical floor-division
+    * round-half-up mean update), so both engines walk a bit-identical
+    * trajectory with no tolerance machinery. */
+  private def coresetLloydSql: String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH cs AS (\n$coresetSql),\n")
+    sb.append("csm AS (SELECT round(cx * 1000000)::BIGINT AS x, " +
+      "round(cy * 1000000)::BIGINT AS y, weight AS w FROM cs),\n")
+    sb.append("s0 AS (SELECT x, y FROM csm ORDER BY x*x + y*y DESC, x, y LIMIT 1)")
+    for (r <- 1 until K) {
+      val prev = (0 until r).map(i => s"s$i")
+      val md = prev
+        .map(q => s"(m.x-$q.x)*(m.x-$q.x)+(m.y-$q.y)*(m.y-$q.y)")
+        .mkString("least(", ", ", ")")
+      sb.append(s""",
+        |s$r AS (SELECT m.x, m.y FROM csm m, ${prev.mkString(", ")}
+        |        ORDER BY $md DESC, m.x, m.y LIMIT 1)""".stripMargin)
+    }
+    sb.append(",\n" + (0 until K).map(i => s"SELECT $i AS cid, x, y FROM s$i")
+      .mkString("c0 AS (", " UNION ALL ", ")"))
+    def assign(name: String, centers: String) =
+      s"""$name AS (SELECT x, y, w, min(cid)::INT AS cid FROM (
+         |  SELECT m.x, m.y, m.w AS w, c.cid,
+         |         (m.x-c.x)*(m.x-c.x)+(m.y-c.y)*(m.y-c.y) AS d,
+         |         min((m.x-c.x)*(m.x-c.x)+(m.y-c.y)*(m.y-c.y))
+         |           OVER (PARTITION BY m.x, m.y) AS md
+         |  FROM csm m CROSS JOIN $centers c)
+         |  WHERE d = md GROUP BY x, y, w)""".stripMargin
+    for (t <- 1 to CORESET_TRIPS) {
+      sb.append(",\n" + assign(s"a$t", s"c${t - 1}"))
+      // round-half-away division on |sum| (DuckDB // truncates toward
+      // zero — the sign-symmetric form matches the Scala divHalfAway)
+      def mean(col: String) =
+        s"(CASE WHEN sum(w * $col) < 0 THEN -1 ELSE 1 END * " +
+          s"((2 * abs(sum(w * $col)) + sum(w)) // (2 * sum(w))))::BIGINT"
+      sb.append(s""",
+        |c$t AS (SELECT cid,
+        |  ${mean("x")} AS x,
+        |  ${mean("y")} AS y
+        |FROM a$t GROUP BY cid)""".stripMargin)
+    }
+    sb.append(",\n" + assign("af", s"c$CORESET_TRIPS"))
+    sb.append(s"""
+      |SELECT a.cid AS cluster_id, count(*)::BIGINT AS n_cells,
+      |       sum(a.w)::BIGINT AS weight,
+      |       (c.x / 1000000.0) AS cx, (c.y / 1000000.0) AS cy
+      |FROM af a JOIN c$CORESET_TRIPS c USING (cid)
+      |GROUP BY a.cid, c.x, c.y""".stripMargin)
+    sb.toString
+  }
+
   private def refLloydSql(iters: Int, path: String = refPointsPath): String = {
     import graft.functions.{VectorSql => V}
     def sqd(p: String, c: String) =

@@ -336,6 +336,30 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("kmeans_lloyd_coreset recovers the full-data centers from the summary") {
+    val loop = SparkEntry.queries("kmeans_lloyd_coreset")(spark, sf).collect()
+    assert(loop.length === 4)
+    // weights partition the full population exactly
+    assert(loop.map(_.getAs[Long]("weight")).sum === 10000L)
+    val coresetCenters = loop.map(r => (r.getDouble(3), r.getDouble(4)))
+    val fullCenters = SparkEntry.queries("kmeans_reference_data")(spark, sf)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    // every full-data center has a coreset twin within the grid-
+    // quantization error (measured max ≈ 0.15 on unit cells)
+    fullCenters.foreach { case (x, y) =>
+      val d = coresetCenters
+        .map { case (a, b) => math.hypot(a - x, b - y) }.min
+      assert(d < 0.25, s"center ($x,$y) has no coreset twin within 0.25: $d")
+    }
+    // and the pairing is a bijection (no two full centers collapse onto
+    // one coreset center)
+    val pairing = fullCenters.map { case (x, y) =>
+      coresetCenters.zipWithIndex
+        .minBy { case ((a, b), _) => math.hypot(a - x, b - y) }._2
+    }
+    assert(pairing.distinct.length === 4)
+  }
+
   test("kmeans_coreset: exact decomposition, mean identity, cost fidelity") {
     import org.apache.spark.sql.functions._
     val cells = SparkEntry.queries("kmeans_coreset")(spark, sf).collect()
