@@ -87,7 +87,7 @@ object StorageOps {
     * stats bound BOTH dimensions at once, and a reader's 2-D box
     * predicate prunes files in both axes (a single-column sort gives
     * pruning in one axis and none in the other). */
-  private[graft] def mortonCol(x: org.apache.spark.sql.Column,
+  def mortonCol(x: org.apache.spark.sql.Column,
       y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until 16).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1) +
