@@ -536,6 +536,27 @@ object SimilarityOps {
       val rows = (0 until dim).map(i => (i + 1, r6d(v(i)), r6d(lambda)))
       s.createDataFrame(rows).toDF("i", "pc1", "lambda")
     },
+    "embed_project" -> { (s, d) =>
+      // the dimensionality-reduction APPLY of embed_pca — the
+      // induction→application close on the vector axis
+      // (token_count_learned's twin): every embedding projects onto the
+      // LEARNED top component, the whitening/reduce-before-ANN first
+      // stage. The component is learned once (the shared covariance fold
+      // + 2 power steps — O(d²) driver arithmetic) and enters the plan
+      // as a rIeee@6 LITERAL array, so both engines dot against the
+      // identical grid coefficients; the corpus pass is ONE narrow
+      // codegen projection — no shuffle at all. proj rounds rIeee@4
+      // (the dot's 64-term partial-sum association may differ
+      // cross-engine in the last ulp — similarity_topk's discipline).
+      val dim = 64
+      val c = covMatrix(KMeansOps.points(s, d), dim)
+      val (v, _) = powerIterate(c, dim, steps = 2)
+      val pcLit = array(v.map(x => lit(r6d(x))): _*)
+      KMeansOps.points(s, d)
+        .select(col("id").as("vec_id"),
+          graft.functions.VectorOps.rIeee(
+            graft.functions.VectorOps.dot(col("v"), pcLit), 4).as("proj"))
+    },
     "dedup_embedding" -> { (s, d) =>
       // embedding-cosine near-dup: multi-table LSH bucket -> capped
       // within-bucket pairs (deduped as BARE ID PAIRS — 2 longs through the
@@ -959,23 +980,37 @@ object SimilarityOps {
     // join-aggregates over its own full cov relation; scalar norms come
     // back via scalar subqueries. Same rIeee@6 absorption as embed_cov.
     "embed_pca" ->
-      s"""WITH m AS (
-         |  SELECT i.idx::INT AS i, j.idx::INT AS j,
-         |         avg(e.embedding[i.idx]::DOUBLE * e.embedding[j.idx]::DOUBLE)
-         |           - avg(e.embedding[i.idx]::DOUBLE)
-         |           * avg(e.embedding[j.idx]::DOUBLE) AS c
-         |  FROM embeddings e, range(1, 65) i(idx), range(1, 65) j(idx)
-         |  GROUP BY i.idx, j.idx),
-         |w1 AS (SELECT i, sum(c * 0.125) AS w FROM m GROUP BY i),
-         |n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
-         |u1 AS (SELECT i, w / (SELECT nrm FROM n1) AS u FROM w1),
-         |w2 AS (SELECT m.i, sum(m.c * u1.u) AS w
-         |       FROM m JOIN u1 ON m.j = u1.i GROUP BY m.i),
-         |n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
-         |u2 AS (SELECT i, w / (SELECT nrm FROM n2) AS u FROM w2)
+      s"""WITH $pcaCtes
          |SELECT i, (${VectorSql.rIeee("u", 6)} + 0) AS pc1,
          |       (${VectorSql.rIeee("(SELECT nrm FROM n2)", 6)} + 0) AS lambda
          |FROM u2""".stripMargin,
+    "embed_project" ->
+      s"""WITH $pcaCtes,
+         |pc AS (SELECT i, (${VectorSql.rIeee("u", 6)} + 0) AS pc1 FROM u2)
+         |SELECT e.vec_id,
+         |       ${VectorSql.rIeee(
+             "sum(e.embedding[p.i]::DOUBLE * p.pc1)", 4)} AS proj
+         |FROM embeddings e, pc p
+         |GROUP BY e.vec_id""".stripMargin,
     "similarity_topk" -> simTopkSql
   )
+
+  /** The covariance + 2-step power-iteration CTE chain — ONE definition
+    * shared by the `embed_pca` oracle and the `embed_project` apply
+    * oracle, so the learned direction cannot drift between them. */
+  private lazy val pcaCtes: String =
+    """m AS (
+      |  SELECT i.idx::INT AS i, j.idx::INT AS j,
+      |         avg(e.embedding[i.idx]::DOUBLE * e.embedding[j.idx]::DOUBLE)
+      |           - avg(e.embedding[i.idx]::DOUBLE)
+      |           * avg(e.embedding[j.idx]::DOUBLE) AS c
+      |  FROM embeddings e, range(1, 65) i(idx), range(1, 65) j(idx)
+      |  GROUP BY i.idx, j.idx),
+      |w1 AS (SELECT i, sum(c * 0.125) AS w FROM m GROUP BY i),
+      |n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+      |u1 AS (SELECT i, w / (SELECT nrm FROM n1) AS u FROM w1),
+      |w2 AS (SELECT m.i, sum(m.c * u1.u) AS w
+      |       FROM m JOIN u1 ON m.j = u1.i GROUP BY m.i),
+      |n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
+      |u2 AS (SELECT i, w / (SELECT nrm FROM n2) AS u FROM w2)""".stripMargin
 }

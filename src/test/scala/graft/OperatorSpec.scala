@@ -920,6 +920,27 @@ class OperatorSpec extends SparkSpec {
       "no learned merge containing a merged symbol — ladder never reached")
   }
 
+  test("embed_project replays embed_pca's declared component exactly") {
+    val pc = SparkEntry.queries("embed_pca")(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(pc.length === 64)
+    val proj = SparkEntry.queries("embed_project")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(proj.size === 500)
+    // unit-normalized embeddings × unit-ish component → |proj| ≤ ~1
+    assert(proj.values.forall(p => math.abs(p) <= 1.001))
+    // driver-side replay: dot each embedding against the DECLARED pc1
+    // column (the learned artifact as a user would consume it)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+    emb.foreach { r =>
+      val e = r.getSeq[Float](1)
+      val hand = e.indices.map(i => e(i).toDouble * pc(i)).sum
+      assert(math.abs(proj(r.getLong(0)) - hand) < 1e-3,
+        s"vec ${r.getLong(0)}: ${proj(r.getLong(0))} vs replay $hand")
+    }
+  }
+
   test("zorder: morton hand cases; a 2-D box stays inside one tile block") {
     import spark.implicits._
     import graft.sources.StorageOps
