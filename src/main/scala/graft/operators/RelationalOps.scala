@@ -433,6 +433,35 @@ object RelationalOps {
         .select(col("event_id"), col("event_type"), col("value")))
     },
 
+    "winsorize_clip" -> { (s, d) =>
+      // winsorization — the cleaning TRANSFORM beside the outlier
+      // listings (listing tells you what's extreme; winsorizing keeps
+      // the row but caps its leverage, the standard pre-aggregation
+      // treatment for telemetry feeding means/regressions): clip value
+      // into [p5, p95] per group, both cut points from QuantileOps'
+      // range-partitioned EXACT quantile (its third consumer —
+      // percentile_agg, outlier_mad, and now the clip), broadcast back
+      // onto the stream as a G-row relation. Output carries was_clipped
+      // so the consumer can audit the clip rate. The clip compares the
+      // RAW value against rIeee@4-gridded cut points and emits the
+      // rounded clipped value — every boundary decision on grid values
+      // (outlier_mad's discipline).
+      import graft.functions.VectorOps.rIeee
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val cuts = QuantileOps.exactPercentiles(ev, "event_type", "value",
+          Seq("p5" -> 0.05, "p95" -> 0.95))
+        .select(col("event_type"),
+          rIeee(col("p5"), 4).as("p5"), rIeee(col("p95"), 4).as("p95"))
+      ev.join(broadcast(cuts), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"),
+          rIeee(least(greatest(col("value"), col("p5")), col("p95")), 4)
+            .as("clipped"),
+          (col("value") < col("p5") || col("value") > col("p95"))
+            .as("was_clipped"))
+    },
+
     "event_funnel" -> { (s, d) =>
       // ordered funnel (view → click → purchase): the stage a user
       // reached, counted — with each stage's timestamp constrained to
@@ -868,6 +897,19 @@ object RelationalOps {
         |        stddev_pop(value) OVER (PARTITION BY event_type) AS sigma
         |      FROM events)
         |WHERE sigma > 0 AND abs(z) > 3.0""".stripMargin,
+    "winsorize_clip" ->
+      s"""WITH cuts AS (
+         |  SELECT event_type,
+         |         ${graft.functions.VectorSql.rIeee(
+             "quantile_cont(value, 0.05)", 4)} AS p5,
+         |         ${graft.functions.VectorSql.rIeee(
+             "quantile_cont(value, 0.95)", 4)} AS p95
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+         |       ${graft.functions.VectorSql.rIeee(
+             "least(greatest(e.value, c.p5), c.p95)", 4)} AS clipped,
+         |       (e.value < c.p5 OR e.value > c.p95) AS was_clipped
+         |FROM events e JOIN cuts c USING (event_type)""".stripMargin,
     "outlier_mad" ->
       s"""WITH med AS (
          |  SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -843,6 +843,23 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(mz - 0.6745 * 94.5 / 2.5) < 1e-3, s"mz $mz")
   }
 
+  test("winsorize_clip caps ~10% of rows and preserves in-range values") {
+    val w = SparkEntry.queries("winsorize_clip")(spark, sf)
+    assert(w.count() === Tables.events(spark, sf).count())
+    // clip rate ≈ 10% (5% per tail per group, small-n interpolation slack)
+    val rate = w.where(col("was_clipped")).count().toDouble / w.count()
+    assert(rate > 0.06 && rate < 0.14, s"clip rate $rate")
+    // in-range rows pass through unchanged; clipped rows move toward
+    // the interior; nothing escapes the [p5, p95] band
+    assert(w.where(!col("was_clipped") &&
+      abs(col("clipped") - col("value")) > 0.0001).count() === 0L)
+    val perGroup = w.groupBy("event_type")
+      .agg(min(col("clipped")).as("lo"), max(col("clipped")).as("hi"),
+        min(col("value")).as("vlo"), max(col("value")).as("vhi"))
+      .where(col("lo") < col("vlo") || col("hi") > col("vhi"))
+    assert(perGroup.count() === 0L, "clipping must shrink the range")
+  }
+
   test("outlier_mad is robust where zscore masks: the MAD flag survives") {
     // the motivating case: heavy outliers inflate sigma (masking) but
     // not the MAD — on the fixture every |z|>3 zscore outlier must also
