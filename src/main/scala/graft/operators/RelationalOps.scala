@@ -118,6 +118,20 @@ object RelationalOps {
     Tables.events(s, d)
       .withColumn("hour_bucket", expr("ts div 3600000000000"))
 
+  /** Core of `scd2_snapshot` (factored so `join_pit` can build the same
+    * dimension): validity intervals per user from the changelog. */
+  private[graft] def scd2Of(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        expr("ts div 1000").as("valid_from_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    ev.withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(w), lit(-1L)))
+      .withColumn("is_current", col("valid_to_us") === lit(-1L))
+  }
+
   /** Core of `outlier_mad` (factored out so OperatorSpec can drive it
     * over a constructed group with hand-computable median/MAD): modified
     * z-score outliers per group from an `(event_id, event_type, value)`
@@ -330,15 +344,38 @@ object RelationalOps {
       // tie-break (window_lag_delta's cross-engine ordering discipline);
       // open intervals close with the -1 sentinel, not NULL (engine-
       // neutral hashing, and a range probe can test it cheaply).
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          round(col("value"), 2).as("value"),
-          expr("ts div 1000").as("valid_from_us"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("valid_from_us"), col("event_id"))
-      ev.withColumn("valid_to_us",
-          coalesce(lead(col("valid_from_us"), 1).over(w), lit(-1L)))
-        .withColumn("is_current", col("valid_to_us") === lit(-1L))
+      scd2Of(Tables.events(s, d))
+    },
+    "join_pit" -> { (s, d) =>
+      // POINT-IN-TIME join — the feature-store lookup scd2_snapshot
+      // exists to serve: for every fact, "the dimension value as of
+      // event time minus a 1h serving delay" (training-serving skew
+      // discipline: features must reflect what was KNOWABLE then, so
+      // the probe time backs off by the pipeline delay). Equi-join on
+      // the high-cardinality user_id + the interval residual
+      // [valid_from, valid_to) — the interval chain partitions each
+      // user's timeline (scd2's spec-pinned invariant), so every probe
+      // matches AT MOST one version; probes before the user's first
+      // version keep the row with the -1/'none' sentinel (left join —
+      // a PIT join never drops facts). One shuffle on each side, both
+      // keyed user_id.
+      val asof = expr("ts div 1000") - lit(3600000000L)
+      val facts = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), asof.as("asof_us"))
+      val dim = scd2Of(Tables.events(s, d))
+        .select(col("user_id").as("d_user_id"),
+          col("event_id").as("version_event_id"),
+          col("event_type").as("version_type"),
+          col("valid_from_us"), col("valid_to_us"))
+      facts.join(dim,
+          facts("user_id") === dim("d_user_id") &&
+            col("valid_from_us") <= col("asof_us") &&
+            (col("valid_to_us") === lit(-1L) ||
+              col("valid_to_us") > col("asof_us")),
+          "left_outer")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("version_event_id"), lit(-1L)).as("version_event_id"),
+          coalesce(col("version_type"), lit("none")).as("version_type"))
     },
 
     "join_range" -> { (s, d) =>
@@ -897,6 +934,22 @@ object RelationalOps {
         |        stddev_pop(value) OVER (PARTITION BY event_type) AS sigma
         |      FROM events)
         |WHERE sigma > 0 AND abs(z) > 3.0""".stripMargin,
+    "join_pit" ->
+      """WITH scd AS (
+        |  SELECT user_id, event_id AS version_event_id,
+        |         event_type AS version_type,
+        |         epoch_us(ts) AS vf,
+        |         coalesce(lead(epoch_us(ts))
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY epoch_us(ts), event_id), -1) AS vt
+        |  FROM events)
+        |SELECT e.event_id, e.user_id,
+        |       coalesce(s.version_event_id, -1) AS version_event_id,
+        |       coalesce(s.version_type, 'none') AS version_type
+        |FROM events e LEFT JOIN scd s
+        |  ON s.user_id = e.user_id
+        | AND s.vf <= epoch_us(e.ts) - 3600000000
+        | AND (s.vt = -1 OR s.vt > epoch_us(e.ts) - 3600000000)""".stripMargin,
     "winsorize_clip" ->
       s"""WITH cuts AS (
          |  SELECT event_type,

@@ -1068,6 +1068,26 @@ class OperatorSpec extends SparkSpec {
     assert(totalPsi > 0.25, s"expected clear drift, got $totalPsi")
   }
 
+  test("join_pit: one version per fact, knowable-then semantics") {
+    val pit = SparkEntry.queries("join_pit")(spark, sf)
+    val nEvents = Tables.events(spark, sf).count()
+    // a PIT join never drops or duplicates facts (≤1 version per probe)
+    assert(pit.count() === nEvents)
+    assert(pit.select("event_id").distinct().count() === nEvents)
+    // the matched version must STRICTLY precede the fact (1h delay):
+    // joining back to the version's own timestamp proves knowability
+    val evTs = Tables.events(spark, sf)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"))
+    val bad = pit.where(col("version_event_id") =!= -1L)
+      .join(evTs.select(col("event_id").as("version_event_id"),
+        col("ts_us").as("v_ts")), "version_event_id")
+      .join(evTs, "event_id")
+      .where(col("v_ts") > col("ts_us") - lit(3600000000L))
+    assert(bad.count() === 0L, "a version newer than asof-time leaked in")
+    // early probes (before the user's first version) carry the sentinel
+    assert(pit.where(col("version_event_id") === -1L).count() > 0)
+  }
+
   test("scd2_snapshot: intervals chain per user and agree with compaction") {
     val scd = SparkEntry.queries("scd2_snapshot")(spark, sf)
     // exactly one open (current) version per user
