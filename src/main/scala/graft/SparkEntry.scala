@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KMeansOps.queries ++ RelationalOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
-      PipelineOps.queries ++
+      PipelineOps.queries ++ RetrievalOps.queries ++
       graft.sources.TextIO.queries ++ graft.sources.StorageOps.queries ++
       graft.streaming.StreamingOps.queries
 
@@ -41,7 +41,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     KMeansOps.oracles ++ RelationalOps.oracles ++ DedupOps.oracles ++
       SimilarityOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
-      PipelineOps.oracles ++
+      PipelineOps.oracles ++ RetrievalOps.oracles ++
       graft.sources.TextIO.oracles ++ graft.sources.StorageOps.oracles ++
       graft.streaming.StreamingOps.oracles
 }

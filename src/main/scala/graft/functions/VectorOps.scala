@@ -83,6 +83,30 @@ object VectorOps {
     (pmod(pmod(id * lit(31L) + lit(round.toLong), lit(2147483648L)) *
       lit(2654435761L), lit(4294967296L)) + lit(0.5)) / lit(4294967296.0)
 
+  /** Integer floor(log2(x)) for a positive integer column, as
+    * bitlength−1 — the exact-arithmetic log primitive behind the
+    * surprisal scores (`unigram_logprob` et al.). */
+  def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+
+  /** Deterministic piecewise-linear log2 of a POSITIVE INTEGER column
+    * (Mitchell's approximation): with e = bitlength(x)−1 and mantissa
+    * m = x/2^e ∈ [1,2), returns e + (m − 1) ≈ log2(x), max error
+    * ~0.086 at m≈1.44. Every step is exact IEEE arithmetic — the
+    * bitlength is integer, 2^e is exactly representable, and dividing
+    * by a power of two is exact — so Spark and DuckDB compute
+    * bit-identical values from identical inputs, which no
+    * transcendental log library guarantees (the same reason
+    * `unigram_logprob` uses integer surprisal). Callers needing
+    * fractional-log resolution (BM25 idf) scale the argument by 2^k
+    * first and subtract k. */
+  def log2m(x: Column): Column = {
+    val e = ilog2(x)
+    // pow(2, e) is exactly representable (e ≤ 62), so Math.pow returns
+    // it exactly and the division by it is exact — matching the SQL
+    // twin's integer `1 << e`
+    e.cast("double") + x.cast("double") / pow(lit(2.0), e.cast("double")) - lit(1.0)
+  }
+
   /** Round to 4 decimals — the float tolerance for oracle hash-compare. */
   def r4(c: Column): Column = round(c, 4)
 
@@ -137,6 +161,12 @@ object VectorSql {
     s"((($id * 2654435761) % 4294967296 + 0.5) / 4294967296.0)"
   def roundUniform(id: String, r: Int): String =
     s"((((($id * 31 + $r) % 2147483648) * 2654435761) % 4294967296) + 0.5) / 4294967296.0"
+  /** DuckDB rendering of [[VectorOps.ilog2]]. */
+  def ilog2(x: String): String = s"(length(bin($x)) - 1)::BIGINT"
+  /** DuckDB rendering of [[VectorOps.log2m]] — Mitchell log2 over a
+    * positive integer expression; exact IEEE steps, see the Scala twin. */
+  def log2m(x: String): String =
+    s"(${ilog2(x)}::DOUBLE + ($x)::DOUBLE / (1::BIGINT << ${ilog2(x)})::DOUBLE - 1.0)"
   def rIeee(e: String, decimals: Int): String = {
     val s = BigDecimal(10).pow(decimals).toBigInt
     s"(floor(($e) * $s + 0.5) / $s)"

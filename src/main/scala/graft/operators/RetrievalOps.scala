@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.Tables
+import graft.operators.DedupOps.wordsCol
+import graft.functions.{VectorOps, VectorSql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the documents corpus: BM25 scoring and
+  * reciprocal-rank fusion of two rankers — the retrieval half of a
+  * hybrid (keyword + embedding) search stack, and the standard
+  * query-side tool for corpus inspection in a curation pipeline.
+  *
+  * Reference ancestor: the broadcast nearest-candidate pattern of
+  * SURVEY.md §2.3 (a bounded model/query set is broadcast; the corpus
+  * is scanned once and never shuffled wholesale).
+  *
+  * Exact cross-engine arithmetic throughout (the `unigram_logprob`
+  * discipline): tf/df/dl are integers, the BM25 idf log runs through
+  * the deterministic Mitchell log2 ([[VectorOps.log2m]] — bitlength +
+  * exact power-of-two division, no transcendental library), each
+  * per-term score is quantized to integer micros BEFORE the per-doc
+  * sum, so the aggregate is a LONG sum — addition-order-free, hence
+  * repartition-stable and bit-identical in DuckDB.
+  *
+  * Scale shape: the query set is a bounded literal table, broadcast;
+  * the corpus token stream meets it in a map-side broadcast hash join
+  * that drops every non-query token BEFORE the only row-scaled
+  * shuffle (the map-side-combined per-(query,doc) tf aggregate). df
+  * and corpus stats are O(|terms|) / O(1) aggregates. Ranking is the
+  * salted two-phase top-k (no per-query reducer funnel).
+  */
+object RetrievalOps {
+
+  /** Fixed query workload: 3 queries over the fixture vocabulary, with
+    * one rare term (`dup`, df≈3% of docs) so idf genuinely varies. */
+  private[graft] val QUERIES: Seq[(Int, String)] = Seq(
+    (1, "hash"), (1, "join"),
+    (2, "window"), (2, "sort"), (2, "merge"),
+    (3, "stream"), (3, "batch"), (3, "dup"))
+
+  private val TOPK = 10
+  private val SALT = 16
+
+  /** Per-(qid, term, doc) term frequencies with doc length, for query
+    * terms only. The broadcast join prunes the exploded token stream
+    * map-side; only matching (query-term, doc) rows reach the shuffle. */
+  private def termMatches(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = QUERIES.toDF("qid", "term")
+    DedupOps.spread(Tables.documents(s, d))
+      .select(col("doc_id"), wordsCol(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("qid"), col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** O(1) corpus stats (doc count, total token count) for the BM25
+    * length normalization. */
+  private def corpusStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(size(wordsCol(col("text"))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
+
+  /** Salted two-phase per-qid top-k (SimilarityOps.topKPerQuery's
+    * shape): phase 1 ranks within (qid, doc_id % SALT) and keeps k per
+    * salt lane, phase 2 ranks the ≤ SALT·k survivors — identical
+    * result to one global window, no per-query reducer funnel. */
+  private def topKPerQid(scored: DataFrame, k: Int): DataFrame = {
+    val ord: Seq[Column] = Seq(col("score").desc, col("doc_id"))
+    val w1 = Window.partitionBy(col("qid"), pmod(col("doc_id"), lit(SALT)))
+      .orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("qid")).orderBy(ord: _*)
+    scored.withColumn("rk1", row_number().over(w1)).where(col("rk1") <= k)
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+      .drop("rk1")
+  }
+
+  /** BM25 (k1 = 1.2, b = 0.75, Lucene-style idf = log2(1 + (N−df+0.5)
+    * /(df+0.5)) via Mitchell log2 on a 2^20-scaled integer argument)
+    * aggregated per (qid, doc) as an integer-micros sum. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val tm = termMatches(s, d)
+    val dfT = tm.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // idf ratio (≥ 1) scaled into the integer domain for the exact log2
+    val xInt = floor((((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1048576.0))
+      .cast("long")
+    val idf2 = VectorOps.log2m(xInt) - lit(20.0)
+    val tfnorm = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") /
+            (col("tot_dl").cast("double") / col("n_docs").cast("double")))))
+    tm.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(corpusStats(s, d)))
+      .select(col("qid"), col("doc_id"),
+        floor(idf2 * tfnorm * lit(1000000.0)).cast("long").as("sm"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("sm")).as("score"))
+  }
+
+  /** Plain summed-tf ranking — the second (boolean/tf) system fused by
+    * `rank_fusion`; shares [[termMatches]] so the two systems see the
+    * same candidate set. */
+  private def tfScored(s: SparkSession, d: String): DataFrame =
+    termMatches(s, d)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("tf")).as("score"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> { (s, d) =>
+      topKPerQid(bm25Scored(s, d), TOPK)
+        .select(col("qid"), col("rk"), col("doc_id"), col("n_terms"),
+          col("score"))
+    },
+    "rank_fusion" -> { (s, d) =>
+      // reciprocal-rank fusion (RRF, k = 60) of the BM25 and summed-tf
+      // top-10 lists: rrf = Σ 1/(60+rank) over the systems that
+      // retrieved the doc. Each system's list is computed by its own
+      // corpus pass (at serving scale each ranker owns its index; the
+      // lists are O(queries·k) and meet in a tiny full-outer join).
+      // 1/(60+rk) is one exact IEEE division and the fused score adds
+      // exactly two such terms in fixed order — bit-stable cross-engine.
+      val a = topKPerQid(bm25Scored(s, d), TOPK)
+        .select(col("qid"), col("doc_id"), col("rk").as("rk_bm25"))
+      val b = topKPerQid(tfScored(s, d), TOPK)
+        .select(col("qid"), col("doc_id"), col("rk").as("rk_tf"))
+      val fused = a.join(b, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"), col("rk_bm25"), col("rk_tf"),
+          (coalesce(lit(1.0) / (lit(60) + col("rk_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rk_tf")), lit(0.0)))
+            .as("score"))
+      topKPerQid(fused, TOPK)
+        .select(col("qid"), col("rk"), col("doc_id"),
+          col("score").as("rrf"), col("rk_bm25"), col("rk_tf"))
+    }
+  )
+
+  private val wSql = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+  private val qValues = QUERIES
+    .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** Shared oracle CTE chain through the per-(qid,doc) BM25 aggregate. */
+  private def bm25Ctes: String =
+    s"""q(qid, term) AS (VALUES $qValues),
+       |tok AS (SELECT doc_id, len(w)::INT AS dl, unnest(w) AS term
+       |        FROM (SELECT doc_id, $wSql AS w FROM documents)),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs,
+       |                 coalesce(sum(len($wSql)), 0)::BIGINT AS tot_dl
+       |          FROM documents),
+       |tm AS (SELECT qid, term, doc_id, dl, count(*)::BIGINT AS tf
+       |       FROM tok JOIN q USING (term) GROUP BY qid, term, doc_id, dl),
+       |dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+       |        FROM tm GROUP BY term),
+       |perx AS (SELECT qid, doc_id, tf, dl, tot_dl, n_docs,
+       |           floor((((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)
+       |                  + 1.0) * 1048576.0)::BIGINT AS x
+       |         FROM tm JOIN dft USING (term) CROSS JOIN stats),
+       |per AS (SELECT qid, doc_id,
+       |          floor((${VectorSql.log2m("x")} - 20.0)
+       |            * ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2
+       |               * (0.25 + 0.75 * (dl::DOUBLE
+       |                  / (tot_dl::DOUBLE / n_docs::DOUBLE)))))
+       |            * 1000000.0)::BIGINT AS sm
+       |        FROM perx),
+       |agg AS (SELECT qid, doc_id, count(*)::BIGINT AS n_terms,
+       |               sum(sm)::BIGINT AS score
+       |        FROM per GROUP BY qid, doc_id),
+       |atop AS (SELECT qid, doc_id, n_terms, score,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY score DESC, doc_id)::INT AS rk
+       |         FROM agg)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "bm25_topk" ->
+      s"""WITH $bm25Ctes
+         |SELECT qid, rk, doc_id, n_terms, score FROM atop
+         |WHERE rk <= 10""".stripMargin,
+    "rank_fusion" ->
+      s"""WITH $bm25Ctes,
+         |tfr AS (SELECT qid, doc_id, sum(tf)::BIGINT AS score
+         |        FROM tm GROUP BY qid, doc_id),
+         |btop AS (SELECT qid, doc_id, score,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY score DESC, doc_id)::INT AS rk
+         |         FROM tfr),
+         |fused AS (
+         |  SELECT qid, doc_id, a.rk AS rk_bm25, b.rk AS rk_tf,
+         |         coalesce(1.0 / (60 + a.rk), 0.0)
+         |           + coalesce(1.0 / (60 + b.rk), 0.0) AS rrf
+         |  FROM (SELECT * FROM atop WHERE rk <= 10) a
+         |  FULL OUTER JOIN (SELECT * FROM btop WHERE rk <= 10) b
+         |  USING (qid, doc_id))
+         |SELECT qid, rk, doc_id, rrf, rk_bm25, rk_tf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, doc_id)::INT AS rk FROM fused)
+         |WHERE rk <= 10""".stripMargin
+  )
+}
