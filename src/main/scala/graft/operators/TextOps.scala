@@ -982,6 +982,122 @@ object TextOps {
         .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
           length(col("c")).as("chunk_len"),
           DedupOps.digest(col("c")).as("chunk_digest"))
+    },
+    "bigram_logprob" -> { (s, d) =>
+      // bigram-LM quality score — unigram_logprob's discipline one
+      // order up (the KenLM-style conditional-perplexity signal):
+      // per-bigram surprisal is the INTEGER floor(log2(c(a)/c(a,b)))
+      // via bitlength on the exact integer quotient, so the per-doc
+      // sum is a LONG — addition-order-free, repartition-stable, and
+      // bit-identical in DuckDB. The model is the production shape: a
+      // top-M bigram table (count desc, pair asc — deterministic
+      // ties) with per-context totals, plus an OOV floor of
+      // floor(log2(total_bigrams)). Model is BOUNDED and BROADCAST —
+      // the corpus bigram stream is never shuffled to score it; the
+      // only row-scaled shuffle is the map-side-combined per-doc
+      // aggregate. M = 64 < the fixture's ~31² observed pairs, so the
+      // OOV path is exercised under oracle parity.
+      import graft.functions.VectorOps.{ilog2, rIeee}
+      val M = 64
+      val bg = DedupOps.spread(Tables.documents(s, d))
+        .select(col("doc_id"), wordsCol(col("text")).as("w"))
+        .where(size(col("w")) >= 2) // Spark sequence(1,0) DESCENDS
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) as a, element_at(w, i + 1) as b))"))
+          .as("g"))
+        .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+      // one materialized pass builds the model; tot/c1/top all derive
+      // from the pinned vocab²-bounded frequency table (unigram_logprob's
+      // freq-pin rationale)
+      val freq = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = freq.agg(sum(col("c")).as("total"))
+      val c1 = freq.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+      val sb = freq.orderBy(col("c").desc, col("a"), col("b")).limit(M)
+        .join(c1, Seq("a"))
+        .select(col("a"), col("b"), ilog2(expr("ca div c")).as("sb"))
+      val oov = tot.select(ilog2(col("total")).as("sb_oov"))
+      bg.join(broadcast(sb), Seq("a", "b"), "left")
+        .crossJoin(broadcast(oov))
+        .select(col("doc_id"), coalesce(col("sb"), col("sb_oov")).as("sbv"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("sbv")).as("sum_surprisal"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_surprisal"),
+          rIeee(col("sum_surprisal").cast("double") / col("n_bigrams"), 4)
+            .as("mean_surprisal"))
+    },
+    "vocab_coverage" -> { (s, d) =>
+      // tokenizer/vocab fit report: per-language token coverage against
+      // the corpus top-V vocabulary — the go/no-go check before
+      // committing a fixed vocab (or tokenizer merge table) to a
+      // multilingual corpus. V = 16 < the fixture's 31 distinct tokens
+      // so the OOV legs are genuinely exercised. Vocab is bounded and
+      // BROADCAST; the token stream meets it map-side and collapses in
+      // a map-side-combined per-lang aggregate — the lang domain is
+      // O(languages), so the final shuffle is O(1) rows per partition.
+      import graft.functions.VectorOps.rIeee
+      val V = 16
+      def tok = DedupOps.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          explode(wordsCol(col("text"))).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(V)
+        .select(col("w"), lit(1).as("iv"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(col("iv")).as("n_invocab"),
+          countDistinct(when(col("iv").isNull, col("w"))).as("n_oov_types"))
+        .select(col("lang"), col("n_tokens"), col("n_invocab"),
+          col("n_oov_types"),
+          rIeee(col("n_invocab").cast("double") / col("n_tokens"), 6)
+            .as("coverage"))
+    },
+    "cooccur_lift" -> { (s, d) =>
+      // within-document co-occurrence lift (exact-rational PMI up to
+      // the log): lift(a,b) = N·c(ab) / (c(a)·c(b)) over document
+      // presence counts, restricted to the corpus top-V vocabulary so
+      // the pair domain is DATA-INDEPENDENTLY bounded (V²/2 — the
+      // all-pairs explosion a 100 TB vocabulary would otherwise be).
+      // The log is deliberately NOT applied: lift's integer numerator/
+      // denominator make the score an exact one-step IEEE division,
+      // bit-stable cross-engine, and rank-equivalent to PMI. The only
+      // row-scaled shuffle is the per-doc distinct + doc_id self-join
+      // (≤ V rows per doc on both sides); marginals are V-row
+      // broadcasts.
+      import graft.functions.VectorOps.rIeee
+      val V = 16
+      val docs = Tables.documents(s, d)
+      val tok = DedupOps.spread(docs)
+        .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(V).select(col("w"))
+      // pinned: ≤ V narrow rows per doc, reused by the pair self-join
+      // (both sides) and the marginal counts
+      val td = tok.select(col("doc_id"), col("w")).distinct()
+        .join(broadcast(vocab), Seq("w")).localCheckpoint()
+      val ca = td.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val pairs = td.select(col("doc_id"), col("w").as("term_a"))
+        .join(td.select(col("doc_id"), col("w").as("term_b")), Seq("doc_id"))
+        .where(col("term_a") < col("term_b"))
+        .groupBy(col("term_a"), col("term_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(ca.select(col("w").as("term_a"), col("n").as("n_a"))),
+          Seq("term_a"))
+        .join(broadcast(ca.select(col("w").as("term_b"), col("n").as("n_b"))),
+          Seq("term_b"))
+        .crossJoin(broadcast(nDocs))
+        .where(col("n_ab") >= 5)
+        .select(col("term_a"), col("term_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          rIeee((col("n_docs") * col("n_ab")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+        .orderBy(col("lift").desc, col("term_a"), col("term_b"))
+        .limit(50)
     }
   )
 
@@ -1268,6 +1384,61 @@ object TextOps {
         |FROM (SELECT doc_id, i, substring(text, (i * 150 + 1)::INT, 200) AS c
         |      FROM (SELECT doc_id, text,
         |              unnest(generate_series(0, (length(text) - 1) // 150)) AS i
-        |            FROM documents WHERE length(text) > 0))""".stripMargin
+        |            FROM documents WHERE length(text) > 0))""".stripMargin,
+    "bigram_logprob" ->
+      s"""WITH w0 AS (SELECT doc_id, $wSql AS w FROM documents),
+         |bg AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
+         |       FROM w0, unnest(generate_series(1, len(w) - 1)) AS g(i)
+         |       WHERE len(w) >= 2),
+         |freq AS (SELECT a, b, count(*)::BIGINT AS c FROM bg GROUP BY a, b),
+         |tot AS (SELECT sum(c)::BIGINT AS total FROM freq),
+         |c1 AS (SELECT a, sum(c)::BIGINT AS ca FROM freq GROUP BY a),
+         |sb AS (SELECT t.a, t.b, (length(bin(ca // c)) - 1)::BIGINT AS sb
+         |       FROM (SELECT a, b, c FROM freq
+         |             ORDER BY c DESC, a, b LIMIT 64) t
+         |       JOIN c1 USING (a)),
+         |oov AS (SELECT (length(bin(total)) - 1)::BIGINT AS sb_oov FROM tot)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |       sum(coalesce(sb, sb_oov))::BIGINT AS sum_surprisal,
+         |       ${graft.functions.VectorSql.rIeee(
+              "sum(coalesce(sb, sb_oov))::DOUBLE / count(*)", 4)}
+         |         AS mean_surprisal
+         |FROM bg LEFT JOIN sb USING (a, b) CROSS JOIN oov
+         |GROUP BY doc_id""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($wSql) AS w FROM documents),
+         |vocab AS (SELECT w, 1 AS iv FROM (
+         |  SELECT w, count(*) AS c FROM tok GROUP BY w
+         |  ORDER BY c DESC, w LIMIT 16))
+         |SELECT lang, count(*)::BIGINT AS n_tokens,
+         |       count(iv)::BIGINT AS n_invocab,
+         |       count(DISTINCT CASE WHEN iv IS NULL THEN w END)::BIGINT
+         |         AS n_oov_types,
+         |       ${graft.functions.VectorSql.rIeee(
+              "count(iv)::DOUBLE / count(*)", 6)} AS coverage
+         |FROM tok LEFT JOIN vocab USING (w)
+         |GROUP BY lang""".stripMargin,
+    "cooccur_lift" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wSql) AS w FROM documents),
+         |vocab AS (SELECT w FROM (
+         |  SELECT w, count(*) AS c FROM tok GROUP BY w
+         |  ORDER BY c DESC, w LIMIT 16)),
+         |td AS (SELECT DISTINCT doc_id, w FROM tok JOIN vocab USING (w)),
+         |ca AS (SELECT w, count(*)::BIGINT AS n FROM td GROUP BY w),
+         |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |pairs AS (SELECT x.w AS term_a, y.w AS term_b,
+         |                 count(*)::BIGINT AS n_ab
+         |          FROM td x JOIN td y
+         |            ON x.doc_id = y.doc_id AND x.w < y.w
+         |          GROUP BY x.w, y.w)
+         |SELECT term_a, term_b, n_ab, a.n AS n_a, b.n AS n_b,
+         |       ${graft.functions.VectorSql.rIeee(
+              "(n_docs * n_ab)::DOUBLE / (a.n * b.n)::DOUBLE", 6)} AS lift
+         |FROM pairs
+         |JOIN ca a ON pairs.term_a = a.w
+         |JOIN ca b ON pairs.term_b = b.w
+         |CROSS JOIN n
+         |WHERE n_ab >= 5
+         |ORDER BY lift DESC, term_a, term_b LIMIT 50""".stripMargin
   )
 }
