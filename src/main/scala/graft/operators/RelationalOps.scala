@@ -812,6 +812,108 @@ object RelationalOps {
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("sess_start"),
           col("n_events"), col("sum_value"))
+    },
+    "timeseries_fill" -> { (s, d) =>
+      // per-entity hourly resample + forward fill — the gap-filling
+      // regularization every downstream feature/training job needs over
+      // an irregular event stream. Observed buckets keep EXACT integer
+      // arithmetic (per-value milli-quantization before the LONG sum, so
+      // the bucket aggregate is addition-order-free; the bucket average
+      // is one exact integer-to-double division). The hour grid is an
+      // explode of each entity's [min, max] bucket range — output volume
+      // is entities × time-range, data-independent per entity — and the
+      // fill is last-non-null over a user-partitioned window: one
+      // shuffle on user_id, partition-parallel at any entity count.
+      // All-NULL-value buckets stay observations (n_obs counts rows) but
+      // carry no average, so the fill carries the prior value across
+      // them — mirrored exactly in the oracle.
+      val HR = 3600L * 1000 * 1000 * 1000
+      val obs = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts div $HR").as("hr"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(count(lit(1)).as("n_obs"), sum(col("vm")).as("sum_milli"),
+          count(col("vm")).as("n_val"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "hr"), "left")
+        .withColumn("avg_milli",
+          col("sum_milli").cast("double") / col("n_val"))
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          last(col("avg_milli"), ignoreNulls = true).over(w)
+            .as("value_filled"),
+          col("n_obs").isNull.as("is_gap"))
+    },
+    "grouping_sets_agg" -> { (s, d) =>
+      // non-hierarchical multi-set aggregate — the one grouping topology
+      // ROLLUP (rollup_agg) and CUBE (cube_agg) can't express:
+      // per-returnflag AND per-linestatus marginals in ONE corpus pass
+      // (Expand + a single hash aggregate, vs two scans + a union).
+      // Measures stay exact: quantities are integer-valued doubles
+      // (exact LONG-range sums), price is milli-quantized to cents
+      // before the LONG sum. gid is the standard grouping bit vector
+      // (first grouping column = MSB — verified identical in DuckDB).
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("sum_price_cents"))
+    },
+    "merge_upsert" -> { (s, d) =>
+      // SCD1 MERGE (the lakehouse MERGE INTO): apply the second half of
+      // the changelog onto the compacted state at the cutoff, with
+      // 'error' events acting as delete markers. Emits one row per key
+      // seen on either side, carrying the merge ACTION (keep / insert /
+      // update / delete / noop) plus the post-merge state — the full
+      // audit a pipeline team reconciles against. Both sides are the
+      // compact_changelog single-shuffle max-struct aggregate (never a
+      // per-key sort of the full log); the merge itself is one
+      // user_id-partitioned full-outer join. Deterministic: the struct
+      // comparison resolves on the unique (ts_us, event_id) prefix.
+      val CUT = 1705363200000000L // 2024-01-16T00:00:00Z, µs
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+      def lastPer(df: DataFrame): DataFrame = df
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+          col("value"))).as("l"))
+        .select(col("user_id"), col("l.event_id").as("event_id"),
+          col("l.event_type").as("event_type"),
+          round(col("l.value"), 2).as("value"))
+      val base = lastPer(ev.where(col("ts_us") <= CUT))
+        .select(col("user_id"), col("event_id").as("b_event_id"),
+          col("event_type").as("b_type"), col("value").as("b_value"))
+      val delta = lastPer(ev.where(col("ts_us") > CUT))
+        .select(col("user_id"), col("event_id").as("d_event_id"),
+          col("event_type").as("d_type"), col("value").as("d_value"))
+      val action = when(col("d_event_id").isNull, "keep")
+        .when(col("d_type") === "error",
+          when(col("b_event_id").isNull, "noop").otherwise("delete"))
+        .when(col("b_event_id").isNull, "insert")
+        .otherwise("update")
+      base.join(delta, Seq("user_id"), "full_outer")
+        .withColumn("action", action)
+        .select(col("user_id"), col("action"),
+          when(col("action") === "keep", col("b_event_id"))
+            .when(col("action").isin("insert", "update"),
+              col("d_event_id"))
+            .otherwise(lit(-1L)).as("event_id"),
+          when(col("action") === "keep", col("b_type"))
+            .when(col("action").isin("insert", "update"), col("d_type"))
+            .otherwise(lit("none")).as("event_type"),
+          when(col("action") === "keep", col("b_value"))
+            .when(col("action").isin("insert", "update"), col("d_value"))
+            .as("value"))
     }
   )
 
@@ -1152,6 +1254,71 @@ object RelationalOps {
          |SELECT user_id, min(tus)::BIGINT AS sess_start,
          |       count(*)::BIGINT AS n_events,
          |       ${graft.functions.VectorSql.rIeee("sum(value)", 2)} AS sum_value
-         |FROM s GROUP BY user_id, sid""".stripMargin
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "timeseries_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr,
+        |         count(*)::BIGINT AS n_obs,
+        |         sum((floor(value * 1000))::BIGINT)::BIGINT AS sum_milli,
+        |         count(value)::BIGINT AS n_val
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(hr), max(hr))) AS hr
+        |  FROM obs GROUP BY user_id)
+        |SELECT g.user_id, g.hr,
+        |       coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+        |       last_value(o.sum_milli::DOUBLE / o.n_val IGNORE NULLS)
+        |         OVER (PARTITION BY g.user_id ORDER BY g.hr
+        |               ROWS UNBOUNDED PRECEDING) AS value_filled,
+        |       (o.n_obs IS NULL) AS is_gap
+        |FROM grid g LEFT JOIN obs o
+        |  ON g.user_id = o.user_id AND g.hr = o.hr""".stripMargin,
+    "grouping_sets_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |       count(*)::BIGINT AS n, sum(l_quantity) AS sum_qty,
+        |       sum((floor(l_extendedprice * 100))::BIGINT)::BIGINT
+        |         AS sum_price_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "merge_upsert" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                   event_type, value FROM events),
+        |base AS (SELECT user_id, event_id AS b_event_id,
+        |                event_type AS b_type, round(value, 2) AS b_value
+        |         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                 ORDER BY ts_us DESC, event_id DESC) AS rn
+        |               FROM ev WHERE ts_us <= 1705363200000000)
+        |         WHERE rn = 1),
+        |delta AS (SELECT user_id, event_id AS d_event_id,
+        |                 event_type AS d_type, round(value, 2) AS d_value
+        |          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                  ORDER BY ts_us DESC, event_id DESC) AS rn
+        |                FROM ev WHERE ts_us > 1705363200000000)
+        |          WHERE rn = 1),
+        |j AS (SELECT coalesce(b.user_id, dl.user_id) AS user_id,
+        |             b_event_id, b_type, b_value,
+        |             d_event_id, d_type, d_value
+        |      FROM base b FULL OUTER JOIN delta dl
+        |        ON b.user_id = dl.user_id),
+        |a AS (SELECT *,
+        |        CASE WHEN d_event_id IS NULL THEN 'keep'
+        |             WHEN d_type = 'error' THEN
+        |               CASE WHEN b_event_id IS NULL THEN 'noop'
+        |                    ELSE 'delete' END
+        |             WHEN b_event_id IS NULL THEN 'insert'
+        |             ELSE 'update' END AS action
+        |      FROM j)
+        |SELECT user_id, action,
+        |  CASE WHEN action = 'keep' THEN b_event_id
+        |       WHEN action IN ('insert', 'update') THEN d_event_id
+        |       ELSE -1 END AS event_id,
+        |  CASE WHEN action = 'keep' THEN b_type
+        |       WHEN action IN ('insert', 'update') THEN d_type
+        |       ELSE 'none' END AS event_type,
+        |  CASE WHEN action = 'keep' THEN b_value
+        |       WHEN action IN ('insert', 'update') THEN d_value
+        |       END AS value
+        |FROM a""".stripMargin
   )
 }

@@ -1098,6 +1098,62 @@ object TextOps {
             (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
         .orderBy(col("lift").desc, col("term_a"), col("term_b"))
         .limit(50)
+    },
+    "html_extract" -> { (s, d) =>
+      // web-corpus main-content extraction: tag strip → entity decode →
+      // whitespace collapse, plus anchor-text link density (the
+      // boilerplate signal) and tag count — one narrow zero-shuffle
+      // codegen projection, the only acceptable shape for per-page
+      // extraction at crawl scale. FIXTURE SHIM: the corpus carries no
+      // markup, so a deterministic HTML rendering is synthesized
+      // in-query from (doc_id, text, source); the extraction pipeline
+      // then runs for real and the oracle re-runs it on the identical
+      // rendering. Patterns stay in the Java∩RE2 common dialect.
+      import graft.functions.VectorOps.rIeee
+      val html = concat(lit("<html><body><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+        lit("</p><a href=\"https://corpus.example/"), col("source"),
+        lit("\">"), col("source"),
+        lit(" home</a>&nbsp;&amp; more</body></html>"))
+      val clean = trim(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(html, "<[^>]*>", " "),
+        "&nbsp;", " "), "&amp;", "&"), "\\s+", " "))
+      val anchor = regexp_extract(html, "<a [^>]*>([^<]*)</a>", 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(html, lit("<[^>]*>")).cast("long").as("n_tags"),
+          clean.as("clean"), anchor.as("anchor_text"))
+        .select(col("doc_id"), col("n_tags"),
+          length(col("clean")).as("clean_len"),
+          rIeee(length(col("anchor_text")).cast("double") /
+            length(col("clean")), 6).as("link_density"),
+          col("anchor_text"), DedupOps.digest(col("clean"))
+            .as("clean_digest"))
+    },
+    "sample_weighted" -> { (s, d) =>
+      // Efraimidis–Spirakis weighted sampling without replacement
+      // (A-ES): keep the K docs with the largest u^(1/w), weight w =
+      // doc length — the standard deterministic-seed recipe for
+      // length-weighted corpus subsampling. u is the hash uniform
+      // ([[graft.functions.VectorOps.unitUniform]]), so the draw is
+      // reproducible and oracle-checkable. pow is the one
+      // transcendental: safe here because NO float is emitted (rank
+      // and membership only) and key gaps between N hash-uniform draws
+      // (~1/N²) are orders of magnitude above cross-engine pow ULP
+      // error, so ordering cannot flip. Plan: TakeOrderedAndProject
+      // (per-partition top-K + merge — no global sort); the ranking
+      // window runs over the K survivors only.
+      import graft.functions.VectorOps.unitUniform
+      val K = 200
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          pow(unitUniform(col("doc_id")),
+            lit(1.0) / greatest(col("n_chars"), lit(1L)).cast("double"))
+            .as("k"))
+        .orderBy(col("k").desc, col("doc_id")).limit(K)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("k").desc, col("doc_id"))))
+        .select(col("rk"), col("doc_id"), col("n_chars"))
     }
   )
 
@@ -1439,6 +1495,37 @@ object TextOps {
          |JOIN ca b ON pairs.term_b = b.w
          |CROSS JOIN n
          |WHERE n_ab >= 5
-         |ORDER BY lift DESC, term_a, term_b LIMIT 50""".stripMargin
+         |ORDER BY lift DESC, term_a, term_b LIMIT 50""".stripMargin,
+    "html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || text
+         |  || '</p><a href="https://corpus.example/' || source || '">'
+         |  || source || ' home</a>&nbsp;&amp; more</body></html>' AS html
+         |  FROM documents),
+         |c AS (SELECT doc_id, html,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(html, '<[^>]*>', ' ', 'g'),
+         |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+         |    '\\s+', ' ', 'g')) AS clean,
+         |  regexp_extract(html, '<a [^>]*>([^<]*)</a>', 1) AS anchor_text
+         |  FROM h)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(html, '<[^>]*>'))::BIGINT AS n_tags,
+         |  length(clean)::INT AS clean_len,
+         |  ${graft.functions.VectorSql.rIeee(
+            "length(anchor_text)::DOUBLE / length(clean)", 6)}
+         |    AS link_density,
+         |  anchor_text, md5(clean) AS clean_digest
+         |FROM c""".stripMargin,
+    "sample_weighted" ->
+      s"""SELECT rk, doc_id, n_chars FROM (
+         |  SELECT doc_id, n_chars,
+         |    row_number() OVER (ORDER BY pow(u, 1.0 / w) DESC, doc_id)::INT
+         |      AS rk
+         |  FROM (SELECT doc_id, n_chars,
+         |          greatest(n_chars, 1)::DOUBLE AS w,
+         |          ${graft.functions.VectorSql.unitUniform("doc_id")} AS u
+         |        FROM documents))
+         |WHERE rk <= 200""".stripMargin
   )
 }
