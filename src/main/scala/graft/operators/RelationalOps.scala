@@ -827,27 +827,7 @@ object RelationalOps {
       // All-NULL-value buckets stay observations (n_obs counts rows) but
       // carry no average, so the fill carries the prior value across
       // them — mirrored exactly in the oracle.
-      val HR = 3600L * 1000 * 1000 * 1000
-      val obs = Tables.events(s, d)
-        .select(col("user_id"), expr(s"ts div $HR").as("hr"),
-          floor(col("value") * 1000).cast("long").as("vm"))
-        .groupBy(col("user_id"), col("hr"))
-        .agg(count(lit(1)).as("n_obs"), sum(col("vm")).as("sum_milli"),
-          count(col("vm")).as("n_val"))
-      val grid = obs.groupBy(col("user_id"))
-        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-        .select(col("user_id"),
-          explode(sequence(col("h0"), col("h1"))).as("hr"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(obs, Seq("user_id", "hr"), "left")
-        .withColumn("avg_milli",
-          col("sum_milli").cast("double") / col("n_val"))
-        .select(col("user_id"), col("hr"),
-          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-          last(col("avg_milli"), ignoreNulls = true).over(w)
-            .as("value_filled"),
-          col("n_obs").isNull.as("is_gap"))
+      fillHourly(Tables.events(s, d))
     },
     "grouping_sets_agg" -> { (s, d) =>
       // non-hierarchical multi-set aggregate — the one grouping topology
@@ -879,43 +859,78 @@ object RelationalOps {
       // per-key sort of the full log); the merge itself is one
       // user_id-partitioned full-outer join. Deterministic: the struct
       // comparison resolves on the unique (ts_us, event_id) prefix.
-      val CUT = 1705363200000000L // 2024-01-16T00:00:00Z, µs
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-          col("event_id"), col("event_type"), col("value"))
-      def lastPer(df: DataFrame): DataFrame = df
-        .groupBy(col("user_id"))
-        .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
-          col("value"))).as("l"))
-        .select(col("user_id"), col("l.event_id").as("event_id"),
-          col("l.event_type").as("event_type"),
-          round(col("l.value"), 2).as("value"))
-      val base = lastPer(ev.where(col("ts_us") <= CUT))
-        .select(col("user_id"), col("event_id").as("b_event_id"),
-          col("event_type").as("b_type"), col("value").as("b_value"))
-      val delta = lastPer(ev.where(col("ts_us") > CUT))
-        .select(col("user_id"), col("event_id").as("d_event_id"),
-          col("event_type").as("d_type"), col("value").as("d_value"))
-      val action = when(col("d_event_id").isNull, "keep")
-        .when(col("d_type") === "error",
-          when(col("b_event_id").isNull, "noop").otherwise("delete"))
-        .when(col("b_event_id").isNull, "insert")
-        .otherwise("update")
-      base.join(delta, Seq("user_id"), "full_outer")
-        .withColumn("action", action)
-        .select(col("user_id"), col("action"),
-          when(col("action") === "keep", col("b_event_id"))
-            .when(col("action").isin("insert", "update"),
-              col("d_event_id"))
-            .otherwise(lit(-1L)).as("event_id"),
-          when(col("action") === "keep", col("b_type"))
-            .when(col("action").isin("insert", "update"), col("d_type"))
-            .otherwise(lit("none")).as("event_type"),
-          when(col("action") === "keep", col("b_value"))
-            .when(col("action").isin("insert", "update"), col("d_value"))
-            .as("value"))
+      mergeActions(
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("event_type"), col("value")),
+        1705363200000000L) // 2024-01-16T00:00:00Z, µs
     }
   )
+
+  /** Core of `timeseries_fill` (factored so OperatorSpec can drive it
+    * over a constructed stream with hand-computed gaps/fills): hourly
+    * resample + forward fill of an events relation with `ts` in epoch
+    * nanos. */
+  private[graft] def fillHourly(events: DataFrame): DataFrame = {
+    val HR = 3600L * 1000 * 1000 * 1000
+    val obs = events
+      .select(col("user_id"), expr(s"ts div $HR").as("hr"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("vm")).as("sum_milli"),
+        count(col("vm")).as("n_val"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "hr"), "left")
+      .withColumn("avg_milli",
+        col("sum_milli").cast("double") / col("n_val"))
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("avg_milli"), ignoreNulls = true).over(w)
+          .as("value_filled"),
+        col("n_obs").isNull.as("is_gap"))
+  }
+
+  /** Core of `merge_upsert` (factored so OperatorSpec can exercise all
+    * five merge actions on a constructed changelog): SCD1 MERGE of the
+    * post-cutoff half of an `(user_id, ts_us, event_id, event_type,
+    * value)` changelog onto the compacted pre-cutoff state. */
+  private[graft] def mergeActions(ev: DataFrame, cut: Long): DataFrame = {
+    def lastPer(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+        col("value"))).as("l"))
+      .select(col("user_id"), col("l.event_id").as("event_id"),
+        col("l.event_type").as("event_type"),
+        round(col("l.value"), 2).as("value"))
+    val base = lastPer(ev.where(col("ts_us") <= cut))
+      .select(col("user_id"), col("event_id").as("b_event_id"),
+        col("event_type").as("b_type"), col("value").as("b_value"))
+    val delta = lastPer(ev.where(col("ts_us") > cut))
+      .select(col("user_id"), col("event_id").as("d_event_id"),
+        col("event_type").as("d_type"), col("value").as("d_value"))
+    val action = when(col("d_event_id").isNull, "keep")
+      .when(col("d_type") === "error",
+        when(col("b_event_id").isNull, "noop").otherwise("delete"))
+      .when(col("b_event_id").isNull, "insert")
+      .otherwise("update")
+    base.join(delta, Seq("user_id"), "full_outer")
+      .withColumn("action", action)
+      .select(col("user_id"), col("action"),
+        when(col("action") === "keep", col("b_event_id"))
+          .when(col("action").isin("insert", "update"), col("d_event_id"))
+          .otherwise(lit(-1L)).as("event_id"),
+        when(col("action") === "keep", col("b_type"))
+          .when(col("action").isin("insert", "update"), col("d_type"))
+          .otherwise(lit("none")).as("event_type"),
+        when(col("action") === "keep", col("b_value"))
+          .when(col("action").isin("insert", "update"), col("d_value"))
+          .as("value"))
+  }
 
   /** PRODUCTION sketch projections, benched but not oracle-declared: the
     * pure one-pass mergeable-summary plans a 100 TB pipeline would run

@@ -46,10 +46,11 @@ object RetrievalOps {
   /** Per-(qid, term, doc) term frequencies with doc length, for query
     * terms only. The broadcast join prunes the exploded token stream
     * map-side; only matching (query-term, doc) rows reach the shuffle. */
-  private def termMatches(s: SparkSession, d: String): DataFrame = {
+  private[graft] def termMatches(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val q = QUERIES.toDF("qid", "term")
-    DedupOps.spread(Tables.documents(s, d))
+    DedupOps.spread(docs)
       .select(col("doc_id"), wordsCol(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).as("dl"),
         explode(col("w")).as("term"))
@@ -60,8 +61,8 @@ object RetrievalOps {
 
   /** O(1) corpus stats (doc count, total token count) for the BM25
     * length normalization. */
-  private def corpusStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def corpusStats(docs: DataFrame): DataFrame =
+    docs
       .select(size(wordsCol(col("text"))).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
@@ -70,7 +71,7 @@ object RetrievalOps {
     * shape): phase 1 ranks within (qid, doc_id % SALT) and keeps k per
     * salt lane, phase 2 ranks the ≤ SALT·k survivors — identical
     * result to one global window, no per-query reducer funnel. */
-  private def topKPerQid(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQid(scored: DataFrame, k: Int): DataFrame = {
     val ord: Seq[Column] = Seq(col("score").desc, col("doc_id"))
     val w1 = Window.partitionBy(col("qid"), pmod(col("doc_id"), lit(SALT)))
       .orderBy(ord: _*)
@@ -83,8 +84,8 @@ object RetrievalOps {
   /** BM25 (k1 = 1.2, b = 0.75, Lucene-style idf = log2(1 + (N−df+0.5)
     * /(df+0.5)) via Mitchell log2 on a 2^20-scaled integer argument)
     * aggregated per (qid, doc) as an integer-micros sum. */
-  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
-    val tm = termMatches(s, d)
+  private[graft] def bm25Scored(docs: DataFrame): DataFrame = {
+    val tm = termMatches(docs)
     val dfT = tm.select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     // idf ratio (≥ 1) scaled into the integer domain for the exact log2
@@ -98,7 +99,7 @@ object RetrievalOps {
           (col("dl").cast("double") /
             (col("tot_dl").cast("double") / col("n_docs").cast("double")))))
     tm.join(broadcast(dfT), Seq("term"))
-      .crossJoin(broadcast(corpusStats(s, d)))
+      .crossJoin(broadcast(corpusStats(docs)))
       .select(col("qid"), col("doc_id"),
         floor(idf2 * tfnorm * lit(1000000.0)).cast("long").as("sm"))
       .groupBy(col("qid"), col("doc_id"))
@@ -108,14 +109,14 @@ object RetrievalOps {
   /** Plain summed-tf ranking — the second (boolean/tf) system fused by
     * `rank_fusion`; shares [[termMatches]] so the two systems see the
     * same candidate set. */
-  private def tfScored(s: SparkSession, d: String): DataFrame =
-    termMatches(s, d)
+  private[graft] def tfScored(docs: DataFrame): DataFrame =
+    termMatches(docs)
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("tf")).as("score"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> { (s, d) =>
-      topKPerQid(bm25Scored(s, d), TOPK)
+      topKPerQid(bm25Scored(Tables.documents(s, d)), TOPK)
         .select(col("qid"), col("rk"), col("doc_id"), col("n_terms"),
           col("score"))
     },
@@ -127,9 +128,9 @@ object RetrievalOps {
       // lists are O(queries·k) and meet in a tiny full-outer join).
       // 1/(60+rk) is one exact IEEE division and the fused score adds
       // exactly two such terms in fixed order — bit-stable cross-engine.
-      val a = topKPerQid(bm25Scored(s, d), TOPK)
+      val a = topKPerQid(bm25Scored(Tables.documents(s, d)), TOPK)
         .select(col("qid"), col("doc_id"), col("rk").as("rk_bm25"))
-      val b = topKPerQid(tfScored(s, d), TOPK)
+      val b = topKPerQid(tfScored(Tables.documents(s, d)), TOPK)
         .select(col("qid"), col("doc_id"), col("rk").as("rk_tf"))
       val fused = a.join(b, Seq("qid", "doc_id"), "full_outer")
         .select(col("qid"), col("doc_id"), col("rk_bm25"), col("rk_tf"),

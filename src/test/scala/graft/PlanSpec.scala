@@ -640,4 +640,38 @@ class PlanSpec extends SparkSpec {
     assert(graft.operators.SimilarityOps.bucketCol(col("v"), 64, 12, 0)
       .toString.toLowerCase.contains("signbucket"))
   }
+
+  test("bm25_topk: query set meets the corpus as a broadcast, never a cartesian") {
+    val plan = executed("bm25_topk")
+    // the exploded token stream is pruned map-side by a broadcast hash
+    // join against the literal query table — the corpus never shuffles
+    // wholesale; only matched (query-term, doc) rows reach the tf agg
+    assert(plan.contains("BroadcastHashJoin"), "query set is not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    // no per-query reducer funnel: every ranking shuffle is preceded by
+    // a map-side partial group limit (Spark 4's WindowGroupLimit caps
+    // each input partition at k rows BEFORE the exchange; the salted
+    // phase-1 window compiles into the same shape with its salt
+    // projected as a grouping column)
+    assert(plan.contains("row_number(), 10, Partial"),
+      "map-side top-k pruning missing before the ranking shuffle")
+  }
+
+  test("sample_weighted is TakeOrdered, not a global sort") {
+    val plan = executed("sample_weighted")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "weighted sample must be per-partition top-K + merge")
+  }
+
+  test("grouping_sets_agg is one Expand over one corpus pass") {
+    val plan = executed("grouping_sets_agg")
+    assert(plan.contains("Expand"), "grouping sets must plan as Expand")
+    assert(plan.split("Scan parquet", -1).length - 1 == 1,
+      "marginals must share a single scan, not one per grouping set")
+  }
+
+  test("html_extract is a zero-shuffle narrow projection") {
+    assert(!executed("html_extract").contains("Exchange"),
+      "per-page extraction must not shuffle at crawl scale")
+  }
 }
