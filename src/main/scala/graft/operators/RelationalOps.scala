@@ -864,6 +864,31 @@ object RelationalOps {
           .select(col("user_id"), expr("ts div 1000").as("ts_us"),
             col("event_id"), col("event_type"), col("value")),
         1705363200000000L) // 2024-01-16T00:00:00Z, µs
+    },
+    "dataset_diff" -> { (s, d) =>
+      // dataset-version diff — the release-gate report between two
+      // corpus snapshots: added / removed / changed / same per doc,
+      // compared BY DIGEST so the join carries two narrow (id, hash)
+      // relations, never the payloads. One full-outer shuffle on the
+      // id (co-partitioned snapshot layouts would even elide that).
+      // FIXTURE SHIM: the fixtures ship one corpus version, so v1/v2
+      // are synthesized deterministically from it (v1 drops doc_id ≡ 0
+      // mod 10; v2 drops ≡ 0 mod 7 and edits ≡ 0 mod 5) — every
+      // status arm is exercised under oracle parity.
+      val docs = Tables.documents(s, d)
+      val v1 = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"), DedupOps.digest(col("text")).as("d1"))
+      val v2 = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"), DedupOps.digest(
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("d2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("d2").isNull, "removed")
+            .when(col("d1").isNull, "added")
+            .when(col("d1") =!= col("d2"), "changed")
+            .otherwise("same").as("status"))
     }
   )
 
@@ -1334,6 +1359,19 @@ object RelationalOps {
         |  CASE WHEN action = 'keep' THEN b_value
         |       WHEN action IN ('insert', 'update') THEN d_value
         |       END AS value
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "dataset_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents
+        |            WHERE doc_id % 10 <> 0),
+        |v2 AS (SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |                  ELSE text END) AS d2
+        |       FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |       CASE WHEN d2 IS NULL THEN 'removed'
+        |            WHEN d1 IS NULL THEN 'added'
+        |            WHEN d1 <> d2 THEN 'changed'
+        |            ELSE 'same' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin
   )
 }

@@ -1154,6 +1154,33 @@ object TextOps {
         .withColumn("rk",
           row_number().over(Window.orderBy(col("k").desc, col("doc_id"))))
         .select(col("rk"), col("doc_id"), col("n_chars"))
+    },
+    "length_histogram" -> { (s, d) =>
+      // corpus length profile on a log2 grid — the first chart any
+      // curation review opens (truncation/padding budgeting, crawler
+      // pathology spotting). Bucket = bitlength(n_chars + 1) − 1, i.e.
+      // doc lengths [2^b − 1, 2^(b+1) − 2] — pure integer arithmetic,
+      // and the bucket DOMAIN is data-independently ≤ 63 rows whatever
+      // the corpus size, so the share/cumulative stage (one unpartitioned
+      // window + a 1-row broadcast total) runs on a bounded relation.
+      // The only row-scaled work is one map-side-combined aggregate.
+      import graft.functions.VectorOps.{ilog2, rIeee}
+      val counts = Tables.documents(s, d)
+        .select(ilog2(col("n_chars") + 1).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("total"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("cum_docs",
+          sum(col("n_docs")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("bucket"),
+          (pow(lit(2.0), col("bucket").cast("double")).cast("long") - 1)
+            .as("lo_chars"),
+          col("n_docs"),
+          rIeee(col("n_docs").cast("double") / col("total"), 6)
+            .as("share"),
+          rIeee(col("cum_docs").cast("double") / col("total"), 6)
+            .as("cum_share"))
     }
   )
 
@@ -1526,6 +1553,20 @@ object TextOps {
          |          greatest(n_chars, 1)::DOUBLE AS w,
          |          ${graft.functions.VectorSql.unitUniform("doc_id")} AS u
          |        FROM documents))
-         |WHERE rk <= 200""".stripMargin
+         |WHERE rk <= 200""".stripMargin,
+    "length_histogram" ->
+      s"""WITH c AS (
+         |  SELECT ${graft.functions.VectorSql.ilog2("n_chars + 1")} AS bucket,
+         |         count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT sum(n_docs)::BIGINT AS total FROM c)
+         |SELECT bucket, ((1::BIGINT << bucket) - 1)::BIGINT AS lo_chars,
+         |       n_docs,
+         |       ${graft.functions.VectorSql.rIeee(
+            "n_docs::DOUBLE / total", 6)} AS share,
+         |       ${graft.functions.VectorSql.rIeee(
+            "(sum(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))"
+              + "::DOUBLE / total", 6)} AS cum_share
+         |FROM c CROSS JOIN t""".stripMargin
   )
 }

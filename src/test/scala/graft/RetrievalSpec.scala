@@ -196,6 +196,39 @@ class RetrievalSpec extends SparkSpec {
       (6L, "update", 63L, "click", Some(3.0))))
   }
 
+  test("length_histogram: buckets partition the corpus; cumulative closes at 1") {
+    val h = SparkEntry.queries("length_histogram")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    val total = Tables.documents(spark, sf).count()
+    assert(h.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(h.last.getAs[Double]("cum_share") == 1.0)
+    h.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("lo_chars") == (1L << b) - 1)
+      assert(r.getAs[Double]("share") ==
+        rIeeeS(r.getAs[Long]("n_docs").toDouble / total, 6))
+    }
+    // cum_share is non-decreasing across the (sorted) bucket domain
+    assert(h.map(_.getAs[Double]("cum_share")).toSeq ==
+      h.map(_.getAs[Double]("cum_share")).sorted.toSeq)
+  }
+
+  test("dataset_diff: statuses follow the version-shim arithmetic exactly") {
+    val rows = SparkEntry.queries("dataset_diff")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val n = Tables.documents(spark, sf).count()
+    (0L until n).foreach { id =>
+      val inV1 = id % 10 != 0
+      val inV2 = id % 7 != 0
+      val expect =
+        if (inV1 && !inV2) Some("removed")
+        else if (!inV1 && inV2) Some("added")
+        else if (inV1 && inV2) Some(if (id % 5 == 0) "changed" else "same")
+        else None // in neither version: absent from the diff
+      assert(rows.get(id) == expect, s"doc $id: ${rows.get(id)} vs $expect")
+    }
+  }
+
   test("grouping_sets_agg marginals equal their single-set groupBys") {
     val gs = SparkEntry.queries("grouping_sets_agg")(spark, sf).collect()
     assert(gs.map(_.getAs[Long]("gid")).toSet == Set(1L, 2L))
