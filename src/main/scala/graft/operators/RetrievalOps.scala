@@ -114,11 +114,70 @@ object RetrievalOps {
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("tf")).as("score"))
 
+  /** Fixed phrase workload for `phrase_search` — 2- and 3-word phrases
+    * over the fixture vocabulary (adjacent-pair hit rates ~1/31 per
+    * position, triple ~1/961, so both lengths get a real hit spread). */
+  private[graft] val PHRASES: Seq[(Int, String)] = Seq(
+    (1, "hash join"), (2, "sort merge"), (3, "the fast key"),
+    (4, "group query row"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> { (s, d) =>
       topKPerQid(bm25Scored(Tables.documents(s, d)), TOPK)
         .select(col("qid"), col("rk"), col("doc_id"), col("n_terms"),
           col("score"))
+    },
+    "phrase_search" -> { (s, d) =>
+      // exact phrase matching — the positional-postings capability BM25's
+      // bag-of-words scoring can't express: occurrence counts come from
+      // the native multiset word-shingler (adjacency IS the n-gram), so
+      // a phrase hit is a shingle equality, evaluated in one codegen
+      // pass. The phrase table is a bounded broadcast literal; the
+      // exploded shingle stream meets it map-side (only hits shuffle,
+      // ngram_topk's discipline) and per-(phrase, doc) counts rank
+      // through the map-side-capped top-k.
+      val s2 = org.apache.spark.sql.graft.WordShingles.all(col("text"), 2)
+      val s3 = org.apache.spark.sql.graft.WordShingles.all(col("text"), 3)
+      val p = { import s.implicits._; PHRASES.toDF("phrase_id", "phrase") }
+      val hits = DedupOps.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(concat(s2, s3)).as("g"))
+        .join(broadcast(p), col("g") === col("phrase"))
+        .groupBy(col("phrase_id"), col("phrase"), col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      topKPerQid(hits.select(col("phrase_id").as("qid"), col("phrase"),
+          col("doc_id"), col("n_hits").as("score")), 5)
+        .select(col("qid").as("phrase_id"), col("phrase"), col("rk"),
+          col("doc_id"), col("score").as("n_hits"))
+    },
+    "retrieval_eval" -> { (s, d) =>
+      // IR evaluation harness (the keyword twin of sim_topk_ivf_recall's
+      // held-out methodology): relevance is DETERMINISTIC boolean-AND —
+      // a doc is relevant iff it contains EVERY term of the query — so
+      // both engines derive identical qrels and the metrics themselves
+      // are oracle-checkable. Per query: relevant-set size, hits in the
+      // BM25 top-10, first relevant rank, precision@10, MRR — all exact
+      // integer counts + one exact division each. The ranked list is
+      // O(queries·k) and broadcast; the qrels aggregate is the only
+      // row-scaled shuffle.
+      val docs = Tables.documents(s, d)
+      val nt = { import s.implicits._
+        QUERIES.groupBy(_._1).view.mapValues(_.size).toSeq.toDF("qid", "nt") }
+      val rel = termMatches(docs)
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("nm"))
+        .join(broadcast(nt), Seq("qid"))
+        .where(col("nm") === col("nt"))
+        .select(col("qid"), col("doc_id"))
+      val ranked = topKPerQid(bm25Scored(docs), TOPK)
+        .select(col("qid"), col("doc_id"), col("rk"))
+      rel.join(broadcast(ranked), Seq("qid", "doc_id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_rel"), count(col("rk")).as("n_hits10"),
+          min(col("rk")).as("fr"))
+        .select(col("qid"), col("n_rel"), col("n_hits10"),
+          coalesce(col("fr"), lit(-1)).as("first_rank"),
+          (col("n_hits10").cast("double") / lit(10.0)).as("prec_at_10"),
+          coalesce(lit(1.0) / col("fr"), lit(0.0)).as("mrr"))
     },
     "rank_fusion" -> { (s, d) =>
       // reciprocal-rank fusion (RRF, k = 60) of the BM25 and summed-tf
@@ -178,11 +237,49 @@ object RetrievalOps {
        |             ORDER BY score DESC, doc_id)::INT AS rk
        |         FROM agg)""".stripMargin
 
+  private val pValues = PHRASES
+    .map { case (i, p) => s"($i, '$p')" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
     "bm25_topk" ->
       s"""WITH $bm25Ctes
          |SELECT qid, rk, doc_id, n_terms, score FROM atop
          |WHERE rk <= 10""".stripMargin,
+    "phrase_search" ->
+      s"""WITH p(phrase_id, phrase) AS (VALUES $pValues),
+         |w0 AS (SELECT doc_id, $wSql AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |        CASE WHEN len(w) >= 2
+         |          THEN list_transform(generate_series(1, len(w) - 1),
+         |               i -> concat_ws(' ', w[i], w[i+1]))
+         |          ELSE [] END
+         |        || CASE WHEN len(w) >= 3
+         |          THEN list_transform(generate_series(1, len(w) - 2),
+         |               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+         |          ELSE [] END) AS g
+         |      FROM w0),
+         |h AS (SELECT phrase_id, phrase, doc_id, count(*)::BIGINT AS n_hits
+         |      FROM g JOIN p ON g.g = p.phrase
+         |      GROUP BY phrase_id, phrase, doc_id)
+         |SELECT phrase_id, phrase, rk, doc_id, n_hits FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY phrase_id
+         |    ORDER BY n_hits DESC, doc_id)::INT AS rk FROM h)
+         |WHERE rk <= 5""".stripMargin,
+    "retrieval_eval" ->
+      s"""WITH $bm25Ctes,
+         |ntq AS (SELECT qid, count(*)::BIGINT AS nt FROM q GROUP BY qid),
+         |m AS (SELECT qid, doc_id, count(*)::BIGINT AS nm
+         |      FROM tm GROUP BY qid, doc_id),
+         |rel AS (SELECT m.qid, m.doc_id FROM m JOIN ntq USING (qid)
+         |        WHERE m.nm = ntq.nt),
+         |top AS (SELECT qid, doc_id, rk FROM atop WHERE rk <= 10)
+         |SELECT qid, count(*)::BIGINT AS n_rel,
+         |       count(rk)::BIGINT AS n_hits10,
+         |       coalesce(min(rk), -1)::INT AS first_rank,
+         |       count(rk)::DOUBLE / 10.0::DOUBLE AS prec_at_10,
+         |       coalesce(1.0::DOUBLE / min(rk), 0.0::DOUBLE) AS mrr
+         |FROM rel LEFT JOIN top USING (qid, doc_id)
+         |GROUP BY qid""".stripMargin,
     "rank_fusion" ->
       s"""WITH $bm25Ctes,
          |tfr AS (SELECT qid, doc_id, sum(tf)::BIGINT AS score

@@ -196,6 +196,48 @@ class RetrievalSpec extends SparkSpec {
       (6L, "update", 63L, "click", Some(3.0))))
   }
 
+  test("phrase_search: hit counts recompute from the raw text") {
+    val res = SparkEntry.queries("phrase_search")(spark, sf).collect()
+    assert(res.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def occurrences(text: String, phrase: String): Int = {
+      val w = text.split(" ").filter(_.nonEmpty)
+      val p = phrase.split(" ")
+      (0 to w.length - p.length).count(i => w.slice(i, i + p.length).sameElements(p))
+    }
+    res.foreach { r =>
+      val got = r.getAs[Long]("n_hits")
+      val want = occurrences(texts(r.getAs[Long]("doc_id")),
+        r.getAs[String]("phrase"))
+      assert(got == want && got >= 1, s"hit-count drift at $r (want $want)")
+    }
+    res.groupBy(_.getAs[Int]("phrase_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to g.size).toSeq)
+    }
+  }
+
+  test("retrieval_eval: qrels recompute; metrics are internally consistent") {
+    val res = SparkEntry.queries("retrieval_eval")(spark, sf).collect()
+    assert(res.map(_.getAs[Int]("qid")).sorted.toSeq == Seq(1, 2, 3))
+    // independent qrels recomputation for qid 1 = {hash, join}
+    val nRel1 = Tables.documents(spark, sf)
+      .select(DedupOps.wordsCol(col("text")).as("w"))
+      .where(array_contains(col("w"), "hash") &&
+        array_contains(col("w"), "join"))
+      .count()
+    assert(res.find(_.getAs[Int]("qid") == 1).get.getAs[Long]("n_rel") == nRel1)
+    res.foreach { r =>
+      val (hits, fr) = (r.getAs[Long]("n_hits10"), r.getAs[Int]("first_rank"))
+      assert(hits <= 10 && hits <= r.getAs[Long]("n_rel"))
+      assert(r.getAs[Double]("prec_at_10") == hits / 10.0)
+      assert(r.getAs[Double]("mrr") ==
+        (if (fr > 0) 1.0 / fr else 0.0), s"mrr drift at $r")
+      assert((fr == -1) == (hits == 0))
+    }
+  }
+
   test("length_histogram: buckets partition the corpus; cumulative closes at 1") {
     val h = SparkEntry.queries("length_histogram")(spark, sf)
       .collect().sortBy(_.getAs[Long]("bucket"))
