@@ -1099,6 +1099,19 @@ object KMeansOps {
     * [[clusterStats]]. */
   private[operators] def lloydLoopSql(k: Int, maxIter: Int,
       tol: Double): String = {
+    s"""WITH ${lloydAssignSqlCtes(k, maxIter, tol)}
+       |SELECT cluster_id, count(*)::BIGINT AS n_points,
+       |       round(sqrt(avg(mdr)), 4) AS rmse
+       |FROM asg
+       |GROUP BY cluster_id""".stripMargin
+  }
+
+  /** The flagship loop's oracle CTE chain through the final per-vector
+    * assignment relation `asg(vec_id, cluster_id, mdr)` — factored from
+    * [[lloydLoopSql]] so consumers of the trained assignment
+    * (`cluster_topics`) share the EXACT loop the flagship oracle runs. */
+  private[operators] def lloydAssignSqlCtes(k: Int, maxIter: Int,
+      tol: Double): String = {
     import graft.functions.{VectorSql => V}
     val mv = (1 to maxIter).map { i =>
       val prev = s"c${i - 1}"
@@ -1109,19 +1122,16 @@ object KMeansOps {
     val fin = (1 to maxIter).map { i =>
       s"SELECT cid, cv FROM c$i WHERE (SELECT j FROM js) = $i"
     }.mkString("\n      UNION ALL ")
-    s"""WITH ${trainedCellsSqlCtes(k, maxIter)},
+    s"""${trainedCellsSqlCtes(k, maxIter)},
        |mv AS ($mv),
        |js AS (SELECT coalesce(min(it), $maxIter) AS j FROM mv WHERE m < $tol),
-       |cf AS ($fin)
-       |SELECT cluster_id, count(*)::BIGINT AS n_points,
-       |       round(sqrt(avg(mdr)), 4) AS rmse
-       |FROM (
+       |cf AS ($fin),
+       |asg AS (
        |  SELECT vec_id, min(cid)::INT AS cluster_id, min(mdr) AS mdr FROM (
        |    SELECT vec_id, cid, dr, min(dr) OVER (PARTITION BY vec_id) AS mdr FROM (
        |      SELECT e.vec_id, c.cid, ${V.sqDist("e.embedding", "c.cv")} AS dr
        |      FROM embeddings e CROSS JOIN cf c))
-       |  WHERE dr = mdr GROUP BY vec_id)
-       |GROUP BY cluster_id""".stripMargin
+       |  WHERE dr = mdr GROUP BY vec_id)""".stripMargin
   }
 
   /** DuckDB mirror of kmeans_reference_data (+`_100k`). The staged files

@@ -1181,6 +1181,51 @@ object TextOps {
             .as("share"),
           rIeee(col("cum_docs").cast("double") / col("total"), 6)
             .as("cum_share"))
+    },
+    "cluster_topics" -> { (s, d) =>
+      // cluster LABELING — the composed close of the flagship loop: the
+      // k-means assignment (same seeds/trips/tolerance as kmeans_lloyd)
+      // joined onto the token stream, top-3 distinctive terms per
+      // cluster by cluster-lift (n_ct·n_tot)/(n_c·n_t) — exact-rational
+      // PMI, cooccur_lift's discipline. The per-(cluster, term) count
+      // relation is bounded by k × vocabulary whatever the corpus size,
+      // so every stage after the one map-side-combined count aggregate
+      // runs on a bounded relation (broadcast marginals, k-partition
+      // window). FIXTURE HONESTY: embeddings are synthetic and text is
+      // a shared vocabulary, so the LABELS carry no semantics — the
+      // query exercises the assignment→join→lift mechanics under full
+      // oracle parity (the DuckDB side replays the entire Lloyd loop
+      // via the shared lloydAssignSqlCtes chain).
+      import graft.functions.VectorOps.rIeee
+      val pts = KMeansOps.points(s, d).localCheckpoint()
+      val init = KMeansOps.collectCenters(
+        KMeansOps.sampleK(pts, KMeansOps.FLAGSHIP_K))
+      val (centers, _) = KMeansOps.lloyd(pts, init, maxIter = 5, tol = 1e-4)
+      val assign = pts
+        .withColumn("nc",
+          org.apache.spark.sql.graft.NearestCenter.struct(col("v"), centers))
+        .select(col("id").as("doc_id"), col("nc.cid").as("cluster_id"))
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+      val ct = tok.join(assign, Seq("doc_id"))
+        .groupBy(col("cluster_id"), col("w")).agg(count(lit(1)).as("n_ct"))
+        .localCheckpoint() // k × vocab — bounded; 3 marginals derive
+      val tc = ct.groupBy(col("cluster_id")).agg(sum(col("n_ct")).as("n_c"))
+      val tt = ct.groupBy(col("w")).agg(sum(col("n_ct")).as("n_t"))
+      val g = ct.agg(sum(col("n_ct")).as("n_tot"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("lift").desc, col("term"))
+      ct.join(broadcast(tc), Seq("cluster_id"))
+        .join(broadcast(tt), Seq("w"))
+        .crossJoin(broadcast(g))
+        .where(col("n_ct") >= 5)
+        .select(col("cluster_id"), col("w").as("term"), col("n_ct"),
+          rIeee((col("n_ct") * col("n_tot")).cast("double") /
+            (col("n_c") * col("n_t")).cast("double"), 6).as("lift"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("cluster_id"), col("rk"), col("term"), col("n_ct"),
+          col("lift"))
     }
   )
 
@@ -1567,6 +1612,30 @@ object TextOps {
          |       ${graft.functions.VectorSql.rIeee(
             "(sum(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))"
               + "::DOUBLE / total", 6)} AS cum_share
-         |FROM c CROSS JOIN t""".stripMargin
+         |FROM c CROSS JOIN t""".stripMargin,
+    "cluster_topics" ->
+      s"""WITH ${KMeansOps.lloydAssignSqlCtes(KMeansOps.FLAGSHIP_K, 5, 1e-4)},
+         |tok AS (SELECT doc_id, unnest($wSql) AS w FROM documents),
+         |ct AS MATERIALIZED (
+         |       SELECT a.cluster_id, tok.w, count(*)::BIGINT AS n_ct
+         |       FROM tok JOIN asg a ON tok.doc_id = a.vec_id
+         |       GROUP BY a.cluster_id, tok.w),
+         |tc AS (SELECT cluster_id, sum(n_ct)::BIGINT AS n_c
+         |       FROM ct GROUP BY cluster_id),
+         |tt AS (SELECT w, sum(n_ct)::BIGINT AS n_t FROM ct GROUP BY w),
+         |g AS (SELECT sum(n_ct)::BIGINT AS n_tot FROM ct)
+         |SELECT cluster_id, rk, term, n_ct, lift FROM (
+         |  SELECT cluster_id, term, n_ct, lift,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY lift DESC, term)::INT AS rk
+         |  FROM (SELECT ct.cluster_id, ct.w AS term, ct.n_ct,
+         |          ${graft.functions.VectorSql.rIeee(
+              "(ct.n_ct * n_tot)::DOUBLE / (tc.n_c * tt.n_t)::DOUBLE", 6)}
+         |            AS lift
+         |        FROM ct JOIN tc USING (cluster_id)
+         |             JOIN tt ON ct.w = tt.w
+         |        CROSS JOIN g
+         |        WHERE ct.n_ct >= 5))
+         |WHERE rk <= 3""".stripMargin
   )
 }

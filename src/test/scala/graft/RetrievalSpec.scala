@@ -271,6 +271,26 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("cluster_topics: well-formed per-cluster rankings over the flagship assignment") {
+    val rows = SparkEntry.queries("cluster_topics")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("cluster_id") >= 0 &&
+        r.getAs[Int]("cluster_id") < 8)
+      assert(r.getAs[Long]("n_ct") >= 5)
+      assert(r.getAs[Double]("lift") > 0)
+    }
+    rows.groupBy(_.getAs[Int]("cluster_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to g.size).toSeq)
+      assert(g.map(_.getAs[String]("term")).distinct.length == g.size)
+      // ranked by (lift desc, term asc)
+      val key = sorted.map(r => (-r.getAs[Double]("lift"),
+        r.getAs[String]("term"))).toSeq
+      assert(key == key.sorted, s"rank order drift in cluster $g")
+    }
+  }
+
   test("grouping_sets_agg marginals equal their single-set groupBys") {
     val gs = SparkEntry.queries("grouping_sets_agg")(spark, sf).collect()
     assert(gs.map(_.getAs[Long]("gid")).toSet == Set(1L, 2L))
