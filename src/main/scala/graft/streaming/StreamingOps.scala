@@ -98,6 +98,33 @@ object StreamingOps {
       .select(expr("n_chars div 50").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_delta"))
 
+  /** Streaming side of `streaming_phrase_hits` — exact phrase matching
+    * ON the ingest stream (the alerting deployment of `phrase_search`'s
+    * positional capability: "page me when a watched phrase lands"):
+    * COMPLETELY STATELESS — the bounded phrase table is broadcast, each
+    * arriving doc fans out to |phrases| rows and counts its occurrences
+    * with one native-shingle + HOF-filter projection inside the
+    * micro-batch; no stream aggregate, no state store, append mode.
+    * Occurrence semantics are the batch operator's own (a hit is a
+    * shingle equality over the same multiset shingler), so the batch
+    * per-(phrase, doc) hit relation is the oracle verbatim and
+    * StreamingSpec proves the two row-identical. */
+  def phraseHitsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = graft.operators.RetrievalOps.PHRASES.toDF("phrase_id", "phrase")
+    val grams = concat(
+      org.apache.spark.sql.graft.WordShingles.all(col("text"), 2),
+      org.apache.spark.sql.graft.WordShingles.all(col("text"), 3))
+    spark.readStream.schema(docsSchema)
+      .parquet(stageDir(spark, sfDir, "documents"))
+      .select(col("doc_id"), grams.as("gs"))
+      .crossJoin(broadcast(p))
+      .select(col("phrase_id"), col("phrase"), col("doc_id"),
+        size(filter(col("gs"), g => g === col("phrase"))).cast("long")
+          .as("n_hits"))
+      .where(col("n_hits") > 0)
+  }
+
   /** Streaming side of `streaming_outlier` — robust outlier flagging
     * where it runs in production: ON the arriving telemetry, against the
     * STANDING per-group median/MAD (computed batch-side by QuantileOps
@@ -455,6 +482,9 @@ object StreamingOps {
       runToMemorySink(decontamStream(s, d), "vq_stream_decontam") },
     "streaming_outlier" -> { (s, d) =>
       runToMemorySink(outlierStream(s, d), "vq_stream_outlier", "append") },
+    "streaming_phrase_hits" -> { (s, d) =>
+      runToMemorySink(phraseHitsStream(s, d), "vq_stream_phrase",
+        "append") },
     "streaming_drift" -> { (s, d) =>
       // stream = delta bucket counts (the only corpus-scaled work);
       // the PSI projection runs on the TINY materialized bucket relation
@@ -476,6 +506,29 @@ object StreamingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // phrase_search's per-(phrase, doc) hit relation WITHOUT the top-k
+    // cut — the stream emits every hit as an alert, so the batch hit
+    // relation is the oracle verbatim
+    "streaming_phrase_hits" -> {
+      val wSql = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+      val pValues = graft.operators.RetrievalOps.PHRASES
+        .map { case (i, p) => s"($i, '$p')" }.mkString(", ")
+      s"""WITH p(phrase_id, phrase) AS (VALUES $pValues),
+         |w0 AS (SELECT doc_id, $wSql AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |        CASE WHEN len(w) >= 2
+         |          THEN list_transform(generate_series(1, len(w) - 1),
+         |               i -> concat_ws(' ', w[i], w[i+1]))
+         |          ELSE [] END
+         |        || CASE WHEN len(w) >= 3
+         |          THEN list_transform(generate_series(1, len(w) - 2),
+         |               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+         |          ELSE [] END) AS g
+         |      FROM w0)
+         |SELECT phrase_id, phrase, doc_id, count(*)::BIGINT AS n_hits
+         |FROM g JOIN p ON g.g = p.phrase
+         |GROUP BY phrase_id, phrase, doc_id""".stripMargin
+    },
     // identical semantics (and column names) to the batch compaction —
     // StreamingSpec proves the two row-identical, so the oracle is shared
     "streaming_compact" ->

@@ -297,6 +297,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming phrase alerts match the batch hit relation") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("streaming_phrase_hits")(spark, sf)
+    // batch twin: the full per-(phrase, doc) hit relation (phrase_search
+    // before its top-k cut), via the same shingler + phrase table
+    val p = { import spark.implicits._
+      graft.operators.RetrievalOps.PHRASES.toDF("phrase_id", "phrase") }
+    val batch = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(concat(
+        org.apache.spark.sql.graft.WordShingles.all(col("text"), 2),
+        org.apache.spark.sql.graft.WordShingles.all(col("text"), 3)))
+        .as("g"))
+      .join(broadcast(p), col("g") === col("phrase"))
+      .groupBy(col("phrase_id"), col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming session_window matches batch session_window_agg") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.sessionCounts(spark, sf), "stream_sess")
