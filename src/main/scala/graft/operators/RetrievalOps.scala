@@ -84,8 +84,13 @@ object RetrievalOps {
   /** BM25 (k1 = 1.2, b = 0.75, Lucene-style idf = log2(1 + (N−df+0.5)
     * /(df+0.5)) via Mitchell log2 on a 2^20-scaled integer argument)
     * aggregated per (qid, doc) as an integer-micros sum. */
-  private[graft] def bm25Scored(docs: DataFrame): DataFrame = {
-    val tm = termMatches(docs)
+  private[graft] def bm25Scored(docs: DataFrame): DataFrame =
+    bm25ScoredFrom(termMatches(docs), corpusStats(docs))
+
+  /** BM25 scoring from an already-extracted posting relation — factored
+    * so `rank_fusion` can share ONE [[termMatches]] pass (and its
+    * shuffle) between its two rankers instead of re-deriving it. */
+  private def bm25ScoredFrom(tm: DataFrame, stats: DataFrame): DataFrame = {
     val dfT = tm.select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     // idf ratio (≥ 1) scaled into the integer domain for the exact log2
@@ -99,7 +104,7 @@ object RetrievalOps {
           (col("dl").cast("double") /
             (col("tot_dl").cast("double") / col("n_docs").cast("double")))))
     tm.join(broadcast(dfT), Seq("term"))
-      .crossJoin(broadcast(corpusStats(docs)))
+      .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"),
         floor(idf2 * tfnorm * lit(1000000.0)).cast("long").as("sm"))
       .groupBy(col("qid"), col("doc_id"))
@@ -162,13 +167,14 @@ object RetrievalOps {
       val docs = Tables.documents(s, d)
       val nt = { import s.implicits._
         QUERIES.groupBy(_._1).view.mapValues(_.size).toSeq.toDF("qid", "nt") }
-      val rel = termMatches(docs)
+      val tm = termMatches(docs).localCheckpoint() // shared: qrels + ranker
+      val rel = tm
         .groupBy(col("qid"), col("doc_id"))
         .agg(count(lit(1)).as("nm"))
         .join(broadcast(nt), Seq("qid"))
         .where(col("nm") === col("nt"))
         .select(col("qid"), col("doc_id"))
-      val ranked = topKPerQid(bm25Scored(docs), TOPK)
+      val ranked = topKPerQid(bm25ScoredFrom(tm, corpusStats(docs)), TOPK)
         .select(col("qid"), col("doc_id"), col("rk"))
       rel.join(broadcast(ranked), Seq("qid", "doc_id"), "left")
         .groupBy(col("qid"))
@@ -182,14 +188,21 @@ object RetrievalOps {
     "rank_fusion" -> { (s, d) =>
       // reciprocal-rank fusion (RRF, k = 60) of the BM25 and summed-tf
       // top-10 lists: rrf = Σ 1/(60+rank) over the systems that
-      // retrieved the doc. Each system's list is computed by its own
-      // corpus pass (at serving scale each ranker owns its index; the
-      // lists are O(queries·k) and meet in a tiny full-outer join).
-      // 1/(60+rk) is one exact IEEE division and the fused score adds
-      // exactly two such terms in fixed order — bit-stable cross-engine.
-      val a = topKPerQid(bm25Scored(Tables.documents(s, d)), TOPK)
+      // retrieved the doc. Both rankers score the SAME posting
+      // extraction, so the per-(qid, term, doc) relation is pinned once
+      // (bounded by matched rows) and the corpus is scanned once — at
+      // serving scale the shared extraction is the index build both
+      // systems read. The lists are O(queries·k) and meet in a tiny
+      // full-outer join. 1/(60+rk) is one exact IEEE division and the
+      // fused score adds exactly two such terms in fixed order —
+      // bit-stable cross-engine.
+      val docs = Tables.documents(s, d)
+      val tm = termMatches(docs).localCheckpoint()
+      val a = topKPerQid(bm25ScoredFrom(tm, corpusStats(docs)), TOPK)
         .select(col("qid"), col("doc_id"), col("rk").as("rk_bm25"))
-      val b = topKPerQid(tfScored(Tables.documents(s, d)), TOPK)
+      val b = topKPerQid(
+          tm.groupBy(col("qid"), col("doc_id"))
+            .agg(sum(col("tf")).as("score")), TOPK)
         .select(col("qid"), col("doc_id"), col("rk").as("rk_tf"))
       val fused = a.join(b, Seq("qid", "doc_id"), "full_outer")
         .select(col("qid"), col("doc_id"), col("rk_bm25"), col("rk_tf"),
