@@ -865,6 +865,69 @@ object RelationalOps {
             col("event_id"), col("event_type"), col("value")),
         1705363200000000L) // 2024-01-16T00:00:00Z, µs
     },
+    "join_star" -> { (s, d) =>
+      // the classic OLAP star rollup (TPC-H Q5's shape): revenue per
+      // (region, nation) through a 4-table star. The ONLY row-scaled
+      // shuffle is the fact⋈orders equi-join; every dimension hop
+      // (customer → nation → region) is an explicit broadcast — the
+      // 1000-executor plan where the fact table never moves twice.
+      // Revenue = extendedprice·(1−discount), floor-quantized to cents
+      // PER ROW (one fixed expression both engines compute identically)
+      // and summed as LONG — addition-order-free.
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * lit(100.0)).cast("long")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), cents.as("cents"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select(col("c_custkey"),
+          col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("cents")).as("revenue_cents"))
+    },
+    "incremental_stats" -> { (s, d) =>
+      // mergeable sufficient statistics — the 100 TB statistics
+      // discipline: a delta's (n, Σ, Σ²) merges with the standing
+      // base's by ADDITION, no re-scan of history. Values are
+      // milli-quantized per row, so every sufficient statistic is an
+      // exact LONG and the merged mean/variance are deterministic
+      // float arithmetic over exact integers. The oracle recomputes
+      // the same statistics from the raw union, so hash-equality IS
+      // the merge-equals-recompute proof. Base/delta split is the
+      // repo's standard hash uniform on event_id.
+      import graft.functions.VectorOps.{rIeee, unitUniform}
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          (unitUniform(col("event_id")) < 0.9).as("is_base"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+      def stats(df: DataFrame, tag: String): DataFrame = df
+        .groupBy(col("event_type"))
+        .agg(count(col("vm")).as(s"n_$tag"),
+          coalesce(sum(col("vm")), lit(0L)).as(s"s_$tag"),
+          coalesce(sum(col("vm") * col("vm")), lit(0L)).as(s"q_$tag"))
+      val merged = stats(ev.where(col("is_base")), "base")
+        .join(stats(ev.where(!col("is_base")), "delta"),
+          Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          (coalesce(col("s_base"), lit(0L)) +
+            coalesce(col("s_delta"), lit(0L))).as("s"),
+          (coalesce(col("q_base"), lit(0L)) +
+            coalesce(col("q_delta"), lit(0L))).as("q"))
+      val n = (col("n_base") + col("n_delta")).cast("double")
+      val mean = col("s").cast("double") / n
+      merged.select(col("event_type"), col("n_base"), col("n_delta"),
+        (col("n_base") + col("n_delta")).as("n"),
+        rIeee(mean, 6).as("mean_milli"),
+        rIeee(col("q").cast("double") / n - mean * mean, 6)
+          .as("var_milli"))
+    },
     "dataset_diff" -> { (s, d) =>
       // dataset-version diff — the release-gate report between two
       // corpus snapshots: added / removed / changed / same per doc,
@@ -1360,6 +1423,37 @@ object RelationalOps {
         |       WHEN action IN ('insert', 'update') THEN d_value
         |       END AS value
         |FROM a""".stripMargin,
+    "join_star" ->
+      """SELECT r_name, n_name, count(*)::BIGINT AS n_items,
+        |       sum((floor(l_extendedprice * (1.0 - l_discount) * 100.0))
+        |           ::BIGINT)::BIGINT AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "incremental_stats" -> {
+      val u = graft.functions.VectorSql.unitUniform("event_id")
+      val nTot = "(n_base + n_delta)::DOUBLE"
+      val meanSql = s"s::DOUBLE / $nTot"
+      s"""WITH ev AS (SELECT event_type, ($u < 0.9) AS is_base,
+         |              (floor(value * 1000))::BIGINT AS vm
+         |            FROM events),
+         |m AS (SELECT event_type,
+         |        count(CASE WHEN is_base THEN vm END)::BIGINT AS n_base,
+         |        count(CASE WHEN NOT is_base THEN vm END)::BIGINT AS n_delta,
+         |        coalesce(sum(vm), 0)::BIGINT AS s,
+         |        coalesce(sum(vm * vm), 0)::BIGINT AS q
+         |      FROM ev GROUP BY event_type)
+         |SELECT event_type, n_base, n_delta,
+         |       (n_base + n_delta)::BIGINT AS n,
+         |       ${graft.functions.VectorSql.rIeee(meanSql, 6)} AS mean_milli,
+         |       ${graft.functions.VectorSql.rIeee(
+             s"q::DOUBLE / $nTot - ($meanSql) * ($meanSql)", 6)}
+         |         AS var_milli
+         |FROM m""".stripMargin
+    },
     "dataset_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents
         |            WHERE doc_id % 10 <> 0),

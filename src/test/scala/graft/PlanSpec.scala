@@ -674,4 +674,13 @@ class PlanSpec extends SparkSpec {
     assert(!executed("html_extract").contains("Exchange"),
       "per-page extraction must not shuffle at crawl scale")
   }
+
+  test("join_star: every dimension hop broadcasts; no cartesian") {
+    val plan = executed("join_star")
+    // customer, nation, region must each arrive as a broadcast — the
+    // fact table moves at most once (the fact⋈orders equi-join)
+    assert(plan.split("BroadcastExchange").length - 1 >= 3,
+      s"expected >=3 broadcast dimensions")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

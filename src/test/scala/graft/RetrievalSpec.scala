@@ -291,6 +291,31 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("incremental_stats: merged statistics equal a direct recompute") {
+    val rows = SparkEntry.queries("incremental_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // direct recompute over the raw union — the merge must be exact
+    val direct = Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      .groupBy(col("event_type"))
+      .agg(count(col("vm")).as("n"), sum(col("vm")).as("s"),
+        sum(col("vm") * col("vm")).as("q"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val (n, s, q) = direct(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_delta") == n)
+      assert(r.getAs[Double]("mean_milli") ==
+        rIeeeS(s.toDouble / n, 6), s"mean drift at $r")
+      val mean = s.toDouble / n
+      assert(r.getAs[Double]("var_milli") ==
+        rIeeeS(q.toDouble / n - mean * mean, 6), s"var drift at $r")
+      assert(r.getAs[Double]("var_milli") >= 0)
+    }
+  }
+
   test("grouping_sets_agg marginals equal their single-set groupBys") {
     val gs = SparkEntry.queries("grouping_sets_agg")(spark, sf).collect()
     assert(gs.map(_.getAs[Long]("gid")).toSet == Set(1L, 2L))
