@@ -961,12 +961,17 @@ object RelationalOps {
     * nanos. */
   private[graft] def fillHourly(events: DataFrame): DataFrame = {
     val HR = 3600L * 1000 * 1000 * 1000
+    // pinned: the bucket aggregate feeds BOTH the per-entity grid bounds
+    // and the fill join — without the pin each branch re-scans and
+    // re-aggregates the raw stream; the pinned relation is the
+    // compacted (entity, active-hour) set, far smaller than the input
     val obs = events
       .select(col("user_id"), expr(s"ts div $HR").as("hr"),
         floor(col("value") * 1000).cast("long").as("vm"))
       .groupBy(col("user_id"), col("hr"))
       .agg(count(lit(1)).as("n_obs"), sum(col("vm")).as("sum_milli"),
         count(col("vm")).as("n_val"))
+      .localCheckpoint()
     val grid = obs.groupBy(col("user_id"))
       .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
       .select(col("user_id"),
