@@ -1182,6 +1182,27 @@ object TextOps {
           rIeee(col("cum_docs").cast("double") / col("total"), 6)
             .as("cum_share"))
     },
+    "kanon_report" -> { (s, d) =>
+      // k-anonymity audit over the quasi-identifier pair (lang, source)
+      // — the release-governance check beside pii_redact: any
+      // equivalence class smaller than k re-identifies its members, so
+      // the report lists every class with its size, violation flag, and
+      // the share of the corpus at risk. ONE map-side-combined
+      // aggregate on the quasi-identifier key; the risk share rides a
+      // 1-row broadcast total. k = 8 (the fixture classes average
+      // corpus/|lang×source| ≈ 5-25, so both arms are populated).
+      import graft.functions.VectorOps.rIeee
+      val K = 8
+      val classes = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val tot = classes.agg(sum(col("n")).as("total"))
+      classes.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n"),
+          (col("n") < K).as("is_violation"),
+          rIeee(when(col("n") < K, col("n")).otherwise(lit(0L))
+            .cast("double") / col("total"), 6).as("risk_share"))
+    },
     "cluster_topics" -> { (s, d) =>
       // cluster LABELING — the composed close of the flagship loop: the
       // k-means assignment (same seeds/trips/tolerance as kmeans_lloyd)
@@ -1612,6 +1633,15 @@ object TextOps {
          |       ${graft.functions.VectorSql.rIeee(
             "(sum(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))"
               + "::DOUBLE / total", 6)} AS cum_share
+         |FROM c CROSS JOIN t""".stripMargin,
+    "kanon_report" ->
+      s"""WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+         |           FROM documents GROUP BY lang, source),
+         |t AS (SELECT sum(n)::BIGINT AS total FROM c)
+         |SELECT lang, source, n, (n < 8) AS is_violation,
+         |       ${graft.functions.VectorSql.rIeee(
+            "(CASE WHEN n < 8 THEN n ELSE 0 END)::DOUBLE / total", 6)}
+         |         AS risk_share
          |FROM c CROSS JOIN t""".stripMargin,
     "cluster_topics" ->
       s"""WITH ${KMeansOps.lloydAssignSqlCtes(KMeansOps.FLAGSHIP_K, 5, 1e-4)},

@@ -316,6 +316,21 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("kanon_report: classes partition the corpus; both arms populated") {
+    val rows = SparkEntry.queries("kanon_report")(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    assert(rows.exists(_.getAs[Boolean]("is_violation")) &&
+      rows.exists(!_.getAs[Boolean]("is_violation")),
+      "fixture must exercise both the violating and the safe arm")
+    rows.foreach { r =>
+      val (n, v) = (r.getAs[Long]("n"), r.getAs[Boolean]("is_violation"))
+      assert(v == (n < 8))
+      assert(r.getAs[Double]("risk_share") ==
+        rIeeeS((if (v) n else 0L).toDouble / total, 6))
+    }
+  }
+
   test("grouping_sets_agg marginals equal their single-set groupBys") {
     val gs = SparkEntry.queries("grouping_sets_agg")(spark, sf).collect()
     assert(gs.map(_.getAs[Long]("gid")).toSet == Set(1L, 2L))
