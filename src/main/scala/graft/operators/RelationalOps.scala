@@ -865,6 +865,39 @@ object RelationalOps {
             col("event_id"), col("event_type"), col("value")),
         1705363200000000L) // 2024-01-16T00:00:00Z, µs
     },
+    "window_ewma" -> { (s, d) =>
+      // bounded-horizon exponentially weighted moving average per
+      // entity — the smoothing signal feature pipelines feed models
+      // (trailing-sum's decayed twin). Deterministic BY CONSTRUCTION:
+      // a true recursive EWMA accumulates float error along the whole
+      // history, but the H=8 horizon with decay 1/2 makes every weight
+      // an exact power of two, every milli-quantized term exact on the
+      // 2^-7 grid, and the fixed-order 8-term sum exact — both engines
+      // compute bit-identical values. One window pass computes all 8
+      // lags (single shuffle on user_id); rows whose full horizon is
+      // NULL-valued yield NULL, not NaN.
+      import graft.functions.VectorOps.rIeee
+      val H = 8
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val lagged = ev.select(
+        Seq(col("user_id"), col("event_id"), col("ts_us")) ++
+          (0 until H).map(k => lag(col("vm"), k).over(w).as(s"l$k")): _*)
+      val num = (0 until H)
+        .map(k => coalesce(col(s"l$k").cast("double") *
+          lit(math.pow(2.0, -k)), lit(0.0)))
+        .reduce(_ + _)
+      val den = (0 until H)
+        .map(k => when(col(s"l$k").isNotNull, lit(math.pow(2.0, -k)))
+          .otherwise(lit(0.0)))
+        .reduce(_ + _)
+      lagged.select(col("user_id"), col("event_id"), col("ts_us"),
+        when(den > 0, rIeee(num / den, 6)).as("ewma_milli"))
+    },
     "join_star" -> { (s, d) =>
       // the classic OLAP star rollup (TPC-H Q5's shape): revenue per
       // (region, nation) through a 4-table star. The ONLY row-scaled
@@ -1428,6 +1461,30 @@ object RelationalOps {
         |       WHEN action IN ('insert', 'update') THEN d_value
         |       END AS value
         |FROM a""".stripMargin,
+    "window_ewma" -> {
+      val lags = (0 until 8)
+        .map(k => s"lag(vm, $k) OVER w AS l$k").mkString(",\n|        ")
+      val num = (0 until 8)
+        .map(k => s"coalesce(l$k::DOUBLE * ${math.pow(2.0, -k)}, 0.0)")
+        .mkString(" + ")
+      val den = (0 until 8)
+        .map(k =>
+          s"CASE WHEN l$k IS NOT NULL THEN ${math.pow(2.0, -k)} ELSE 0.0 END")
+        .mkString(" + ")
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |              (floor(value * 1000))::BIGINT AS vm FROM events),
+         |l AS (SELECT user_id, event_id, ts_us,
+         |        $lags
+         |      FROM ev
+         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+         |SELECT user_id, event_id, ts_us,
+         |       CASE WHEN den > 0
+         |            THEN ${graft.functions.VectorSql.rIeee("num / den", 6)}
+         |            END AS ewma_milli
+         |FROM (SELECT user_id, event_id, ts_us,
+         |        ($num) AS num, ($den) AS den
+         |      FROM l)""".stripMargin
+    },
     "join_star" ->
       """SELECT r_name, n_name, count(*)::BIGINT AS n_items,
         |       sum((floor(l_extendedprice * (1.0 - l_discount) * 100.0))

@@ -316,6 +316,36 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("window_ewma recomputes exactly from the raw event sequence") {
+    val got = SparkEntry.queries("window_ewma")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("ewma_milli")).map(_.toDouble))
+      .toMap
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[java.lang.Long]("vm")).map(_.toLong)))
+    assert(got.nonEmpty && got.size == raw.length)
+    raw.groupBy(_._1).values.foreach { g =>
+      val seq = g.sortBy(t => (t._3, t._2))
+      seq.zipWithIndex.foreach { case ((_, eid, _, _), i) =>
+        val horizon = (0 until 8).flatMap { k =>
+          if (i - k >= 0) seq(i - k)._4.map(v => (v, math.pow(2.0, -k)))
+          else None
+        }
+        val expect =
+          if (horizon.isEmpty) None
+          else Some(rIeeeS(
+            horizon.map { case (v, w) => v.toDouble * w }.sum /
+              horizon.map(_._2).sum, 6))
+        assert(got(eid) == expect, s"ewma drift at event $eid")
+      }
+    }
+  }
+
   test("kanon_report: classes partition the corpus; both arms populated") {
     val rows = SparkEntry.queries("kanon_report")(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
