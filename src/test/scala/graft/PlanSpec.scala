@@ -675,6 +675,16 @@ class PlanSpec extends SparkSpec {
       "per-page extraction must not shuffle at crawl scale")
   }
 
+  test("window_ewma computes all eight lags in one window pass") {
+    val plan = executed("window_ewma")
+    // 8 lag expressions share one window spec — a refactor that splits
+    // them re-sorts the partition per lag
+    assert(plan.split("\\bWindow\\b").length - 1 == 1,
+      "expected exactly one Window node")
+    assert(plan.split("Exchange").length - 1 <= 2,
+      "EWMA must cost one shuffle on the entity key (+AQE wrapper at most)")
+  }
+
   test("join_star: every dimension hop broadcasts; no cartesian") {
     val plan = executed("join_star")
     // customer, nation, region must each arrive as a broadcast — the
