@@ -107,12 +107,21 @@ object Bench {
     // local-iteration filter: SPARK_GRAFT_ONLY=<regex> benches a subset.
     // The driver never sets it, so judged runs always cover everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    val results = (SparkEntry.queries ++ SparkEntry.benchOnly)
+    val plans = (SparkEntry.queries ++ SparkEntry.benchOnly)
       .toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-      .map { case (name, fn) =>
-      var queryFailed = false
-      val samples = (1 to reps).map { _ =>
+    val failedNames = scala.collection.mutable.Set.empty[String]
+    val streamStats = scala.collection.mutable.Map
+      .empty[String, graft.streaming.StreamingOps.StreamRunStats]
+    // reps are INTERLEAVED across full suite passes (round-14 verdict
+    // item 1): pass 1 runs every query once, then pass 2, then pass 3 —
+    // so one host-contention window inflates at most ONE rep of each
+    // query it overlaps, and the per-query median (taken ACROSS passes)
+    // discards it. The old back-to-back protocol put all 3 reps of every
+    // early query inside the same window, which inflated the judged r14
+    // median 2.6x over the clean truth at identical task counts.
+    val samples: Seq[Seq[(String, Double, Long)]] = (1 to reps).map { _ =>
+      plans.map { case (name, fn) =>
         // isolate measurements: caches AND checkpoint/persisted blocks built
         // inside one query (iterative k-means loops, LSH band self-joins)
         // must not linger into the next query's timing or accumulate storage
@@ -138,32 +147,35 @@ object Bench {
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch {
           case e: Throwable =>
-            if (!queryFailed) { failed += 1; queryFailed = true }
+            if (failedNames.add(name)) failed += 1
             System.err.println(s"[bench] $name FAILED: $e")
             e.printStackTrace()
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        (sec, drained() - tasks0)
-      }
-      // lower-middle median (exact middle for the odd default); task count
-      // reported from the same sample as the chosen time so the two columns
-      // describe one observed run
-      val (sec, nTasks) = samples.sortBy(_._1).apply((reps - 1) / 2)
-      // streaming rate/state artifact (round-12 verdict item 8): queries
-      // that ran a stream left their progress summary behind — claim it
-      // under this query's name (runs are sequential; the last rep's
-      // stats are current) and clear for the next query
-      val stream = {
+        // streaming rate/state artifact (round-12 verdict item 8): a query
+        // that ran a stream left its progress summary behind — claim it
+        // under this query's name (runs are sequential; later passes
+        // overwrite, so the reported stats describe the final pass) and
+        // clear for the next query
         val entries = graft.streaming.StreamingOps.lastRunStats.toMap
         graft.streaming.StreamingOps.lastRunStats.clear()
-        if (entries.isEmpty) None
-        else Some(graft.streaming.StreamingOps.StreamRunStats(
-          entries.values.map(_.inputRows).sum,
-          entries.values.map(_.batchMs).sum,
-          entries.values.map(_.stateRows).sum,
-          entries.values.map(_.batches).sum))
+        if (entries.nonEmpty)
+          streamStats(name) = graft.streaming.StreamingOps.StreamRunStats(
+            entries.values.map(_.inputRows).sum,
+            entries.values.map(_.batchMs).sum,
+            entries.values.map(_.stateRows).sum,
+            entries.values.map(_.batches).sum)
+        (name, sec, drained() - tasks0)
       }
-      (name, sec, nTasks, stream)
+    }
+    // lower-middle median across passes (exact middle for the odd
+    // default); task count reported from the same sample as the chosen
+    // time so the two columns describe one observed run
+    val results = plans.indices.map { i =>
+      val name = plans(i)._1
+      val perQuery = samples.map(_.apply(i))
+      val (_, sec, nTasks) = perQuery.sortBy(_._2).apply((reps - 1) / 2)
+      (name, sec, nTasks, streamStats.get(name))
     }
     // medians print at millisecond precision: the full-precision double
     // rendering ("0.6337469860000001") more than doubled each entry and
@@ -193,7 +205,18 @@ object Bench {
     // survives any stdout mangling at all
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sf":"$sfDir","streams":$ss,"tasks":$ts,"queries":$qs,"failed":$failed,"total_seconds":$total}"""
+    // short totals-only line (round-14 verdict item 1): the full detail
+    // line outgrew the driver's 2000-char stdout tail, so the judged
+    // artifact's json parse saw a head-truncated line and recorded
+    // parsed:null. This ~160-char line carries the headline numbers and
+    // fits the tail window whole wherever the driver anchors its parse —
+    // printed BEFORE the detail line (first-json-line parsers) and again
+    // AFTER it (last-line / tail parsers). Identical content both times.
+    val shortLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"plans":${results.size},"failed":$failed,"sf":"$sfDir","total_seconds":${r3(total)}}"""
+    println(shortLine)
     println(line)
+    println(shortLine)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_summary.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1032,7 +1032,11 @@ object RelationalOps {
         col("value"))).as("l"))
       .select(col("user_id"), col("l.event_id").as("event_id"),
         col("l.event_type").as("event_type"),
-        round(col("l.value"), 2).as("value"))
+        // rIeee, not round(_, 2): Spark rounds HALF_UP on the shortest
+        // decimal rendering while DuckDB rounds the binary double, so a
+        // stored ...499 value can split the engines; floor(x*100+0.5)/100
+        // is the same IEEE op sequence on both (round-14 ADVICE)
+        graft.functions.VectorOps.rIeee(col("l.value"), 2).as("value"))
     val base = lastPer(ev.where(col("ts_us") <= cut))
       .select(col("user_id"), col("event_id").as("b_event_id"),
         col("event_type").as("b_type"), col("value").as("b_value"))
@@ -1426,13 +1430,15 @@ object RelationalOps {
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                   event_type, value FROM events),
         |base AS (SELECT user_id, event_id AS b_event_id,
-        |                event_type AS b_type, round(value, 2) AS b_value
+        |                event_type AS b_type,
+        |                (floor(value * 100 + 0.5) / 100) AS b_value
         |         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |                 ORDER BY ts_us DESC, event_id DESC) AS rn
         |               FROM ev WHERE ts_us <= 1705363200000000)
         |         WHERE rn = 1),
         |delta AS (SELECT user_id, event_id AS d_event_id,
-        |                 event_type AS d_type, round(value, 2) AS d_value
+        |                 event_type AS d_type,
+        |                 (floor(value * 100 + 0.5) / 100) AS d_value
         |          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |                  ORDER BY ts_us DESC, event_id DESC) AS rn
         |                FROM ev WHERE ts_us > 1705363200000000)

@@ -111,12 +111,12 @@ object RetrievalOps {
       .agg(count(lit(1)).as("n_terms"), sum(col("sm")).as("score"))
   }
 
-  /** Plain summed-tf ranking — the second (boolean/tf) system fused by
-    * `rank_fusion`; shares [[termMatches]] so the two systems see the
-    * same candidate set. */
-  private[graft] def tfScored(docs: DataFrame): DataFrame =
-    termMatches(docs)
-      .groupBy(col("qid"), col("doc_id"))
+  /** Plain summed-tf ranking from an already-extracted posting
+    * relation — the second (boolean/tf) system fused by `rank_fusion`;
+    * parameterized on the postings (like [[bm25ScoredFrom]]) so both
+    * rankers score ONE shared [[termMatches]] pass. */
+  private[graft] def tfScoredFrom(tm: DataFrame): DataFrame =
+    tm.groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("tf")).as("score"))
 
   /** Fixed phrase workload for `phrase_search` — 2- and 3-word phrases
@@ -200,9 +200,7 @@ object RetrievalOps {
       val tm = termMatches(docs).localCheckpoint()
       val a = topKPerQid(bm25ScoredFrom(tm, corpusStats(docs)), TOPK)
         .select(col("qid"), col("doc_id"), col("rk").as("rk_bm25"))
-      val b = topKPerQid(
-          tm.groupBy(col("qid"), col("doc_id"))
-            .agg(sum(col("tf")).as("score")), TOPK)
+      val b = topKPerQid(tfScoredFrom(tm), TOPK)
         .select(col("qid"), col("doc_id"), col("rk").as("rk_tf"))
       val fused = a.join(b, Seq("qid", "doc_id"), "full_outer")
         .select(col("qid"), col("doc_id"), col("rk_bm25"), col("rk_tf"),
