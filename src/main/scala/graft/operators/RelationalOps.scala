@@ -819,11 +819,12 @@ object RelationalOps {
       // an irregular event stream. Observed buckets keep EXACT integer
       // arithmetic (per-value milli-quantization before the LONG sum, so
       // the bucket aggregate is addition-order-free; the bucket average
-      // is one exact integer-to-double division). The hour grid is an
-      // explode of each entity's [min, max] bucket range — output volume
-      // is entities × time-range, data-independent per entity — and the
-      // fill is last-non-null over a user-partitioned window: one
-      // shuffle on user_id, partition-parallel at any entity count.
+      // is one exact integer-to-double division). The hour grid is a
+      // per-observation explode of horizon-bounded fill segments
+      // (FILL_HORIZON_HOURS) — output volume is O(observed buckets ×
+      // horizon), never entities × total span — and the fill is
+      // last-non-null over a user-partitioned window: one shuffle on
+      // user_id, partition-parallel at any entity count.
       // All-NULL-value buckets stay observations (n_obs counts rows) but
       // carry no average, so the fill carries the prior value across
       // them — mirrored exactly in the oracle.
@@ -988,15 +989,26 @@ object RelationalOps {
     }
   )
 
+  /** Forward-fill horizon for `timeseries_fill`, in hours: a gap row is
+    * emitted only within this many hours after the last observation.
+    * Caps output at O(observed buckets × horizon) — the unbounded
+    * entity×span grid was the one round-14 shape whose output grew
+    * FASTER than its input (8x fixture measured ~5.6x wall by output
+    * volume alone); a production resample declares the entity offline
+    * past the horizon instead of manufacturing rows forever. */
+  private[graft] val FILL_HORIZON_HOURS = 72L
+
   /** Core of `timeseries_fill` (factored so OperatorSpec can drive it
     * over a constructed stream with hand-computed gaps/fills): hourly
-    * resample + forward fill of an events relation with `ts` in epoch
-    * nanos. */
-  private[graft] def fillHourly(events: DataFrame): DataFrame = {
+    * resample + horizon-bounded forward fill of an events relation with
+    * `ts` in epoch nanos. */
+  private[graft] def fillHourly(
+      events: DataFrame,
+      horizonHours: Long = FILL_HORIZON_HOURS): DataFrame = {
     val HR = 3600L * 1000 * 1000 * 1000
-    // pinned: the bucket aggregate feeds BOTH the per-entity grid bounds
-    // and the fill join — without the pin each branch re-scans and
-    // re-aggregates the raw stream; the pinned relation is the
+    // pinned: the bucket aggregate feeds BOTH the per-entity fill
+    // segments and the fill join — without the pin each branch re-scans
+    // and re-aggregates the raw stream; the pinned relation is the
     // compacted (entity, active-hour) set, far smaller than the input
     val obs = events
       .select(col("user_id"), expr(s"ts div $HR").as("hr"),
@@ -1005,10 +1017,23 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_obs"), sum(col("vm")).as("sum_milli"),
         count(col("vm")).as("n_val"))
       .localCheckpoint()
-    val grid = obs.groupBy(col("user_id"))
-      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    // horizon-bounded grid: each observed bucket explodes only its OWN
+    // fill segment [hr, min(next_obs_hr - 1, hr + horizon)] — segments
+    // are disjoint by construction (the next segment starts strictly
+    // after this one's cap), so no dedup pass is needed, and gap rows
+    // more than `horizonHours` past an observation are simply absent
+    // (the entity is offline, not perpetually re-emitted). Output is
+    // O(obs · horizon) regardless of an entity's total active span.
+    // sequence() end >= start always holds: lead(hr) > hr strictly and
+    // the last bucket's segment degenerates to the bucket itself.
+    val wLead = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    val grid = obs
+      .select(col("user_id"), col("hr"),
+        least(
+          coalesce(lead(col("hr"), 1).over(wLead) - 1, col("hr")),
+          col("hr") + lit(horizonHours)).as("seg_end"))
       .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"))).as("hr"))
+        explode(sequence(col("hr"), col("seg_end"))).as("hr"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(obs, Seq("user_id", "hr"), "left")
@@ -1016,6 +1041,10 @@ object RelationalOps {
         col("sum_milli").cast("double") / col("n_val"))
       .select(col("user_id"), col("hr"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        // last-non-null over the bounded grid: an all-NULL observed
+        // bucket still carries the prior entity value forward, even
+        // across a beyond-horizon discontinuity (observation rows are
+        // always present; only gap rows are horizon-capped)
         last(col("avg_milli"), ignoreNulls = true).over(w)
           .as("value_filled"),
         col("n_obs").isNull.as("is_gap"))
@@ -1407,9 +1436,14 @@ object RelationalOps {
         |         sum((floor(value * 1000))::BIGINT)::BIGINT AS sum_milli,
         |         count(value)::BIGINT AS n_val
         |  FROM events GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT user_id, hr,
+        |         least(coalesce(lead(hr) OVER (PARTITION BY user_id
+        |                 ORDER BY hr) - 1, hr), hr + 72) AS seg_end
+        |  FROM obs),
         |grid AS (
-        |  SELECT user_id, unnest(generate_series(min(hr), max(hr))) AS hr
-        |  FROM obs GROUP BY user_id)
+        |  SELECT user_id, unnest(generate_series(hr, seg_end)) AS hr
+        |  FROM seg)
         |SELECT g.user_id, g.hr,
         |       coalesce(o.n_obs, 0)::BIGINT AS n_obs,
         |       last_value(o.sum_milli::DOUBLE / o.n_val IGNORE NULLS)

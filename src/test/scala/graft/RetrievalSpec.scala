@@ -168,6 +168,32 @@ class RetrievalSpec extends SparkSpec {
       (2L, 200L, 1L, Some(7000.0), false)))
   }
 
+  test("timeseries_fill: forward fill stops at the horizon") {
+    val HR = 3600L * 1000 * 1000 * 1000
+    val ev = Seq(
+      (1L, 100L * HR, Some(2.0)), // fills 101..102 (horizon 2), then offline
+      (1L, 110L * HR, Some(4.0)), // next obs past horizon: no rows 103..109
+      (1L, 112L * HR, None), // NULL bucket still carries 4000 across the gap
+      (2L, 200L * HR, Some(7.0)))
+      .toDF("user_id", "ts", "value")
+      .select(col("user_id"), col("ts"), col("value").cast("double"))
+    val got = RelationalOps.fillHourly(ev, horizonHours = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[java.lang.Double]("value_filled")).map(_.toDouble),
+        r.getBoolean(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, 100L, 1L, Some(2000.0), false),
+      (1L, 101L, 0L, Some(2000.0), true),
+      (1L, 102L, 0L, Some(2000.0), true),
+      // 103..109 absent: beyond the 2-hour fill horizon
+      (1L, 110L, 1L, Some(4000.0), false),
+      (1L, 111L, 0L, Some(4000.0), true),
+      (1L, 112L, 1L, Some(4000.0), false), // observed NULL bucket: present
+      (2L, 200L, 1L, Some(7000.0), false)))
+  }
+
   test("merge_upsert: all five actions on a constructed changelog") {
     val ev = Seq(
       (1L, 500L, 1L, "click", 10.0), // keep
