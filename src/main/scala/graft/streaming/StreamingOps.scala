@@ -39,18 +39,41 @@ object StreamingOps {
     * queries silently computed 1000×-compressed timestamps. The path is
     * keyed by the fixture fingerprint ([[graft.sources.Staging
     * .dirFingerprint]]), so a regenerated fixture restages automatically.
-    * `coalesce(1)`: one landing file ⇒ the whole fixture is one
-    * AvailableNow micro-batch unless a test opts into maxFilesPerTrigger —
-    * the determinism contract [[thresholdAlerts]]' per-batch ordering
-    * documents. */
+    *
+    * The landing dir holds [[LANDING_SHARDS]] files, not coalesce(1)
+    * (round-14 verdict item 6): a single file made every micro-batch a
+    * 1-task scan, which serialized the whole per-batch pipeline behind
+    * one core (streaming_phrase_hits measured 3.6x at the 8x fixture on
+    * 1-task batches). Shard assignment is CONTENT-keyed (hash of the
+    * table's id column — sink_text_sharded's discipline) and each shard
+    * is sorted by that id, so the staged bytes are a pure function of the
+    * fixture, never of scheduling. Under Trigger.AvailableNow with no
+    * maxFilesPerTrigger the shards still land in ONE micro-batch — the
+    * per-batch determinism contract [[thresholdAlerts]] documents is
+    * unchanged, its scan just parallelizes; tests that want multi-batch
+    * behavior build their own dirs + maxFilesPerTrigger. */
   def stageDir(spark: SparkSession, sfDir: String, table: String): String = {
     val key = graft.sources.Staging.fixtureKey(sfDir)
+    // the shard count is part of the staged-layout identity: without it a
+    // pre-existing single-file staging under the same fixture fingerprint
+    // would be reused forever and the parallelism fix never take effect
     graft.sources.Staging.ensureDir(
-      s"target/stream-fixtures/$key/$table") { tmp =>
-      graft.Tables.table(spark, sfDir, table)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      s"target/stream-fixtures/$key/$table-s$LANDING_SHARDS") { tmp =>
+      val df = graft.Tables.table(spark, sfDir, table)
+      val idCol = table match {
+        case "events" => "event_id"
+        case "documents" => "doc_id"
+        case _ => df.columns.head
+      }
+      df.repartition(LANDING_SHARDS, col(idCol))
+        .sortWithinPartitions(col(idCol))
+        .write.mode("overwrite").parquet(tmp)
     }
   }
+
+  /** Landing-dir shard count — "one file per scan task" parallelism for
+    * every micro-batch, deterministic by content key. */
+  private[graft] val LANDING_SHARDS = 8
 
   /** Documents schema when read as a stream (the landing-file contract,
     * staged via [[stageDir]] like events). */

@@ -126,6 +126,16 @@ class TablesSpec extends SparkSpec {
       val expected = micros.zipWithIndex
         .map { case (us, i) => (i.toLong, us * 1000L) }.toSet
       assert(got === expected)
+      // multi-file landing (round-14 verdict item 6): a coalesce(1) dir
+      // makes every micro-batch a 1-task scan; the row compare above
+      // would still pass, so pin the shard layout itself
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+      val nParts =
+        try parts.filter(_.getFileName.toString.endsWith(".parquet")).count()
+        finally parts.close()
+      assert(nParts > 1L,
+        s"landing dir staged $nParts parquet files — micro-batches " +
+          "degenerate to single-task scans")
     } finally {
       // the temp fixture's basename is unique per run, so its staged copy
       // can never be reused — sweep both or target/stream-fixtures grows
