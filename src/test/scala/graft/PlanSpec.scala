@@ -662,6 +662,19 @@ class PlanSpec extends SparkSpec {
       "map-side top-k pruning missing before the ranking shuffle")
   }
 
+  test("quality_classifier is a zero-shuffle projection with folded weights") {
+    val plan = executed("quality_classifier")
+    // the model's weight table is a literal map in the projection — the
+    // classifier must stay a pure map-side pass: no exchange of any
+    // kind, no join, one corpus scan. This is the whole point of the
+    // operator's shape: per-doc inference scales with zero coordination.
+    assert(!plan.contains("Exchange"),
+      "classifier inference must not shuffle the corpus")
+    assert(!plan.contains("Join"), "weights must fold as literals, not join")
+    assert(plan.split("Scan parquet", -1).length - 1 == 1,
+      "classifier must read the corpus exactly once")
+  }
+
   test("sample_weighted is TakeOrdered, not a global sort") {
     val plan = executed("sample_weighted")
     assert(plan.contains("TakeOrderedAndProject"),
