@@ -332,7 +332,59 @@ object SimilarityOps {
       .where(col("sim") >= 0.3)
   }
 
+  /** `ivf_index_incremental` delta batch — the vectors "arriving" after
+    * the index was built: a deterministic transform of the fixture (every
+    * 8th vector, element-wise negated, re-keyed past [[IVF_DELTA_OFFSET]])
+    * so both engines derive the identical batch and the negation lands
+    * the deltas in genuinely different cells than their sources (the
+    * vectors are unit-norm; negation is the cosine antipode). */
+  private[graft] val IVF_DELTA_OFFSET = 1000000L
+  private[graft] def ivfDeltaVectors(s: SparkSession, d: String): DataFrame =
+    KMeansOps.points(s, d).where(pmod(col("id"), lit(8)) === 0)
+      .select((col("id") + lit(IVF_DELTA_OFFSET)).as("id"),
+        transform(col("v"), x => -x).as("v"))
+
+  /** Incremental IVF ingest ETL (round-14 verdict item 4 —
+    * `dedup_incremental`'s standing-index discipline applied to serving):
+    * assign the arriving delta to the PERSISTED cell model (a k-row
+    * broadcast-literal argmin — the corpus is never rescanned and the
+    * model is never retrained) and append the rows as cell-partitioned
+    * files BESIDE the standing layout, so a probe unions two
+    * partition-pruned scans. Like [[ensureIvfIndex]] this is one-off
+    * staged ETL, concurrent-JVM safe, keyed so a rebuilt index or
+    * regenerated fixture re-stages the delta. */
+  private[graft] def ensureIvfDelta(s: SparkSession, d: String): String = {
+    val sfTag = graft.sources.Staging.fixtureKey(d)
+    graft.sources.Staging.ensureDir(
+      s"target/ivf-index/$sfTag/nc$NCELLS-q8-delta",
+      marker = "vectors/_SUCCESS") { tmp =>
+      val dir = ensureIvfIndex(s, d)
+      val cells = KMeansOps.collectCenters(
+        s.read.parquet(s"$dir/cells").orderBy(col("cell")), "cell", "cv")
+      ivfDeltaVectors(s, d)
+        .select(col("id"), col("v"), q8Codes(col("v")).as("codes"),
+          q8Scale(col("v")).as("scale"),
+          KMeansOps.nearestCol(col("v"), cells).as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/vectors")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_index_incremental" -> { (s, d) =>
+      // the declared relation reads back the APPENDED delta layout itself
+      // (id → assigned cell straight from the partition files), so the
+      // oracle hash-verifies the bytes the ingest actually wrote — not a
+      // parallel in-plan recomputation. The DuckDB side re-derives the
+      // frozen cell model with the same trained-cells CTEs every IVF
+      // oracle uses and assigns the transformed delta to it. PlanSpec
+      // pins that the query itself neither retrains nor rescans the
+      // corpus (one pruned scan of the delta layout, no exchange);
+      // OperatorSpec proves append == frozen-model rebuild bit-for-bit,
+      // which makes probe parity structural.
+      val deltaDir = ensureIvfDelta(s, d)
+      s.read.parquet(s"$deltaDir/vectors")
+        .select(col("id"), col("cell").cast("int").as("cell"))
+    },
     "similarity_topk" -> { (s, d) =>
       val docs = KMeansOps.points(s, d)
       val sims = docs.crossJoin(broadcast(queriesDf(s, d)))
@@ -841,6 +893,17 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_topk_ivf_pq" -> ivfPqTopkSql,
+    // the delta batch (every 8th vector negated, re-keyed) assigned to
+    // the SAME trained-cell model every IVF oracle re-derives — verifying
+    // the cell-partitioned files the incremental ingest wrote
+    "ivf_index_incremental" ->
+      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+         |delta AS (
+         |  SELECT vec_id + $IVF_DELTA_OFFSET AS vec_id,
+         |         list_transform(embedding::DOUBLE[], x -> -x) AS embedding
+         |  FROM embeddings WHERE vec_id % 8 = 0),
+         |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist, "delta")})
+         |SELECT vec_id AS id, cluster_id AS cell FROM a""".stripMargin,
     "sim_topk_ivf_pq_recall" ->
       s"""WITH ex AS ($simTopkSql),
          |iv AS ($ivfPqTopkSql)

@@ -170,6 +170,24 @@ class PlanSpec extends SparkSpec {
       s"probed cells not folded into the partition filter: ${scan.get}")
   }
 
+  test("ivf_index_incremental query neither retrains nor rescans the corpus") {
+    // ingest-time assignment is ETL (ensureIvfDelta); the DECLARED
+    // relation reads back the appended cell-partitioned files only — so
+    // its plan must be a single pruned scan of the delta layout: no
+    // exchange, no argmin re-assignment, and no scan of the embeddings
+    // fixture or the standing vector files
+    val plan = executed("ivf_index_incremental")
+    assert(!plan.contains("Exchange"),
+      "reading the appended layout must not shuffle")
+    assert(!plan.toLowerCase.contains("nearestcenter"),
+      "assignment must happen at ingest ETL time, not in-query")
+    assert(plan.split("Scan parquet", -1).length - 1 == 1,
+      "exactly one scan: the delta layout")
+    assert(!plan.contains("embeddings.parquet"),
+      "the corpus fixture must not be rescanned")
+    assert(plan.contains("-delta"), "scan must target the delta layout")
+  }
+
   test("drop-set broadcast hint is conf-gated; shuffled fallback matches") {
     // graft.dropSetBroadcast=false (for duplicate-degenerate corpora whose
     // drop set outgrows the broadcast budget) must yield the SAME rows via
