@@ -967,6 +967,50 @@ class OperatorSpec extends SparkSpec {
       "no learned merge containing a merged symbol — ladder never reached")
   }
 
+  test("bpe_train_bytes: ASCII corpus (byte==char), 64 real merges, deep ladder") {
+    // the "byte-level" claim rests on the corpus being pure ASCII, where
+    // the codepoint-pair loop IS the byte-pair loop — assert it, don't
+    // assume it (a regenerated fixture with non-ASCII text must fail
+    // loudly here, not silently change the operator's meaning)
+    assert(Tables.documents(spark, sf)
+      .where(!col("text").rlike("^[\\x20-\\x7e]*$")).count() === 0L,
+      "corpus is not printable ASCII — byte==codepoint no longer holds")
+    val merges = SparkEntry.queries("bpe_train_bytes")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(merges.length === 64)
+    assert(merges.forall(_.getLong(2) >= 1L), "a merge fired on zero pairs")
+    assert(merges.map(_.getString(1)).distinct.length === 64,
+      "duplicate merge pair — the rewrite is not consuming what it merges")
+    // the realistic-count regime: a large share of late merges must build
+    // on already-learned symbols (multi-level ladder at depth, the thing
+    // the 12-step demo only brushes)
+    assert(merges.count(_.getString(1).exists(_ >= 0xE100.toChar)) >= 16,
+      "fewer than 16 ladder merges in 64 steps")
+  }
+
+  test("token_count_learned_bytes equals a replay of the sampled-training merges") {
+    val merges = SparkEntry.queries("bpe_train_bytes")(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getString(1)))
+    assert(merges.length === 64)
+    val got = SparkEntry.queries("token_count_learned_bytes")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(got.size === docs.length, "apply must cover the FULL corpus, " +
+      "not just the training sample")
+    docs.foreach { r =>
+      val end = merges.foldLeft(r.getString(1)) { case (acc, (k, p)) =>
+        acc.replace(p, new String(Character.toChars(0xE100 + k)))
+      }
+      assert(got(r.getLong(0)) === end.codePointCount(0, end.length),
+        s"doc ${r.getLong(0)} diverged from the 64-merge replay")
+    }
+    // 64 merges must compress strictly better than the 12-step table
+    val got12 = SparkEntry.queries("token_count_learned")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.values.sum < got12.values.sum,
+      "64 byte merges did not out-compress the 12-step table")
+  }
+
   test("embed_project replays embed_pca's declared component exactly") {
     val pc = SparkEntry.queries("embed_pca")(spark, sf).collect()
       .sortBy(_.getInt(0)).map(_.getDouble(1))
