@@ -479,6 +479,23 @@ object KMeansOps {
       MLlibKMeans.fit(s, d, FLAGSHIP_K, initMode = "random") },
     "kmeans_fit_parallel" -> { (s, d) =>
       MLlibKMeans.fit(s, d, FLAGSHIP_K, initMode = "k-means||") },
+    "kmeans_fit_frozen" -> { (s, d) =>
+      // the MLlib fit that GRADUATES to the hash oracle (round-14 verdict
+      // item 7): the RDD-level `KMeans.setInitialModel` accepts the frozen
+      // deterministic seeds, so the trajectory (one assign+recompute
+      // inside MLlib's treeAggregate, then the assignment of the result)
+      // is exactly the kmeans_lloyd_2iter trajectory and replays in the
+      // same unrolled-CTE oracle. MLlib's unsnapped centers sit within
+      // ~5e-13 of the snap12 replay (measured) — absorbed by the r4 stat
+      // grid, with an assignment flip needing a point within ~1e-12 of a
+      // cell boundary (the snap12 improbability argument). The k-means||
+      // fits stay rows-only by contract: their PARALLEL INIT trajectory
+      // (per-partition XORShift draws) has no SQL mirror — it is the
+      // seeding, not the Lloyd loop, that resists an oracle.
+      val pts = points(s, d).localCheckpoint()
+      assignStats(pts,
+        MLlibKMeans.fitFrozen(pts, frozenCenters(s, d)), SqEuclid)
+    },
     "cluster_eval" -> { (s, d) =>
       // external-validity evaluation — the reference's UCI train/test
       // methodology (SURVEY.md §5: labeled datasets ship with the repo,
@@ -1008,6 +1025,9 @@ object KMeansOps {
       "cluster_eval_usermodel" ->
         uciEvalSqlFor(umTrainPath, umTestPath, 4, 5, "VARCHAR"),
       "kmeans_lloyd_2iter" -> lloydUnrollSql(V.sqDist),
+      // the frozen-init MLlib fit replays the SAME trajectory (see the
+      // query's scaladoc) — one oracle body, two engines' Lloyd loops
+      "kmeans_fit_frozen" -> lloydUnrollSql(V.sqDist),
       "kmeans_lloyd_manhattan" -> lloydUnrollSql(V.manhattan),
       // each branch re-trains its own k-cell single-step model
       // (trainedCellsSqlCtes — the same unrolled snap12 machinery the IVF

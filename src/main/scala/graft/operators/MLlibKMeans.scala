@@ -93,6 +93,28 @@ object MLlibKMeans {
       .withColumn("cost_vs_lloyd_ok", lit(ok))
   }
 
+  /** One MLlib Lloyd iteration from a FROZEN initial model — the
+    * hash-oracle-able fit (`kmeans_fit_frozen`): `mllib.KMeans
+    * .setInitialModel` skips seeding entirely, `epsilon=0` +
+    * `maxIterations=1` pins exactly one assign+recompute, and the model's
+    * center indices preserve the initial ordering, so the returned
+    * centers are the expression Lloyd's first recompute to within float
+    * summation order (measured ≤ 5e-13 per component vs the snap12
+    * trajectory on the fixture). Returns driver-side (cid, center) rows
+    * — O(k·d), the same bounded materialization every seeding path
+    * uses. */
+  def fitFrozen(pts: DataFrame,
+      init: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
+    import org.apache.spark.mllib.clustering.{KMeans => RddKMeans, KMeansModel}
+    import org.apache.spark.mllib.linalg.Vectors
+    val model = new RddKMeans()
+      .setK(init.length).setMaxIterations(1).setEpsilon(0.0)
+      .setInitialModel(new KMeansModel(init.map(c => Vectors.dense(c._2))))
+      .run(pts.select(col("v")).rdd
+        .map(r => Vectors.dense(r.getSeq[Double](0).toArray)))
+    model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+  }
+
   /** Within-set sum of squared distances of a fit at the given init mode —
     * the cross-check scalar KMeansSpec compares against [[KMeansOps.lloyd]]. */
   def fitCost(spark: SparkSession, sfDir: String, k: Int,

@@ -170,6 +170,23 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("kmeans_fit_frozen is row-identical to kmeans_lloyd_2iter") {
+    // the graduated-to-hash fit: MLlib's frozen-init trajectory and the
+    // expression Lloyd's unrolled 2-iteration trajectory must emit the
+    // SAME declared relation (same r4 stat grid, same sizes) — this is
+    // the engine-side half of the claim the shared DuckDB oracle
+    // verifies cross-engine
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+    val fit = SparkEntry.queries("kmeans_fit_frozen")(spark, sf)
+      .collect().map(key).sortBy(_._1)
+    val expr = SparkEntry.queries("kmeans_lloyd_2iter")(spark, sf)
+      .collect().map(key).sortBy(_._1)
+    assert(fit.toSeq === expr.toSeq,
+      "MLlib frozen-init trajectory diverged from the expression Lloyd")
+  }
+
   test("kmeans_fit VALUE agreement: same-seed MLlib Lloyd tracks expression Lloyd") {
     // round-12 verdict item 3: the three rows-only fit queries were the
     // only surface whose VALUES no second engine checked — the ceiling
