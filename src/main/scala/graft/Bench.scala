@@ -12,6 +12,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // codegen class cache sized to the suite (default 100): the
+      // interleaved-pass protocol runs ~195 distinct plans per pass, so
+      // at the default size every pass evicts everything and every query
+      // re-pays generated-class compilation each rep (~50 s across the
+      // suite, measured). A long-lived production driver running a
+      // recurring query set would size this the same way.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one-time layout ETL (bucketed tables, the IVF index), fixture
