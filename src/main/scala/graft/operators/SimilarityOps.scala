@@ -62,6 +62,11 @@ object SimilarityOps {
   private val NCELLS = 16 // IVF: centroid cells in the inverted file
   private val NPROBE = 4 // IVF: cells probed per query
   private val RERANK = 20 // IVF-PQ: int8-scored shortlist width per query
+  // semdedup: within-cell near-dup cosine threshold. 0.3 is the engine's
+  // established populated-range threshold (dedup_embedding's honesty
+  // note: this fixture plants no true near-dups, so the cos≥0.3 tail is
+  // what exercises the machinery; a production pass runs τ≈0.95+).
+  private val SEMDEDUP_TAU = 0.3
   // nprobe sweep widths — ONE list shared by the ivf_nprobe_sweep query
   // and its oracle builder so the two can never drift
   private val SWEEP_NPROBES = Seq(2, 4, 8)
@@ -384,6 +389,47 @@ object SimilarityOps {
       val deltaDir = ensureIvfDelta(s, d)
       s.read.parquet(s"$deltaDir/vectors")
         .select(col("id"), col("cell").cast("int").as("cell"))
+    },
+    "semdedup" -> { (s, d) =>
+      // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+      // cluster-then-within-cluster cosine — the cluster-topology
+      // complement of dedup_embedding's hyperplane banding (which finds
+      // pairs that COLLIDE under random planes, where this finds pairs
+      // that CO-ASSIGN under the learned cell model; the two surface
+      // different candidate sets from the same corpus). The production
+      // economics ride the STANDING IVF index: the cell-partitioned
+      // vectors layout already materializes the cluster assignment
+      // (ensureIvfIndex's one-off ETL, amortized across every probe
+      // query) — no retrain, no in-query assignment pass. Candidates are
+      // within-cell pairs generated from BARE (cell, id) rows — two longs
+      // through the shuffle, dedup_embedding's discipline — with hot
+      // cells capped out by the BUCKET_CAP guard (SemDeDup's own k ∝ n
+      // prescription keeps cells bounded at scale; an over-cap cell
+      // degrades to keep-all rather than an O(n²) stage), and the cosine
+      // verify rejoins vectors by id only for survivors. keep = "no
+      // lower-id in-cell neighbor at cos ≥ τ" — the engine-wide
+      // deterministic min-id keep convention (the paper keeps per-group
+      // representatives by centroid distance; min-id makes the kept set
+      // identical in both engines and PropertySpec-recheckable).
+      val dir = ensureIvfIndex(s, d)
+      val asg = s.read.parquet(s"$dir/vectors")
+        .select(col("id"), col("cell").cast("int").as("cell"))
+      val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("ccnt"))
+      val capped = asg.join(broadcast(counts
+        .where(col("ccnt") <= BUCKET_CAP).select(col("cell"))), Seq("cell"))
+      val cand = capped.select(col("cell"), col("id").as("id_a"))
+        .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val pts = KMeansOps.points(s, d)
+      val dropped = cand
+        .join(pts.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+        .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+        .where(r4(cos(col("va"), col("vb"))) >= SEMDEDUP_TAU)
+        .select(col("id_b").as("vec_id")).distinct()
+      asg.select(col("id").as("vec_id"), col("cell"))
+        .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("dup").isNull.as("keep"))
     },
     "similarity_topk" -> { (s, d) =>
       val docs = KMeansOps.points(s, d)
@@ -904,6 +950,29 @@ object SimilarityOps {
          |  FROM embeddings WHERE vec_id % 8 = 0),
          |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist, "delta")})
          |SELECT vec_id AS id, cluster_id AS cell FROM a""".stripMargin,
+    // the same trained-cell assignment every IVF oracle re-derives
+    // (hash-proven equal to the persisted layout by the IVF oracles),
+    // then within-cell pairs at the r4 cosine grid; asg MATERIALIZED —
+    // it is referenced three times and wraps the Lloyd CTE chain
+    "semdedup" ->
+      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+         |asg AS MATERIALIZED (
+         |  ${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
+         |cnt AS (SELECT cluster_id FROM asg
+         |        GROUP BY cluster_id HAVING count(*) <= $BUCKET_CAP),
+         |cap AS (SELECT asg.vec_id, asg.cluster_id
+         |        FROM asg JOIN cnt USING (cluster_id)),
+         |dup AS (
+         |  SELECT DISTINCT b2.vec_id
+         |  FROM cap a JOIN cap b2
+         |    ON a.cluster_id = b2.cluster_id AND a.vec_id < b2.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b2.vec_id
+         |  WHERE round(${VectorSql.cosine("ea.embedding", "eb.embedding")},
+         |              4) >= $SEMDEDUP_TAU)
+         |SELECT asg.vec_id, asg.cluster_id::INT AS cell,
+         |       (dup.vec_id IS NULL) AS keep
+         |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""".stripMargin,
     "sim_topk_ivf_pq_recall" ->
       s"""WITH ex AS ($simTopkSql),
          |iv AS ($ivfPqTopkSql)

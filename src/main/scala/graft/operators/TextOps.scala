@@ -518,6 +518,31 @@ object TextOps {
         .as("pass"))
   }
 
+  /** `dsir_sample` config — DSIR (Xie et al. 2023, arXiv:2302.03169):
+    * data selection by importance resampling under hashed bag-of-words
+    * language models. 256 hashed buckets (quality_classifier's md5
+    * discipline), target = the lang='en' slice, +1 smoothing over the
+    * bucket domain, and the sample size K. */
+  private[graft] val DSIR_BUCKETS = 256
+  private[graft] val DSIR_K = 200
+  private[graft] val DSIR_TARGET_LANG = "en"
+  private[graft] val DSIR_MICROS = 1048576.0 // 2^20 — exact power of two
+
+  /** Driver-side Mitchell log2 — the same exact-IEEE steps as
+    * [[graft.functions.VectorOps.log2m]] (integer bitlength + exact
+    * power-of-two division), so the weight table derived here lands on
+    * the identical doubles the DuckDB twin computes. */
+  private[graft] def log2mD(x: Long): Double = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    e.toDouble + x.toDouble / math.pow(2.0, e.toDouble) - 1.0
+  }
+
+  /** Per-bucket Mitchell-log2 probability in integer micros under +1
+    * smoothing over the [[DSIR_BUCKETS]] domain. */
+  private[graft] def dsirLpMicros(n: Long, tot: Long): Long =
+    math.floor((log2mD(n + 1) - log2mD(tot + DSIR_BUCKETS)) * DSIR_MICROS)
+      .toLong
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> { (s, d) =>
       // MEASURED fixture honesty (quality-axis sweep, round 7): the
@@ -1268,6 +1293,76 @@ object TextOps {
           row_number().over(Window.orderBy(col("k").desc, col("doc_id"))))
         .select(col("rk"), col("doc_id"), col("n_chars"))
     },
+    "dsir_sample" -> { (s, d) =>
+      // DSIR (Xie et al. 2023, arXiv:2302.03169): importance-resample the
+      // raw corpus toward a target distribution under hashed bag-of-words
+      // LMs — the domain-matching selection stage modern pretraining
+      // mixes run after quality gating. Two corpus passes:
+      //  (1) ONE bounded aggregate learns BOTH bucket models together
+      //      (raw = every token, target = the lang-filtered slice): a
+      //      256-key map-side-combined groupBy whose result collects to
+      //      the driver — the covMatrix/collectCenters bounded-model
+      //      discipline, O(DSIR_BUCKETS) rows whatever the corpus size;
+      //  (2) scoring is then a ZERO-SHUFFLE projection (the
+      //      quality_classifier shape): the per-bucket log-ratio table
+      //      folds in as a literal map and each doc's importance
+      //      log-weight is an exact integer-micros sum, order-free.
+      // Selection is Efraimidis–Spirakis in LOG space: rank by
+      // u^(1/w) == rank by log2(−log2 u) − log2 w, with −log2 u from
+      // the Mitchell log2 of the doc-id hash and log2 w =
+      // logw_micros/2^20 (exact power-of-two division).
+      // sample_weighted's direct pow(u, 1/w) would collapse here —
+      // importance weights span 2^±100, pushing u^(1/w) within pow-ULP
+      // of 1.0 where cross-engine ordering flips — while the log-space
+      // keys keep gaps far above IEEE noise and every step (integer
+      // hash, Mitchell log2, floor, one subtraction) is
+      // exact-deterministic in both engines. Mitchell's
+      // |log2m − log2| ≤ 0.086 perturbs the race NOISE distribution
+      // slightly, never the importance weighting itself. Fixture
+      // honesty (the lang_id note): every lang draws from one shared
+      // vocabulary, so the learned per-bucket ratios carry sampling
+      // variation around a constant — the full mechanics (two-model
+      // learning, literal-map fold, log-space race) are what the oracle
+      // pins; on a real multilingual corpus the same plan yields the
+      // paper's domain-matched sample.
+      val docs = Tables.documents(s, d)
+      val words = wordsCol(col("text"))
+      val counts = docs
+        .select(col("lang"), explode(words).as("t"))
+        .select(col("lang"),
+          pmod(DedupOps.h60(col("t")), lit(DSIR_BUCKETS.toLong))
+            .cast("int").as("b"))
+        .groupBy(col("b")).agg(
+          count(lit(1)).as("n_raw"),
+          count(when(col("lang") === DSIR_TARGET_LANG, 1)).as("n_tgt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val totRaw = counts.map(_._2).sum
+      val totTgt = counts.map(_._3).sum
+      val byB = counts.map(c => c._1 -> c).toMap
+      val dw = (0 until DSIR_BUCKETS).map { b =>
+        val (nR, nT) = byB.get(b).map(c => (c._2, c._3)).getOrElse((0L, 0L))
+        b -> (dsirLpMicros(nT, totTgt) - dsirLpMicros(nR, totRaw))
+      }
+      val dwMap = map(dw.flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
+      val logw = aggregate(
+        transform(words, t => element_at(dwMap,
+          pmod(DedupOps.h60(t), lit(DSIR_BUCKETS.toLong)).cast("int"))),
+        lit(0L), (acc, x) => acc + x)
+      import graft.functions.VectorOps.log2m
+      val uInt =
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967295L)) + lit(1L)
+      val eInt = floor((lit(32.0) - log2m(uInt)) * lit(1099511627776.0))
+        .cast("long")
+      val race = (log2m(eInt) - lit(40.0)) -
+        col("logw_micros").cast("double") / lit(DSIR_MICROS)
+      docs.select(col("doc_id"), col("lang"), logw.as("logw_micros"))
+        .select(col("doc_id"), col("lang"), col("logw_micros"),
+          race.as("race"))
+        .orderBy(col("race").asc, col("doc_id")).limit(DSIR_K)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("race").asc, col("doc_id"))))
+        .select(col("rk"), col("doc_id"), col("lang"), col("logw_micros"))
+    },
     "length_histogram" -> { (s, d) =>
       // corpus length profile on a log2 grid — the first chart any
       // curation review opens (truncation/padding budgeting, crawler
@@ -1762,6 +1857,55 @@ object TextOps {
          |          ${graft.functions.VectorSql.unitUniform("doc_id")} AS u
          |        FROM documents))
          |WHERE rk <= 200""".stripMargin,
+    // tb MATERIALIZED: the token-bucket relation feeds both the model
+    // aggregate and the per-doc scoring join
+    "dsir_sample" -> {
+      val V = graft.functions.VectorSql
+      val uSql = "(((doc_id * 2654435761) % 4294967295) + 1)"
+      s"""WITH tb AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |         (${DedupOps.h60Sql("t")} % $DSIR_BUCKETS)::INT AS b
+         |  FROM (SELECT doc_id, lang, unnest($wSql) AS t FROM documents)),
+         |m AS (
+         |  SELECT r.range::INT AS b,
+         |         coalesce(c.n_raw, 0)::BIGINT AS n_raw,
+         |         coalesce(c.n_tgt, 0)::BIGINT AS n_tgt
+         |  FROM range($DSIR_BUCKETS) r LEFT JOIN (
+         |    SELECT b, count(*)::BIGINT AS n_raw,
+         |           (count(*) FILTER (WHERE lang = '$DSIR_TARGET_LANG'))
+         |             ::BIGINT AS n_tgt
+         |    FROM tb GROUP BY b) c ON r.range = c.b),
+         |t AS (SELECT sum(n_raw)::BIGINT AS tot_raw,
+         |             sum(n_tgt)::BIGINT AS tot_tgt FROM m),
+         |w AS (
+         |  SELECT b,
+         |         (floor((${V.log2m("(n_tgt + 1)")}
+         |                 - ${V.log2m(s"(tot_tgt + $DSIR_BUCKETS)")})
+         |                * $DSIR_MICROS)::BIGINT
+         |          - floor((${V.log2m("(n_raw + 1)")}
+         |                   - ${V.log2m(s"(tot_raw + $DSIR_BUCKETS)")})
+         |                  * $DSIR_MICROS)::BIGINT) AS dw
+         |  FROM m CROSS JOIN t),
+         |docw AS (
+         |  SELECT d.doc_id, d.lang,
+         |         coalesce(sum(w.dw), 0)::BIGINT AS logw_micros
+         |  FROM documents d
+         |  LEFT JOIN tb ON d.doc_id = tb.doc_id
+         |  LEFT JOIN w ON tb.b = w.b
+         |  GROUP BY d.doc_id, d.lang),
+         |k AS (
+         |  SELECT doc_id, lang, logw_micros,
+         |         (${V.log2m(
+             s"floor((32.0 - ${V.log2m(uSql)}) * 1099511627776.0)::BIGINT")}
+         |          - 40.0
+         |          - logw_micros::DOUBLE / $DSIR_MICROS) AS race
+         |  FROM docw)
+         |SELECT rk, doc_id, lang, logw_micros FROM (
+         |  SELECT doc_id, lang, logw_micros,
+         |         row_number() OVER (ORDER BY race ASC, doc_id)::INT AS rk
+         |  FROM k)
+         |WHERE rk <= $DSIR_K""".stripMargin
+    },
     "length_histogram" ->
       s"""WITH c AS (
          |  SELECT ${graft.functions.VectorSql.ilog2("n_chars + 1")} AS bucket,

@@ -77,4 +77,44 @@ class ClassifierSpec extends SparkSpec {
     val ws = (0 until TextOps.CLF_BUCKETS).map(TextOps.clfWeightMicros)
     assert(ws.count(_ > 0) > 32 && ws.count(_ < 0) > 32)
   }
+
+  test("dsir_sample matches an independent JVM model + race re-derivation") {
+    // full end-to-end recheck on the fixture sharing no Spark expression
+    // code: java MessageDigest hashing, plain-Scala counting for both
+    // bucket LMs, the Mitchell-log2 race keys, and an in-memory top-K —
+    // the exact (rk, doc_id, logw) list must agree.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(t: String): Int = {
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % TextOps.DSIR_BUCKETS).toInt
+    }
+    val toks = docs.map { case (id, lang, text) =>
+      (id, lang, text.split(" ").filter(_.nonEmpty).map(bucket)) }
+    val nRaw = new Array[Long](TextOps.DSIR_BUCKETS)
+    val nTgt = new Array[Long](TextOps.DSIR_BUCKETS)
+    toks.foreach { case (_, lang, bs) => bs.foreach { b =>
+      nRaw(b) += 1; if (lang == TextOps.DSIR_TARGET_LANG) nTgt(b) += 1 } }
+    val totRaw = nRaw.sum; val totTgt = nTgt.sum
+    val dw = (0 until TextOps.DSIR_BUCKETS).map(b =>
+      TextOps.dsirLpMicros(nTgt(b), totTgt) -
+        TextOps.dsirLpMicros(nRaw(b), totRaw)).toArray
+    val expect = toks.map { case (id, _, bs) =>
+      val logw = bs.map(dw(_)).sum
+      val uInt = (id * 2654435761L) % 4294967295L + 1L
+      val eInt = math.floor(
+        (32.0 - TextOps.log2mD(uInt)) * 1099511627776.0).toLong
+      val race = (TextOps.log2mD(eInt) - 40.0) - logw.toDouble / 1048576.0
+      (race, id, logw)
+    }.sortBy(t => (t._1, t._2)).take(TextOps.DSIR_K)
+      .zipWithIndex.map { case ((_, id, logw), i) => (i + 1, id, logw) }
+    val got = SparkEntry.queries("dsir_sample")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(got.length === TextOps.DSIR_K)
+    assert(got.toSeq === expect.toSeq,
+      "dsir_sample drifted from the independent re-derivation")
+  }
 }

@@ -1197,4 +1197,43 @@ class OperatorSpec extends SparkSpec {
       .where(abs(col("total") - col("final_cum")) > 0.011)
     assert(joined.count() === 0L)
   }
+
+  test("semdedup keep set matches an exact driver brute-force recheck") {
+    // independent re-derivation sharing NO Spark expression code: plain
+    // Scala cosine (the same 3-accumulator left-to-right loop CosineSim
+    // documents as its contract) + BigDecimal HALF_UP rounding (Spark's
+    // round()), applied per cell with the min-id keep rule.
+    val res = SparkEntry.queries("semdedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(res.nonEmpty)
+    assert(res.exists(!_._3), "fixture should produce at least one drop")
+    val vmap = operators.KMeansOps.points(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) {
+        dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4D(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expectDrop: Set[Long] = res.groupBy(_._2).values.flatMap { cell =>
+      val ids = cell.map(_._1).sorted.toSeq
+      for {
+        bI <- ids; aI <- ids
+        if aI < bI && r4D(cosD(vmap(aI), vmap(bI))) >= 0.3
+      } yield bI
+    }.toSet
+    res.foreach { case (id, cellId, keep) =>
+      assert(keep === !expectDrop.contains(id),
+        s"vec $id (cell $cellId): keep=$keep disagrees with brute force")
+    }
+    // min-id invariant: the smallest id of every cell is always kept
+    res.groupBy(_._2).values.foreach { cell =>
+      val minId = cell.map(_._1).min
+      assert(cell.find(_._1 == minId).get._3,
+        s"cell ${cell.head._2}: min id $minId must be kept")
+    }
+  }
 }

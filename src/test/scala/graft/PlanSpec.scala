@@ -699,6 +699,38 @@ class PlanSpec extends SparkSpec {
       "weighted sample must be per-partition top-K + merge")
   }
 
+  test("dsir_sample scoring joins nothing and selects via TakeOrdered") {
+    // the bucket models collect once (256-row bounded aggregate, eager at
+    // query build) and fold into the scoring plan as a literal map — so
+    // the DECLARED plan must be the quality_classifier shape feeding a
+    // top-K: no join anywhere, one corpus scan, TakeOrderedAndProject for
+    // the race selection, and the only exchange the K-row ranking window.
+    val plan = executed("dsir_sample")
+    assert(!plan.contains("Join"),
+      "bucket models must fold as literals, not join")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the race selection must be per-partition top-K + merge")
+    assert(plan.split("Scan parquet", -1).length - 1 == 1,
+      "scoring must read the corpus exactly once")
+    assert(plan.split("Exchange", -1).length - 1 <= 1,
+      "only the K-row ranking window may exchange")
+  }
+
+  test("semdedup reads assignment from the standing index, bare columns") {
+    val plan = executed("semdedup")
+    // cluster assignment must come from the persisted IVF layout (the
+    // one-off ensureIvfIndex ETL), never an in-query argmin; and every
+    // index-side scan must read bare id/cell — the float vectors enter
+    // the plan only through the per-id verify rejoin against the fixture.
+    assert(!plan.toLowerCase.contains("nearestcenter"),
+      "assignment must come from the persisted IVF layout, not in-query")
+    val idxScans = plan.split("\n").filter(l =>
+      l.contains("Scan parquet") && l.contains("ivf-index"))
+    assert(idxScans.nonEmpty, "no scan of the standing IVF layout")
+    assert(idxScans.forall(!_.contains("v:")),
+      "index-side scans must not carry the float vectors")
+  }
+
   test("grouping_sets_agg is one Expand over one corpus pass") {
     val plan = executed("grouping_sets_agg")
     assert(plan.contains("Expand"), "grouping sets must plan as Expand")
