@@ -707,6 +707,37 @@ object DedupOps {
     "dedup_minhash" -> { (s, d) =>
       minhashPairs(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))
     },
+    "dedup_cascade" -> { (s, d) =>
+      // the production dedup DEPLOYMENT ORDER as one attributed pass:
+      // exact (digest groupBy, min-id survivor) FIRST, then MinHash
+      // near-dup over the SURVIVORS only — with per-doc attribution of
+      // the first stage that dropped it, the report a pipeline team
+      // actually reads. The stage order is not cosmetic: banding the
+      // survivors caps cells over the POST-exact population, so a cell
+      // that exact duplicates made hot (1000 clones share every band)
+      // comes back under the cap and its near-dups become findable —
+      // running LSH before exact dedup forfeits them (PropertySpec
+      // proves exactly this on a constructed corpus). Scale shape is the
+      // two parents' unchanged: one digest aggregate, survivor-restricted
+      // banding, bare-id pairs, component min-id keep.
+      val docs = Tables.documents(s, d)
+      val kept1 = docs
+        .groupBy(digest(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")).localCheckpoint()
+      val surv = docs.join(kept1, Seq("doc_id"), "left_semi")
+      val nonRep = componentsOf(
+          minhashPairs(surv).select(col("doc_a"), col("doc_b")))
+        .where(col("doc_id") =!= col("cluster_rep"))
+        .select(col("doc_id"))
+      docs.select(col("doc_id"))
+        .join(kept1.withColumn("s1", lit(true)), Seq("doc_id"), "left")
+        .join(nonRep.withColumn("s2", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("s1").isNull, lit("exact"))
+            .when(col("s2").isNotNull, lit("minhash"))
+            .otherwise(lit("kept")).as("stage"))
+    },
     "dedup_fuzzy" -> { (s, d) =>
       // edit-distance near-dups: banded MinHash candidates verified by a
       // THRESHOLD levenshtein (≤ τ=5) — see [[fuzzyPairs]]
@@ -1070,6 +1101,39 @@ object DedupOps {
          |FROM cbands a JOIN cbands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          |WHERE a.doc_id < b.doc_id""".stripMargin,
+    // bands compute per-doc over the full corpus (sig/bands CTEs are
+    // per-row), but the CAP and the pair join run over the exact-SURVIVOR
+    // population only — the cascade's load-bearing restriction
+    "dedup_cascade" ->
+      s"""WITH RECURSIVE $sigSql,
+         |$bandsSql,
+         |surv AS (SELECT min(doc_id)::BIGINT AS doc_id
+         |         FROM documents GROUP BY md5(text)),
+         |sbands AS (SELECT b.doc_id, b.band_id, b.band_hash
+         |           FROM bands b JOIN surv USING (doc_id)),
+         |skeep AS (SELECT band_id, band_hash FROM sbands
+         |          GROUP BY band_id, band_hash HAVING count(*) <= $BAND_CAP),
+         |scb AS (SELECT s.doc_id, s.band_id, s.band_hash FROM sbands s
+         |        JOIN skeep USING (band_id, band_hash)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM scb a JOIN scb b
+         |            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |          WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (SELECT s, s FROM edges
+         |                   UNION
+         |                   SELECT e.s, r.r FROM edges e
+         |                   JOIN reach r ON e.t = r.node),
+         |nonrep AS (SELECT node AS doc_id FROM reach
+         |           GROUP BY node HAVING min(r) < node)
+         |SELECT d.doc_id,
+         |       CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM surv)
+         |              THEN 'exact'
+         |            WHEN d.doc_id IN (SELECT doc_id FROM nonrep)
+         |              THEN 'minhash'
+         |            ELSE 'kept' END AS stage
+         |FROM documents d""".stripMargin,
     "dedup_fuzzy" ->
       s"""WITH $sigSql,
          |$bandsSql,

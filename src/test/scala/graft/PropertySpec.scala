@@ -555,4 +555,37 @@ class PropertySpec extends SparkSpec {
     assert(got(0).isNullAt(0) && got(0).isNullAt(1)) // 2-dim vec vs 5-dim planes
     assert(!got(1).isNullAt(0) && !got(1).isNullAt(1))
   }
+
+  test("dedup_cascade ordering unlocks near-dups behind a hot LSH cell") {
+    // the cascade's load-bearing claim: exact dedup FIRST brings a cell
+    // that clones made hot back under the band cap, so the near-dup the
+    // cell hid becomes findable — LSH run before exact dedup is blind to
+    // it. Constructed corpus: BAND_CAP+1 identical clones of A plus one
+    // near-dup B (one word changed). Identical texts band identically, so
+    // every A-cell holds ≥ cap+1 members and B's only partners are the
+    // clones.
+    val cap = DedupOps.BAND_CAP
+    val a = ("the quick brown fox jumps over the lazy dog while the " +
+      "storm rolls across the wide open plain and the river bends south")
+    val b = a.replace("river", "valley")
+    val docs = ((0 to cap).map(i => (i.toLong, a)) :+ ((cap + 1).toLong, b))
+      .toDF("doc_id", "text")
+    // precondition: A and B genuinely band-collide when cells are cool
+    val pairAB = DedupOps.minhashPairs(
+      Seq((0L, a), (1L, b)).toDF("doc_id", "text")).count()
+    assert(pairAB === 1L, "fixture texts must band-collide — retune B")
+    // blind order: banding the full corpus first finds NOTHING (every
+    // cell over cap)
+    assert(DedupOps.minhashPairs(docs).count() === 0L)
+    // cascade order, reconstructed from the query's own helpers: exact
+    // survivors = {0, B}; survivor banding pairs them; B drops 'minhash'
+    import org.apache.spark.sql.functions.min
+    val kept1 = docs.groupBy(DedupOps.digest(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val surv = docs.join(kept1, Seq("doc_id"), "left_semi")
+    val pairs = DedupOps.minhashPairs(surv).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, (cap + 1).toLong)),
+      "survivor-banding must surface the (rep, near-dup) pair")
+  }
 }
