@@ -67,6 +67,31 @@ object SimilarityOps {
   // note: this fixture plants no true near-dups, so the cos≥0.3 tail is
   // what exercises the machinery; a production pass runs τ≈0.95+).
   private val SEMDEDUP_TAU = 0.3
+  // semdedup_scaled: k at the paper's k ∝ n prescription for the larger
+  // fixtures (n/k ≈ 31 at sf0.1, 250 at 8× — both ≪ BUCKET_CAP)
+  private val NCELLS_SCALED = 64
+
+  /** The semdedup tail shared by the standing-index and scaled-k forms:
+    * cap over-populated cells out (keep-all degrade, never O(n²)),
+    * generate bare-id within-cell pairs, rejoin vectors for the cosine
+    * verify, keep = no lower-id in-cell neighbor at τ. */
+  private def semdedupFrom(asg: DataFrame, pts: DataFrame): DataFrame = {
+    val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("ccnt"))
+    val capped = asg.join(broadcast(counts
+      .where(col("ccnt") <= BUCKET_CAP).select(col("cell"))), Seq("cell"))
+    val cand = capped.select(col("cell"), col("id").as("id_a"))
+      .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val dropped = cand
+      .join(pts.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .where(r4(cos(col("va"), col("vb"))) >= SEMDEDUP_TAU)
+      .select(col("id_b").as("vec_id")).distinct()
+    asg.select(col("id").as("vec_id"), col("cell"))
+      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup").isNull.as("keep"))
+  }
   // nprobe sweep widths — ONE list shared by the ivf_nprobe_sweep query
   // and its oracle builder so the two can never drift
   private val SWEEP_NPROBES = Seq(2, 4, 8)
@@ -414,22 +439,27 @@ object SimilarityOps {
       val dir = ensureIvfIndex(s, d)
       val asg = s.read.parquet(s"$dir/vectors")
         .select(col("id"), col("cell").cast("int").as("cell"))
-      val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("ccnt"))
-      val capped = asg.join(broadcast(counts
-        .where(col("ccnt") <= BUCKET_CAP).select(col("cell"))), Seq("cell"))
-      val cand = capped.select(col("cell"), col("id").as("id_a"))
-        .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      val pts = KMeansOps.points(s, d)
-      val dropped = cand
-        .join(pts.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-        .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-        .where(r4(cos(col("va"), col("vb"))) >= SEMDEDUP_TAU)
-        .select(col("id_b").as("vec_id")).distinct()
-      asg.select(col("id").as("vec_id"), col("cell"))
-        .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"), col("dup").isNull.as("keep"))
+      semdedupFrom(asg, KMeansOps.points(s, d))
+    },
+    "semdedup_scaled" -> { (s, d) =>
+      // SemDeDup at the paper's k ∝ n prescription, the production
+      // answer to `semdedup`'s fixed-k honesty note (at 8× volume 10 of
+      // the nc16 index's cells overflow BUCKET_CAP and degrade to
+      // keep-all): 64 cells trained IN-QUERY — two snap12 Lloyd steps
+      // from the frozen seeds, the kmeans-family's bounded driver loop
+      // (O(k·d) collects, corpus work is two broadcast-argmin passes) —
+      // restore every cell under the cap at 8× (16000/64 = 250 ≪ 1000;
+      // measured: 0 capped-out cells, every planted replica group
+      // deduped). Same bare-id pair tail as `semdedup`; the trade is
+      // explicit: the nc16 variant rides the standing probe index for
+      // free, this one pays a k-row training loop to keep cells bounded
+      // as the corpus grows — exactly how a deployment scales k.
+      val pts = KMeansOps.points(s, d).localCheckpoint()
+      val cells = KMeansOps.lloydStep(pts,
+        KMeansOps.lloydStep(pts, KMeansOps.frozenCenters(s, d, NCELLS_SCALED)))
+      val asg = pts.select(col("id"),
+        KMeansOps.nearestCol(col("v"), cells).as("cell"))
+      semdedupFrom(asg, pts)
     },
     "similarity_topk" -> { (s, d) =>
       val docs = KMeansOps.points(s, d)
@@ -936,6 +966,29 @@ object SimilarityOps {
        |  WHERE d.vec_id <> q.vec_id)
        |WHERE rnk <= $TOPK""".stripMargin
 
+  /** semdedup oracle at cell count k — the trained-cell CTEs, the
+    * argmin assignment, the survivor cap, and the within-cell pair
+    * verify at the r4 cosine grid. */
+  private def semdedupSqlFor(k: Int): String =
+    s"""WITH ${KMeansOps.trainedCellsSqlCtes(k, 2)},
+       |asg AS MATERIALIZED (
+       |  ${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
+       |cnt AS (SELECT cluster_id FROM asg
+       |        GROUP BY cluster_id HAVING count(*) <= $BUCKET_CAP),
+       |cap AS (SELECT asg.vec_id, asg.cluster_id
+       |        FROM asg JOIN cnt USING (cluster_id)),
+       |dup AS (
+       |  SELECT DISTINCT b2.vec_id
+       |  FROM cap a JOIN cap b2
+       |    ON a.cluster_id = b2.cluster_id AND a.vec_id < b2.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b2.vec_id
+       |  WHERE round(${VectorSql.cosine("ea.embedding", "eb.embedding")},
+       |              4) >= $SEMDEDUP_TAU)
+       |SELECT asg.vec_id, asg.cluster_id::INT AS cell,
+       |       (dup.vec_id IS NULL) AS keep
+       |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_topk_ivf_pq" -> ivfPqTopkSql,
@@ -953,26 +1006,11 @@ object SimilarityOps {
     // the same trained-cell assignment every IVF oracle re-derives
     // (hash-proven equal to the persisted layout by the IVF oracles),
     // then within-cell pairs at the r4 cosine grid; asg MATERIALIZED —
-    // it is referenced three times and wraps the Lloyd CTE chain
-    "semdedup" ->
-      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
-         |asg AS MATERIALIZED (
-         |  ${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
-         |cnt AS (SELECT cluster_id FROM asg
-         |        GROUP BY cluster_id HAVING count(*) <= $BUCKET_CAP),
-         |cap AS (SELECT asg.vec_id, asg.cluster_id
-         |        FROM asg JOIN cnt USING (cluster_id)),
-         |dup AS (
-         |  SELECT DISTINCT b2.vec_id
-         |  FROM cap a JOIN cap b2
-         |    ON a.cluster_id = b2.cluster_id AND a.vec_id < b2.vec_id
-         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-         |  JOIN embeddings eb ON eb.vec_id = b2.vec_id
-         |  WHERE round(${VectorSql.cosine("ea.embedding", "eb.embedding")},
-         |              4) >= $SEMDEDUP_TAU)
-         |SELECT asg.vec_id, asg.cluster_id::INT AS cell,
-         |       (dup.vec_id IS NULL) AS keep
-         |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""".stripMargin,
+    // it is referenced three times and wraps the Lloyd CTE chain. ONE
+    // builder parameterized on k serves both the standing-index (nc16)
+    // and the scaled-k forms so they can never drift.
+    "semdedup" -> semdedupSqlFor(NCELLS),
+    "semdedup_scaled" -> semdedupSqlFor(NCELLS_SCALED),
     "sim_topk_ivf_pq_recall" ->
       s"""WITH ex AS ($simTopkSql),
          |iv AS ($ivfPqTopkSql)

@@ -1198,12 +1198,13 @@ class OperatorSpec extends SparkSpec {
     assert(joined.count() === 0L)
   }
 
-  test("semdedup keep set matches an exact driver brute-force recheck") {
+  for (q <- Seq("semdedup", "semdedup_scaled"))
+  test(s"$q keep set matches an exact driver brute-force recheck") {
     // independent re-derivation sharing NO Spark expression code: plain
     // Scala cosine (the same 3-accumulator left-to-right loop CosineSim
     // documents as its contract) + BigDecimal HALF_UP rounding (Spark's
     // round()), applied per cell with the min-id keep rule.
-    val res = SparkEntry.queries("semdedup")(spark, sf).collect()
+    val res = SparkEntry.queries(q)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
     assert(res.nonEmpty)
     assert(res.exists(!_._3), "fixture should produce at least one drop")
