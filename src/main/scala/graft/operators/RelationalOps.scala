@@ -43,6 +43,21 @@ object RelationalOps {
       "sum(round(l_extendedprice * 100)::BIGINT * " +
         "(100 - round(l_discount * 100)::BIGINT))::DOUBLE / 10000.0", 2)
 
+  /** Order-independent sum of an exact-2-decimal double column: quantize
+    * each row to integer cents, sum in a decimal accumulator (no overflow
+    * cliff at 100 TB row counts), divide once at the end. A bare
+    * `round(sum(x), 2)` is summation-ORDER-dependent before the rounding —
+    * the same coin-flip boundary class [[revenueSum]] documents — so any
+    * fixture regeneration (or partition-count change on either engine)
+    * could hash-flip the last cent. [[centsSumSql]] is the DuckDB
+    * rendering; both end on the identical exact-integer → double → /100. */
+  private[graft] def centsSum(c: Column): Column =
+    sum(round(c * 100).cast("long").cast("decimal(38,0)"))
+      .cast("double") / 100.0
+
+  private[graft] def centsSumSql(e: String): String =
+    s"sum(round(($e) * 100)::BIGINT)::DOUBLE / 100.0"
+
   /** join_range's price brackets — ONE definition feeding both the Spark
     * relation and the oracle's VALUES literal (via [[bracketsSql]]) so the
     * two tables can never drift. */
@@ -110,7 +125,11 @@ object RelationalOps {
       .select(col("user_id"), col("last.ts_us").as("ts_us"),
         col("last.event_id").as("event_id"),
         col("last.event_type").as("event_type"),
-        round(col("last.value"), 2).as("value"), col("n_versions"))
+        // rIeee, not round(_, 2): Spark rounds HALF_UP on the shortest
+        // decimal rendering, DuckDB half-away on the binary double — a
+        // stored half-way value (2.675) would split the engines
+        graft.functions.VectorOps.rIeee(col("last.value"), 2).as("value"),
+        col("n_versions"))
 
   /** events with `ts` (epoch nanos, see [[graft.Tables.table]]) plus an
     * epoch-hour bucket — the tumbling-window key used by batch + oracle. */
@@ -123,7 +142,8 @@ object RelationalOps {
   private[graft] def scd2Of(events: DataFrame): DataFrame = {
     val ev = events
       .select(col("user_id"), col("event_id"), col("event_type"),
-        round(col("value"), 2).as("value"),
+        // rIeee per the compactAgg / mergeActions half-way discipline
+        graft.functions.VectorOps.rIeee(col("value"), 2).as("value"),
         expr("ts div 1000").as("valid_from_us"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("valid_from_us"), col("event_id"))
@@ -151,7 +171,7 @@ object RelationalOps {
       .where(col("mad") > 0)
     withMed.join(broadcast(mad), "event_type")
       .select(col("event_id"), col("event_type"),
-        round(col("value"), 2).as("value"),
+        rIeee(col("value"), 2).as("value"),
         rIeee(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4)
           .as("mz"))
       .where(abs(col("mz")) > 3.5)
@@ -398,7 +418,10 @@ object RelationalOps {
       bandedRangeJoin(li, br, w = 5000.0)
         .groupBy(col("bracket_id"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("price")), 2).as("sum_price"))
+          // centsSum, not round(sum(..), 2): a double sum is addition-
+          // order-dependent BEFORE the rounding, so the last cent was a
+          // partition-scheduling coin flip (revenueSum's discipline)
+          centsSum(col("price")).as("sum_price"))
     },
     "skew_report" -> { (s, d) =>
       // heavy-hitter key profile — the diagnostic that DECIDES the salting
@@ -446,10 +469,11 @@ object RelationalOps {
       val stats = ev.groupBy(col("event_type"))
         .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
         .where(col("sigma") > 0)
+      import graft.functions.VectorOps.rIeee
       ev.join(broadcast(stats), "event_type")
         .select(col("event_id"), col("event_type"),
-          round(col("value"), 2).as("value"),
-          round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+          rIeee(col("value"), 2).as("value"),
+          rIeee((col("value") - col("mu")) / col("sigma"), 4).as("z"))
         .where(abs(col("z")) > 3.0)
     },
     "outlier_mad" -> { (s, d) =>
@@ -492,7 +516,7 @@ object RelationalOps {
           rIeee(col("p5"), 4).as("p5"), rIeee(col("p95"), 4).as("p95"))
       ev.join(broadcast(cuts), "event_type")
         .select(col("event_id"), col("event_type"),
-          round(col("value"), 2).as("value"),
+          rIeee(col("value"), 2).as("value"),
           rIeee(least(greatest(col("value"), col("p5")), col("p95")), 4)
             .as("clipped"),
           (col("value") < col("p5") || col("value") > col("p95"))
@@ -556,7 +580,8 @@ object RelationalOps {
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
+          // order-independent cent-quantized sum (join_range's rationale)
+          centsSum(col("value")).as("sum_value"))
     },
     "approx_distinct" -> { (s, d) =>
       // HLL++ sketch (fixed-size mergeable registers — THE cardinality
@@ -618,9 +643,15 @@ object RelationalOps {
         max(expr("ts div 1000")).as("max_ts_us"))
     },
     "agg_stats" -> { (s, d) =>
+      // sum_qty stays round(sum): l_quantity is integral so the double sum
+      // is exact. avg_price switches to the cents discipline — avg() hides
+      // an order-dependent double sum; the cents sum is exact, and the two
+      // divisions (/100, /n) are the identical IEEE ops on both engines.
       Tables.lineitem(s, d).groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          graft.functions.VectorOps.rIeee(
+            centsSum(col("l_extendedprice")) / count(lit(1)), 2)
+            .as("avg_price"),
           round(min(col("l_discount")), 2).as("min_disc"),
           round(max(col("l_tax")), 2).as("max_tax"),
           count(lit(1)).as("n"))
@@ -1163,8 +1194,9 @@ object RelationalOps {
         |              WHERE o_custkey = c_custkey
         |                AND o_orderpriority = '1-URGENT')""".stripMargin,
     "compact_changelog" ->
-      """SELECT user_id, ts_us, event_id, event_type,
-        |       round(value, 2) AS value, n_versions
+      s"""SELECT user_id, ts_us, event_id, event_type,
+        |       ${graft.functions.VectorSql.rIeee("value", 2)} AS value,
+        |       n_versions
         |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
         |             value,
         |             count(*) OVER (PARTITION BY user_id)::BIGINT AS n_versions,
@@ -1173,10 +1205,10 @@ object RelationalOps {
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
     "scd2_snapshot" ->
-      """SELECT user_id, event_id, event_type, value, valid_from_us,
+      s"""SELECT user_id, event_id, event_type, value, valid_from_us,
         |       valid_to_us, (valid_to_us = -1) AS is_current
         |FROM (SELECT user_id, event_id, event_type,
-        |             round(value, 2) AS value,
+        |             ${graft.functions.VectorSql.rIeee("value", 2)} AS value,
         |             epoch_us(ts) AS valid_from_us,
         |             coalesce(lead(epoch_us(ts))
         |               OVER (PARTITION BY user_id
@@ -1188,7 +1220,7 @@ object RelationalOps {
     "join_range" ->
       s"""WITH br(bracket_id, lo, hi) AS (VALUES $bracketsSql)
         |SELECT bracket_id, count(*)::BIGINT AS n_items,
-        |       round(sum(l_extendedprice), 2) AS sum_price
+        |       ${centsSumSql("l_extendedprice")} AS sum_price
         |FROM lineitem JOIN br
         |  ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY bracket_id""".stripMargin,
@@ -1202,10 +1234,12 @@ object RelationalOps {
         |ORDER BY n_events DESC, user_id
         |LIMIT 20""".stripMargin,
     "outlier_zscore" ->
-      """SELECT event_id, event_type, round(value, 2) AS value, z
+      s"""SELECT event_id, event_type,
+        |       ${graft.functions.VectorSql.rIeee("value", 2)} AS value, z
         |FROM (SELECT event_id, event_type, value,
-        |        round((value - avg(value) OVER (PARTITION BY event_type))
-        |              / stddev_pop(value) OVER (PARTITION BY event_type), 4)
+        |        ${graft.functions.VectorSql.rIeee(
+              "(value - avg(value) OVER (PARTITION BY event_type))" +
+                " / stddev_pop(value) OVER (PARTITION BY event_type)", 4)}
         |          AS z,
         |        stddev_pop(value) OVER (PARTITION BY event_type) AS sigma
         |      FROM events)
@@ -1234,7 +1268,8 @@ object RelationalOps {
          |         ${graft.functions.VectorSql.rIeee(
              "quantile_cont(value, 0.95)", 4)} AS p95
          |  FROM events GROUP BY event_type)
-         |SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+         |SELECT e.event_id, e.event_type,
+         |       ${graft.functions.VectorSql.rIeee("e.value", 2)} AS value,
          |       ${graft.functions.VectorSql.rIeee(
              "least(greatest(e.value, c.p5), c.p95)", 4)} AS clipped,
          |       (e.value < c.p5 OR e.value > c.p95) AS was_clipped
@@ -1249,7 +1284,8 @@ object RelationalOps {
          |  FROM events e JOIN med m USING (event_type)
          |  GROUP BY e.event_type)
          |SELECT event_id, event_type, value, mz FROM (
-         |  SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+         |  SELECT e.event_id, e.event_type,
+         |         ${graft.functions.VectorSql.rIeee("e.value", 2)} AS value,
          |         ${graft.functions.VectorSql.rIeee(
                "0.6745 * (e.value - m.med) / d.mad", 4)} AS mz
          |  FROM events e JOIN med m USING (event_type)
@@ -1300,8 +1336,9 @@ object RelationalOps {
         |FROM weekly JOIN cohorts USING (user_id)
         |GROUP BY cohort_week, week_offset""".stripMargin,
     "agg_distinct" ->
-      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
-        |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+      s"""SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+        |       count(*)::BIGINT AS n_events,
+        |       ${centsSumSql("value")} AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
     // sketch queries: oracle recomputes the EXACT side and asserts the
     // within-tolerance flag TRUE — the Spark plan computes sketch vs exact
@@ -1329,9 +1366,10 @@ object RelationalOps {
         |       max(epoch_us(ts))::BIGINT AS max_ts_us
         |FROM events""".stripMargin,
     "agg_stats" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       ${graft.functions.VectorSql.rIeee(
+            centsSumSql("l_extendedprice") + " / count(*)", 2)} AS avg_price,
         |       round(min(l_discount), 2) AS min_disc,
         |       round(max(l_tax), 2) AS max_tax,
         |       count(*)::BIGINT AS n

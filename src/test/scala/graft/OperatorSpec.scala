@@ -858,6 +858,30 @@ class OperatorSpec extends SparkSpec {
     assert(got399 === got)
   }
 
+  test("compactAgg quantizes a half-way decimal engine-neutrally (2.675 -> 2.67)") {
+    import spark.implicits._
+    // 2.675 is the classic round-half trap: the nearest double is
+    // 2.67499999999999982..., below the true half — engines that round the
+    // BINARY value at the decimal place answer 2.67 while decimal-
+    // rendering HALF_UP (Spark's round) answers 2.68. rIeee pins ONE
+    // op sequence both engines execute identically: 2.675*100 IEEE-rounds
+    // to exactly 267.5, +0.5 -> 268, floor -> 2.68 — verified equal to
+    // DuckDB's floor(2.675::DOUBLE*100+0.5)/100 = 2.68. A regression back
+    // to an engine-native rounding rule fails here instead of on a future
+    // fixture regeneration.
+    val ev = Seq((1L, 1000000L, 10L, "click", 2.675))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = graft.operators.RelationalOps.compactAgg(ev).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Double]("value") === 2.68)
+    // same discipline in the merge core (fixed round 14) stays pinned
+    val merged = graft.operators.RelationalOps.mergeActions(
+      ev.select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("value")), cut = 0L)
+      .collect()
+    assert(merged.length === 1 && merged(0).getAs[Double]("value") === 2.68)
+  }
+
   test("outlier_mad flags exactly the hand-computed modified-z outliers") {
     import spark.implicits._
     // group a: 1..9 plus 100 → med 5.5, adevs {0.5,0.5,1.5,1.5,2.5,2.5,
