@@ -326,35 +326,54 @@ object TextOps {
   private[graft] def learnedSym(k: Int): String =
     new String(Character.toChars(0xE100 + k))
 
-  /** The training loop itself — returns the learned merge list. The
-    * rewrite chain localCheckpoints every THIRD trip, not every trip: a
-    * 3-deep replace chain is one codegen projection the next count pass
-    * absorbs for free, while per-trip materialization pays a full
-    * corpus write 12× (measured 29 s → the dominant bench plan before
-    * this; at 100 TB the same 3× cut applies to the materialization
-    * I/O). */
+  /** The training loop itself — returns the learned merge list.
+    *
+    * Trains on the WORD-FREQUENCY HISTOGRAM, not the corpus (the classic
+    * BPE trainer shape): pairs never cross a space, so per-distinct-word
+    * pair counts weighted by word frequency equal the full-corpus counts
+    * EXACTLY — overlap counting, the rewrite's left-to-right
+    * non-overlapping `replace`, and the (count DESC, pair ASC) argmax all
+    * confine to single words, so every trip's winning pair and n_occ are
+    * bit-identical to the corpus-scan form (OperatorSpec's hand-computed
+    * ladder pins this; the DuckDB oracle still scans the corpus, so the
+    * hash compare re-proves the equivalence every round). The corpus is
+    * touched ONCE to build the histogram; all `steps` trips then run on
+    * the vocab-bounded relation — at 100 TB the trainer's per-trip input
+    * is the vocabulary, not the corpus, which is why production
+    * tokenizer training is feasible at all (r15 verdict item 2: the
+    * corpus-scan loop paid 64 corpus passes ≈ 33 s of the bench; the
+    * histogram loop pays one).
+    *
+    * The rewrite chain localCheckpoints every 8th trip: the histogram is
+    * tiny, so materialization is cheap, but a 64-deep replace chain in
+    * one codegen projection would blow the generated-method budget. */
   private[graft] def bpeMerges(docs0: DataFrame,
       steps: Int): Seq[(Int, String, Long)] = {
-    // spread once at loop entry: the single-file fixture arrives as ONE
-    // partition, which would run every trip's pair count single-task
-    // (measured: the whole 12-trip loop serialized through one core);
-    // the checkpoints preserve the spread for all later trips
-    var state = DedupOps.spread(docs0)
+    // spread once at histogram build: the single-file fixture arrives as
+    // ONE partition, which would run the only corpus-scale pass here
+    // single-task. 1-char words can never contribute a pair in any trip
+    // (replace only shortens), so they are dropped up front.
+    var hist = DedupOps.spread(docs0)
+      .select(explode(split(col("t"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (k <- 1 to steps) {
-      val best = state
-        .where(length(col("t")) >= 2)
+      val best = hist
+        // re-guard each trip: a rewritten word can shrink below 2 symbols
+        // and sequence(1, 0) DESCENDS rather than returning empty
+        .where(length(col("w")) >= 2)
         .select(explode(expr(
-          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
-          .as("pair"))
-        .where(!col("pair").contains(" "))
-        .groupBy(col("pair")).agg(count(lit(1)).as("n_occ"))
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n_occ"))
         .orderBy(col("n_occ").desc, col("pair")).limit(1)
         .collect()(0)
       merges += ((k, best.getString(0), best.getLong(1)))
-      state = state.select(org.apache.spark.sql.functions.replace(col("t"),
-        lit(best.getString(0)), lit(learnedSym(k))).as("t"))
-      if (k % 3 == 0 && k < steps) state = state.localCheckpoint()
+      hist = hist.select(org.apache.spark.sql.functions.replace(col("w"),
+        lit(best.getString(0)), lit(learnedSym(k))).as("w"), col("freq"))
+      if (k % 8 == 0 && k < steps) hist = hist.localCheckpoint()
     }
     merges.toSeq
   }
