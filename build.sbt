@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes RAW to stdout, not through sbt's logger:
+// the logger prefixes every child line with "[info] ", which breaks any
+// consumer that parses Bench's JSON summary lines by looking for lines
+// starting with '{' (the driver's BENCH_r15.json recorded parsed:null for
+// exactly this reason even though the totals line was present in the tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

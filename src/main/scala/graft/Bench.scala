@@ -224,9 +224,18 @@ object Bench {
     println(shortLine)
     println(line)
     println(shortLine)
+    // BOTH schemas also land as stable single-object JSON files (round-15
+    // verdict item 3 / ADVICE): bench_summary.json keeps the full detail
+    // line (its historical contract), bench_summary_short.json carries the
+    // totals-only line — so neither a stdout truncation window nor a log
+    // prefix can cost the round its headline numbers, and head-anchored
+    // and file-based consumers can never silently parse different schemas.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_summary.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_summary_short.json"),
+      shortLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
