@@ -485,10 +485,11 @@ object KMeansOps {
       // deterministic seeds, so the trajectory (one assign+recompute
       // inside MLlib's treeAggregate, then the assignment of the result)
       // is exactly the kmeans_lloyd_2iter trajectory and replays in the
-      // same unrolled-CTE oracle. MLlib's unsnapped centers sit within
-      // ~5e-13 of the snap12 replay (measured) — absorbed by the r4 stat
-      // grid, with an assignment flip needing a point within ~1e-12 of a
-      // cell boundary (the snap12 improbability argument). The k-means||
+      // same unrolled-CTE oracle. MLlib's raw centers sit within ~5e-13
+      // of the snap12 replay (measured); fitFrozen snap12-snaps them so
+      // every run and the oracle assign against the SAME grid point
+      // (round-15 ADVICE — the unsnapped form left the assignment
+      // run-dependent for points near a cell boundary). The k-means||
       // fits stay rows-only by contract: their PARALLEL INIT trajectory
       // (per-partition XORShift draws) has no SQL mirror — it is the
       // seeding, not the Lloyd loop, that resists an oracle.

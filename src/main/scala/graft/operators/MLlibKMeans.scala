@@ -100,9 +100,16 @@ object MLlibKMeans {
     * center indices preserve the initial ordering, so the returned
     * centers are the expression Lloyd's first recompute to within float
     * summation order (measured ≤ 5e-13 per component vs the snap12
-    * trajectory on the fixture). Returns driver-side (cid, center) rows
-    * — O(k·d), the same bounded materialization every seeding path
-    * uses. */
+    * trajectory on the fixture). The returned centers are snap12-SNAPPED
+    * (round-15 ADVICE): treeAggregate's summation order is partition-
+    * scheduling-dependent, so the raw centers differ in the last bits
+    * run-to-run — snapping lands every run (and the oracle's replay) on
+    * the same 1e-12 grid point, reducing the residual flake risk from
+    * "any point near a cell boundary" to "a center component within the
+    * run-to-run spread of a snap boundary" (the standard snap12
+    * improbability argument, KMeansOps.scala:109). Returns driver-side
+    * (cid, center) rows — O(k·d), the same bounded materialization every
+    * seeding path uses. */
   def fitFrozen(pts: DataFrame,
       init: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
     import org.apache.spark.mllib.clustering.{KMeans => RddKMeans, KMeansModel}
@@ -112,7 +119,9 @@ object MLlibKMeans {
       .setInitialModel(new KMeansModel(init.map(c => Vectors.dense(c._2))))
       .run(pts.select(col("v")).rdd
         .map(r => Vectors.dense(r.getSeq[Double](0).toArray)))
-    model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(KMeansOps.snap12))
+    }
   }
 
   /** Within-set sum of squared distances of a fit at the given init mode —

@@ -1468,7 +1468,7 @@ object RelationalOps {
          |       ${graft.functions.VectorSql.rIeee("sum(value)", 2)} AS sum_value
          |FROM s GROUP BY user_id, sid""".stripMargin,
     "timeseries_fill" ->
-      """WITH obs AS (
+      s"""WITH obs AS (
         |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr,
         |         count(*)::BIGINT AS n_obs,
         |         sum((floor(value * 1000))::BIGINT)::BIGINT AS sum_milli,
@@ -1477,7 +1477,7 @@ object RelationalOps {
         |seg AS (
         |  SELECT user_id, hr,
         |         least(coalesce(lead(hr) OVER (PARTITION BY user_id
-        |                 ORDER BY hr) - 1, hr), hr + 72) AS seg_end
+        |                 ORDER BY hr) - 1, hr), hr + $FILL_HORIZON_HOURS) AS seg_end
         |  FROM obs),
         |grid AS (
         |  SELECT user_id, unnest(generate_series(hr, seg_end)) AS hr

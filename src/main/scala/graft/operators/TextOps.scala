@@ -513,8 +513,13 @@ object TextOps {
     * 500 lands the fixture's keep rate near 0.5 (measured: 0.65 at 400,
     * 0.40 at 600 on sf0.001) — a real gate, not a constant. */
   private[graft] val CLF_THRESH_MICROS_PER_TOK = 500L
+  // Weyl-style weight generator constants — single source of truth for
+  // both clfWeightMicros and the oracle's inline re-derivation
+  private[graft] val CLF_WEIGHT_MULT = 2654435761L
+  private[graft] val CLF_WEIGHT_MOD = 4001L
+  private[graft] val CLF_WEIGHT_SHIFT = 2000L
   private[graft] def clfWeightMicros(b: Int): Long =
-    (b * 2654435761L) % 4001L - 2000L
+    (b * CLF_WEIGHT_MULT) % CLF_WEIGHT_MOD - CLF_WEIGHT_SHIFT
   private[graft] lazy val clfWeights: Column = map(
     (0 until CLF_BUCKETS)
       .flatMap(b => Seq(lit(b), lit(clfWeightMicros(b)))): _*)
@@ -1513,19 +1518,22 @@ object TextOps {
          |       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]'))::INT AS re_tokens
          |FROM documents""".stripMargin,
     // the lambda re-derives the literal weight table from its generator
-    // formula (bucket = 60-bit md5 prefix mod 256, weight =
-    // (b·2654435761) mod 4001 − 2000 micro-units) — bit-identical to the
-    // map Spark folds into its plan; ClassifierSpec pins the equality
+    // formula (bucket = 60-bit md5 prefix mod CLF_BUCKETS, weight =
+    // (b·MULT) mod MOD − SHIFT micro-units) — every constant interpolated
+    // from the SAME CLF_* vals the Spark plan folds in, so neither side
+    // can drift (round-15 ADVICE); ClassifierSpec pins the equality
     "quality_classifier" ->
       s"""SELECT doc_id, n_tokens, logit_micros,
          |       CASE WHEN n_tokens > 0
          |            THEN logit_micros::DOUBLE / n_tokens
          |            ELSE 0.0 END AS score,
-         |       (n_tokens > 0 AND logit_micros >= 500 * n_tokens) AS pass
+         |       (n_tokens > 0 AND
+         |        logit_micros >= $CLF_THRESH_MICROS_PER_TOK * n_tokens) AS pass
          |FROM (SELECT doc_id, len(w)::INT AS n_tokens,
-         |        (25000 + coalesce(list_aggregate(list_transform(w, t ->
-         |           ((((('0x' || substring(md5(t), 1, 15))::BIGINT % 256)
-         |              * 2654435761) % 4001) - 2000)), 'sum'), 0))::BIGINT
+         |        ($CLF_BIAS_MICROS + coalesce(list_aggregate(list_transform(w, t ->
+         |           ((((('0x' || substring(md5(t), 1, 15))::BIGINT % $CLF_BUCKETS)
+         |              * $CLF_WEIGHT_MULT) % $CLF_WEIGHT_MOD)
+         |            - $CLF_WEIGHT_SHIFT)), 'sum'), 0))::BIGINT
          |          AS logit_micros
          |      FROM (SELECT doc_id, $wSql AS w FROM documents))""".stripMargin,
     "doc_fingerprint" ->
