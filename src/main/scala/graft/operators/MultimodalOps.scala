@@ -307,8 +307,44 @@ object MultimodalOps {
       // the removal pass those pairs feed: keep the highest-resolution
       // member of each near-dup cluster, reinstate untouched docs
       mediaApply(s, d)
+    },
+    "multimodal_topk" -> { (s, d) =>
+      // cross-modal retrieval (round-15 verdict item 7) — the CLIP-
+      // retrieval shape an LLM data pipeline runs for caption↔image
+      // alignment: a TEXT query vector probes the IMAGE-modality feature
+      // vectors for cosine top-k. The "text encoder" here is the same
+      // deterministic stub feature map applied to the query doc's text
+      // (a real deployment swaps both encoders for CLIP towers; the
+      // retrieval plan — broadcast query set × corpus scoring, salted
+      // two-phase per-query ranking — is identical). Self-matches are
+      // KEPT on purpose: caption-retrieves-its-own-image at rank 1 is
+      // the standard cross-modal recall signal (MultimodalSpec pins it).
+      // Scale shape: the NQ-row query side broadcasts, the image corpus
+      // never shuffles for scoring, and the ranking is SimilarityOps'
+      // salted two-phase window — no reducer funnel at 100 TB. Empty
+      // payloads are excluded on both engines (a zero vector has no
+      // cosine — Spark NULLs the divide, DuckDB NaNs it, and the two
+      // rank differently).
+      import graft.functions.VectorOps.r4
+      val feats = decodeFeatures(mediaTable(s, d)).toDF()
+        .where(col("n_bytes") > 0)
+        .select(col("doc_id"), col("media_type"),
+          array(col("f0"), col("f1"), col("f2"), col("f3")).as("fv"))
+        .localCheckpoint() // feeds both the query and corpus sides
+      val queries = feats.where(col("doc_id") < MM_NQ)
+        .select(col("doc_id").as("q_id"), col("fv").as("qv"))
+      val images = feats.where(col("media_type") === "image")
+        .select(col("doc_id").as("vec_id"), col("fv"))
+      val scored = images.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id"),
+          r4(org.apache.spark.sql.graft.CosineSim.column(
+            col("fv"), col("qv"))).as("sim"))
+      SimilarityOps.topKPerQuery(scored)
     }
   )
+
+  /** `multimodal_topk`'s query-set size — the fixed text-query ids. */
+  private[graft] val MM_NQ = 8
 
   /** DuckDB rendering of one stub feature lane (the fixture docs are
     * ASCII, so char positions == byte positions) — shared by the feature
@@ -464,6 +500,33 @@ object MultimodalOps {
          |             ${laneSql(0)} AS f0,
          |             text
          |      FROM documents)
-         |GROUP BY media_type""".stripMargin
+         |GROUP BY media_type""".stripMargin,
+    // cross-modal brute-force replay: the same stub feature lanes as the
+    // feature oracle, queries = doc_id < MM_NQ (any modality, text side),
+    // corpus = image modality (doc_id % 3 = 0), cosine at the round-4
+    // grid with (sim DESC, vec_id) ties — the similarity_topk oracle
+    // shape with self-matches kept
+    "multimodal_topk" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+         |         [${laneSql(0)},
+         |          ${laneSql(1)},
+         |          ${laneSql(2)},
+         |          ${laneSql(3)}] AS fv
+         |  FROM documents WHERE length(text) > 0),
+         |q AS (SELECT doc_id AS q_id, fv AS qv FROM f WHERE doc_id < $MM_NQ),
+         |img AS (SELECT doc_id AS vec_id, fv FROM f
+         |        WHERE media_type = 'image')
+         |SELECT q_id, vec_id, rnk, sim FROM (
+         |  SELECT q.q_id, img.vec_id,
+         |         row_number() OVER (
+         |           PARTITION BY q.q_id
+         |           ORDER BY round(${graft.functions.VectorSql.cosine(
+                 "img.fv", "q.qv")}, 4) DESC, img.vec_id)::INT AS rnk,
+         |         (round(${graft.functions.VectorSql.cosine(
+                 "img.fv", "q.qv")}, 4) + 0) AS sim
+         |  FROM img CROSS JOIN q)
+         |WHERE rnk <= ${SimilarityOps.TOPK}""".stripMargin
   )
 }

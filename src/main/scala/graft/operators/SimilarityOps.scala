@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
 object SimilarityOps {
 
   private val NQ = 10 // fixed query set: vec_id < 10
-  private val TOPK = 5
+  private[operators] val TOPK = 5
   // semantic-decontam eval set (vec_id < SEM_EVAL_N) and flag threshold.
   // τ=0.35 sits inside the fixture's populated cosine range (max
   // eval-vs-corpus cos measured 0.43–0.49 per SF; the fixture plants no
@@ -156,8 +156,10 @@ object SimilarityOps {
   /** Salted two-phase per-query top-k: phase 1 ranks within
     * (q_id, vec_id % SALT) — SALT·|queries| independent partitions — and
     * keeps k per salt; phase 2 ranks the ≤ SALT·k survivors per query.
-    * Identical result to a single global window, but no reducer funnel. */
-  private def topKPerQuery(scored: DataFrame): DataFrame = {
+    * Identical result to a single global window, but no reducer funnel.
+    * private[operators]: MultimodalOps' cross-modal `multimodal_topk`
+    * composes the same ranking over media feature vectors. */
+  private[operators] def topKPerQuery(scored: DataFrame): DataFrame = {
     val w1 = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(SALT)))
       .orderBy(col("sim").desc, col("vec_id"))
     val w2 = Window.partitionBy(col("q_id"))

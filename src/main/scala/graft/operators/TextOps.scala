@@ -136,6 +136,33 @@ object TextOps {
   private[graft] val PACK_SEQ = 512
   private[graft] val PACK_SHARDS = 32
 
+  /** Duplicate-3-gram-fraction gate — ONE threshold shared by
+    * filter_report's r_rep rule and the standalone `repetition_strip`
+    * transform (and both oracles, $-interpolated), so the cascade's gate
+    * and the apply can never drift. Compared against the rIeee@4 GRID
+    * value on both engines. */
+  private[graft] val REP_TAU = 0.05
+
+  /** Core of `repetition_strip` over a `(doc_id, text)` relation — keep
+    * docs under the [[REP_TAU]] duplicate-3-gram fraction with the strip
+    * audit stats (see the query entry for semantics and scale shape). */
+  private[graft] def repetitionStripOf(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorOps.rIeee
+    val all3 = org.apache.spark.sql.graft.WordShingles.all(col("text"), 3)
+    val uniq3 = DedupOps.shinglesOf(col("text"))
+    docs
+      .select(col("doc_id"), size(wordsCol(col("text"))).as("n_tokens"),
+        size(all3).as("n_3grams"), size(uniq3).as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"), col("n_3grams"),
+        col("n_distinct"),
+        when(col("n_3grams") > 0,
+          rIeee(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_3grams"), 4)).otherwise(lit(0.0)).as("rep_ratio"))
+      .where(col("rep_ratio") < REP_TAU)
+      .withColumn("n_tok_dedup",
+        col("n_tokens") - (col("n_3grams") - col("n_distinct")))
+  }
+
   /** The key→decile map for quality banding — the scale-right decile
     * machinery shared by `quality_deciles` and `curriculum_assign` (ONE
     * derivation, so the band definition cannot drift between the audit
@@ -253,6 +280,59 @@ object TextOps {
       |       ((cum - n_tokens) // $PACK_SEQ)::BIGINT AS first_seq,
       |       ((cum - 1) // $PACK_SEQ)::BIGINT AS last_seq
       |FROM c""".stripMargin
+
+  /** `pack_binpack`'s batch size — the nominal doc count per FFD problem
+    * instance. Bin packing is inherently sequential, so the scale design
+    * bounds each instance: docs batch into contiguous doc_id blocks of
+    * PACK_SHARDS·BINPACK_BATCH, giving ~BINPACK_BATCH docs per
+    * (shard, bucket) group at ANY corpus size — per-group state is O(open
+    * bins) ≤ batch, the group count grows with the data (parallelism
+    * scales), and no group ever depends on another's outcome. Real packed-
+    * pretraining FFD works the same way (pack within a buffer window, not
+    * globally — a global FFD would need the whole corpus sorted in one
+    * place). */
+  private[graft] val BINPACK_BATCH = 128
+
+  /** Core of `pack_binpack`: first-fit-decreasing bin packing per
+    * (shard, bucket) batch — the padding-MINIMIZING alternative to
+    * [[packSequences]]' concat-and-chunk for runs that must not split
+    * documents across sequences (contrastive batches, instruction tuning):
+    * items sorted (n_tokens DESC, doc_id), each placed in the FIRST open
+    * bin with room, else a new bin. Deterministic and order-total, so the
+    * DuckDB oracle replays it exactly with a recursive CTE carrying the
+    * bin-load list. Docs longer than [[PACK_SEQ]] route to the chunker
+    * (packSequences spans them across sequences); empty docs carry no
+    * tokens — both excluded here, exactly `1 <= n_tokens <= PACK_SEQ`.
+    * The per-group FFD is genuine sequential logic (each placement
+    * depends on all prior placements), so this is the repo's one
+    * justified mapGroups: one lane exchange, then bounded imperative work
+    * per group. */
+  private[graft] def binPack(docs: DataFrame): DataFrame = {
+    val s2 = docs.sparkSession
+    import s2.implicits._
+    docs
+      .select(col("doc_id"),
+        size(wordsCol(col("text"))).as("n_tokens"),
+        packShardCol(col("doc_id")).as("shard"),
+        expr(s"doc_id div ${PACK_SHARDS * BINPACK_BATCH}").as("bucket"))
+      .where(col("n_tokens") >= 1 && col("n_tokens") <= PACK_SEQ)
+      .as[(Long, Int, Int, Long)]
+      .groupByKey { case (_, _, sh, b) => (sh, b) }
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Long, Int, Int, Long)]) =>
+        val (sh, b) = key
+        val items = it.toArray
+          .sortBy { case (id, n, _, _) => (-n, id) }
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (id, n, _, _) =>
+          val j = loads.indexWhere(_ + n <= PACK_SEQ)
+          val bin =
+            if (j < 0) { loads += n.toLong; loads.length }
+            else { loads(j) += n; j + 1 }
+          (id, sh, b, bin, n)
+        }
+      }
+      .toDF("doc_id", "shard", "bucket", "bin", "n_tokens")
+  }
 
   /** Core of `heavy_hitters`: exact tokens-with-share ≥ 1/`phiDen` via a
     * per-partition Misra–Gries candidate pass of capacity `m` (m ≥
@@ -686,7 +766,7 @@ object TextOps {
           coalesce(col("entropy") >= 4.0, lit(false)).as("r_entropy"),
           (col("n3") === 0 ||
             rIeee(lit(1.0) - col("nd3").cast("double") / col("n3"), 4)
-              < 0.05).as("r_rep"))
+              < REP_TAU).as("r_rep"))
         .withColumn("keep",
           col("r_len") && col("r_entropy") && col("r_rep"))
     },
@@ -826,6 +906,24 @@ object TextOps {
           rIeee(lit(1.0) - col("n_distinct").cast("double") /
             col("n_3grams"), 4).as("rep_ratio"))
     },
+    "repetition_strip" -> { (s, d) =>
+      // the within-doc repetition APPLY (round-15 verdict item 6): Gopher/
+      // RefinedWeb pipelines don't just flag repetition, they drop the doc
+      // — quality_repetition is the audit, filter_report consumes the
+      // signal as one gate of three; this is the standalone transform.
+      // Keep docs whose duplicate-3-gram fraction is under [[REP_TAU]]
+      // (sub-3-word docs carry no 3-grams and PASS — filter_report's
+      // windowless-reinstatement discipline), emitting the strip audit
+      // stats beside each survivor: total/distinct 3-grams, the rIeee@4
+      // grid ratio the gate compared (so membership can't float-flip),
+      // and n_tok_dedup — the token count with each repeated 3-gram
+      // occurrence stripped, i.e. the padding the repetition would have
+      // cost a downstream packer. Same narrow one-pass WordShingles
+      // projection as quality_repetition: no explode, no shuffle, a pure
+      // map stage at 100 TB. Core factored ([[repetitionStripOf]]) so
+      // PropertySpec can drive a constructed repeated-span corpus.
+      repetitionStripOf(Tables.documents(s, d))
+    },
     "sample_stratified" -> { (s, d) =>
       // deterministic per-stratum downsampling: each language keeps a fixed
       // rate via the multiplicative-hash uniform (no RNG state, exactly
@@ -870,6 +968,14 @@ object TextOps {
       // shape, only the token measure changes, so a training run packs
       // to its real sequence budget instead of a whitespace proxy.
       packSequences(Tables.documents(s, d), bpeCountCol(col("text")))
+    },
+    "pack_binpack" -> { (s, d) =>
+      // first-fit-decreasing bin packing (round-15 verdict item 5): the
+      // no-split packer pretraining uses when documents must stay whole —
+      // see [[binPack]] for semantics and the bounded-batch scale design.
+      // PackSpec pins that FFD's fill ratio beats the naive in-arrival-
+      // order no-split packer on the fixture (the padding-waste claim).
+      binPack(Tables.documents(s, d))
     },
     "text_normalize" -> { (s, d) =>
       // canonicalization — the projection every hashing/dedup stage runs
@@ -1582,10 +1688,10 @@ object TextOps {
          |       (len(w) >= 20) AS r_len,
          |       coalesce(entropy >= 4.0, FALSE) AS r_entropy,
          |       (n3 = 0 OR ${graft.functions.VectorSql.rIeee(
-               "1.0 - nd3::DOUBLE / n3", 4)} < 0.05) AS r_rep,
+               "1.0 - nd3::DOUBLE / n3", 4)} < $REP_TAU) AS r_rep,
          |       ((len(w) >= 20) AND coalesce(entropy >= 4.0, FALSE)
          |        AND (n3 = 0 OR ${graft.functions.VectorSql.rIeee(
-               "1.0 - nd3::DOUBLE / n3", 4)} < 0.05)) AS keep
+               "1.0 - nd3::DOUBLE / n3", 4)} < $REP_TAU)) AS keep
          |FROM w0 JOIN rep USING (doc_id) LEFT JOIN ent USING (doc_id)""".stripMargin
     },
     "quality_entropy" ->
@@ -1662,6 +1768,26 @@ object TextOps {
          |            FROM (SELECT doc_id, $wSql AS w FROM documents)))
          |WHERE n_3grams > 0""".stripMargin
     },
+    "repetition_strip" -> {
+      val all3 =
+        """CASE WHEN len(w) >= 3
+          |  THEN list_transform(generate_series(1, len(w) - 2),
+          |       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+          |  ELSE [] END""".stripMargin
+      s"""SELECT doc_id, n_tokens, n_3grams, n_distinct, rep_ratio,
+         |       (n_tokens - (n_3grams - n_distinct))::INT AS n_tok_dedup
+         |FROM (SELECT doc_id, n_tokens, n_3grams, n_distinct,
+         |             CASE WHEN n_3grams > 0
+         |                  THEN ${graft.functions.VectorSql.rIeee(
+                      "1.0 - n_distinct::DOUBLE / n_3grams", 4)}
+         |                  ELSE 0.0 END AS rep_ratio
+         |      FROM (SELECT doc_id, len(w)::INT AS n_tokens,
+         |                   len(g)::INT AS n_3grams,
+         |                   len(list_distinct(g))::INT AS n_distinct
+         |            FROM (SELECT doc_id, w, $all3 AS g
+         |                  FROM (SELECT doc_id, $wSql AS w FROM documents))))
+         |WHERE rep_ratio < $REP_TAU""".stripMargin
+    },
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${graft.functions.VectorSql.unitUniform("doc_id")} <
@@ -1676,6 +1802,46 @@ object TextOps {
         |        ${graft.functions.VectorSql.unitUniform("doc_id")} AS u
         |      FROM documents)""".stripMargin,
     "pack_sequences" -> s"WITH ${packCtes("documents")}\n$packSelect",
+    // FFD replayed exactly: the recursive CTE advances every
+    // (shard, bucket) batch one item per step in (n_tokens DESC, doc_id)
+    // order, carrying the open-bin load list; first fit = list_position
+    // of the first load with room (0 = none -> open bin len(loads)+1).
+    // Identical placement rule to binPack's indexWhere loop.
+    "pack_binpack" ->
+      s"""WITH RECURSIVE items AS (
+         |  SELECT doc_id, n_tokens, shard, bucket,
+         |         row_number() OVER (PARTITION BY shard, bucket
+         |                            ORDER BY n_tokens DESC, doc_id) AS idx
+         |  FROM (SELECT doc_id, len($wSql)::INT AS n_tokens,
+         |               ${packShardSql("doc_id")} AS shard,
+         |               doc_id // ${PACK_SHARDS * BINPACK_BATCH} AS bucket
+         |        FROM documents)
+         |  WHERE n_tokens BETWEEN 1 AND $PACK_SEQ),
+         |grp AS (SELECT shard, bucket, max(idx) AS n FROM items GROUP BY 1, 2),
+         |ffd AS (
+         |  SELECT shard, bucket, 0::BIGINT AS idx,
+         |         []::BIGINT[] AS loads, []::INT[] AS bins
+         |  FROM grp
+         |  UNION ALL
+         |  SELECT shard, bucket, idx,
+         |         CASE WHEN j = 0 THEN list_append(loads, n_tokens::BIGINT)
+         |              ELSE loads[1:j-1] || [loads[j] + n_tokens] || loads[j+1:]
+         |         END,
+         |         list_append(bins,
+         |           (CASE WHEN j = 0 THEN len(loads) + 1 ELSE j END)::INT)
+         |  FROM (SELECT f.shard, f.bucket, i.idx, f.loads, f.bins, i.n_tokens,
+         |               coalesce(list_position(
+         |                 list_transform(f.loads,
+         |                   x -> x + i.n_tokens <= $PACK_SEQ), true), 0) AS j
+         |        FROM ffd f JOIN items i
+         |          ON i.shard = f.shard AND i.bucket = f.bucket
+         |         AND i.idx = f.idx + 1))
+         |SELECT i.doc_id, i.shard, i.bucket, f.bins[i.idx::INT] AS bin,
+         |       i.n_tokens
+         |FROM items i
+         |JOIN grp g USING (shard, bucket)
+         |JOIN ffd f ON f.shard = i.shard AND f.bucket = i.bucket
+         |          AND f.idx = g.n""".stripMargin,
     "token_count_bpe" ->
       s"""SELECT doc_id, len(text)::INT AS n_chars_raw,
          |       ${bpeCountSql("text")} AS bpe_tokens

@@ -481,6 +481,29 @@ class OperatorSpec extends SparkSpec {
     assert(fr.forall(r => r.getLong(2) === r.getInt(1) * 1000L / 24))
   }
 
+  test("multimodal_topk: ranked cross-modal lists; image queries self-retrieve at sim 1") {
+    val out = SparkEntry.queries("multimodal_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === (0L until 8L).toSet, "every query must return hits")
+    byQ.values.foreach { g =>
+      assert(g.length <= 5)
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to g.length), "ranks not contiguous")
+      // sims non-increasing down the ranking
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      // the corpus side is images only
+      assert(g.forall(_._2 % 3 === 0L))
+    }
+    // the CLIP-recall signal: an image-modality query's text features ARE
+    // its image features, so rank 1 carries sim 1.0 (self-match, or an
+    // exact-duplicate text at a lower doc_id under the vec_id tie-break)
+    (0L until 8L).filter(_ % 3 == 0).foreach { q =>
+      val r1 = byQ(q).minBy(_._3)
+      assert(r1._4 === 1.0, s"query $q rank-1 sim ${r1._4}")
+    }
+  }
+
   test("dedup_media: banded pairs are complete for L-inf < eps, modality-scoped") {
     import graft.operators.MultimodalOps
     val eps = MultimodalOps.MEDIA_EPS
@@ -726,6 +749,48 @@ class OperatorSpec extends SparkSpec {
     // sequences are the minimum covering the tokens: seqs-1 would not fit
     assert(stats.where(col("n_toks") <=
       (col("n_seqs") - 1) * graft.operators.TextOps.PACK_SEQ).count() === 0L)
+  }
+
+  test("pack_binpack: FFD replay identity, capacity, and padding win over next-fit") {
+    val C = graft.operators.TextOps.PACK_SEQ
+    val out = SparkEntry.queries("pack_binpack")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4)))
+    assert(out.nonEmpty)
+    val batches = out.groupBy { case (_, sh, b, _, _) => (sh, b) }
+    batches.foreach { case ((sh, b), g) =>
+      // capacity + contiguous bin ids from 1
+      g.groupBy(_._4).foreach { case (bin, binRows) =>
+        assert(binRows.map(_._5.toLong).sum <= C,
+          s"bin ($sh,$b,$bin) over capacity")
+      }
+      val bins = g.map(_._4).toSet
+      assert(bins === (1 to bins.max).toSet, s"bin ids not contiguous in ($sh,$b)")
+      // exact replay: the distributed mapGroups result must equal a
+      // driver-side FFD over the same (n_tokens DESC, doc_id) order —
+      // the same reference-replay discipline as token_count_learned
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      g.sortBy { case (id, _, _, _, n) => (-n, id) }.foreach {
+        case (id, _, _, gotBin, n) =>
+          val j = loads.indexWhere(_ + n <= C)
+          val bin = if (j < 0) { loads += n.toLong; loads.length }
+            else { loads(j) += n; j + 1 }
+          assert(gotBin === bin, s"doc $id placed in $gotBin, FFD replay says $bin")
+      }
+      // the padding-waste claim: FFD never uses more bins than the naive
+      // in-arrival-order next-fit no-split packer on this fixture
+      var nfBins = 0; var load = C.toLong
+      g.sortBy(_._1).foreach { case (_, _, _, _, n) =>
+        if (load + n > C) { nfBins += 1; load = n.toLong } else load += n
+      }
+      assert(bins.max <= nfBins,
+        s"FFD used ${bins.max} bins vs next-fit's $nfBins in ($sh,$b)")
+    }
+    // global fill sanity: every token the packer accepted is in a bin once
+    val docsInScope = Tables.documents(spark, sf)
+      .select(size(graft.operators.DedupOps.wordsCol(col("text"))).as("n"))
+      .where(col("n") >= 1 && col("n") <= C).count()
+    assert(out.length.toLong === docsInScope, "binpack must cover every in-range doc")
   }
 
   test("outlier_zscore flags exactly the beyond-cutoff rows") {

@@ -104,6 +104,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("pmod"), "salted first-phase window missing")
   }
 
+  test("multimodal_topk broadcasts the query side and salts the ranking") {
+    val plan = executed("multimodal_topk")
+    // the NQ-row query set must be the broadcast side of the scoring join
+    // (a nested-loop over a shuffled query side would re-shuffle the image
+    // corpus at 100 TB), and the per-query ranking must be the salted
+    // two-phase window, not one global per-query funnel
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), "query side not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("pmod"), "salted first-phase window missing")
+  }
+
   test("dedup_minhash caps band cells via a broadcast of the OVER-cap set") {
     val plan = executed("dedup_minhash")
     assert(!plan.contains("CartesianProduct"))

@@ -588,4 +588,30 @@ class PropertySpec extends SparkSpec {
       Seq((0L, (cap + 1).toLong)),
       "survivor-banding must surface the (rep, near-dup) pair")
   }
+
+  test("repetition_strip drops repeated-span docs, keeps distinct and short ones") {
+    // constructed corpus: a boilerplate span repeated 20x (rep ≈ 0.95),
+    // a smaller 3x span repeat (rep = 1 - 3/7 ≈ 0.57), an all-distinct
+    // doc (rep = 0), a sub-3-word doc (no 3-grams — passes by the
+    // windowless-reinstatement rule), and an empty doc
+    val docs = Seq(
+      (1L, Seq.fill(20)("the cat sat").mkString(" ")),
+      (2L, "x y z x y z x y z"),
+      (3L, (0 until 60).map(i => s"w$i").mkString(" ")),
+      (4L, "tiny doc"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.repetitionStripOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(3L, 4L, 5L),
+      s"survivors ${got.keySet}: both span-repeat docs must be dropped")
+    assert(got(3L).getAs[Double]("rep_ratio") === 0.0)
+    assert(got(3L).getAs[Int]("n_tokens") === 60)
+    assert(got(3L).getAs[Int]("n_tok_dedup") === 60,
+      "an all-distinct doc strips nothing")
+    assert(got(4L).getAs[Int]("n_3grams") === 0)
+    assert(got(5L).getAs[Int]("n_tokens") === 0)
+    // and the gate agrees with filter_report's r_rep rule on the corpus
+    // (shared REP_TAU): a doc passes here iff n3 = 0 or rep < tau
+    assert(graft.operators.TextOps.REP_TAU === 0.05)
+  }
 }
