@@ -176,11 +176,26 @@ object StreamingOps {
       .select(col("event_id"), col("event_type"), col("value"))
       .join(stats, "event_type")
       .select(col("event_id"), col("event_type"),
-        round(col("value"), 2).as("value"),
+        // rIeee, in lock-step with madOutliers' round-16 quantization
+        // swap — the shared oracle renders rIeee, so the stream must too
+        rIeee(col("value"), 2).as("value"),
         rIeee(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4)
           .as("mz"))
       .where(abs(col("mz")) > 3.5)
   }
+
+  /** Streaming side of `streaming_strip` — the within-doc repetition gate
+    * applied ON INGEST, where a curation pipeline actually runs it (drop
+    * boilerplate before it ever lands in the corpus): a stateless per-row
+    * projection + filter over the arriving documents (no watermark, no
+    * state, no join — the narrowest streaming shape in the repo), running
+    * the EXACT batch core [[graft.operators.TextOps.repetitionStripOf]],
+    * so StreamingSpec's row-identity proof and the batch oracle apply
+    * verbatim. */
+  def stripStream(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextOps.repetitionStripOf(
+      spark.readStream.schema(docsSchema)
+        .parquet(stageDir(spark, sfDir, "documents")))
 
   /** Streaming tumbling 1h window per event_type with a 2h watermark.
     * The float sum rounds through [[graft.functions.VectorOps.rIeee]]@2
@@ -505,6 +520,8 @@ object StreamingOps {
       runToMemorySink(decontamStream(s, d), "vq_stream_decontam") },
     "streaming_outlier" -> { (s, d) =>
       runToMemorySink(outlierStream(s, d), "vq_stream_outlier", "append") },
+    "streaming_strip" -> { (s, d) =>
+      runToMemorySink(stripStream(s, d), "vq_stream_strip", "append") },
     "streaming_phrase_hits" -> { (s, d) =>
       runToMemorySink(phraseHitsStream(s, d), "vq_stream_phrase",
         "append") },
@@ -568,6 +585,10 @@ object StreamingOps {
     // StreamingSpec proves the two row-identical
     "streaming_outlier" ->
       graft.operators.RelationalOps.oracles("outlier_mad"),
+    // identical gate/stats to the batch repetition transform (stateless
+    // per-row core shared outright) — StreamingSpec proves row-identity
+    "streaming_strip" ->
+      graft.operators.TextOps.oracles("repetition_strip"),
     "streaming_window_agg" ->
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
          |       event_type, count(*)::BIGINT AS n,

@@ -297,6 +297,14 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming repetition strip matches the batch repetition_strip") {
+    val streamed = SparkEntry.queries("streaming_strip")(spark, sf)
+    val batch = SparkEntry.queries("repetition_strip")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming phrase alerts match the batch hit relation") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("streaming_phrase_hits")(spark, sf)
