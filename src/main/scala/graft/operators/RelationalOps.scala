@@ -769,11 +769,16 @@ object RelationalOps {
             .as("next_type"))
     },
     "window_cumsum" -> { (s, d) =>
+      // integer-cents running sum (round-16 sweep): quantize per row,
+      // accumulate as LONG, divide once — exact at any prefix length, so
+      // neither engine-native rounding rules nor frame-evaluation order
+      // can flip a cent (the streaming_alerts cumsum discipline)
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          round(sum(col("value")).over(w), 2).as("running_value"))
+          (sum(round(col("value") * 100).cast("long")).over(w)
+            .cast("double") / 100.0).as("running_value"))
     },
 
     // --- JSON / time (§2.6) --------------------------------------------
@@ -784,17 +789,21 @@ object RelationalOps {
       // events" frame is meaningless for a rate limit / rolling spend).
       // Frame membership is a pure predicate on ts, so ties change
       // nothing: both engines use the SQL-standard peer-inclusive frame
-      // end. The rIeee@2 output absorbs the frame's float summation
-      // order (the streaming sums discipline). Partitioned by the
-      // high-cardinality user_id — scales with the cluster.
-      import graft.functions.VectorOps.rIeee
+      // end. Integer-cents frame sum (round-16 sweep): a float frame sum
+      // is evaluation-order-dependent (running accumulator vs segment
+      // tree), so even an rIeee grid can flip when the true sum sits
+      // within an ulp of a boundary; the LONG sum is exact under any
+      // evaluation order. Partitioned by the high-cardinality user_id —
+      // scales with the cluster.
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"))
         .rangeBetween(-3600000000L, Window.currentRow)
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"),
           expr("ts div 1000").as("ts_us"), col("value"))
-        .withColumn("trail_1h", rIeee(sum(col("value")).over(w), 2))
+        .withColumn("trail_1h",
+          sum(round(col("value") * 100).cast("long")).over(w)
+            .cast("double") / 100.0)
         .select(col("user_id"), col("event_id"), col("ts_us"),
           col("trail_1h"))
     },
@@ -804,14 +813,15 @@ object RelationalOps {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
     },
     "time_window_agg" -> { (s, d) =>
-      // rIeee@2 like session_window_agg: this aggregation is the batch
-      // sibling of streaming_window_agg (StreamingSpec pins them
-      // row-identical), so the two must round the float sum through the
-      // same pure-IEEE form
+      // centsSum (round-16 sweep): the rIeee grid made the ROUNDING
+      // engine-neutral but the float sum under it was still
+      // addition-order-dependent; the integer-cents sum is exact under
+      // any order. Batch sibling of streaming_window_agg (StreamingSpec
+      // pins them row-identical) — both use the same centsSum.
       eventsWithHour(s, d)
         .groupBy(col("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          graft.functions.VectorOps.rIeee(sum(col("value")), 2).as("sum_value"))
+          centsSum(col("value")).as("sum_value"))
     },
     "time_window_sliding" -> { (s, d) =>
       // 2h windows sliding 1h via Spark's window() over the reconstructed
@@ -830,16 +840,15 @@ object RelationalOps {
       // operator the streaming variant uses with watermarked state
       // (StreamingOps.sessionCounts), so batch here is the oracle-verified
       // form of the streaming path. No mapGroupsWithState needed.
-      // rIeee@2 (floor(x·100+0.5)/100, identical IEEE ops both engines),
-      // not round(_, 2): this oracle is shared with streaming_sessions, and
-      // Spark's exact-decimal HALF_UP over an order-dependent float sum
-      // paired with DuckDB's float round is the divergent half-boundary /
-      // −0.0 combination the repo's rIeee policy avoids (round-6 ADVICE)
+      // centsSum (round-16 sweep, upgraded from rIeee@2): the oracle is
+      // shared with streaming_sessions, and the integer-cents sum makes
+      // the session total exact under any addition order — no float
+      // boundary exists for either engine's rounding rule to disagree on
       val ev = Tables.events(s, d)
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       ev.groupBy(col("user_id"), session_window(col("tstamp"), "2 hours"))
         .agg(count(lit(1)).as("n_events"),
-          graft.functions.VectorOps.rIeee(sum(col("value")), 2).as("sum_value"))
+          centsSum(col("value")).as("sum_value"))
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("sess_start"),
           col("n_events"), col("sum_value"))
@@ -1294,9 +1303,10 @@ object RelationalOps {
          |WHERE abs(mz) > 3.5""".stripMargin,
     "window_trailing" ->
       s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-         |       ${graft.functions.VectorSql.rIeee(
-           "sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) " +
-             "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)", 2)}
+         |       (sum(round(value * 100)::BIGINT)
+         |          OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |                RANGE BETWEEN 3600000000 PRECEDING
+         |                AND CURRENT ROW))::DOUBLE / 100.0
          |         AS trail_1h
          |FROM events""".stripMargin,
     "event_funnel" ->
@@ -1431,8 +1441,10 @@ object RelationalOps {
         |FROM events""".stripMargin,
     "window_cumsum" ->
       """SELECT event_id, user_id,
-        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        |       (sum(round(value * 100)::BIGINT)
+        |          OVER (PARTITION BY user_id ORDER BY event_id
+        |                ROWS UNBOUNDED PRECEDING))::DOUBLE / 100.0
+        |         AS running_value
         |FROM events""".stripMargin,
     "json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
@@ -1440,7 +1452,7 @@ object RelationalOps {
     "time_window_agg" ->
       s"""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
          |       count(*)::BIGINT AS n,
-         |       ${graft.functions.VectorSql.rIeee("sum(value)", 2)} AS sum_value
+         |       ${centsSumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
     "time_window_sliding" ->
       """SELECT win_start, event_type, count(*)::BIGINT AS n FROM (
@@ -1465,7 +1477,7 @@ object RelationalOps {
          |      FROM m)
          |SELECT user_id, min(tus)::BIGINT AS sess_start,
          |       count(*)::BIGINT AS n_events,
-         |       ${graft.functions.VectorSql.rIeee("sum(value)", 2)} AS sum_value
+         |       ${centsSumSql("value")} AS sum_value
          |FROM s GROUP BY user_id, sid""".stripMargin,
     "timeseries_fill" ->
       s"""WITH obs AS (

@@ -379,22 +379,21 @@ object TextOps {
     * multi-level BPE ladder formation, not just bigram counting. */
   private[graft] val BPE_TRAIN_STEPS = 12
 
-  /** Core of `bpe_train`: learn `steps` BPE merges from a corpus of `t`
-    * strings — the tokenizer-induction twin of the K-Means control plane
-    * (§2.5): a driver loop whose per-trip state is ONE row (the argmax
-    * pair), with the corpus-side work a map-side-combined pair count.
-    * Each trip: (1) count adjacent symbol pairs (within words — pairs
-    * crossing a space are skipped; overlap counted, standard BPE), a
-    * hash aggregate bounded by vocab², never a corpus shuffle; (2) take
-    * the (count DESC, pair ASC) argmax — deterministic cross-engine
-    * (both binary collations order BMP codepoints identically); (3)
-    * rewrite the corpus with `replace` (identical left-to-right
+  /** Core of `bpe_train`: learn `steps` BPE merges — the tokenizer-
+    * induction twin of the K-Means control plane (§2.5): a driver loop
+    * whose per-trip state is ONE row (the argmax pair), with all per-trip
+    * work on the word-frequency HISTOGRAM ([[bpeMerges]] — the corpus is
+    * touched once to build it). Each trip: (1) count adjacent symbol
+    * pairs per distinct word weighted by frequency (equal to the corpus
+    * counts exactly — pairs never cross a space; overlap counted,
+    * standard BPE), a hash aggregate bounded by vocab; (2) take the
+    * (count DESC, pair ASC) argmax — deterministic cross-engine (both
+    * binary collations order BMP codepoints identically); (3) rewrite
+    * the histogram words with `replace` (identical left-to-right
     * non-overlapping semantics in both engines — token_count_bpe's
     * discipline), merged symbol = a fresh private-use code point
-    * (U+E101…, disjoint from BPE_MERGES' frozen U+E000 table), and
-    * localCheckpoint the new state (the repo-wide iterative idiom,
-    * KMeansOps.scala:35). Output = the learned merge table
-    * (step, pair, n_occ). */
+    * (U+E101…, disjoint from BPE_MERGES' frozen U+E000 table). Output =
+    * the learned merge table (step, pair, n_occ). */
   private[graft] def bpeTrain(docs0: DataFrame, steps: Int): DataFrame = {
     val s = docs0.sparkSession
     import s.implicits._
@@ -806,17 +805,17 @@ object TextOps {
     },
     "bpe_train" -> { (s, d) =>
       // BPE tokenizer INDUCTION (token_count_bpe consumes a frozen merge
-      // table; this learns one): 12 driver-loop trips, each counting
-      // adjacent within-word symbol pairs corpus-wide and merging the
-      // argmax into a fresh private-use symbol — K-Means' iterative
-      // control plane (§2.5) applied to vocabulary learning. Per-trip
-      // driver state is ONE row; corpus work is a map-side-combined
-      // count bounded by vocab², and the rewrite chain localCheckpoints
-      // like Lloyd (every 3rd trip — see [[bpeMerges]]). Steps 8/9/12
-      // merge PREVIOUSLY-merged symbols (the ladder), so multi-level BPE
-      // is exercised, not just bigrams. The timed build of the
-      // build≠apply pair: the learned table lands in the session cache
-      // `token_count_learned` applies from.
+      // table; this learns one): 12 driver-loop trips over the word-
+      // frequency histogram (the corpus is scanned ONCE to build it —
+      // see [[bpeMerges]] for the exact-equality argument), each trip
+      // counting within-word symbol pairs weighted by word frequency and
+      // merging the argmax into a fresh private-use symbol — K-Means'
+      // iterative control plane (§2.5) applied to vocabulary learning.
+      // Per-trip driver state is ONE row; per-trip cluster work is
+      // vocab-bounded. Steps 8/9/12 merge PREVIOUSLY-merged symbols (the
+      // ladder), so multi-level BPE is exercised, not just bigrams. The
+      // timed build of the build≠apply pair: the learned table lands in
+      // the session cache `token_count_learned` applies from.
       import s.implicits._
       val merges = bpeMerges(
         Tables.documents(s, d).select(col("text").as("t")), BPE_TRAIN_STEPS)

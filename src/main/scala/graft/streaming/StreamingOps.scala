@@ -198,42 +198,39 @@ object StreamingOps {
         .parquet(stageDir(spark, sfDir, "documents")))
 
   /** Streaming tumbling 1h window per event_type with a 2h watermark.
-    * The float sum rounds through [[graft.functions.VectorOps.rIeee]]@2
-    * (floor(x·100+0.5)/100 — identical IEEE ops in both engines), not
-    * `round(_, 2)`: Spark's exact-decimal HALF_UP paired with DuckDB's
-    * float round over an order-dependent sum is exactly the divergent
-    * half-boundary / −0.0 combination the repo's rIeee policy exists to
-    * avoid (round-6 ADVICE). */
-  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.VectorOps.rIeee
+    * The value total is [[graft.operators.RelationalOps.centsSum]]
+    * (round-16 sweep, in lock-step with the batch time_window_agg):
+    * per-row integer cents summed exactly, so the total is identical
+    * under any micro-batch arrival order, partial-aggregation order, or
+    * engine — a float sum differed in the last ulps across all three. */
+  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream.schema(eventsSchema)
       .parquet(stageDir(spark, sfDir, "events"))
       .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       .withWatermark("tstamp", "2 hours")
       .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), rIeee(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.RelationalOps.centsSum(col("value")).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
-  }
 
   /** Streaming gap-based sessionization: the same native `session_window`
     * aggregation as the batch `session_window_agg` query, with watermarked
     * state — sessions close (and emit) once the watermark passes their end.
     * Spark-first custom state: the built-in session-window operator replaces
     * a hand-rolled flatMapGroupsWithState for this shape. */
-  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.VectorOps.rIeee
+  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream.schema(eventsSchema)
       .parquet(stageDir(spark, sfDir, "events"))
       .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       .withWatermark("tstamp", "4 hours")
       .groupBy(col("user_id"), session_window(col("tstamp"), "2 hours"))
       .agg(count(lit(1)).as("n_events"),
-        rIeee(sum(col("value")), 2).as("sum_value")) // rIeee@2, see windowedCounts
+        // centsSum, lock-step with the batch session_window_agg
+        graft.operators.RelationalOps.centsSum(col("value")).as("sum_value"))
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("sess_start"),
         col("n_events"), col("sum_value"))
-  }
 
   /** Streaming exact dedup: `dropDuplicatesWithinWatermark` on the event id
     * — the streaming form of `dedup_exact`'s digest-groupBy. State holds
@@ -592,7 +589,7 @@ object StreamingOps {
     "streaming_window_agg" ->
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
          |       event_type, count(*)::BIGINT AS n,
-         |       ${graft.functions.VectorSql.rIeee("sum(value)", 2)} AS sum_value
+         |       ${graft.operators.RelationalOps.centsSumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
     // same session semantics as the batch session_window_agg oracle
     "streaming_sessions" ->
