@@ -200,6 +200,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("-delta"), "scan must target the delta layout")
   }
 
+  test("pack_binpack shuffles once (the lane exchange); repetition_strip never") {
+    // binPack's only wide dependency is the groupByKey to the bounded
+    // (shard, bucket) FFD batches — a second exchange would mean the
+    // mapGroups result got re-shuffled on its way out
+    val bp = executed("pack_binpack")
+    assert(bp.split("Exchange hashpartitioning", -1).length - 1 == 1,
+      "exactly one lane exchange for the FFD batches")
+    // the repetition gate is a pure projection + filter: any Exchange
+    // here means the shingle stats stopped being computed per-row
+    val rs = executed("repetition_strip")
+    assert(!rs.contains("Exchange"),
+      "repetition_strip must be a zero-shuffle map stage")
+  }
+
   test("drop-set broadcast hint is conf-gated; shuffled fallback matches") {
     // graft.dropSetBroadcast=false (for duplicate-degenerate corpora whose
     // drop set outgrows the broadcast budget) must yield the SAME rows via
