@@ -143,6 +143,59 @@ object TextOps {
     * value on both engines. */
   private[graft] val REP_TAU = 0.05
 
+  /** The target pretraining mixture in integer parts-per-million — ONE
+    * definition feeding mix_sample's keep rates, mix_plan's token
+    * apportionment, and both oracles ($-interpolated), so the recipe
+    * cannot drift between the sampler and the planner. */
+  private[graft] val MIX_TARGET_PPM: Seq[(String, Long)] = Seq(
+    "en" -> 300000L, "es" -> 200000L, "de" -> 200000L,
+    "fr" -> 150000L, "zh" -> 150000L)
+
+  /** Core of `domain_weights` over a `(source, text)` relation — see the
+    * query entry for the DoReMi framing and scale shape. */
+  private[graft] def domainWeightsOf(docs: DataFrame): DataFrame = {
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val sw = docs
+      .select(col("source"), explode(wordsCol(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val gw = sw.groupBy(col("w")).agg(sum(col("c")).as("cg"))
+    val gt = gw.agg(sum(col("cg")).as("tg"))
+    val dt = sw.groupBy(col("source")).agg(sum(col("c")).as("td"))
+    val agg = sw.join(broadcast(gw), "w").crossJoin(broadcast(gt))
+      .join(broadcast(dt), "source")
+      .select(col("source"), col("c"),
+        ilog2(expr("tg div cg")).as("sbg"),
+        ilog2(expr("td div c")).as("sbd"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("sbg")).as("sum_sb_global"),
+        sum(col("c") * col("sbd")).as("sum_sb_domain"))
+    val ex = agg.select(col("source"), col("n_tokens"),
+      col("sum_sb_global"), col("sum_sb_domain"),
+      (greatest(lit(0L),
+        expr("((sum_sb_global - sum_sb_domain) * 1000000) div n_tokens"))
+        + 1L).as("excess_micro"))
+    val tot = ex.agg(sum(col("excess_micro")).as("tot"))
+    val based = ex.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("sum_sb_global"),
+        col("sum_sb_domain"), col("excess_micro"),
+        expr("(excess_micro * 1000000) div tot").as("base"),
+        expr("(excess_micro * 1000000) % tot").as("rem"))
+    val leftover = based.agg((lit(1000000L) - sum(col("base")))
+      .as("leftover"))
+    // source-domain-bounded relation: the unpartitioned ranking window is
+    // over ≤ |domains| rows (charDecileBuckets' rationale)
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(wRem))
+      .select(col("source"), col("n_tokens"), col("sum_sb_global"),
+        col("sum_sb_domain"), col("excess_micro"),
+        (col("base") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("weight_ppm"))
+  }
+
   /** Core of `repetition_strip` over a `(doc_id, text)` relation — keep
     * docs under the [[REP_TAU]] duplicate-3-gram fraction with the strip
     * audit stats (see the query entry for semantics and scale shape). */
@@ -1186,10 +1239,11 @@ object TextOps {
       // and the keep decision inherits sample_stratified's layout
       // stability. The rate table is lang-domain-bounded (broadcast);
       // the corpus itself is scanned once, filtered, never shuffled.
-      val target = Seq("en" -> 0.30, "es" -> 0.20, "de" -> 0.20,
-        "fr" -> 0.15, "zh" -> 0.15)
-      val t = target.foldLeft(lit(null).cast("double")) {
-        case (acc, (l, p)) => when(col("lang") === l, lit(p)).otherwise(acc)
+      // Targets derive from the shared MIX_TARGET_PPM recipe (ppm/1e6 is
+      // one correctly-rounded division in both engines).
+      val t = MIX_TARGET_PPM.foldLeft(lit(null).cast("double")) {
+        case (acc, (l, p)) =>
+          when(col("lang") === l, lit(p / 1000000.0)).otherwise(acc)
       }
       val docs = Tables.documents(s, d)
       val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
@@ -1202,6 +1256,75 @@ object TextOps {
         .where(graft.functions.VectorOps.unitUniform(col("doc_id")) <
           col("rate"))
         .select(col("doc_id"), col("lang"))
+    },
+    "mix_plan" -> { (s, d) =>
+      // token-budget apportionment — the step BETWEEN choosing mixture
+      // weights and sampling docs: given the shared MIX_TARGET_PPM recipe
+      // and each language's ACTUAL token supply, split a half-epoch token
+      // budget (Σ tokens div 2 — data-derived, deterministic) across
+      // languages by the LARGEST-REMAINDER method, so the planned tokens
+      // sum to the budget EXACTLY (spec-pinned; naive floor division
+      // leaks up to |langs|−1 tokens, naive rounding oversubscribes).
+      // epochs_milli = planned·1000 div supply is the per-domain
+      // repetition factor a recipe reports (an infeasible row — planned >
+      // supply — is the "this domain runs out, it will repeat" finding).
+      // Pure integer arithmetic end to end: ppm quotas, floor-div bases,
+      // remainder ranking with (rem DESC, lang) total ties — both engines
+      // derive bit-identical plans. Shape: one map-side-combined token
+      // count per lang, then windows over the lang-bounded relation only.
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(sum(size(wordsCol(col("text"))).cast("long")).as("n_tokens"))
+      val ppm = MIX_TARGET_PPM.foldLeft(lit(null).cast("long")) {
+        case (acc, (l, p)) => when(col("lang") === l, lit(p)).otherwise(acc)
+      }
+      val budget = counts.agg(expr("sum(n_tokens) div 2").as("budget"))
+      val based = counts.withColumn("ppm", ppm)
+        .where(col("ppm").isNotNull)
+        .crossJoin(broadcast(budget))
+        .select(col("lang"), col("n_tokens"), col("ppm"), col("budget"),
+          expr("(budget * ppm) div 1000000").as("base"),
+          expr("(budget * ppm) % 1000000").as("rem"))
+      val leftover = based.agg((first(col("budget")) - sum(col("base")))
+        .as("leftover"))
+      // lang-domain-bounded relation: the unpartitioned ranking window is
+      // over ≤ |langs| rows (charDecileBuckets' rationale)
+      val wRem = Window.orderBy(col("rem").desc, col("lang"))
+      based.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(wRem))
+        .select(col("lang"), col("n_tokens"), col("ppm").as("weight_ppm"),
+          (col("base") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("planned_tokens"))
+        .withColumn("epochs_milli",
+          expr("(planned_tokens * 1000) div n_tokens"))
+        .withColumn("feasible", col("planned_tokens") <= col("n_tokens"))
+    },
+    "domain_weights" -> { (s, d) =>
+      // DoReMi-shaped domain reweighting (Xie et al. 2023,
+      // arXiv:2305.10429): upweight the domains (source column) whose
+      // text the GLOBAL model finds harder than an in-domain model — the
+      // Group-DRO excess-loss signal DoReMi's proxy run estimates. Here
+      // the proxy/reference losses are the engine's exact integer
+      // unigram-LM surprisals (unigram_logprob's bitlength discipline),
+      // so both engines derive bit-identical weights; a real DoReMi run
+      // swaps in trained-model losses — the aggregation and
+      // largest-remainder apportionment plumbing is what the engine owns.
+      // ONE corpus pass: the (source, token) count relation is
+      // (domains × vocab)-bounded, and the global LM, each domain LM,
+      // and both expected-surprisal sums all derive from it — no second
+      // scan, no row-scaled shuffle beyond the one token aggregate.
+      // excess_micro = per-token mean excess in micro-units via exact
+      // integer cross-multiplication, clipped at 0 (integer-log noise
+      // can dip negative) + 1 (Laplace floor: a zero-excess domain keeps
+      // a nonzero weight and the ppm weights always sum to exactly 1e6 —
+      // spec-pinned). FIXTURE HONESTY: the synthetic sources share one
+      // vocabulary, so every fixture domain's excess clips to the floor
+      // and the weights come out uniform — the upweighting DIRECTION is
+      // proven on a constructed hard-vs-typical-domain corpus in
+      // OperatorSpec (the lang_id/decontam_semantic disclosure pattern).
+      // Core factored ([[domainWeightsOf]]) for exactly that spec.
+      domainWeightsOf(DedupOps.spread(Tables.documents(s, d)))
     },
     "pii_redact" -> { (s, d) =>
       // PII scrubbing mechanics (codegen regexp_replace/regexp_count — the
@@ -1939,9 +2062,8 @@ object TextOps {
          |                ORDER BY score DESC, t)::INT AS rk FROM scored)
          |WHERE rk <= 3""".stripMargin,
     "mix_sample" ->
-      s"""WITH t(lang, t) AS (VALUES ('en', 0.30::DOUBLE), ('es', 0.20::DOUBLE),
-        |                           ('de', 0.20::DOUBLE), ('fr', 0.15::DOUBLE),
-        |                           ('zh', 0.15::DOUBLE)),
+      s"""WITH t(lang, t) AS (VALUES ${MIX_TARGET_PPM.map { case (l, p) =>
+            s"('$l', ($p / 1000000.0)::DOUBLE)" }.mkString(", ")}),
         |c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
         |j AS (SELECT c.lang, c.c, t.t FROM c JOIN t USING (lang)),
         |s AS (SELECT min(c / t) AS smax FROM j),
@@ -1949,6 +2071,57 @@ object TextOps {
         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
         |WHERE ${graft.functions.VectorSql.unitUniform("d.doc_id")}
         |      < rate""".stripMargin,
+    "mix_plan" ->
+      s"""WITH t(lang, ppm) AS (VALUES ${MIX_TARGET_PPM.map { case (l, p) =>
+            s"('$l', ${p}::BIGINT)" }.mkString(", ")}),
+        |c AS (SELECT lang, sum(len($wSql))::BIGINT AS n_tokens
+        |      FROM documents GROUP BY lang),
+        |bgt AS (SELECT sum(n_tokens) // 2 AS budget FROM c),
+        |b AS (SELECT c.lang, c.n_tokens, t.ppm, bgt.budget,
+        |        (bgt.budget * t.ppm) // 1000000 AS base,
+        |        (bgt.budget * t.ppm) % 1000000 AS rem
+        |      FROM c JOIN t USING (lang), bgt),
+        |l AS (SELECT any_value(budget) - sum(base) AS leftover FROM b)
+        |SELECT lang, n_tokens, ppm::BIGINT AS weight_ppm,
+        |       (base + CASE WHEN row_number()
+        |            OVER (ORDER BY rem DESC, lang) <= leftover
+        |          THEN 1 ELSE 0 END)::BIGINT AS planned_tokens,
+        |       ((base + CASE WHEN row_number()
+        |            OVER (ORDER BY rem DESC, lang) <= leftover
+        |          THEN 1 ELSE 0 END) * 1000) // n_tokens AS epochs_milli,
+        |       (base + CASE WHEN row_number()
+        |            OVER (ORDER BY rem DESC, lang) <= leftover
+        |          THEN 1 ELSE 0 END) <= n_tokens AS feasible
+        |FROM b, l""".stripMargin,
+    "domain_weights" ->
+      s"""WITH tok AS (SELECT source, unnest($wSql) AS w FROM documents),
+        |sw AS (SELECT source, w, count(*)::BIGINT AS c
+        |       FROM tok GROUP BY source, w),
+        |gw AS (SELECT w, sum(c)::BIGINT AS cg FROM sw GROUP BY w),
+        |gt AS (SELECT sum(cg)::BIGINT AS tg FROM gw),
+        |dt AS (SELECT source, sum(c)::BIGINT AS td FROM sw GROUP BY source),
+        |ag AS (SELECT sw.source, sum(sw.c)::BIGINT AS n_tokens,
+        |         sum(sw.c * ${graft.functions.VectorSql.ilog2("tg // cg")})::BIGINT
+        |           AS sum_sb_global,
+        |         sum(sw.c * ${graft.functions.VectorSql.ilog2("td // sw.c")})::BIGINT
+        |           AS sum_sb_domain
+        |       FROM sw JOIN gw USING (w) JOIN dt USING (source), gt
+        |       GROUP BY sw.source),
+        |ex AS (SELECT *, (greatest(0,
+        |          ((sum_sb_global - sum_sb_domain) * 1000000) // n_tokens)
+        |          + 1)::BIGINT AS excess_micro FROM ag),
+        |tt AS (SELECT sum(excess_micro)::BIGINT AS tot FROM ex),
+        |b AS (SELECT source, n_tokens, sum_sb_global, sum_sb_domain,
+        |        excess_micro,
+        |        (excess_micro * 1000000) // tot AS base,
+        |        (excess_micro * 1000000) % tot AS rem
+        |      FROM ex, tt),
+        |l AS (SELECT 1000000 - sum(base) AS leftover FROM b)
+        |SELECT source, n_tokens, sum_sb_global, sum_sb_domain, excess_micro,
+        |       (base + CASE WHEN row_number()
+        |            OVER (ORDER BY rem DESC, source) <= leftover
+        |          THEN 1 ELSE 0 END)::BIGINT AS weight_ppm
+        |FROM b, l""".stripMargin,
     "pii_redact" ->
       """SELECT c_custkey,
         |       regexp_replace(c_name, '[0-9]{3,}', '<ID>', 'g') AS redacted,

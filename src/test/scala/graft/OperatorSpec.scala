@@ -793,6 +793,45 @@ class OperatorSpec extends SparkSpec {
     assert(out.length.toLong === docsInScope, "binpack must cover every in-range doc")
   }
 
+  test("mix_plan apportions the budget exactly; domain_weights sum to one") {
+    val plan = SparkEntry.queries("mix_plan")(spark, sf).collect()
+    val budget = Tables.documents(spark, sf)
+      .agg(sum(size(graft.operators.DedupOps.wordsCol(col("text")))
+        .cast("long"))).first().getLong(0) / 2
+    // the largest-remainder guarantee: planned tokens sum to the budget
+    // EXACTLY (floor division alone leaks up to |langs|-1 tokens)
+    assert(plan.map(_.getAs[Long]("planned_tokens")).sum === budget)
+    assert(plan.map(_.getAs[Long]("weight_ppm")).sum === 1000000L)
+    // epochs_milli is planned/supply in milli-units, consistent per row
+    plan.foreach { r =>
+      assert(r.getAs[Long]("epochs_milli") ===
+        r.getAs[Long]("planned_tokens") * 1000 / r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Boolean]("feasible") ===
+        (r.getAs[Long]("planned_tokens") <= r.getAs[Long]("n_tokens")))
+    }
+    val dw = SparkEntry.queries("domain_weights")(spark, sf).collect()
+    assert(dw.map(_.getAs[Long]("weight_ppm")).sum === 1000000L,
+      "domain weights must apportion exactly one million ppm")
+    assert(dw.forall(_.getAs[Long]("excess_micro") >= 1L))
+  }
+
+  test("domain_weights upweights the domain the global LM finds harder") {
+    import spark.implicits._
+    // domain 'web': common words shared corpus-wide; domain 'code': its
+    // own rare vocabulary — globally rare (high global surprisal) but
+    // in-domain common (low domain surprisal) -> high excess -> the
+    // Group-DRO upweighting signal must rank 'code' above 'web'
+    val docs = (
+      (1 to 40).map(i => ("web", "the quick brown fox jumps over the dog")) ++
+      (1 to 4).map(i => ("code", "lambda curry monad functor applicative"))
+    ).toDF("source", "text")
+    val got = graft.operators.TextOps.domainWeightsOf(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("weight_ppm")).toMap
+    assert(got("code") > got("web"),
+      s"hard domain must be upweighted: $got")
+    assert(got.values.sum === 1000000L)
+  }
+
   test("outlier_zscore flags exactly the beyond-cutoff rows") {
     val out = SparkEntry.queries("outlier_zscore")(spark, sf)
     assert(out.count() > 0L, "fixture should surface some |z|>3 outliers")
