@@ -485,6 +485,10 @@ object TextOps {
     // ONE partition, which would run the only corpus-scale pass here
     // single-task. 1-char words can never contribute a pair in any trip
     // (replace only shortens), so they are dropped up front.
+    // (measured: coalescing the histogram below 32 partitions does NOT
+    // move the wall — the remaining per-trip cost is the driver's
+    // collect round trip and the deepening replace-chain codegen, not
+    // task scheduling)
     var hist = DedupOps.spread(docs0)
       .select(explode(split(col("t"), " ")).as("w"))
       .where(length(col("w")) >= 2)
