@@ -143,6 +143,47 @@ object TextOps {
     * value on both engines. */
   private[graft] val REP_TAU = 0.05
 
+  /** The recursive-CTE FFD replay (items/grp/ffd chain) + the per-doc
+    * final select — see the `pack_binpack` oracle comment. Factored so
+    * `pack_binpack_stats` aggregates the identical replay. */
+  private[graft] def binpackCtes: String =
+    s"""items AS (
+       |  SELECT doc_id, n_tokens, shard, bucket,
+       |         row_number() OVER (PARTITION BY shard, bucket
+       |                            ORDER BY n_tokens DESC, doc_id) AS idx
+       |  FROM (SELECT doc_id, len($wSql)::INT AS n_tokens,
+       |               ${packShardSql("doc_id")} AS shard,
+       |               doc_id // ${PACK_SHARDS * BINPACK_BATCH} AS bucket
+       |        FROM documents)
+       |  WHERE n_tokens BETWEEN 1 AND $PACK_SEQ),
+       |grp AS (SELECT shard, bucket, max(idx) AS n FROM items GROUP BY 1, 2),
+       |ffd AS (
+       |  SELECT shard, bucket, 0::BIGINT AS idx,
+       |         []::BIGINT[] AS loads, []::INT[] AS bins
+       |  FROM grp
+       |  UNION ALL
+       |  SELECT shard, bucket, idx,
+       |         CASE WHEN j = 0 THEN list_append(loads, n_tokens::BIGINT)
+       |              ELSE loads[1:j-1] || [loads[j] + n_tokens] || loads[j+1:]
+       |         END,
+       |         list_append(bins,
+       |           (CASE WHEN j = 0 THEN len(loads) + 1 ELSE j END)::INT)
+       |  FROM (SELECT f.shard, f.bucket, i.idx, f.loads, f.bins, i.n_tokens,
+       |               coalesce(list_position(
+       |                 list_transform(f.loads,
+       |                   x -> x + i.n_tokens <= $PACK_SEQ), true), 0) AS j
+       |        FROM ffd f JOIN items i
+       |          ON i.shard = f.shard AND i.bucket = f.bucket
+       |         AND i.idx = f.idx + 1))""".stripMargin
+
+  private[graft] def binpackSelect: String =
+    """SELECT i.doc_id, i.shard, i.bucket, f.bins[i.idx::INT] AS bin,
+      |       i.n_tokens
+      |FROM items i
+      |JOIN grp g USING (shard, bucket)
+      |JOIN ffd f ON f.shard = i.shard AND f.bucket = i.bucket
+      |          AND f.idx = g.n""".stripMargin
+
   /** The target pretraining mixture in integer parts-per-million — ONE
     * definition feeding mix_sample's keep rates, mix_plan's token
     * apportionment, and both oracles ($-interpolated), so the recipe
@@ -1033,6 +1074,45 @@ object TextOps {
       // order no-split packer on the fixture (the padding-waste claim).
       binPack(Tables.documents(s, d))
     },
+    "pack_binpack_stats" -> { (s, d) =>
+      // the binpack twin of pack_stats — the padding audit for the
+      // NO-SPLIT packer (fill here is genuinely < 1, unlike the chunker's,
+      // because whole-doc packing pads every non-full bin; this is the
+      // number FFD exists to maximize): per shard, docs, true tokens,
+      // bins opened, and fill = tokens/(bins·SEQ) on the rIeee grid.
+      // Aggregates over the packer's own output — one 32-row rollup on
+      // top of binPack's lane exchange.
+      import graft.functions.VectorOps.rIeee
+      binPack(Tables.documents(s, d))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_toks"),
+          countDistinct(col("bucket"), col("bin")).as("n_bins"))
+        .select(col("shard"), col("n_docs"), col("n_toks"), col("n_bins"),
+          rIeee(col("n_toks").cast("double") /
+            (col("n_bins") * PACK_SEQ).cast("double"), 4).as("fill"))
+    },
+    "tokenizer_fertility" -> { (s, d) =>
+      // tokenizer QA: FERTILITY — tokenizer symbols per whitespace word,
+      // per language (the standard multilingual-tokenizer health metric:
+      // a language far above the corpus mean is being byte-exploded by
+      // the vocabulary and costs that much more compute per word; the
+      // number vocab redesigns are judged by). Measured under the frozen
+      // BPE_MERGES table (token_count_bpe's codegen replace chain — the
+      // symbol count includes spaces, exactly that query's semantics).
+      // Integer milli ratio, so the metric is exact cross-engine; nullif
+      // guards an all-empty language on both engines. One narrow map +
+      // a lang-bounded aggregate: a pure audit pass at 100 TB.
+      Tables.documents(s, d)
+        .select(col("lang"), size(wordsCol(col("text"))).as("ws"),
+          bpeCountCol(col("text")).as("bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws").cast("long")).as("ws_tokens"),
+          sum(col("bpe").cast("long")).as("bpe_tokens"))
+        .withColumn("fertility_milli",
+          expr("(bpe_tokens * 1000) div nullif(ws_tokens, 0)"))
+    },
     "text_normalize" -> { (s, d) =>
       // canonicalization — the projection every hashing/dedup stage runs
       // FIRST so that case/whitespace/punctuation variants of one text
@@ -1894,6 +1974,13 @@ object TextOps {
          |            FROM (SELECT doc_id, $wSql AS w FROM documents)))
          |WHERE n_3grams > 0""".stripMargin
     },
+    "tokenizer_fertility" ->
+      s"""SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(len($wSql))::BIGINT AS ws_tokens,
+         |       sum(${bpeCountSql("text")})::BIGINT AS bpe_tokens,
+         |       (sum(${bpeCountSql("text")}) * 1000)
+         |         // nullif(sum(len($wSql)), 0) AS fertility_milli
+         |FROM documents GROUP BY lang""".stripMargin,
     "repetition_strip" -> {
       val all3 =
         """CASE WHEN len(w) >= 3
@@ -1932,42 +2019,21 @@ object TextOps {
     // (shard, bucket) batch one item per step in (n_tokens DESC, doc_id)
     // order, carrying the open-bin load list; first fit = list_position
     // of the first load with room (0 = none -> open bin len(loads)+1).
-    // Identical placement rule to binPack's indexWhere loop.
+    // Identical placement rule to binPack's indexWhere loop. The chain is
+    // factored ([[binpackCtes]]/[[binpackSelect]]) so the stats oracle
+    // aggregates the SAME replay rather than a second copy.
     "pack_binpack" ->
-      s"""WITH RECURSIVE items AS (
-         |  SELECT doc_id, n_tokens, shard, bucket,
-         |         row_number() OVER (PARTITION BY shard, bucket
-         |                            ORDER BY n_tokens DESC, doc_id) AS idx
-         |  FROM (SELECT doc_id, len($wSql)::INT AS n_tokens,
-         |               ${packShardSql("doc_id")} AS shard,
-         |               doc_id // ${PACK_SHARDS * BINPACK_BATCH} AS bucket
-         |        FROM documents)
-         |  WHERE n_tokens BETWEEN 1 AND $PACK_SEQ),
-         |grp AS (SELECT shard, bucket, max(idx) AS n FROM items GROUP BY 1, 2),
-         |ffd AS (
-         |  SELECT shard, bucket, 0::BIGINT AS idx,
-         |         []::BIGINT[] AS loads, []::INT[] AS bins
-         |  FROM grp
-         |  UNION ALL
-         |  SELECT shard, bucket, idx,
-         |         CASE WHEN j = 0 THEN list_append(loads, n_tokens::BIGINT)
-         |              ELSE loads[1:j-1] || [loads[j] + n_tokens] || loads[j+1:]
-         |         END,
-         |         list_append(bins,
-         |           (CASE WHEN j = 0 THEN len(loads) + 1 ELSE j END)::INT)
-         |  FROM (SELECT f.shard, f.bucket, i.idx, f.loads, f.bins, i.n_tokens,
-         |               coalesce(list_position(
-         |                 list_transform(f.loads,
-         |                   x -> x + i.n_tokens <= $PACK_SEQ), true), 0) AS j
-         |        FROM ffd f JOIN items i
-         |          ON i.shard = f.shard AND i.bucket = f.bucket
-         |         AND i.idx = f.idx + 1))
-         |SELECT i.doc_id, i.shard, i.bucket, f.bins[i.idx::INT] AS bin,
-         |       i.n_tokens
-         |FROM items i
-         |JOIN grp g USING (shard, bucket)
-         |JOIN ffd f ON f.shard = i.shard AND f.bucket = i.bucket
-         |          AND f.idx = g.n""".stripMargin,
+      s"WITH RECURSIVE $binpackCtes\n$binpackSelect",
+    "pack_binpack_stats" ->
+      s"""WITH RECURSIVE $binpackCtes,
+         |bp AS ($binpackSelect)
+         |SELECT shard, count(*)::BIGINT AS n_docs,
+         |       sum(n_tokens::BIGINT)::BIGINT AS n_toks,
+         |       count(DISTINCT (bucket, bin))::BIGINT AS n_bins,
+         |       ${graft.functions.VectorSql.rIeee(
+             s"sum(n_tokens::BIGINT)::DOUBLE / " +
+               s"(count(DISTINCT (bucket, bin)) * $PACK_SEQ)", 4)} AS fill
+         |FROM bp GROUP BY shard""".stripMargin,
     "token_count_bpe" ->
       s"""SELECT doc_id, len(text)::INT AS n_chars_raw,
          |       ${bpeCountSql("text")} AS bpe_tokens

@@ -793,6 +793,36 @@ class OperatorSpec extends SparkSpec {
     assert(out.length.toLong === docsInScope, "binpack must cover every in-range doc")
   }
 
+  test("pack_binpack_stats agrees with the packer; fertility is exact and >= 1") {
+    val bp = SparkEntry.queries("pack_binpack")(spark, sf)
+    val stats = SparkEntry.queries("pack_binpack_stats")(spark, sf).collect()
+    val truth = bp.groupBy("shard")
+      .agg(count(lit(1)).as("d"), sum(col("n_tokens").cast("long")).as("t"),
+        countDistinct(col("bucket"), col("bin")).as("b"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    stats.foreach { r =>
+      val (d, t, b) = truth(r.getInt(0))
+      assert(r.getAs[Long]("n_docs") === d && r.getAs[Long]("n_toks") === t &&
+        r.getAs[Long]("n_bins") === b)
+      val fill = r.getAs[Double]("fill")
+      // no-split packing genuinely pads: fill in (0, 1], and the tokens
+      // can never exceed the opened capacity
+      assert(fill > 0.0 && fill <= 1.0)
+      assert(t <= b * graft.operators.TextOps.PACK_SEQ)
+    }
+    // fertility: the frozen merge table never merges across a space, so
+    // every word is >= 1 symbol and the separators survive — per-word
+    // symbol count >= 1, i.e. fertility_milli >= 1000 on any corpus
+    val fert = SparkEntry.queries("tokenizer_fertility")(spark, sf).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      assert(r.getAs[Long]("fertility_milli") ===
+        r.getAs[Long]("bpe_tokens") * 1000 / r.getAs[Long]("ws_tokens"))
+      assert(r.getAs[Long]("fertility_milli") >= 1000L)
+    }
+  }
+
   test("mix_plan apportions the budget exactly; domain_weights sum to one") {
     val plan = SparkEntry.queries("mix_plan")(spark, sf).collect()
     val budget = Tables.documents(spark, sf)
