@@ -70,6 +70,8 @@ object SimilarityOps {
   // semdedup_scaled: k at the paper's k ∝ n prescription for the larger
   // fixtures (n/k ≈ 31 at sf0.1, 250 at 8× — both ≪ BUCKET_CAP)
   private val NCELLS_SCALED = 64
+  // knn_graph: neighbors kept per source vector
+  private val KNN_K = 4
 
   /** The semdedup tail shared by the standing-index and scaled-k forms:
     * cap over-populated cells out (keep-all degrade, never O(n²)),
@@ -462,6 +464,46 @@ object SimilarityOps {
       val asg = pts.select(col("id"),
         KMeansOps.nearestCol(col("v"), cells).as("cell"))
       semdedupFrom(asg, pts)
+    },
+    "knn_graph" -> { (s, d) =>
+      // k-NN graph construction — the backbone artifact of graph-based
+      // curation (SemDeDup's neighborhoods, density/duplication scoring,
+      // graph-connectivity filtering all consume "each point's k nearest
+      // neighbors", and ANN graph indexes are BUILT from exactly this
+      // relation). Rides the STANDING IVF layout like `semdedup`: the
+      // cell-partitioned vectors ARE the candidate structure (no retrain,
+      // no in-query assignment), candidates are within-cell bare-id pairs
+      // with hot cells capped out (an over-cap cell degrades to
+      // edge-less, never O(n²)). Each unordered pair pays the exact
+      // cosine ONCE (a < b), then mirrors into both orientations before
+      // ranking — the verify stage is the d=64 dot, halving it matters.
+      // Per-src top-K is a window whose partitions are cell-bounded
+      // (≤ BUCKET_CAP rows per src by construction), hash-spread over
+      // the full id domain — no reducer funnel at any corpus size.
+      val dir = ensureIvfIndex(s, d)
+      val asg = s.read.parquet(s"$dir/vectors")
+        .select(col("id"), col("cell").cast("int").as("cell"))
+      val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("ccnt"))
+      val capped = asg.join(broadcast(counts
+        .where(col("ccnt") <= BUCKET_CAP).select(col("cell"))), Seq("cell"))
+      val pts = KMeansOps.points(s, d)
+      val half = capped.select(col("cell"), col("id").as("id_a"))
+        .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .join(pts.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+        .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          r4(cos(col("va"), col("vb"))).as("sim"))
+      val sym = half.select(col("id_a").as("src_id"),
+          col("id_b").as("nbr_id"), col("sim"))
+        .unionAll(half.select(col("id_b").as("src_id"),
+          col("id_a").as("nbr_id"), col("sim")))
+      val w = Window.partitionBy(col("src_id"))
+        .orderBy(col("sim").desc, col("nbr_id"))
+      sym.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= KNN_K)
+        .select(col("src_id"), col("rnk"), col("nbr_id"), col("sim"))
     },
     "similarity_topk" -> { (s, d) =>
       val docs = KMeansOps.points(s, d)
@@ -1013,6 +1055,34 @@ object SimilarityOps {
     // and the scaled-k forms so they can never drift.
     "semdedup" -> semdedupSqlFor(NCELLS),
     "semdedup_scaled" -> semdedupSqlFor(NCELLS_SCALED),
+    // the same trained-cell assignment + survivor cap as the semdedup
+    // oracle, then each a<b within-cell pair scored once at the r4
+    // cosine grid, mirrored into both orientations, per-src top-K
+    "knn_graph" ->
+      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+         |asg AS MATERIALIZED (
+         |  ${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
+         |cnt AS (SELECT cluster_id FROM asg
+         |        GROUP BY cluster_id HAVING count(*) <= $BUCKET_CAP),
+         |cap AS (SELECT asg.vec_id, asg.cluster_id
+         |        FROM asg JOIN cnt USING (cluster_id)),
+         |half AS (
+         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |         (round(${VectorSql.cosine("ea.embedding", "eb.embedding")},
+         |                4) + 0) AS sim
+         |  FROM cap a JOIN cap b2
+         |    ON a.cluster_id = b2.cluster_id AND a.vec_id < b2.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b2.vec_id),
+         |sym AS (SELECT id_a AS src_id, id_b AS nbr_id, sim FROM half
+         |        UNION ALL
+         |        SELECT id_b AS src_id, id_a AS nbr_id, sim FROM half)
+         |SELECT src_id, rnk, nbr_id, sim FROM (
+         |  SELECT src_id, nbr_id, sim,
+         |         row_number() OVER (PARTITION BY src_id
+         |                            ORDER BY sim DESC, nbr_id)::INT AS rnk
+         |  FROM sym)
+         |WHERE rnk <= $KNN_K""".stripMargin,
     "sim_topk_ivf_pq_recall" ->
       s"""WITH ex AS ($simTopkSql),
          |iv AS ($ivfPqTopkSql)

@@ -277,6 +277,65 @@ object TextOps {
         expr("(before * 10) div n").cast("int").as("decile"))
   }
 
+  /** corpus-unigram-LM per-doc scores `(doc_id, lang, n_tokens,
+    * sum_surprisal)` — the CCNet/KenLM-style perplexity-filter signal
+    * with EXACT cross-engine semantics, shared by `unigram_logprob` (the
+    * audit) and `perplexity_buckets` (the banding) so the LM definition
+    * cannot drift. Per-token surprisal is the INTEGER
+    * floor(log2(total/count)) computed as bitlength(total div count) − 1 —
+    * transcendental log libraries are not ulp-identical across engines,
+    * and float surprisal sums are addition-order-dependent (not
+    * repartition-stable), so the score stays in pure integer arithmetic.
+    * The LM is the production shape: a top-[[UNIGRAM_VOCAB]] frequency
+    * table (count desc, token asc — deterministic ties) plus an OOV floor
+    * of bitlength(total) − 1 (count→1 semantics). The model is BOUNDED
+    * and BROADCAST, so the corpus token stream is never shuffled to score
+    * it; the only row-scaled shuffle is the map-side-combined per-doc
+    * aggregate. UNIGRAM_VOCAB = 16 < the fixture's 31 distinct tokens, so
+    * the OOV path is exercised under oracle parity — at real scale the
+    * cap is the usual 1e5-class LM vocabulary. */
+  private[graft] val UNIGRAM_VOCAB = 16
+  private def unigramDocScores(s: SparkSession, d: String): DataFrame = {
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val tok = DedupOps.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        explode(wordsCol(col("text"))).as("w"))
+    // materialize the vocabulary-bounded frequency table ONCE (eager
+    // localCheckpoint, blocks die with the plan): tot/sb/oov all derive
+    // from it, and without the pin each branch re-explodes the corpus —
+    // model build is one corpus pass, scoring the (inherent) second
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = freq.agg(sum(col("c")).as("total"))
+    val sb = freq.orderBy(col("c").desc, col("w")).limit(UNIGRAM_VOCAB)
+      .crossJoin(tot)
+      .select(col("w"), ilog2(expr("total div c")).as("sb"))
+    val oov = tot.select(ilog2(col("total")).as("sb_oov"))
+    tok.join(broadcast(sb), Seq("w"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("sb"), col("sb_oov")).as("sbv"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("sbv")).as("sum_surprisal"))
+  }
+
+  /** DuckDB CTE chain mirroring [[unigramDocScores]] — terminates in
+    * `uls(doc_id, lang, n_tokens, sum_surprisal)`; the single source for
+    * the unigram_logprob and perplexity_buckets oracles. */
+  private lazy val unigramCteSql: String =
+    s"""utok AS (SELECT doc_id, lang, unnest($wSql) AS t FROM documents),
+       |ufreq AS (SELECT t, count(*) AS c FROM utok GROUP BY t),
+       |utot AS (SELECT sum(c)::BIGINT AS total FROM ufreq),
+       |usb AS (SELECT t, (length(bin(total // c)) - 1)::BIGINT AS sb
+       |        FROM (SELECT t, c FROM ufreq
+       |              ORDER BY c DESC, t LIMIT $UNIGRAM_VOCAB), utot),
+       |uoov AS (SELECT (length(bin(total)) - 1)::BIGINT AS sb_oov FROM utot),
+       |uls AS (SELECT doc_id, lang, count(*)::BIGINT AS n_tokens,
+       |          sum(coalesce(sb, sb_oov))::BIGINT AS sum_surprisal
+       |        FROM utok LEFT JOIN usb ON utok.t = usb.t CROSS JOIN uoov
+       |        GROUP BY doc_id, lang)""".stripMargin
+
   /** The reader-lane assignment — permutation low bits mod PACK_SHARDS —
     * shared (Spark + SQL forms) by packSequences and shuffle_assign so
     * shuffle lanes can never silently desynchronize from pack lanes. */
@@ -1233,47 +1292,51 @@ object TextOps {
         .select(col("lang"), col("rk"), col("doc_id"), col("quality"))
     },
     "unigram_logprob" -> { (s, d) =>
-      // corpus-unigram-LM quality score (the CCNet/KenLM-style perplexity
-      // filter signal) with EXACT cross-engine semantics: per-token
-      // surprisal is the INTEGER floor(log2(total/count)) computed as
-      // bitlength(total div count) - 1 — transcendental log libraries are
-      // not ulp-identical across engines, and float surprisal sums are
-      // addition-order-dependent (not repartition-stable), so the score
-      // stays in pure integer arithmetic until one exact final division.
-      // The LM is the production shape: a top-VOCAB frequency table
-      // (count desc, token asc — deterministic ties) plus an OOV floor of
-      // bitlength(total) - 1 (count→1 semantics). The model is BOUNDED and
-      // BROADCAST, so the corpus token stream is never shuffled to score
-      // it; the only row-scaled shuffle is the map-side-combined per-doc
-      // aggregate (partial agg collapses each scan partition to its
-      // distinct doc_ids before the exchange). VOCAB = 16 < the fixture's
-      // 31 distinct tokens, so the OOV path is exercised under oracle
-      // parity — at real scale VOCAB is the usual 1e5-class LM cap.
-      val VOCAB = 16
-      def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
-      val tok = DedupOps.spread(Tables.documents(s, d))
-        .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
-      // materialize the vocabulary-bounded frequency table ONCE (eager
-      // localCheckpoint, blocks die with the plan): tot/sb/oov all derive
-      // from it, and without the pin each branch re-explodes the corpus —
-      // model build is one corpus pass, scoring the (inherent) second
-      val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      val tot = freq.agg(sum(col("c")).as("total"))
-      val sb = freq.orderBy(col("c").desc, col("w")).limit(VOCAB)
-        .crossJoin(tot)
-        .select(col("w"), ilog2(expr("total div c")).as("sb"))
-      val oov = tot.select(ilog2(col("total")).as("sb_oov"))
-      tok.join(broadcast(sb), Seq("w"), "left")
-        .crossJoin(broadcast(oov))
-        .select(col("doc_id"), coalesce(col("sb"), col("sb_oov")).as("sbv"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("sbv")).as("sum_surprisal"))
+      unigramDocScores(s, d)
         .select(col("doc_id"), col("n_tokens"), col("sum_surprisal"),
           graft.functions.VectorOps.rIeee(
             col("sum_surprisal").cast("double") / col("n_tokens"), 4)
             .as("mean_surprisal"))
+    },
+    "perplexity_buckets" -> { (s, d) =>
+      // CCNet's head/middle/tail banding (Wenzek et al. 2020,
+      // arXiv:1911.00359) — THE deployed perplexity filter: score every
+      // doc against the corpus LM, then cut each language into terciles
+      // so 'head' is the most-fluent third (CCNet keeps head+middle for
+      // pretraining). Scoring rides [[unigramDocScores]]' exact-integer
+      // surprisal (shared with unigram_logprob — one LM definition);
+      // banding follows quality_deciles' scale discipline, NOT an ntile
+      // window: the per-doc score quantizes to integer milli-bits/token
+      // ((sum·1000) div n — the key domain is bounded by 1000×max
+      // bitlength, not the corpus), a (lang, score) frequency table
+      // cumsums per lang over that TINY relation, tercile = floor
+      // (3·before/n) in pure integer arithmetic, and the lang-bounded
+      // key→bucket map broadcasts back onto the scored docs. The scored
+      // relation pins once (localCheckpoint) — it feeds both the
+      // boundary derivation and the final join, and recomputing it would
+      // re-explode the corpus.
+      val scored = unigramDocScores(s, d)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("(sum_surprisal * 1000) div n_tokens").cast("long")
+            .as("score_mbits"))
+        .localCheckpoint()
+      val freq = scored.groupBy(col("lang"), col("score_mbits"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("score_mbits"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val buckets = freq
+        .withColumn("before", sum(col("c")).over(wCum) - col("c"))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .select(col("lang"), col("score_mbits"),
+          expr("(before * 3) div n").cast("int").as("tercile"))
+      scored.join(broadcast(buckets), Seq("lang", "score_mbits"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("score_mbits"),
+          when(col("tercile") === 0, "head")
+            .when(col("tercile") === 1, "middle")
+            .otherwise("tail").as("bucket"))
     },
     "tfidf_topk" -> { (s, d) =>
       // per-document top-3 keyword extraction by tf·idf. idf is the
@@ -2105,19 +2168,28 @@ object TextOps {
          |           ORDER BY quality DESC, doc_id)::INT AS rk FROM q)
          |WHERE rk <= 5""".stripMargin,
     "unigram_logprob" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($wSql) AS t FROM documents),
-         |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
-         |tot AS (SELECT sum(c)::BIGINT AS total FROM freq),
-         |sb AS (SELECT t, (length(bin(total // c)) - 1)::BIGINT AS sb
-         |       FROM (SELECT t, c FROM freq ORDER BY c DESC, t LIMIT 16), tot),
-         |oov AS (SELECT (length(bin(total)) - 1)::BIGINT AS sb_oov FROM tot)
-         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         |       sum(coalesce(sb, sb_oov))::BIGINT AS sum_surprisal,
+      s"""WITH $unigramCteSql
+         |SELECT doc_id, n_tokens, sum_surprisal,
          |       ${graft.functions.VectorSql.rIeee(
-              "sum(coalesce(sb, sb_oov))::DOUBLE / count(*)", 4)}
-         |         AS mean_surprisal
-         |FROM tok LEFT JOIN sb ON tok.t = sb.t CROSS JOIN oov
-         |GROUP BY doc_id""".stripMargin,
+            "sum_surprisal::DOUBLE / n_tokens", 4)} AS mean_surprisal
+         |FROM uls""".stripMargin,
+    "perplexity_buckets" ->
+      s"""WITH $unigramCteSql,
+         |sc AS (SELECT doc_id, lang, n_tokens,
+         |         (sum_surprisal * 1000) // n_tokens AS score_mbits
+         |       FROM uls),
+         |f AS (SELECT lang, score_mbits, count(*) AS c FROM sc
+         |      GROUP BY lang, score_mbits),
+         |b AS (SELECT lang, score_mbits,
+         |        (((sum(c) OVER (PARTITION BY lang ORDER BY score_mbits
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            - c) * 3)
+         |         // (sum(c) OVER (PARTITION BY lang)))::INT AS tercile
+         |      FROM f)
+         |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.score_mbits,
+         |       CASE tercile WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM sc JOIN b USING (lang, score_mbits)""".stripMargin,
     "tfidf_topk" ->
       s"""WITH tok AS (SELECT doc_id, unnest($wSql) AS t FROM documents),
          |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok

@@ -522,6 +522,25 @@ object StreamingOps {
     "streaming_phrase_hits" -> { (s, d) =>
       runToMemorySink(phraseHitsStream(s, d), "vq_stream_phrase",
         "append") },
+    "streaming_topk" -> { (s, d) =>
+      // windowed top-k — the "trending types" monitor a live ingest
+      // dashboard runs: per tumbling hour, the top-3 event types by
+      // count. The STREAM does only the corpus-scaled work (the same
+      // watermarked window × type counts as streaming_window_agg —
+      // state bounded by windows × the type domain, never the event
+      // count); the rank is a batch window over the MATERIALIZED
+      // (windows × types) relation — tiny by construction — so no
+      // streaming global sort and no per-batch re-rank state. Complete
+      // mode re-emits final counts with the last batch, which makes the
+      // batch top-k oracle apply verbatim.
+      val counts = runToMemorySink(windowedCounts(s, d), "vq_stream_topk")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hour_start"))
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("hour_start"), col("rnk"), col("event_type"), col("n"))
+    },
     "streaming_drift" -> { (s, d) =>
       // stream = delta bucket counts (the only corpus-scaled work);
       // the PSI projection runs on the TINY materialized bucket relation
@@ -591,6 +610,19 @@ object StreamingOps {
          |       event_type, count(*)::BIGINT AS n,
          |       ${graft.operators.RelationalOps.centsSumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    // the same hourly type counts, ranked: count ties break on the type
+    // name so the top-3 cut is total in both engines
+    "streaming_topk" ->
+      """WITH c AS (
+        |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
+        |         event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_start, rnk, event_type, n FROM (
+        |  SELECT hour_start, event_type, n,
+        |         row_number() OVER (PARTITION BY hour_start
+        |                            ORDER BY n DESC, event_type)::INT AS rnk
+        |  FROM c)
+        |WHERE rnk <= 3""".stripMargin,
     // same session semantics as the batch session_window_agg oracle
     "streaming_sessions" ->
       graft.operators.RelationalOps.oracles("session_window_agg"),

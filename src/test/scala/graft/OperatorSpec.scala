@@ -1356,6 +1356,76 @@ class OperatorSpec extends SparkSpec {
     assert(joined.count() === 0L)
   }
 
+  test("knn_graph matches an exact within-cell driver brute force") {
+    // independent re-derivation sharing NO Spark expression code (the
+    // semdedup recheck's discipline): plain Scala cosine + BigDecimal
+    // HALF_UP rounding, top-K per src by (sim desc, id asc) within the
+    // SAME persisted cell assignment the query rode.
+    val res = SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(res.nonEmpty)
+    val dir = operators.SimilarityOps.ensureIvfIndex(spark, sf)
+    val cells = spark.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("cell").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vmap = operators.KMeansOps.points(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) {
+        dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4D(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect: Map[Long, Seq[(Int, Long, Double)]] =
+      cells.keys.groupBy(cells).values.flatMap { cellIds =>
+        val ids = cellIds.toSeq.sorted
+        ids.map { src =>
+          val nbrs = ids.filter(_ != src)
+            .map(n => (n, r4D(cosD(vmap(src), vmap(n)))))
+            .sortBy { case (n, s) => (-s, n) }
+            .take(4).zipWithIndex
+            .map { case ((n, s), i) => (i + 1, n, s) }
+          src -> nbrs
+        }
+      }.toMap
+    val got = res.groupBy(_._1).map { case (src, g) =>
+      src -> g.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq
+    }
+    assert(got.keySet === expect.filter(_._2.nonEmpty).keySet)
+    got.foreach { case (src, nbrs) =>
+      assert(nbrs === expect(src), s"src $src neighbor list mismatch")
+    }
+  }
+
+  test("perplexity_buckets: monotone terciles covering every scored doc") {
+    val res = SparkEntry.queries("perplexity_buckets")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getString(4)))
+    assert(res.nonEmpty)
+    // coverage: exactly the unigram-scored docs, each once
+    val scoredDocs = SparkEntry.queries("unigram_logprob")(spark, sf).count()
+    assert(res.length.toLong === scoredDocs)
+    assert(res.map(_._1).distinct.length === res.length)
+    // per lang, bucket boundaries are monotone in the quantized score:
+    // every head score ≤ every middle score ≤ every tail score (equal
+    // scores always share a bucket — the key→bucket map guarantees it)
+    val ord = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    res.groupBy(_._2).values.foreach { g =>
+      val byB = g.groupBy(t => ord(t._4))
+      for (i <- 0 to 1; j <- (i + 1) to 2
+           if byB.contains(i) && byB.contains(j)) {
+        assert(byB(i).map(_._3).max <= byB(j).map(_._3).min,
+          s"lang ${g.head._2}: bucket $i scores exceed bucket $j")
+      }
+    }
+    // every language populates all three buckets on the fixture
+    res.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._4).distinct.toSet === Set("head", "middle", "tail"))
+    }
+  }
+
   for (q <- Seq("semdedup", "semdedup_scaled"))
   test(s"$q keep set matches an exact driver brute-force recheck") {
     // independent re-derivation sharing NO Spark expression code: plain

@@ -305,6 +305,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming windowed top-k matches the ranked batch window counts") {
+    val streamed = SparkEntry.queries("streaming_topk")(spark, sf)
+    // batch twin: the same top-3-per-hour rank over the oracle-verified
+    // batch time_window_agg counts (rank depends only on the counts the
+    // two forms are already proven to share)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    val batch = SparkEntry.queries("time_window_agg")(spark, sf)
+      .select((col("hour_bucket") * 3600).as("hour_start"),
+        col("event_type"), col("n"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("hour_start"), col("rnk"), col("event_type"), col("n"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming phrase alerts match the batch hit relation") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("streaming_phrase_hits")(spark, sf)
