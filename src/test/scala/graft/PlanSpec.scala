@@ -757,6 +757,40 @@ class PlanSpec extends SparkSpec {
       "index-side scans must not carry the float vectors")
   }
 
+  test("knn_graph rides the standing index: no retrain, capped cells") {
+    val plan = executed("knn_graph")
+    // like semdedup: assignment must come from the persisted IVF layout,
+    // never an in-query argmin, and the pair join must be a keyed
+    // within-cell join with the under-cap keep set broadcast — never a
+    // cartesian over the corpus
+    assert(!plan.toLowerCase.contains("nearestcenter"),
+      "assignment must come from the persisted IVF layout, not in-query")
+    assert(plan.split("\n").exists(l =>
+      l.contains("Scan parquet") && l.contains("ivf-index")),
+      "no scan of the standing IVF layout")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"), "cell cap not broadcast")
+  }
+
+  test("perplexity_buckets broadcasts the bucket map over the pinned scores") {
+    val plan = executed("perplexity_buckets")
+    // the key→tercile map is a bounded relation: its join against the
+    // doc-scaled scored side must broadcast (a shuffled bucket join
+    // would re-shuffle every scored doc). The LM joins live upstream of
+    // the localCheckpoint pin (unigram_logprob's own plan carries those
+    // broadcasts); HERE the corpus must enter only through the pinned
+    // scored relation — re-deriving it would re-explode the documents
+    // table into tokens a second time.
+    assert(plan.contains("BroadcastExchange"),
+      "bucket-map join must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Scan ExistingRDD"),
+      "scored relation must come from the checkpoint pin")
+    assert(!plan.split("\n").exists(l =>
+      l.contains("Scan parquet") && l.contains("documents")),
+      "final plan must not re-explode the documents table")
+  }
+
   test("grouping_sets_agg is one Expand over one corpus pass") {
     val plan = executed("grouping_sets_agg")
     assert(plan.contains("Expand"), "grouping sets must plan as Expand")
