@@ -94,6 +94,49 @@ object SimilarityOps {
       .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup").isNull.as("keep"))
   }
+  /** k-NN graph construction — the backbone artifact of graph-based
+    * curation (SemDeDup's neighborhoods, density/duplication scoring,
+    * graph-connectivity filtering all consume "each point's k nearest
+    * neighbors", and ANN graph indexes are BUILT from exactly this
+    * relation). Rides the STANDING IVF layout like `semdedup`: the
+    * cell-partitioned vectors ARE the candidate structure (no retrain,
+    * no in-query assignment), candidates are within-cell bare-id pairs
+    * with hot cells capped out (an over-cap cell degrades to edge-less,
+    * never O(n²)). Each unordered pair pays the exact cosine ONCE
+    * (a < b), then mirrors into both orientations before ranking — the
+    * verify stage is the d=64 dot, halving it matters. Per-src top-K is
+    * a window whose partitions are cell-bounded (≤ BUCKET_CAP rows per
+    * src by construction), hash-spread over the full id domain — no
+    * reducer funnel at any corpus size. Shared by `knn_graph` (the
+    * declared relation) and `knn_components` (the mutual-kNN clustering
+    * built on top). */
+  private def knnTopK(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureIvfIndex(s, d)
+    val asg = s.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("cell").cast("int").as("cell"))
+    val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("ccnt"))
+    val capped = asg.join(broadcast(counts
+      .where(col("ccnt") <= BUCKET_CAP).select(col("cell"))), Seq("cell"))
+    val pts = KMeansOps.points(s, d)
+    val half = capped.select(col("cell"), col("id").as("id_a"))
+      .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .join(pts.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        r4(cos(col("va"), col("vb"))).as("sim"))
+    val sym = half.select(col("id_a").as("src_id"),
+        col("id_b").as("nbr_id"), col("sim"))
+      .unionAll(half.select(col("id_b").as("src_id"),
+        col("id_a").as("nbr_id"), col("sim")))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    sym.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= KNN_K)
+      .select(col("src_id"), col("rnk"), col("nbr_id"), col("sim"))
+  }
+
   // nprobe sweep widths — ONE list shared by the ivf_nprobe_sweep query
   // and its oracle builder so the two can never drift
   private val SWEEP_NPROBES = Seq(2, 4, 8)
@@ -465,45 +508,32 @@ object SimilarityOps {
         KMeansOps.nearestCol(col("v"), cells).as("cell"))
       semdedupFrom(asg, pts)
     },
-    "knn_graph" -> { (s, d) =>
-      // k-NN graph construction — the backbone artifact of graph-based
-      // curation (SemDeDup's neighborhoods, density/duplication scoring,
-      // graph-connectivity filtering all consume "each point's k nearest
-      // neighbors", and ANN graph indexes are BUILT from exactly this
-      // relation). Rides the STANDING IVF layout like `semdedup`: the
-      // cell-partitioned vectors ARE the candidate structure (no retrain,
-      // no in-query assignment), candidates are within-cell bare-id pairs
-      // with hot cells capped out (an over-cap cell degrades to
-      // edge-less, never O(n²)). Each unordered pair pays the exact
-      // cosine ONCE (a < b), then mirrors into both orientations before
-      // ranking — the verify stage is the d=64 dot, halving it matters.
-      // Per-src top-K is a window whose partitions are cell-bounded
-      // (≤ BUCKET_CAP rows per src by construction), hash-spread over
-      // the full id domain — no reducer funnel at any corpus size.
+    "knn_graph" -> { (s, d) => knnTopK(s, d) },
+    "knn_components" -> { (s, d) =>
+      // mutual-kNN clustering — the standard graph clustering a curation
+      // pipeline runs on top of the k-NN graph (mutual-kNN + connected
+      // components: an edge survives only when BOTH endpoints rank each
+      // other in their top-K, which prunes hub links and makes cluster
+      // granularity a function of K, not of a distance threshold).
+      // Composes [[knnTopK]] (the standing-index graph build) with the
+      // dedup family's min-label-propagation components
+      // (DedupOps.componentsOf — O(log diameter) rounds, pointer
+      // jumping): the mutual filter is one self-join on the bare-id edge
+      // relation (K·n rows, two longs each), and every indexed vector
+      // gets a cluster_rep — its component min when clustered, itself
+      // when isolated (the left-join convention of the dedup applies).
+      val e = knnTopK(s, d).select(col("src_id").as("doc_a"),
+        col("nbr_id").as("doc_b"))
+      val mutual = e.intersect(
+          e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .where(col("doc_a") < col("doc_b"))
+      val comps = DedupOps.componentsOf(mutual)
+        .select(col("doc_id").as("vec_id"), col("cluster_rep"))
       val dir = ensureIvfIndex(s, d)
-      val asg = s.read.parquet(s"$dir/vectors")
-        .select(col("id"), col("cell").cast("int").as("cell"))
-      val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("ccnt"))
-      val capped = asg.join(broadcast(counts
-        .where(col("ccnt") <= BUCKET_CAP).select(col("cell"))), Seq("cell"))
-      val pts = KMeansOps.points(s, d)
-      val half = capped.select(col("cell"), col("id").as("id_a"))
-        .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .join(pts.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-        .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          r4(cos(col("va"), col("vb"))).as("sim"))
-      val sym = half.select(col("id_a").as("src_id"),
-          col("id_b").as("nbr_id"), col("sim"))
-        .unionAll(half.select(col("id_b").as("src_id"),
-          col("id_a").as("nbr_id"), col("sim")))
-      val w = Window.partitionBy(col("src_id"))
-        .orderBy(col("sim").desc, col("nbr_id"))
-      sym.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= KNN_K)
-        .select(col("src_id"), col("rnk"), col("nbr_id"), col("sim"))
+      s.read.parquet(s"$dir/vectors").select(col("id").as("vec_id"))
+        .join(comps, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_rep"), col("vec_id")).as("cluster_rep"))
     },
     "similarity_topk" -> { (s, d) =>
       val docs = KMeansOps.points(s, d)
@@ -1033,6 +1063,37 @@ object SimilarityOps {
        |       (dup.vec_id IS NULL) AS keep
        |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""".stripMargin
 
+  /** knn_graph's oracle CTE chain — trained cells, capped assignment,
+    * a<b pairs scored once at the r4 cosine grid, mirrored, ranked;
+    * terminates in `ktop(src_id, rnk, nbr_id, sim)` (with `asg` also in
+    * scope). Shared by the knn_graph and knn_components oracles. */
+  private lazy val knnGraphCtes: String =
+    s"""${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+       |asg AS MATERIALIZED (
+       |  ${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
+       |cnt AS (SELECT cluster_id FROM asg
+       |        GROUP BY cluster_id HAVING count(*) <= $BUCKET_CAP),
+       |cap AS (SELECT asg.vec_id, asg.cluster_id
+       |        FROM asg JOIN cnt USING (cluster_id)),
+       |half AS (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |         (round(${VectorSql.cosine("ea.embedding", "eb.embedding")},
+       |                4) + 0) AS sim
+       |  FROM cap a JOIN cap b2
+       |    ON a.cluster_id = b2.cluster_id AND a.vec_id < b2.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b2.vec_id),
+       |sym AS (SELECT id_a AS src_id, id_b AS nbr_id, sim FROM half
+       |        UNION ALL
+       |        SELECT id_b AS src_id, id_a AS nbr_id, sim FROM half),
+       |ktop AS (
+       |  SELECT src_id, rnk, nbr_id, sim FROM (
+       |    SELECT src_id, nbr_id, sim,
+       |           row_number() OVER (PARTITION BY src_id
+       |                              ORDER BY sim DESC, nbr_id)::INT AS rnk
+       |    FROM sym)
+       |  WHERE rnk <= $KNN_K)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_topk_ivf_pq" -> ivfPqTopkSql,
@@ -1059,30 +1120,31 @@ object SimilarityOps {
     // oracle, then each a<b within-cell pair scored once at the r4
     // cosine grid, mirrored into both orientations, per-src top-K
     "knn_graph" ->
-      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
-         |asg AS MATERIALIZED (
-         |  ${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
-         |cnt AS (SELECT cluster_id FROM asg
-         |        GROUP BY cluster_id HAVING count(*) <= $BUCKET_CAP),
-         |cap AS (SELECT asg.vec_id, asg.cluster_id
-         |        FROM asg JOIN cnt USING (cluster_id)),
-         |half AS (
-         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-         |         (round(${VectorSql.cosine("ea.embedding", "eb.embedding")},
-         |                4) + 0) AS sim
-         |  FROM cap a JOIN cap b2
-         |    ON a.cluster_id = b2.cluster_id AND a.vec_id < b2.vec_id
-         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-         |  JOIN embeddings eb ON eb.vec_id = b2.vec_id),
-         |sym AS (SELECT id_a AS src_id, id_b AS nbr_id, sim FROM half
-         |        UNION ALL
-         |        SELECT id_b AS src_id, id_a AS nbr_id, sim FROM half)
-         |SELECT src_id, rnk, nbr_id, sim FROM (
-         |  SELECT src_id, nbr_id, sim,
-         |         row_number() OVER (PARTITION BY src_id
-         |                            ORDER BY sim DESC, nbr_id)::INT AS rnk
-         |  FROM sym)
-         |WHERE rnk <= $KNN_K""".stripMargin,
+      s"""WITH $knnGraphCtes
+         |SELECT src_id, rnk, nbr_id, sim FROM ktop""".stripMargin,
+    // knn_graph's CTEs + the mutual filter (both orientations in the
+    // top-K relation) + dedup_clusters' recursive min-reachable closure;
+    // isolated vectors keep themselves via the left join over the full
+    // assignment
+    "knn_components" ->
+      s"""WITH RECURSIVE $knnGraphCtes,
+         |e AS (SELECT src_id AS s, nbr_id AS t FROM ktop),
+         |mutual AS (
+         |  SELECT e.s AS doc_a, e.t AS doc_b
+         |  FROM e JOIN e e2 ON e.s = e2.t AND e.t = e2.s
+         |  WHERE e.s < e.t),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM mutual
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS t FROM mutual),
+         |reach(node, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e3.s, r.r FROM edges e3 JOIN reach r ON e3.t = r.node),
+         |comp AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+         |SELECT asg.vec_id,
+         |       coalesce(comp.rep, asg.vec_id)::BIGINT AS cluster_rep
+         |FROM asg LEFT JOIN comp ON asg.vec_id = comp.node""".stripMargin,
     "sim_topk_ivf_pq_recall" ->
       s"""WITH ex AS ($simTopkSql),
          |iv AS ($ivfPqTopkSql)

@@ -295,16 +295,24 @@ object TextOps {
     * the OOV path is exercised under oracle parity — at real scale the
     * cap is the usual 1e5-class LM vocabulary. */
   private[graft] val UNIGRAM_VOCAB = 16
-  private def unigramDocScores(s: SparkSession, d: String): DataFrame = {
+  private def unigramDocScores(s: SparkSession, d: String,
+      lmOnTrainSplit: Boolean = false): DataFrame = {
     def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val u = graft.functions.VectorOps.unitUniform(col("doc_id"))
     val tok = DedupOps.spread(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"),
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+          .as("split"),
         explode(wordsCol(col("text"))).as("w"))
+    // lm_eval's held-out discipline: the LM fits on TRAIN tokens only,
+    // so val/test scores measure generalization, not memorization
+    val lmTok = if (lmOnTrainSplit) tok.where(col("split") === "train")
+      else tok
     // materialize the vocabulary-bounded frequency table ONCE (eager
     // localCheckpoint, blocks die with the plan): tot/sb/oov all derive
     // from it, and without the pin each branch re-explodes the corpus —
     // model build is one corpus pass, scoring the (inherent) second
-    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val freq = lmTok.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val tot = freq.agg(sum(col("c")).as("total"))
     val sb = freq.orderBy(col("c").desc, col("w")).limit(UNIGRAM_VOCAB)
@@ -313,28 +321,37 @@ object TextOps {
     val oov = tot.select(ilog2(col("total")).as("sb_oov"))
     tok.join(broadcast(sb), Seq("w"), "left")
       .crossJoin(broadcast(oov))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("split"),
         coalesce(col("sb"), col("sb_oov")).as("sbv"))
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy(col("doc_id"), col("lang"), col("split"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("sbv")).as("sum_surprisal"))
   }
 
   /** DuckDB CTE chain mirroring [[unigramDocScores]] — terminates in
-    * `uls(doc_id, lang, n_tokens, sum_surprisal)`; the single source for
-    * the unigram_logprob and perplexity_buckets oracles. */
-  private lazy val unigramCteSql: String =
-    s"""utok AS (SELECT doc_id, lang, unnest($wSql) AS t FROM documents),
-       |ufreq AS (SELECT t, count(*) AS c FROM utok GROUP BY t),
+    * `uls(doc_id, lang, split, n_tokens, sum_surprisal)`; the single
+    * source for the unigram_logprob, perplexity_buckets, and lm_eval
+    * oracles. `lmOnTrainSplit` mirrors the builder's held-out switch. */
+  private def unigramCteSqlFor(lmOnTrainSplit: Boolean): String = {
+    val uSql = graft.functions.VectorSql.unitUniform("doc_id")
+    val lmWhere = if (lmOnTrainSplit) " WHERE split = 'train'" else ""
+    s"""utok AS (SELECT doc_id, lang,
+       |           CASE WHEN $uSql < 0.8 THEN 'train'
+       |                WHEN $uSql < 0.9 THEN 'val'
+       |                ELSE 'test' END AS split,
+       |           unnest($wSql) AS t FROM documents),
+       |ufreq AS (SELECT t, count(*) AS c FROM utok$lmWhere GROUP BY t),
        |utot AS (SELECT sum(c)::BIGINT AS total FROM ufreq),
        |usb AS (SELECT t, (length(bin(total // c)) - 1)::BIGINT AS sb
        |        FROM (SELECT t, c FROM ufreq
        |              ORDER BY c DESC, t LIMIT $UNIGRAM_VOCAB), utot),
        |uoov AS (SELECT (length(bin(total)) - 1)::BIGINT AS sb_oov FROM utot),
-       |uls AS (SELECT doc_id, lang, count(*)::BIGINT AS n_tokens,
+       |uls AS (SELECT doc_id, lang, split, count(*)::BIGINT AS n_tokens,
        |          sum(coalesce(sb, sb_oov))::BIGINT AS sum_surprisal
        |        FROM utok LEFT JOIN usb ON utok.t = usb.t CROSS JOIN uoov
-       |        GROUP BY doc_id, lang)""".stripMargin
+       |        GROUP BY doc_id, lang, split)""".stripMargin
+  }
+  private lazy val unigramCteSql: String = unigramCteSqlFor(false)
 
   /** The reader-lane assignment — permutation low bits mod PACK_SHARDS —
     * shared (Spark + SQL forms) by packSequences and shuffle_assign so
@@ -1338,6 +1355,28 @@ object TextOps {
             .when(col("tercile") === 1, "middle")
             .otherwise("tail").as("bucket"))
     },
+    "lm_eval" -> { (s, d) =>
+      // held-out LM evaluation — the sanity loop a data pipeline closes
+      // before shipping a corpus: fit the unigram LM on the TRAIN split
+      // only (split_assign's 80/10/10 pure-hash split — no RNG state,
+      // layout-stable), score ALL splits against it, and report per
+      // (split, lang) token volume + mean surprisal. val/test tokens the
+      // train split never saw hit the OOV floor, so the train-vs-heldout
+      // surprisal gap IS the generalization signal (a memorized/leaky
+      // split shows no gap). Same bounded-broadcast LM shape as
+      // unigram_logprob (ONE shared builder — the held-out switch is the
+      // only difference); output is a 15-row (split × lang) relation.
+      import graft.functions.VectorOps.rIeee
+      unigramDocScores(s, d, lmOnTrainSplit = true)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("sum_surprisal")).as("sum_surprisal"))
+        .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("sum_surprisal"),
+          rIeee(col("sum_surprisal").cast("double") / col("n_tokens"), 4)
+            .as("mean_surprisal"))
+    },
     "tfidf_topk" -> { (s, d) =>
       // per-document top-3 keyword extraction by tf·idf. idf is the
       // smoothed integer form 1 + floor(log2(N/df)) = bitlength(N div df)
@@ -2173,6 +2212,15 @@ object TextOps {
          |       ${graft.functions.VectorSql.rIeee(
             "sum_surprisal::DOUBLE / n_tokens", 4)} AS mean_surprisal
          |FROM uls""".stripMargin,
+    "lm_eval" ->
+      s"""WITH ${unigramCteSqlFor(true)}
+         |SELECT split, lang, count(*)::BIGINT AS n_docs,
+         |       sum(n_tokens)::BIGINT AS n_tokens,
+         |       sum(sum_surprisal)::BIGINT AS sum_surprisal,
+         |       ${graft.functions.VectorSql.rIeee(
+            "sum(sum_surprisal)::DOUBLE / sum(n_tokens)", 4)}
+         |         AS mean_surprisal
+         |FROM uls GROUP BY split, lang""".stripMargin,
     "perplexity_buckets" ->
       s"""WITH $unigramCteSql,
          |sc AS (SELECT doc_id, lang, n_tokens,

@@ -1400,6 +1400,52 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("knn_components matches a driver union-find over the mutual graph") {
+    // independent re-derivation: mutual edges from the declared knn_graph
+    // relation (an edge survives iff BOTH orientations rank top-K), then
+    // plain union-find — no Spark label-propagation code shared.
+    val comps = SparkEntry.queries("knn_components")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 500)
+    val edges = SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mutual = edges.filter { case (a, b) => a < b && edges((b, a)) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    comps.foreach { case (id, rep) =>
+      assert(rep === find(id), s"vec $id: rep $rep != union-find ${find(id)}")
+    }
+    // every representative is its own representative
+    comps.values.toSet.foreach { (rep: Long) =>
+      assert(comps(rep) === rep, s"rep $rep is not self-representative")
+    }
+  }
+
+  test("lm_eval: held-out splits score above the train split they never fed") {
+    val rows = SparkEntry.queries("lm_eval")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // full (split × lang) coverage, doc counts exhaustive
+    assert(rows.length === 15)
+    assert(rows.map(_._3).sum === 500L)
+    // the generalization gap: tokens the train split never saw hit the
+    // OOV floor, so each held-out split's overall mean surprisal must
+    // exceed train's (equality would mean a leaky or memorized split)
+    def mean(split: String): Double = {
+      val g = rows.filter(_._1 == split)
+      g.map(_._5).sum.toDouble / g.map(_._4).sum
+    }
+    assert(mean("val") > mean("train"))
+    assert(mean("test") > mean("train"))
+  }
+
   test("perplexity_buckets: monotone terciles covering every scored doc") {
     val res = SparkEntry.queries("perplexity_buckets")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getString(4)))
