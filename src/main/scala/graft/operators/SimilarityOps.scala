@@ -421,6 +421,73 @@ object SimilarityOps {
       .select((col("id") + lit(IVF_DELTA_OFFSET)).as("id"),
         transform(col("v"), x => -x).as("v"))
 
+  /** `dedup_embedding_incremental`'s arriving batch: every 8th vector
+    * re-keyed past [[IVF_DELTA_OFFSET]]; ids ≡ 0 (mod 16) arrive
+    * UNCHANGED — the re-crawl-of-existing-content case every incremental
+    * dedup exists to catch (a guaranteed standing near-dup at cos 1,
+    * which sign-LSH collides with certainty: identical vectors share
+    * every bucket) — and ids ≡ 8 (mod 16) arrive element-wise negated
+    * (the cosine antipode: every sign bit flips, so no table can ever
+    * collide it with its source and it must survive). Both the drop and
+    * the keep path fire structurally at any SF. */
+  private[graft] def dedupDeltaVectors(s: SparkSession, d: String): DataFrame =
+    KMeansOps.points(s, d).where(pmod(col("id"), lit(8)) === 0)
+      .select((col("id") + lit(IVF_DELTA_OFFSET)).as("id"),
+        when(pmod(col("id"), lit(16)) === 0, col("v"))
+          .otherwise(transform(col("v"), x => -x)).as("v"))
+
+  /** Core of `dedup_embedding_incremental` over arbitrary `(id, v)` base
+    * and delta relations — see the query entry for the family framing.
+    * Stage order and attribution: within-delta min-id collapse fires
+    * first ('delta'), survivors-in-spirit probe the base index ('base');
+    * a doc matching both attributes to 'delta' (the cascade priority).
+    * Cells cap over the COMBINED population; the base side is
+    * semi-restricted to the delta's cells before any pair join. */
+  private[graft] def dedupEmbIncrementalOf(pts: DataFrame,
+      delta0: DataFrame): DataFrame = {
+    val dim = 64
+    val delta = delta0.localCheckpoint()
+    val baseB = bucketedAllTables(pts, dim, PLANES_DEDUP)
+      .select(col("id"), col("t"), col("b")).localCheckpoint()
+    val deltaB = bucketedAllTables(delta, dim, PLANES_DEDUP)
+      .select(col("id"), col("t"), col("b")).localCheckpoint()
+    val keepCells = baseB.select(col("t"), col("b"))
+      .unionAll(deltaB.select(col("t"), col("b")))
+      .groupBy(col("t"), col("b")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= BUCKET_CAP).select(col("t"), col("b"))
+    val dc = deltaB.join(broadcast(keepCells), Seq("t", "b"))
+    val bc = baseB.join(broadcast(keepCells), Seq("t", "b"))
+      .join(broadcast(dc.select(col("t"), col("b")).distinct()),
+        Seq("t", "b"), "left_semi")
+    val candD = dc.select(col("t"), col("b"), col("id").as("id_1"))
+      .join(dc.select(col("t"), col("b"), col("id").as("id_2")),
+        Seq("t", "b"))
+      .where(col("id_1") < col("id_2"))
+      .select(col("id_1"), col("id_2")).distinct()
+    val candB = dc.select(col("t"), col("b"), col("id").as("id_d"))
+      .join(bc.select(col("t"), col("b"), col("id").as("id_b")),
+        Seq("t", "b"))
+      .select(col("id_d"), col("id_b")).distinct()
+    val dropD = candD
+      .join(delta.select(col("id").as("id_1"), col("v").as("v1")), "id_1")
+      .join(delta.select(col("id").as("id_2"), col("v").as("v2")), "id_2")
+      .where(r4(cos(col("v1"), col("v2"))) >= 0.3)
+      .select(col("id_2").as("vec_id")).distinct()
+    val dropB = candB
+      .join(delta.select(col("id").as("id_d"), col("v").as("vd")), "id_d")
+      .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .where(r4(cos(col("vd"), col("vb"))) >= 0.3)
+      .select(col("id_d").as("vec_id")).distinct()
+    delta.select(col("id").as("vec_id"))
+      .join(dropD.withColumn("dd", lit(true)), Seq("vec_id"), "left")
+      .join(dropB.withColumn("db", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        (col("dd").isNull && col("db").isNull).as("keep"),
+        when(col("dd").isNotNull, "delta")
+          .when(col("db").isNotNull, "base")
+          .otherwise("kept").as("stage"))
+  }
+
   /** Incremental IVF ingest ETL (round-14 verdict item 4 —
     * `dedup_incremental`'s standing-index discipline applied to serving):
     * assign the arriving delta to the PERSISTED cell model (a k-row
@@ -534,6 +601,29 @@ object SimilarityOps {
         .join(comps, Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("cluster_rep"), col("vec_id")).as("cluster_rep"))
+    },
+    "dedup_embedding_incremental" -> { (s, d) =>
+      // the SEMANTIC member of the incremental dedup family (exact has
+      // dedup_incremental, MinHash has dedup_minhash_incremental; this
+      // closes the triple): an arriving embedding delta is near-dup-
+      // checked against the STANDING corpus's hyperplane band index
+      // without ever rescoring the corpus against itself. Family
+      // discipline throughout: within-delta collision collapse runs
+      // FIRST (min-id survivor — a delta batch can carry its own
+      // duplicates), then the delta probes the base index; cells are
+      // capped over the COMBINED base+delta population (a cell hot in
+      // the base must not be probed — dedup_minhash_incremental's rule),
+      // and the base side is LEFT_SEMI-restricted to the delta's own
+      // cells before the pair join (delta ≪ corpus: its cell set
+      // broadcasts; no base-side fan-out). Per-doc stage attribution
+      // ('delta'/'base'/'kept') rides along — dedup_cascade's audit
+      // convention. Verify joins carry bare ids; vectors rejoin only
+      // for surviving candidates. Core factored
+      // ([[dedupEmbIncrementalOf]]) so PropertySpec can drive a
+      // constructed base/delta corpus through both drop paths and
+      // the attribution priority.
+      dedupEmbIncrementalOf(KMeansOps.points(s, d),
+        dedupDeltaVectors(s, d))
     },
     "similarity_topk" -> { (s, d) =>
       val docs = KMeansOps.points(s, d)
@@ -1174,6 +1264,62 @@ object SimilarityOps {
          |       (count(*)::DOUBLE / ${NQ * TOPK}::DOUBLE) AS mean_recall
          |FROM ex JOIN iv ON ex.q_id = iv.q_id AND ex.vec_id = iv.vec_id)""".stripMargin
     }.mkString("\nUNION ALL\n"),
+    // the delta batch re-derived (unchanged vs negated split), both band
+    // indexes regenerated via the shared bucketSql formula, cells capped
+    // over the COMBINED population, and the two drop stages replayed with
+    // the same priority attribution the Spark form declares
+    "dedup_embedding_incremental" -> {
+      val baseTables = (0 until TABLES).map { t =>
+        s"SELECT vec_id, $t AS t, ${bucketSql(64, PLANES_DEDUP, t)} AS b" +
+          " FROM embeddings"
+      }.mkString("\n  UNION ALL\n  ")
+      val deltaTables = (0 until TABLES).map { t =>
+        s"SELECT vec_id, $t AS t, ${bucketSql(64, PLANES_DEDUP, t)} AS b" +
+          " FROM dv"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH dv AS (
+         |  SELECT e.vec_id + $IVF_DELTA_OFFSET AS vec_id,
+         |         CASE WHEN e.vec_id % 16 = 0 THEN e.embedding::DOUBLE[]
+         |              ELSE list_transform(e.embedding::DOUBLE[], x -> -x)
+         |         END AS embedding
+         |  FROM embeddings e WHERE e.vec_id % 8 = 0),
+         |bb AS (
+         |  $baseTables),
+         |db AS (
+         |  $deltaTables),
+         |keepc AS (
+         |  SELECT t, b FROM (SELECT t, b FROM bb
+         |                    UNION ALL SELECT t, b FROM db)
+         |  GROUP BY t, b HAVING count(*) <= $BUCKET_CAP),
+         |dc AS (SELECT db.vec_id, db.t, db.b FROM db JOIN keepc USING (t, b)),
+         |bc AS (SELECT bb.vec_id, bb.t, bb.b FROM bb JOIN keepc USING (t, b)
+         |       WHERE EXISTS (SELECT 1 FROM dc
+         |                     WHERE dc.t = bb.t AND dc.b = bb.b)),
+         |candd AS (SELECT DISTINCT a.vec_id AS id_1, b2.vec_id AS id_2
+         |          FROM dc a JOIN dc b2 ON a.t = b2.t AND a.b = b2.b
+         |          WHERE a.vec_id < b2.vec_id),
+         |candb AS (SELECT DISTINCT dc.vec_id AS id_d, bc.vec_id AS id_b
+         |          FROM dc JOIN bc ON dc.t = bc.t AND dc.b = bc.b),
+         |dropd AS (
+         |  SELECT DISTINCT id_2 AS vec_id FROM candd
+         |  JOIN dv d1 ON d1.vec_id = candd.id_1
+         |  JOIN dv d2 ON d2.vec_id = candd.id_2
+         |  WHERE round(${VectorSql.cosine("d1.embedding", "d2.embedding")},
+         |              4) >= 0.3),
+         |dropb AS (
+         |  SELECT DISTINCT id_d AS vec_id FROM candb
+         |  JOIN dv da ON da.vec_id = candb.id_d
+         |  JOIN embeddings eb ON eb.vec_id = candb.id_b
+         |  WHERE round(${VectorSql.cosine("da.embedding", "eb.embedding")},
+         |              4) >= 0.3)
+         |SELECT dv.vec_id,
+         |       (dropd.vec_id IS NULL AND dropb.vec_id IS NULL) AS keep,
+         |       CASE WHEN dropd.vec_id IS NOT NULL THEN 'delta'
+         |            WHEN dropb.vec_id IS NOT NULL THEN 'base'
+         |            ELSE 'kept' END AS stage
+         |FROM dv LEFT JOIN dropd ON dv.vec_id = dropd.vec_id
+         |        LEFT JOIN dropb ON dv.vec_id = dropb.vec_id""".stripMargin
+    },
     "sim_topk_lsh" ->
       s"""WITH ${lshCtes(64, PLANES_TOPK)},
          |q AS (SELECT vec_id AS q_id, t, b FROM bkt WHERE vec_id < $NQ),

@@ -192,6 +192,11 @@ object TextOps {
     "en" -> 300000L, "es" -> 200000L, "de" -> 200000L,
     "fr" -> 150000L, "zh" -> 150000L)
 
+  /** epoch_plan's repetition cap — Muennighoff et al. 2023's "up to ~4
+    * epochs repeats are nearly as good as fresh data" prescription; one
+    * definition feeds the budget (R_MAX·Σ), the clip, and the oracle. */
+  private[graft] val R_MAX_EPOCHS = 4L
+
   /** Core of `domain_weights` over a `(source, text)` relation — see the
     * query entry for the DoReMi framing and scale shape. */
   private[graft] def domainWeightsOf(docs: DataFrame): DataFrame = {
@@ -1486,6 +1491,52 @@ object TextOps {
           expr("(planned_tokens * 1000) div n_tokens"))
         .withColumn("feasible", col("planned_tokens") <= col("n_tokens"))
     },
+    "epoch_plan" -> { (s, d) =>
+      // the DATA-CONSTRAINED extension of mix_plan (Muennighoff et al.
+      // 2023, arXiv:2305.16264 — repeating data up to ~4 epochs costs
+      // little; past that, returns decay fast): the budget here is a
+      // FOUR-epoch run (4·Σ tokens — a regime where the recipe weights
+      // genuinely collide with supply), apportioned by the same
+      // largest-remainder method, then each domain's plan is CLIPPED at
+      // the paper's R_MAX = 4-epoch repetition cap. A domain whose
+      // target weight exceeds its supply share caps out (reported
+      // shortfall — the signal a recipe author rebalances on); by
+      // construction at ANY corpus both paths fire (weights and supply
+      // shares both sum to 1, so some domain sits above its share and
+      // some below). Same pure-integer discipline and lang-bounded
+      // window shape as mix_plan.
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(sum(size(wordsCol(col("text"))).cast("long")).as("n_tokens"))
+      val ppm = MIX_TARGET_PPM.foldLeft(lit(null).cast("long")) {
+        case (acc, (l, p)) => when(col("lang") === l, lit(p)).otherwise(acc)
+      }
+      val budget = counts.agg((sum(col("n_tokens")) * R_MAX_EPOCHS)
+        .as("budget"))
+      val based = counts.withColumn("ppm", ppm)
+        .where(col("ppm").isNotNull)
+        .crossJoin(broadcast(budget))
+        .select(col("lang"), col("n_tokens"), col("ppm"), col("budget"),
+          expr("(budget * ppm) div 1000000").as("base"),
+          expr("(budget * ppm) % 1000000").as("rem"))
+      val leftover = based.agg((first(col("budget")) - sum(col("base")))
+        .as("leftover"))
+      val wRem = Window.orderBy(col("rem").desc, col("lang"))
+      based.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(wRem))
+        .select(col("lang"), col("n_tokens"), col("ppm").as("weight_ppm"),
+          (col("base") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("requested_tokens"))
+        .withColumn("planned_tokens",
+          least(col("requested_tokens"), col("n_tokens") * R_MAX_EPOCHS))
+        .withColumn("epochs_milli",
+          expr("(planned_tokens * 1000) div n_tokens"))
+        .withColumn("shortfall",
+          col("requested_tokens") - col("planned_tokens"))
+        .withColumn("capped",
+          col("requested_tokens") > col("planned_tokens"))
+    },
     "domain_weights" -> { (s, d) =>
       // DoReMi-shaped domain reweighting (Xie et al. 2023,
       // arXiv:2305.10429): upweight the domains (source column) whose
@@ -2283,6 +2334,32 @@ object TextOps {
         |            OVER (ORDER BY rem DESC, lang) <= leftover
         |          THEN 1 ELSE 0 END) <= n_tokens AS feasible
         |FROM b, l""".stripMargin,
+    "epoch_plan" ->
+      s"""WITH t(lang, ppm) AS (VALUES ${MIX_TARGET_PPM.map { case (l, p) =>
+            s"('$l', ${p}::BIGINT)" }.mkString(", ")}),
+        |c AS (SELECT lang, sum(len($wSql))::BIGINT AS n_tokens
+        |      FROM documents GROUP BY lang),
+        |bgt AS (SELECT sum(n_tokens) * $R_MAX_EPOCHS AS budget FROM c),
+        |b AS (SELECT c.lang, c.n_tokens, t.ppm, bgt.budget,
+        |        (bgt.budget * t.ppm) // 1000000 AS base,
+        |        (bgt.budget * t.ppm) % 1000000 AS rem
+        |      FROM c JOIN t USING (lang), bgt),
+        |l AS (SELECT any_value(budget) - sum(base) AS leftover FROM b),
+        |req AS (SELECT lang, n_tokens, ppm,
+        |          (base + CASE WHEN row_number()
+        |               OVER (ORDER BY rem DESC, lang) <= leftover
+        |             THEN 1 ELSE 0 END)::BIGINT AS requested_tokens
+        |        FROM b, l),
+        |pl AS (SELECT lang, n_tokens, ppm, requested_tokens,
+        |         least(requested_tokens,
+        |               n_tokens * $R_MAX_EPOCHS)::BIGINT AS planned_tokens
+        |       FROM req)
+        |SELECT lang, n_tokens, ppm::BIGINT AS weight_ppm, requested_tokens,
+        |       planned_tokens,
+        |       (planned_tokens * 1000) // n_tokens AS epochs_milli,
+        |       (requested_tokens - planned_tokens)::BIGINT AS shortfall,
+        |       requested_tokens > planned_tokens AS capped
+        |FROM pl""".stripMargin,
     "domain_weights" ->
       s"""WITH tok AS (SELECT source, unnest($wSql) AS w FROM documents),
         |sw AS (SELECT source, w, count(*)::BIGINT AS c

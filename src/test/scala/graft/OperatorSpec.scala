@@ -1400,6 +1400,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("dedup_embedding_incremental: re-crawled copies drop, antipodes live") {
+    val res = SparkEntry.queries("dedup_embedding_incremental")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(res.length === 63) // ids 0,8,…,496 re-keyed
+    // unchanged arrivals (source id ≡ 0 mod 16) are exact copies of
+    // standing vectors — sign-LSH collides identical vectors with
+    // certainty, so every one must drop
+    res.filter(t => (t._1 - 1000000L) % 16 == 0).foreach { t =>
+      assert(!t._2, s"unchanged delta ${t._1} must drop")
+    }
+    // at least one negated arrival survives (the antipode flips every
+    // sign bit, so no table can collide it with its own source)
+    assert(res.exists(t => (t._1 - 1000000L) % 16 != 0 && t._2))
+    res.foreach(t => assert(t._2 === (t._3 == "kept")))
+  }
+
+  test("epoch_plan: budget-exact requests, R_MAX-clipped plans, both paths") {
+    val rows = SparkEntry.queries("epoch_plan")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    val supply = rows.map(_._2).sum
+    // largest remainder: requested tokens sum to the 4-epoch budget EXACTLY
+    assert(rows.map(_._3).sum === supply * 4)
+    rows.foreach { r =>
+      assert(r._4 <= r._2 * 4, s"${r._1}: plan exceeds the repetition cap")
+      assert(r._5 <= 4000L, s"${r._1}: epochs_milli above R_MAX")
+      assert(r._6 === r._3 - r._4)
+      assert(r._7 === (r._6 > 0))
+    }
+    // weights and supply shares both sum to 1, so some domain caps and
+    // some does not — at any corpus
+    assert(rows.exists(_._7) && rows.exists(!_._7))
+  }
+
   test("knn_components matches a driver union-find over the mutual graph") {
     // independent re-derivation: mutual edges from the declared knn_graph
     // relation (an edge survives iff BOTH orientations rank top-K), then

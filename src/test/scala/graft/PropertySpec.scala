@@ -387,6 +387,33 @@ class PropertySpec extends SparkSpec {
     assert(got.toSeq === Seq(11L, 14L))
   }
 
+  test("embedding incremental: both drop paths and the attribution priority") {
+    // constructed base/delta exercising what the fixture lacks: a
+    // within-delta duplicate pair, a delta doc matching BOTH a standing
+    // vector and a lower-id delta twin (must attribute 'delta' — the
+    // within-delta collapse fires first), and a fresh arrival.
+    // Orthonormal basis vectors: identical pairs share every sign bucket
+    // (guaranteed candidates, cos 1), distinct pairs verify at cos 0.
+    def e(i: Int): Seq[Double] =
+      Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    val base = Seq((0L, e(0)), (1L, e(1)), (2L, e(2))).toDF("id", "v")
+    val delta = Seq(
+      (10L, e(0)), // re-crawl of base 0            -> 'base'
+      (11L, e(2)), // matches base 2, no lower twin -> 'base'
+      (12L, e(2)), // matches base 2 AND delta 11   -> 'delta' (priority)
+      (14L, e(3))) // fresh                         -> 'kept'
+      .toDF("id", "v")
+    val got = graft.operators.SimilarityOps
+      .dedupEmbIncrementalOf(base, delta)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got === Map(
+      10L -> ((false, "base")),
+      11L -> ((false, "base")),
+      12L -> ((false, "delta")),
+      14L -> ((true, "kept"))))
+  }
+
   test("mediaPairsOf == brute-force L-inf pairs on generated feature clouds") {
     // the banding-completeness claim, checked exhaustively: on a dense
     // deterministic cloud (many pairs straddling grid boundaries at every
