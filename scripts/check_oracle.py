@@ -35,8 +35,13 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
+        # scale fixtures under target/ are Spark-written DIRECTORIES named
+        # <table>.parquet; the driver fixtures are single files
+        pat = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(pat):
+            pat = pat + "/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+                    f"read_parquet('{pat}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     dump_dirs = sorted(d for d in glob.glob(os.path.join(out_dir, "*"))
