@@ -108,16 +108,22 @@ object SimilarityOps {
     * a window whose partitions are cell-bounded (≤ BUCKET_CAP rows per
     * src by construction), hash-spread over the full id domain — no
     * reducer funnel at any corpus size. Shared by `knn_graph` (the
-    * declared relation) and `knn_components` (the mutual-kNN clustering
-    * built on top). */
+    * declared relation over the standing index), `knn_graph_scaled`
+    * (the k ∝ n in-query assignment — semdedup_scaled's answer to the
+    * fixed-k cap degrade), and `knn_components` (the mutual-kNN
+    * clustering built on top). */
   private def knnTopK(s: SparkSession, d: String): DataFrame = {
     val dir = ensureIvfIndex(s, d)
     val asg = s.read.parquet(s"$dir/vectors")
       .select(col("id"), col("cell").cast("int").as("cell"))
+    knnTopKFrom(asg, KMeansOps.points(s, d))
+  }
+
+  /** The knn_graph tail over an arbitrary `(id, cell)` assignment. */
+  private def knnTopKFrom(asg: DataFrame, pts: DataFrame): DataFrame = {
     val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("ccnt"))
     val capped = asg.join(broadcast(counts
       .where(col("ccnt") <= BUCKET_CAP).select(col("cell"))), Seq("cell"))
-    val pts = KMeansOps.points(s, d)
     val half = capped.select(col("cell"), col("id").as("id_a"))
       .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
       .where(col("id_a") < col("id_b"))
@@ -576,6 +582,24 @@ object SimilarityOps {
       semdedupFrom(asg, pts)
     },
     "knn_graph" -> { (s, d) => knnTopK(s, d) },
+    "knn_graph_scaled" -> { (s, d) =>
+      // the k ∝ n form of knn_graph (semdedup_scaled's discipline,
+      // measured motivation at 8× embeddings: 10 of the standing nc16
+      // index's cells exceed BUCKET_CAP and degrade to edge-less — the
+      // fixed-k honesty note applies to graph build exactly as it does
+      // to dedup): 64 cells trained IN-QUERY via two bounded snap12
+      // Lloyd steps from the frozen seeds (corpus work = two
+      // broadcast-argmin passes, O(k·d) driver traffic), restoring
+      // every cell under the cap as the corpus grows. Same capped
+      // bare-id pair tail as knn_graph — ONE builder serves both.
+      val pts = KMeansOps.points(s, d).localCheckpoint()
+      val cells = KMeansOps.lloydStep(pts,
+        KMeansOps.lloydStep(pts, KMeansOps.frozenCenters(s, d,
+          NCELLS_SCALED)))
+      val asg = pts.select(col("id"),
+        KMeansOps.nearestCol(col("v"), cells).as("cell"))
+      knnTopKFrom(asg, pts)
+    },
     "knn_components" -> { (s, d) =>
       // mutual-kNN clustering — the standard graph clustering a curation
       // pipeline runs on top of the k-NN graph (mutual-kNN + connected
@@ -1153,12 +1177,13 @@ object SimilarityOps {
        |       (dup.vec_id IS NULL) AS keep
        |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""".stripMargin
 
-  /** knn_graph's oracle CTE chain — trained cells, capped assignment,
-    * a<b pairs scored once at the r4 cosine grid, mirrored, ranked;
-    * terminates in `ktop(src_id, rnk, nbr_id, sim)` (with `asg` also in
-    * scope). Shared by the knn_graph and knn_components oracles. */
-  private lazy val knnGraphCtes: String =
-    s"""${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+  /** knn_graph's oracle CTE chain at cell count k — trained cells,
+    * capped assignment, a<b pairs scored once at the r4 cosine grid,
+    * mirrored, ranked; terminates in `ktop(src_id, rnk, nbr_id, sim)`
+    * (with `asg` also in scope). ONE builder serves the knn_graph,
+    * knn_graph_scaled, and knn_components oracles. */
+  private def knnGraphCtesFor(k: Int): String =
+    s"""${KMeansOps.trainedCellsSqlCtes(k, 2)},
        |asg AS MATERIALIZED (
        |  ${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
        |cnt AS (SELECT cluster_id FROM asg
@@ -1210,14 +1235,17 @@ object SimilarityOps {
     // oracle, then each a<b within-cell pair scored once at the r4
     // cosine grid, mirrored into both orientations, per-src top-K
     "knn_graph" ->
-      s"""WITH $knnGraphCtes
+      s"""WITH ${knnGraphCtesFor(NCELLS)}
+         |SELECT src_id, rnk, nbr_id, sim FROM ktop""".stripMargin,
+    "knn_graph_scaled" ->
+      s"""WITH ${knnGraphCtesFor(NCELLS_SCALED)}
          |SELECT src_id, rnk, nbr_id, sim FROM ktop""".stripMargin,
     // knn_graph's CTEs + the mutual filter (both orientations in the
     // top-K relation) + dedup_clusters' recursive min-reachable closure;
     // isolated vectors keep themselves via the left join over the full
     // assignment
     "knn_components" ->
-      s"""WITH RECURSIVE $knnGraphCtes,
+      s"""WITH RECURSIVE ${knnGraphCtesFor(NCELLS)},
          |e AS (SELECT src_id AS s, nbr_id AS t FROM ktop),
          |mutual AS (
          |  SELECT e.s AS doc_a, e.t AS doc_b

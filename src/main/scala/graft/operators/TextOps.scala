@@ -197,6 +197,30 @@ object TextOps {
     * definition feeds the budget (R_MAX·Σ), the clip, and the oracle. */
   private[graft] val R_MAX_EPOCHS = 4L
 
+  /** gopher_rules' stopword list — Rae et al. 2021 §A1.1's "must contain
+    * at least two of" English words; ONE definition feeds the native
+    * MarkerCounts pass and the DuckDB list literal. */
+  private[graft] val GOPHER_STOPS: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The lang→keep-rate table of the mixing recipe over a documents
+    * relation (MIX_TARGET_PPM targets, largest-feasible-sample rates —
+    * see mix_sample's entry): lang-domain-bounded, broadcast by every
+    * consumer. Shared by `mix_sample` (batch) and the stream-static
+    * `streaming_mix` so the admission recipe cannot drift. */
+  private[graft] def mixRates(docs: DataFrame): DataFrame = {
+    val t = MIX_TARGET_PPM.foldLeft(lit(null).cast("double")) {
+      case (acc, (l, p)) =>
+        when(col("lang") === l, lit(p / 1000000.0)).otherwise(acc)
+    }
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .withColumn("t", t).where(col("t").isNotNull)
+    val smax = counts.agg(min(col("c") / col("t")).as("smax"))
+    counts.crossJoin(smax)
+      .select(col("lang"),
+        least(lit(1.0), col("t") * col("smax") / col("c")).as("rate"))
+  }
+
   /** Core of `domain_weights` over a `(source, text)` relation — see the
     * query entry for the DoReMi framing and scale shape. */
   private[graft] def domainWeightsOf(docs: DataFrame): DataFrame = {
@@ -1360,6 +1384,63 @@ object TextOps {
             .when(col("tercile") === 1, "middle")
             .otherwise("tail").as("bucket"))
     },
+    "gopher_rules" -> { (s, d) =>
+      // the Gopher rule battery (Rae et al. 2021, arXiv:2112.11446
+      // §A1.1) — the canonical NAMED pre-filter every modern curation
+      // stack starts from, re-expressed exactly: word count in
+      // [50, 100000], mean word length in [3, 10] as rational
+      // cross-multiplication (3n ≤ Σlen ≤ 10n — no float ratio to
+      // disagree on), ≥ 2 occurrences of the Gopher stopword list
+      // ([[GOPHER_STOPS]], one native MarkerCounts pass), and
+      // alpha-word fraction ≥ 0.8 (5·alpha ≥ 4·n). The line-shape rules
+      // (bullet/ellipsis line fractions) need line structure the
+      // fixture's single-line texts cannot carry — out of scope,
+      // documented, same fixture-honesty posture as pii_redact's
+      // zero-rate email gate. FIXTURE MEASUREMENT: the word-count and
+      // stopword gates both split the corpus (≥50 words: ~half; ≥2
+      // stopword hits: ~half of EVERY lang — the synthetic sources
+      // share vocabulary, the domain_weights disclosure), so `pass`
+      // is non-degenerate at every SF. Zero-shuffle narrow projection:
+      // one wordsCol bind, all gates from four integer columns.
+      Tables.documents(s, d)
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), wordsCol(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          aggregate(col("w"), lit(0L), (a, x) => a + length(x))
+            .as("sum_len"),
+          element_at(org.apache.spark.sql.graft.MarkerCounts.column(
+            col("w"), Seq(GOPHER_STOPS)), 1).cast("long").as("n_stop"),
+          size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast("long")
+            .as("n_alpha"))
+        .select(col("doc_id"), col("n_words"), col("sum_len"),
+          col("n_stop"), col("n_alpha"),
+          (col("n_words") >= 50L && col("n_words") <= 100000L)
+            .as("g_words"),
+          (col("sum_len") >= col("n_words") * 3L &&
+            col("sum_len") <= col("n_words") * 10L).as("g_wordlen"),
+          (col("n_stop") >= 2L).as("g_stop"),
+          (col("n_alpha") * 5L >= col("n_words") * 4L).as("g_alpha"))
+        .withColumn("pass",
+          col("g_words") && col("g_wordlen") && col("g_stop") &&
+            col("g_alpha"))
+    },
+    "zipf_audit" -> { (s, d) =>
+      // corpus Zipf-shape audit — the naturalness monitor a pipeline
+      // runs after heavy dedup/filtering: bucket the token frequency
+      // table by bitlength(count) (doubling buckets) and report types +
+      // token mass per bucket. Natural text shows geometric type decay
+      // across buckets (Zipf); template/bot spam collapses the head or
+      // fattens a single bucket. Pure integer arithmetic (the
+      // unigram-LM bitlength discipline); the only row-scaled work is
+      // the one map-side-combined token count — the bucket relation is
+      // ≤ 64 rows at any corpus size.
+      DedupOps.spread(Tables.documents(s, d))
+        .select(explode(wordsCol(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(length(bin(col("c"))).cast("int").as("freq_bits"))
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"))
+    },
     "lm_eval" -> { (s, d) =>
       // held-out LM evaluation — the sanity loop a data pipeline closes
       // before shipping a corpus: fit the unigram LM on the TRAIN split
@@ -1431,19 +1512,11 @@ object TextOps {
       // stability. The rate table is lang-domain-bounded (broadcast);
       // the corpus itself is scanned once, filtered, never shuffled.
       // Targets derive from the shared MIX_TARGET_PPM recipe (ppm/1e6 is
-      // one correctly-rounded division in both engines).
-      val t = MIX_TARGET_PPM.foldLeft(lit(null).cast("double")) {
-        case (acc, (l, p)) =>
-          when(col("lang") === l, lit(p / 1000000.0)).otherwise(acc)
-      }
+      // one correctly-rounded division in both engines). Rate table
+      // factored ([[mixRates]]) — streaming_mix admits against the SAME
+      // standing recipe, so the two cannot drift.
       val docs = Tables.documents(s, d)
-      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
-        .withColumn("t", t).where(col("t").isNotNull)
-      val smax = counts.agg(min(col("c") / col("t")).as("smax"))
-      val rates = counts.crossJoin(smax)
-        .select(col("lang"),
-          least(lit(1.0), col("t") * col("smax") / col("c")).as("rate"))
-      docs.join(broadcast(rates), "lang")
+      docs.join(broadcast(mixRates(docs)), "lang")
         .where(graft.functions.VectorOps.unitUniform(col("doc_id")) <
           col("rate"))
         .select(col("doc_id"), col("lang"))
@@ -2263,6 +2336,37 @@ object TextOps {
          |       ${graft.functions.VectorSql.rIeee(
             "sum_surprisal::DOUBLE / n_tokens", 4)} AS mean_surprisal
          |FROM uls""".stripMargin,
+    "gopher_rules" -> {
+      val stops = GOPHER_STOPS.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH g AS (
+         |  SELECT doc_id, len(w)::BIGINT AS n_words,
+         |         coalesce(list_aggregate(list_transform(w, x -> length(x)),
+         |                                 'sum'), 0)::BIGINT AS sum_len,
+         |         len(list_filter(w, x -> list_contains($stops, x)))::BIGINT
+         |           AS n_stop,
+         |         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
+         |           AS n_alpha
+         |  FROM (SELECT doc_id, $wSql AS w FROM documents
+         |        WHERE length(trim(text)) > 0))
+         |SELECT doc_id, n_words, sum_len, n_stop, n_alpha,
+         |       (n_words >= 50 AND n_words <= 100000) AS g_words,
+         |       (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+         |         AS g_wordlen,
+         |       (n_stop >= 2) AS g_stop,
+         |       (n_alpha * 5 >= n_words * 4) AS g_alpha,
+         |       ((n_words >= 50 AND n_words <= 100000)
+         |        AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+         |        AND (n_stop >= 2)
+         |        AND (n_alpha * 5 >= n_words * 4)) AS pass
+         |FROM g""".stripMargin
+    },
+    "zipf_audit" ->
+      s"""WITH f AS (
+         |  SELECT t, count(*)::BIGINT AS c
+         |  FROM (SELECT unnest($wSql) AS t FROM documents) GROUP BY t)
+         |SELECT length(bin(c))::INT AS freq_bits,
+         |       count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_tokens
+         |FROM f GROUP BY 1""".stripMargin,
     "lm_eval" ->
       s"""WITH ${unigramCteSqlFor(true)}
          |SELECT split, lang, count(*)::BIGINT AS n_docs,

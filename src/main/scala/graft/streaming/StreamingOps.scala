@@ -104,6 +104,27 @@ object StreamingOps {
     graft.operators.DedupOps.contamPairsOf(stream, evalDocs)
   }
 
+  /** Streaming admission sampling — `mix_sample` where a recipe actually
+    * applies it: ON the ingest stream, each arriving document kept or
+    * dropped against the STANDING mixing recipe (the batch-derived
+    * lang→rate table, broadcast — a stream-static join like
+    * streaming_outlier's median/MAD; a real deployment ships the recipe
+    * as a published artifact exactly this shape). Completely stateless
+    * append mode: the keep decision is the same pure hash-uniform of
+    * doc_id, so the admitted set is row-identical to the batch
+    * mix_sample whatever the batch boundaries — StreamingSpec proves it,
+    * and the batch oracle applies verbatim. */
+  def mixStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = spark.readStream.schema(docsSchema)
+      .parquet(stageDir(spark, sfDir, "documents"))
+    val rates = graft.operators.TextOps.mixRates(
+      graft.Tables.documents(spark, sfDir))
+    stream.join(broadcast(rates), "lang")
+      .where(graft.functions.VectorOps.unitUniform(col("doc_id")) <
+        col("rate"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Streaming side of `streaming_drift` — the PSI drift monitor where
     * it actually runs: ON the ingest stream, deciding whether to admit
     * the arriving delta. The STREAM does only the corpus-scaled work
@@ -522,6 +543,8 @@ object StreamingOps {
     "streaming_phrase_hits" -> { (s, d) =>
       runToMemorySink(phraseHitsStream(s, d), "vq_stream_phrase",
         "append") },
+    "streaming_mix" -> { (s, d) =>
+      runToMemorySink(mixStream(s, d), "vq_stream_mix", "append") },
     "streaming_topk" -> { (s, d) =>
       // windowed top-k — the "trending types" monitor a live ingest
       // dashboard runs: per tumbling hour, the top-3 event types by
@@ -610,6 +633,10 @@ object StreamingOps {
          |       event_type, count(*)::BIGINT AS n,
          |       ${graft.operators.RelationalOps.centsSumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    // identical recipe, rate table, and hash-uniform keep decision as
+    // the batch mix_sample (StreamingSpec proves row-identity), so the
+    // batch oracle is shared verbatim
+    "streaming_mix" -> graft.operators.TextOps.oracles("mix_sample"),
     // the same hourly type counts, ranked: count ties break on the type
     // name so the top-3 cut is total in both engines
     "streaming_topk" ->

@@ -1400,6 +1400,43 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("gopher_rules: gates are the declared integer predicates, both paths") {
+    val rows = SparkEntry.queries("gopher_rules")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nw, sl, ns, na, gw, gl, gs, ga, p) =>
+      assert(gw === (nw >= 50 && nw <= 100000))
+      assert(gl === (sl >= nw * 3 && sl <= nw * 10))
+      assert(gs === (ns >= 2))
+      assert(ga === (na * 5 >= nw * 4))
+      assert(p === (gw && gl && gs && ga))
+    }
+    // the word-count and stopword gates both split the fixture corpus
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+    assert(rows.exists(_._7) && rows.exists(!_._7))
+    // fixture honesty: every token is alphabetic, so the alpha gate is
+    // exercised only in the always-pass regime here
+    rows.foreach(r => assert(r._4 === r._1))
+  }
+
+  test("zipf_audit: buckets partition the token mass") {
+    val rows = SparkEntry.queries("zipf_audit")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length >= 2) // more than one doubling bucket on the fixture
+    val totalTokens = SparkEntry.queries("token_count")(spark, sf)
+      .agg(sum(col("ws_tokens"))).head().getLong(0)
+    assert(rows.map(_._3).sum === totalTokens)
+    rows.foreach { case (bits, types, toks) =>
+      assert(types > 0)
+      // every count in bucket b has bitlength b: mass is bounded by
+      // types · (2^bits − 1) and at least types · 2^(bits−1)
+      assert(toks >= types * (1L << (bits - 1)))
+      assert(toks <= types * ((1L << bits) - 1))
+    }
+  }
+
   test("dedup_embedding_incremental: re-crawled copies drop, antipodes live") {
     val res = SparkEntry.queries("dedup_embedding_incremental")(spark, sf)
       .collect()

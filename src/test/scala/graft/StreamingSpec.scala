@@ -305,6 +305,14 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming admission sampling matches the batch mix_sample") {
+    val streamed = SparkEntry.queries("streaming_mix")(spark, sf)
+    val batch = SparkEntry.queries("mix_sample")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming windowed top-k matches the ranked batch window counts") {
     val streamed = SparkEntry.queries("streaming_topk")(spark, sf)
     // batch twin: the same top-3-per-hour rank over the oracle-verified
