@@ -1437,6 +1437,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("standing band index == in-plan banding (read-back integrity)") {
+    // the persisted (id, t, b) layout dedup_embedding_incremental probes
+    // must be exactly what in-plan banding would derive — the
+    // append==rebuild discipline of ivf_index_incremental applied to the
+    // band index, which makes the probe result independent of WHERE the
+    // base bands came from
+    val dir = operators.SimilarityOps.ensureBandIndex(spark, sf)
+    val persisted = spark.read.parquet(s"$dir/bands")
+      .select(col("id"), col("t"), col("b"))
+    val derived = operators.SimilarityOps.bucketedAllTables(
+      operators.KMeansOps.points(spark, sf), 64, 12) // PLANES_DEDUP
+      .select(col("id"), col("t"), col("b"))
+    assert(persisted.count() === derived.count())
+    assert(persisted.exceptAll(derived).count() === 0L)
+    assert(derived.exceptAll(persisted).count() === 0L)
+  }
+
   test("dedup_embedding_incremental: re-crawled copies drop, antipodes live") {
     val res = SparkEntry.queries("dedup_embedding_incremental")(spark, sf)
       .collect()
