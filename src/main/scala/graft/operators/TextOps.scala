@@ -1401,18 +1401,28 @@ object TextOps {
       // stopword hits: ~half of EVERY lang — the synthetic sources
       // share vocabulary, the domain_weights disclosure), so `pass`
       // is non-degenerate at every SF. Zero-shuffle narrow projection:
-      // one wordsCol bind, all gates from four integer columns.
+      // one wordsCol bind, all gates from four integer columns — each a
+      // CODEGEN expression, not a HOF: an interpreted aggregate-fold for
+      // sum_len plus a per-token regex filter for n_alpha measured
+      // 2.9 s + 2.0 s of a 7.0 s total at the 64× fixture. sum_len =
+      // non-space char count (words are the text split on the single
+      // space char with empties dropped, so their concatenation is
+      // exactly the text minus its spaces — one codegen replace);
+      // n_alpha = the native one-pass AlphaTokens byte scan (UTF-8
+      // multi-byte sequences use only bytes ≥ 0x80, so the ASCII-letter
+      // test equals the regex class). Rewritten battery: 7.0 s → 0.8 s
+      // at 64×.
       Tables.documents(s, d)
         .where(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), wordsCol(col("text")).as("w"))
+        .select(col("doc_id"), col("text"), wordsCol(col("text")).as("w"))
         .select(col("doc_id"),
           size(col("w")).cast("long").as("n_words"),
-          aggregate(col("w"), lit(0L), (a, x) => a + length(x))
-            .as("sum_len"),
+          length(replace(col("text"), lit(" "), lit("")))
+            .cast("long").as("sum_len"),
           element_at(org.apache.spark.sql.graft.MarkerCounts.column(
             col("w"), Seq(GOPHER_STOPS)), 1).cast("long").as("n_stop"),
-          size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast("long")
-            .as("n_alpha"))
+          org.apache.spark.sql.graft.AlphaTokens.column(col("w"))
+            .cast("long").as("n_alpha"))
         .select(col("doc_id"), col("n_words"), col("sum_len"),
           col("n_stop"), col("n_alpha"),
           (col("n_words") >= 50L && col("n_words") <= 100000L)
@@ -2340,13 +2350,12 @@ object TextOps {
       val stops = GOPHER_STOPS.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""WITH g AS (
          |  SELECT doc_id, len(w)::BIGINT AS n_words,
-         |         coalesce(list_aggregate(list_transform(w, x -> length(x)),
-         |                                 'sum'), 0)::BIGINT AS sum_len,
+         |         length(replace(text, ' ', ''))::BIGINT AS sum_len,
          |         len(list_filter(w, x -> list_contains($stops, x)))::BIGINT
          |           AS n_stop,
          |         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
          |           AS n_alpha
-         |  FROM (SELECT doc_id, $wSql AS w FROM documents
+         |  FROM (SELECT doc_id, text, $wSql AS w FROM documents
          |        WHERE length(trim(text)) > 0))
          |SELECT doc_id, n_words, sum_len, n_stop, n_alpha,
          |       (n_words >= 50 AND n_words <= 100000) AS g_words,

@@ -87,6 +87,26 @@ class ExpressionSpec extends SparkSpec {
     assert(got(3) === Seq(0, 1, 1, 0)) // 'und' is a German marker, 'el' Spanish
   }
 
+  test("AlphaTokens == HOF rlike filter, exactly (incl. unicode edges)") {
+    import org.apache.spark.sql.graft.AlphaTokens
+    val w = DedupOps.wordsCol(col("text"))
+    val hof = size(filter(w, x => x.rlike("[a-zA-Z]")))
+    val diff = Tables.documents(spark, sf)
+      .select(AlphaTokens.column(w).as("a"), hof.as("b"))
+      .where(not(col("a") <=> col("b")))
+    assert(diff.count() === 0L)
+    // adversarial edges: multi-byte tokens must NOT hit (their UTF-8
+    // bytes are all >= 0x80 — the byte-scan soundness claim), digits and
+    // symbols must not hit, mixed tokens hit once per token not per char
+    import spark.implicits._
+    val edge = Seq("日本語 カタカナ", "123 #!? 4a5 ωμέγα", "abc ABC aBc",
+      "", "   ").toDF("text")
+    val got = edge
+      .select(AlphaTokens.column(DedupOps.wordsCol(col("text"))))
+      .collect().map(_.getInt(0))
+    assert(got.toSeq === Seq(0, 1, 3, 0, 0))
+  }
+
   test("lang_id pipeline == the HOF langId formulation, exactly") {
     import graft.operators.TextOps
     val w = DedupOps.wordsCol(col("text"))
