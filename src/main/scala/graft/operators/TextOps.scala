@@ -203,6 +203,11 @@ object TextOps {
   private[graft] val GOPHER_STOPS: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** filter_sweep's candidate thresholds — inside the fixture's measured
+    * quality range (0.167–0.650), so every point keeps a non-degenerate
+    * slice; ONE list feeds the Spark relation and the SQL VALUES. */
+  private[graft] val QUALITY_TAUS: Seq[Double] = Seq(0.25, 0.35, 0.45, 0.55)
+
   /** The lang→keep-rate table of the mixing recipe over a documents
     * relation (MIX_TARGET_PPM targets, largest-feasible-sample rates —
     * see mix_sample's entry): lang-domain-bounded, broadcast by every
@@ -1384,6 +1389,32 @@ object TextOps {
             .when(col("tercile") === 1, "middle")
             .otherwise("tail").as("bucket"))
     },
+    "filter_sweep" -> { (s, d) =>
+      // the quality-gate operating-point sweep — kmeans_cost_sweep /
+      // ivf_nprobe_sweep's experiment-harness shape applied to the
+      // curation filter: at each candidate threshold τ, how many docs
+      // and how much token mass survive (the keep-rate curve a recipe
+      // author reads BEFORE committing a τ; every filtering paper
+      // publishes exactly this table). ONE corpus scoring pass (the
+      // shared qualityScored stage — filter_report/pipeline_curate's
+      // gate definition, so the sweep can never drift from the gate it
+      // tunes), broadcast-crossed with the |τ|-row threshold relation;
+      // map-side partial agg collapses each partition to |τ| rows
+      // before the exchange. Exact metrics only — doc/token counts and
+      // an integer-ppm keep rate; a float mean over the kept set would
+      // be addition-order-dependent.
+      import s.implicits._
+      val q = qualityScored(Tables.documents(s, d))
+      q.crossJoin(broadcast(QUALITY_TAUS.toDF("tau")))
+        .groupBy(col("tau"))
+        .agg(count(when(col("quality") >= col("tau"), 1)).as("n_keep"),
+          coalesce(sum(when(col("quality") >= col("tau"),
+            col("n_tok").cast("long"))), lit(0L)).as("n_tokens_kept"),
+          count(lit(1)).as("n_docs"))
+        .select(col("tau"), col("n_keep"), col("n_tokens_kept"),
+          expr("(n_keep * 1000000) div n_docs").cast("long")
+            .as("keep_ppm"))
+    },
     "gopher_rules" -> { (s, d) =>
       // the Gopher rule battery (Rae et al. 2021, arXiv:2112.11446
       // §A1.1) — the canonical NAMED pre-filter every modern curation
@@ -2346,6 +2377,17 @@ object TextOps {
          |       ${graft.functions.VectorSql.rIeee(
             "sum_surprisal::DOUBLE / n_tokens", 4)} AS mean_surprisal
          |FROM uls""".stripMargin,
+    "filter_sweep" ->
+      s"""WITH ${qualityCteSql},
+         |t(tau) AS (VALUES ${QUALITY_TAUS.map(t => s"(${t}::DOUBLE)")
+          .mkString(", ")})
+         |SELECT tau,
+         |       count(*) FILTER (quality >= tau)::BIGINT AS n_keep,
+         |       coalesce(sum(n_tokens) FILTER (quality >= tau), 0)::BIGINT
+         |         AS n_tokens_kept,
+         |       ((count(*) FILTER (quality >= tau)) * 1000000
+         |        // count(*))::BIGINT AS keep_ppm
+         |FROM q CROSS JOIN t GROUP BY tau""".stripMargin,
     "gopher_rules" -> {
       val stops = GOPHER_STOPS.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""WITH g AS (

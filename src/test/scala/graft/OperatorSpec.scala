@@ -1400,6 +1400,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("filter_sweep: monotone keep curve over the shared quality gate") {
+    val rows = SparkEntry.queries("filter_sweep")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.length === 4)
+    // keep counts and token mass are non-increasing in τ, and every
+    // sweep point keeps a non-degenerate slice on the fixture
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3)
+    }
+    rows.foreach { r => assert(r._2 > 0 && r._4 > 0 && r._4 < 1000000) }
+    // the loosest τ agrees with a direct recount against quality_score
+    val direct = SparkEntry.queries("quality_score")(spark, sf)
+      .where(col("quality") >= rows.head._1).count()
+    assert(rows.head._2 === direct)
+  }
+
   test("gopher_rules: gates are the declared integer predicates, both paths") {
     val rows = SparkEntry.queries("gopher_rules")(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
