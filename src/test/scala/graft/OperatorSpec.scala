@@ -1488,6 +1488,28 @@ class OperatorSpec extends SparkSpec {
     res.foreach(t => assert(t._2 === (t._3 == "kept")))
   }
 
+  test("dedup_media_incremental: re-crawls drop, saturated probes cluster") {
+    val res = SparkEntry.queries("dedup_media_incremental")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(res.length === 63)
+    // every unchanged arrival is byte-identical to a standing row:
+    // its features match at L-inf 0 and it must drop
+    res.filter(t => (t._1 - 1000000L) % 16 == 0).foreach { t =>
+      assert(!t._2, s"unchanged media delta ${t._1} must drop")
+    }
+    // saturated probes can never match the base (measured >= 0.089 from
+    // any fixture feature), but similar-length ones match EACH OTHER —
+    // the within-delta stage fires on the real fixture, and at least
+    // one saturated row survives as its cluster's min id
+    assert(res.exists(t => t._2))
+    res.filter(_._2).foreach { t =>
+      assert((t._1 - 1000000L) % 16 == 8, s"kept ${t._1} should be a probe")
+    }
+    assert(res.exists(_._3 == "delta"))
+    res.foreach(t => assert(t._2 === (t._3 == "kept")))
+  }
+
   test("epoch_plan: budget-exact requests, R_MAX-clipped plans, both paths") {
     val rows = SparkEntry.queries("epoch_plan")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
