@@ -78,9 +78,9 @@ object TextOps {
     import graft.functions.VectorOps.rIeee
     docs
       .where(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), col("lang"), col("text"),
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
         wordsCol(col("text")).as("w"))
-      .select(col("doc_id"), col("lang"), col("text"),
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
         size(col("w")).as("n_tok"),
         (aggregate(col("w"), lit(0), (acc, w) => acc + length(w))
           .cast("double") / size(col("w"))).as("avg_len"),
@@ -96,17 +96,47 @@ object TextOps {
     * quality)` mirroring [[qualityScored]] — the single source for the
     * quality_score and pipeline_curate oracles. */
   private[graft] lazy val qualityCteSql: String =
-    s"""q AS (SELECT doc_id, lang, text, n_tokens, avg_token_len, stopword_ratio,
+    s"""q AS (SELECT doc_id, lang, source, text, n_tokens, avg_token_len,
+       |        stopword_ratio,
        |        ${graft.functions.VectorSql.rIeee(
           "0.5::DOUBLE * least(n_tokens::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE) + " +
             "0.3::DOUBLE * least(avg_token_len / 10.0::DOUBLE, 1.0::DOUBLE) + " +
             "0.2::DOUBLE * stopword_ratio", 4)} AS quality
-       |      FROM (SELECT doc_id, lang, text, len(w)::INT AS n_tokens,
+       |      FROM (SELECT doc_id, lang, source, text, len(w)::INT AS n_tokens,
        |              list_aggregate(list_transform(w, x -> length(x)), 'sum')::DOUBLE
        |                / len(w) AS avg_token_len,
        |              ${hitsSql("en")}::DOUBLE / len(w) AS stopword_ratio
-       |            FROM (SELECT doc_id, lang, text, $wSql AS w FROM documents)
+       |            FROM (SELECT doc_id, lang, source, text, $wSql AS w
+       |                  FROM documents)
        |            WHERE len(w) > 0))""".stripMargin
+
+  /** `gg`/`gates` CTEs of the Gopher battery — mirrors [[gopherGates]]
+    * (source carried through for dataset_card's per-domain rollup);
+    * shared by the gopher_rules and dataset_card oracles. */
+  private lazy val gopherCteSql: String = {
+    val stops = GOPHER_STOPS.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""gg AS (
+       |  SELECT doc_id, source, len(w)::BIGINT AS n_words,
+       |         length(replace(text, ' ', ''))::BIGINT AS sum_len,
+       |         len(list_filter(w, x -> list_contains($stops, x)))::BIGINT
+       |           AS n_stop,
+       |         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
+       |           AS n_alpha
+       |  FROM (SELECT doc_id, source, text, $wSql AS w FROM documents
+       |        WHERE length(trim(text)) > 0)),
+       |gates AS (
+       |  SELECT doc_id, source, n_words, sum_len, n_stop, n_alpha,
+       |         (n_words >= 50 AND n_words <= 100000) AS g_words,
+       |         (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+       |           AS g_wordlen,
+       |         (n_stop >= 2) AS g_stop,
+       |         (n_alpha * 5 >= n_words * 4) AS g_alpha,
+       |         ((n_words >= 50 AND n_words <= 100000)
+       |          AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+       |          AND (n_stop >= 2)
+       |          AND (n_alpha * 5 >= n_words * 4)) AS pass
+       |  FROM gg)""".stripMargin
+  }
 
   /** Concat-and-chunk sequence packing (the GPT-style step that turns a
     * document stream into fixed-length training sequences): docs are
@@ -207,6 +237,36 @@ object TextOps {
     * quality range (0.167–0.650), so every point keeps a non-degenerate
     * slice; ONE list feeds the Spark relation and the SQL VALUES. */
   private[graft] val QUALITY_TAUS: Seq[Double] = Seq(0.25, 0.35, 0.45, 0.55)
+
+  /** The Gopher gate relation over a documents relation — `gopher_rules`'
+    * body (see the query entry for the per-gate rationale), carrying
+    * `source` so dataset_card can aggregate the same gates per domain
+    * without a doc-scale rejoin. */
+  private def gopherGates(docs: DataFrame): DataFrame =
+    docs
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"), col("text"),
+        wordsCol(col("text")).as("w"))
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("n_words"),
+        length(replace(col("text"), lit(" "), lit("")))
+          .cast("long").as("sum_len"),
+        element_at(org.apache.spark.sql.graft.MarkerCounts.column(
+          col("w"), Seq(GOPHER_STOPS)), 1).cast("long").as("n_stop"),
+        org.apache.spark.sql.graft.AlphaTokens.column(col("w"))
+          .cast("long").as("n_alpha"))
+      .select(col("doc_id"), col("n_words"), col("sum_len"),
+        col("n_stop"), col("n_alpha"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L)
+          .as("g_words"),
+        (col("sum_len") >= col("n_words") * 3L &&
+          col("sum_len") <= col("n_words") * 10L).as("g_wordlen"),
+        (col("n_stop") >= 2L).as("g_stop"),
+        (col("n_alpha") * 5L >= col("n_words") * 4L).as("g_alpha"),
+        col("source"))
+      .withColumn("pass",
+        col("g_words") && col("g_wordlen") && col("g_stop") &&
+          col("g_alpha"))
 
   /** The lang→keep-rate table of the mixing recipe over a documents
     * relation (MIX_TARGET_PPM targets, largest-feasible-sample rates —
@@ -1389,6 +1449,58 @@ object TextOps {
             .when(col("tercile") === 1, "middle")
             .otherwise("tail").as("bucket"))
     },
+    "dataset_card" -> { (s, d) =>
+      // the per-source datasheet (Datasheets-for-Datasets shape, Gebru
+      // et al. 2021) a curation run publishes beside its corpus: volume
+      // (docs, tokens, languages), quality (docs over the shared τ and
+      // the Gopher battery), repetition flags, and exact-dup incidence —
+      // one row per source, every metric an INTEGER derived from the
+      // SAME factored stage its standalone audit uses (qualityScored,
+      // gopherGates, the WordShingles repetition projection, the dedup
+      // family's digest), so the card can never drift from the audits
+      // it summarizes. Shape: each audit aggregates per source
+      // independently (map-side combine to the source domain — no
+      // doc-scale join anywhere), then the |sources|-row relations
+      // join; the one row-scaled shuffle is the digest groupBy the
+      // exact-dup count inherits from dedup_exact.
+      import graft.functions.VectorOps.rIeee
+      val docs = Tables.documents(s, d)
+      val base = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(wordsCol(col("text"))).cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+      val qk = qualityScored(docs).groupBy(col("source"))
+        .agg(count(when(col("quality") >= QUALITY_TAUS(1), 1))
+          .as("quality_keep"))
+      val gp = gopherGates(docs).groupBy(col("source"))
+        .agg(count(when(col("pass"), 1)).as("gopher_pass"))
+      val all3 = org.apache.spark.sql.graft.WordShingles.all(col("text"), 3)
+      val rep = docs
+        .select(col("source"), size(all3).as("n3"),
+          size(DedupOps.shinglesOf(col("text"))).as("nd"))
+        .where(col("n3") > 0)
+        .groupBy(col("source"))
+        .agg(count(when(rIeee(lit(1.0) -
+          col("nd").cast("double") / col("n3"), 4) >= REP_TAU, 1))
+          .as("rep_flagged"))
+      val hc = docs.groupBy(DedupOps.digest(col("text")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val dup = docs.select(col("source"),
+          DedupOps.digest(col("text")).as("h"))
+        .join(hc.where(col("c") > 1).select(col("h")), Seq("h"),
+          "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+      base.join(qk, Seq("source"), "left")
+        .join(gp, Seq("source"), "left")
+        .join(rep, Seq("source"), "left")
+        .join(dup, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"),
+          coalesce(col("quality_keep"), lit(0L)).as("quality_keep"),
+          coalesce(col("gopher_pass"), lit(0L)).as("gopher_pass"),
+          coalesce(col("rep_flagged"), lit(0L)).as("rep_flagged"),
+          coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
+    },
     "filter_sweep" -> { (s, d) =>
       // the quality-gate operating-point sweep — kmeans_cost_sweep /
       // ivf_nprobe_sweep's experiment-harness shape applied to the
@@ -1442,29 +1554,9 @@ object TextOps {
       // n_alpha = the native one-pass AlphaTokens byte scan (UTF-8
       // multi-byte sequences use only bytes ≥ 0x80, so the ASCII-letter
       // test equals the regex class). Rewritten battery: 7.0 s → 0.8 s
-      // at 64×.
-      Tables.documents(s, d)
-        .where(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), col("text"), wordsCol(col("text")).as("w"))
-        .select(col("doc_id"),
-          size(col("w")).cast("long").as("n_words"),
-          length(replace(col("text"), lit(" "), lit("")))
-            .cast("long").as("sum_len"),
-          element_at(org.apache.spark.sql.graft.MarkerCounts.column(
-            col("w"), Seq(GOPHER_STOPS)), 1).cast("long").as("n_stop"),
-          org.apache.spark.sql.graft.AlphaTokens.column(col("w"))
-            .cast("long").as("n_alpha"))
-        .select(col("doc_id"), col("n_words"), col("sum_len"),
-          col("n_stop"), col("n_alpha"),
-          (col("n_words") >= 50L && col("n_words") <= 100000L)
-            .as("g_words"),
-          (col("sum_len") >= col("n_words") * 3L &&
-            col("sum_len") <= col("n_words") * 10L).as("g_wordlen"),
-          (col("n_stop") >= 2L).as("g_stop"),
-          (col("n_alpha") * 5L >= col("n_words") * 4L).as("g_alpha"))
-        .withColumn("pass",
-          col("g_words") && col("g_wordlen") && col("g_stop") &&
-            col("g_alpha"))
+      // at 64×. Core factored ([[gopherGates]]) — dataset_card
+      // aggregates the same gates per source.
+      gopherGates(Tables.documents(s, d)).drop("source")
     },
     "zipf_audit" -> { (s, d) =>
       // corpus Zipf-shape audit — the naturalness monitor a pipeline
@@ -2388,29 +2480,55 @@ object TextOps {
          |       ((count(*) FILTER (quality >= tau)) * 1000000
          |        // count(*))::BIGINT AS keep_ppm
          |FROM q CROSS JOIN t GROUP BY tau""".stripMargin,
-    "gopher_rules" -> {
-      val stops = GOPHER_STOPS.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH g AS (
-         |  SELECT doc_id, len(w)::BIGINT AS n_words,
-         |         length(replace(text, ' ', ''))::BIGINT AS sum_len,
-         |         len(list_filter(w, x -> list_contains($stops, x)))::BIGINT
-         |           AS n_stop,
-         |         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
-         |           AS n_alpha
-         |  FROM (SELECT doc_id, text, $wSql AS w FROM documents
-         |        WHERE length(trim(text)) > 0))
-         |SELECT doc_id, n_words, sum_len, n_stop, n_alpha,
-         |       (n_words >= 50 AND n_words <= 100000) AS g_words,
-         |       (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
-         |         AS g_wordlen,
-         |       (n_stop >= 2) AS g_stop,
-         |       (n_alpha * 5 >= n_words * 4) AS g_alpha,
-         |       ((n_words >= 50 AND n_words <= 100000)
-         |        AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
-         |        AND (n_stop >= 2)
-         |        AND (n_alpha * 5 >= n_words * 4)) AS pass
-         |FROM g""".stripMargin
-    },
+    "gopher_rules" ->
+      s"""WITH $gopherCteSql
+         |SELECT doc_id, n_words, sum_len, n_stop, n_alpha, g_words,
+         |       g_wordlen, g_stop, g_alpha, pass
+         |FROM gates""".stripMargin,
+    "dataset_card" ->
+      s"""WITH $qualityCteSql,
+         |$gopherCteSql,
+         |base AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |         sum(len($wSql))::BIGINT AS n_tokens,
+         |         count(DISTINCT lang)::BIGINT AS n_langs
+         |  FROM documents GROUP BY source),
+         |qk AS (
+         |  SELECT q.source,
+         |         count(*) FILTER (quality >= ${QUALITY_TAUS(1)})::BIGINT
+         |           AS quality_keep
+         |  FROM q GROUP BY q.source),
+         |gp AS (SELECT source, count(*) FILTER (pass)::BIGINT AS gopher_pass
+         |       FROM gates GROUP BY source),
+         |rep AS (
+         |  SELECT source,
+         |         count(*) FILTER (${graft.functions.VectorSql.rIeee(
+            "1.0 - n_distinct::DOUBLE / n_3grams", 4)} >= $REP_TAU)::BIGINT
+         |           AS rep_flagged
+         |  FROM (SELECT source, len(g)::INT AS n_3grams,
+         |               len(list_distinct(g))::INT AS n_distinct
+         |        FROM (SELECT source,
+         |                CASE WHEN len(w) >= 3
+         |                  THEN list_transform(generate_series(1, len(w) - 2),
+         |                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+         |                  ELSE [] END AS g
+         |              FROM (SELECT source, $wSql AS w FROM documents)))
+         |  WHERE n_3grams > 0 GROUP BY source),
+         |dup AS (
+         |  SELECT source, count(*)::BIGINT AS dup_docs
+         |  FROM (SELECT source, md5(text) AS h FROM documents)
+         |  JOIN (SELECT md5(text) AS h FROM documents
+         |        GROUP BY 1 HAVING count(*) > 1) USING (h)
+         |  GROUP BY source)
+         |SELECT base.source, n_docs, n_tokens, n_langs,
+         |       coalesce(quality_keep, 0)::BIGINT AS quality_keep,
+         |       coalesce(gopher_pass, 0)::BIGINT AS gopher_pass,
+         |       coalesce(rep_flagged, 0)::BIGINT AS rep_flagged,
+         |       coalesce(dup_docs, 0)::BIGINT AS dup_docs
+         |FROM base LEFT JOIN qk ON base.source = qk.source
+         |          LEFT JOIN gp ON base.source = gp.source
+         |          LEFT JOIN rep ON base.source = rep.source
+         |          LEFT JOIN dup ON base.source = dup.source""".stripMargin,
     "zipf_audit" ->
       s"""WITH f AS (
          |  SELECT t, count(*)::BIGINT AS c

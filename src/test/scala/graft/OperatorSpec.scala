@@ -1400,6 +1400,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("dataset_card totals agree with the standalone audits") {
+    val card = SparkEntry.queries("dataset_card")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(card.nonEmpty)
+    assert(card.map(_._2).sum === 500L)
+    // gopher_pass totals match the standalone gopher_rules relation
+    val gopherPass = SparkEntry.queries("gopher_rules")(spark, sf)
+      .where(col("pass")).count()
+    assert(card.map(_._6).sum === gopherPass)
+    // quality_keep totals match quality_score at the shared τ
+    val qKeep = SparkEntry.queries("quality_score")(spark, sf)
+      .where(col("quality") >= 0.35).count()
+    assert(card.map(_._5).sum === qKeep)
+    // dup_docs totals match dedup_exact's copy counts (docs in >1 groups)
+    // (exact dup texts exist only at sf0.1 — coalesce keeps the
+    // cross-check meaningful at every SF)
+    val dupDocs = SparkEntry.queries("dedup_exact")(spark, sf)
+      .where(col("n_copies") > 1)
+      .agg(coalesce(sum(col("n_copies")), lit(0L))).head().getLong(0)
+    assert(card.map(_._8).sum === dupDocs)
+  }
+
   test("filter_sweep: monotone keep curve over the shared quality gate") {
     val rows = SparkEntry.queries("filter_sweep")(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
