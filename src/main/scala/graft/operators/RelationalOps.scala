@@ -322,6 +322,33 @@ object RelationalOps {
           coalesce(col("last_click_us"), lit(-1L)).as("last_click_us"))
     },
 
+    "join_asof_fwd" -> { (s, d) =>
+      // the FORWARD as-of join — the other direction a time-series stack
+      // serves ("what happened next": purchase → next click, label
+      // look-ahead joins, next-observation carry-back): for every
+      // purchase, the EARLIEST click by the same user at or after its
+      // timestamp. Same one-pass windowed shape as join_asof, mirrored —
+      // frame [currentRow, ∞) with `first(_, ignoreNulls)`; clicks order
+      // AFTER other events at equal ts so "at or after" includes ties
+      // (the backward form orders them before for the same reason). All
+      // the µs-resolution and -1-sentinel discipline of join_asof
+      // applies verbatim.
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+        .withColumn("click_us",
+          when(col("event_type") === "click", col("ts_us")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"),
+          when(col("event_type") === "click", 1).otherwise(0),
+          col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("next_click_us", first(col("click_us"), true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("next_click_us"), lit(-1L)).as("next_click_us"))
+    },
+
     "join_bloom" -> { (s, d) =>
       // bloom-style pre-filtered semi join (the runtime-filter shape): when
       // the build side is too big to broadcast EXACTLY but its M-bucket
@@ -1194,6 +1221,13 @@ object RelationalOps {
         |                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
         |                   AND epoch_us(c.ts) <= epoch_us(e.ts)), -1)
         |         AS last_click_us
+        |FROM events e WHERE event_type = 'purchase'""".stripMargin,
+    "join_asof_fwd" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       coalesce((SELECT min(epoch_us(c.ts)) FROM events c
+        |                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |                   AND epoch_us(c.ts) >= epoch_us(e.ts)), -1)
+        |         AS next_click_us
         |FROM events e WHERE event_type = 'purchase'""".stripMargin,
     // the bucket pre-filter is engine-internal and sound (never drops a
     // true match), so the oracle is the plain semi join it accelerates
