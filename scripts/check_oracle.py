@@ -52,8 +52,9 @@ def main(sf_dir, out_dir):
         if not files:
             results[name] = "EMPTY_DUMP"
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        got_types = dict(zip(got_rel.columns, map(str, got_rel.types)))
+        got = got_rel.fetchdf()
         got_cols = sorted(got.columns)
         got_rows = norm_rows([tuple(r[c] for c in got_cols)
                               for _, r in got.iterrows()])
@@ -61,13 +62,24 @@ def main(sf_dir, out_dir):
             results[name] = f"ROWS_ONLY({len(got_rows)})"
             continue
         try:
-            exp = con.execute(oracle[name]).fetchdf()
+            exp_rel = con.sql(oracle[name])
+            exp_types = dict(zip(exp_rel.columns, map(str, exp_rel.types)))
+            exp = exp_rel.fetchdf()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {str(e)[:200]}"
             continue
         exp_cols = sorted(exp.columns)
         if exp_cols != got_cols:
             results[name] = f"SCHEMA_MISMATCH spark={got_cols} duck={exp_cols}"
+            continue
+        # The driver hashes TYPED values: a DuckDB HUGEINT (sum-promotion)
+        # against a Spark BIGINT hash-mismatches even when every value is
+        # equal, so type drift must fail here, before the driver round-trip.
+        type_bad = [(c, got_types[c], exp_types[c]) for c in got_cols
+                    if got_types[c] != exp_types[c]]
+        if type_bad:
+            results[name] = "TYPE_MISMATCH " + " ".join(
+                f"{c}: spark={g} duck={e}" for c, g, e in type_bad)
             continue
         exp_rows = norm_rows([tuple(r[c] for c in exp_cols)
                               for _, r in exp.iterrows()])

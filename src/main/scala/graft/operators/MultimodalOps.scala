@@ -264,7 +264,13 @@ object MultimodalOps {
     * match each other, which exercises the within-delta stage on the
     * real fixture (the embedding form needed a constructed corpus for
     * that path). */
-  private[graft] val MEDIA_DELTA_OFFSET = 1000000L
+  // 1e9, far above any scaled fixture's id range: the replica fixtures
+  // (scripts/build_scale_fixtures.scala) stride doc_ids by 1e6 per
+  // replica and the embedding replicas by 1e7, so a 1e6 offset would
+  // collide delta ids with standing replica ids on target/scale-test*
+  // (replica r doc k's delta id == replica r+1 doc k's id) and silently
+  // void the re-keyed-past-the-corpus invariant this offset exists for
+  private[graft] val MEDIA_DELTA_OFFSET = 1000000000L
   private[graft] def mediaDelta(s: SparkSession, d: String)
       : Dataset[MediaRecord] = {
     import s.implicits._

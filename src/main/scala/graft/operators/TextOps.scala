@@ -238,6 +238,14 @@ object TextOps {
     * slice; ONE list feeds the Spark relation and the SQL VALUES. */
   private[graft] val QUALITY_TAUS: Seq[Double] = Seq(0.25, 0.35, 0.45, 0.55)
 
+  /** dataset_card's published quality-keep gate. Named on its own (not an
+    * index into [[QUALITY_TAUS]]) so reordering or extending the sweep's
+    * candidate list can never silently move the card's metric; kept equal
+    * to the pipeline's keep threshold by the require below. */
+  private[graft] val CARD_QUALITY_TAU: Double = 0.35
+  require(QUALITY_TAUS.contains(CARD_QUALITY_TAU),
+    "dataset_card's gate must be one of the sweep's audited points")
+
   /** The Gopher gate relation over a documents relation — `gopher_rules`'
     * body (see the query entry for the per-gate rationale), carrying
     * `source` so dataset_card can aggregate the same gates per domain
@@ -1470,7 +1478,7 @@ object TextOps {
           sum(size(wordsCol(col("text"))).cast("long")).as("n_tokens"),
           countDistinct(col("lang")).as("n_langs"))
       val qk = qualityScored(docs).groupBy(col("source"))
-        .agg(count(when(col("quality") >= QUALITY_TAUS(1), 1))
+        .agg(count(when(col("quality") >= CARD_QUALITY_TAU, 1))
           .as("quality_keep"))
       val gp = gopherGates(docs).groupBy(col("source"))
         .agg(count(when(col("pass"), 1)).as("gopher_pass"))
@@ -2337,8 +2345,8 @@ object TextOps {
       s"""SELECT lang, count(*)::BIGINT AS n_docs,
          |       sum(len($wSql))::BIGINT AS ws_tokens,
          |       sum(${bpeCountSql("text")})::BIGINT AS bpe_tokens,
-         |       (sum(${bpeCountSql("text")}) * 1000)
-         |         // nullif(sum(len($wSql)), 0) AS fertility_milli
+         |       ((sum(${bpeCountSql("text")}) * 1000)
+         |         // nullif(sum(len($wSql)), 0))::BIGINT AS fertility_milli
          |FROM documents GROUP BY lang""".stripMargin,
     "repetition_strip" -> {
       val all3 =
@@ -2495,7 +2503,7 @@ object TextOps {
          |  FROM documents GROUP BY source),
          |qk AS (
          |  SELECT q.source,
-         |         count(*) FILTER (quality >= ${QUALITY_TAUS(1)})::BIGINT
+         |         count(*) FILTER (quality >= $CARD_QUALITY_TAU)::BIGINT
          |           AS quality_keep
          |  FROM q GROUP BY q.source),
          |gp AS (SELECT source, count(*) FILTER (pass)::BIGINT AS gopher_pass
@@ -2548,7 +2556,7 @@ object TextOps {
     "perplexity_buckets" ->
       s"""WITH $unigramCteSql,
          |sc AS (SELECT doc_id, lang, n_tokens,
-         |         (sum_surprisal * 1000) // n_tokens AS score_mbits
+         |         ((sum_surprisal * 1000) // n_tokens)::BIGINT AS score_mbits
          |       FROM uls),
          |f AS (SELECT lang, score_mbits, count(*) AS c FROM sc
          |      GROUP BY lang, score_mbits),
@@ -2600,9 +2608,10 @@ object TextOps {
         |       (base + CASE WHEN row_number()
         |            OVER (ORDER BY rem DESC, lang) <= leftover
         |          THEN 1 ELSE 0 END)::BIGINT AS planned_tokens,
-        |       ((base + CASE WHEN row_number()
+        |       (((base + CASE WHEN row_number()
         |            OVER (ORDER BY rem DESC, lang) <= leftover
-        |          THEN 1 ELSE 0 END) * 1000) // n_tokens AS epochs_milli,
+        |          THEN 1 ELSE 0 END) * 1000) // n_tokens)::BIGINT
+        |         AS epochs_milli,
         |       (base + CASE WHEN row_number()
         |            OVER (ORDER BY rem DESC, lang) <= leftover
         |          THEN 1 ELSE 0 END) <= n_tokens AS feasible
