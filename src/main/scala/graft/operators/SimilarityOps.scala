@@ -72,6 +72,12 @@ object SimilarityOps {
   private val NCELLS_SCALED = 64
   // knn_graph: neighbors kept per source vector
   private val KNN_K = 4
+  // knn_density: prune threshold on the MEAN neighbor cosine, on the
+  // r4-grid ×10000 integer scale (2700 = mean cos 0.27). Sits at the
+  // fixture's per-node mean-sim median (measured 0.26 at sf0.001,
+  // range 0.157–0.384), so both keep outcomes are populated at every
+  // SF; a production D4 pass tunes this against dedup targets.
+  private val DENSITY_TAU_X4 = 2700L
 
   /** The semdedup tail shared by the standing-index and scaled-k forms:
     * cap over-populated cells out (keep-all degrade, never O(n²)),
@@ -648,6 +654,40 @@ object SimilarityOps {
         .join(comps, Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("cluster_rep"), col("vec_id")).as("cluster_rep"))
+    },
+    "knn_density" -> { (s, d) =>
+      // D4-style density scoring (Tirumala et al. 2023, arXiv:2308.12284
+      // — "keep diverse"): per-vector mean cosine to its K nearest
+      // neighbors over the STANDING kNN graph; dense-region members
+      // (mean above τ) are the prune candidates, sparse-region vectors
+      // are kept as diverse. Completes the graph family: build
+      // (knn_graph) → cluster (knn_components) → select (this). Rides
+      // knnTopK unchanged, so the density pass adds ONE K·n-row
+      // aggregation on bare (id, sim) pairs — the graph build dominates
+      // at any scale. Exact integer arithmetic across the oracle
+      // boundary: each sim is on the r4 grid, so ×10000 + round is a
+      // lossless integer lift; the keep gate is the cross-multiplied
+      // sum < τ·K form (no float mean to disagree on) and density_x4 is
+      // truncating integer division (Spark `div` ≡ DuckDB `//`).
+      // Isolated vectors (edge-less: over-cap cell degrade) keep
+      // themselves via the left join over the full index assignment —
+      // the dedup family's convention.
+      val dens = knnTopK(s, d)
+        .groupBy(col("src_id").as("vec_id"))
+        .agg(count(lit(1)).as("n_nbrs"),
+          sum(round(col("sim") * 10000).cast("long")).as("sum_simx4"))
+      val dir = ensureIvfIndex(s, d)
+      s.read.parquet(s"$dir/vectors").select(col("id").as("vec_id"))
+        .join(dens, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+          coalesce(col("sum_simx4"), lit(0L)).as("sum_simx4"))
+        .select(col("vec_id"), col("n_nbrs"), col("sum_simx4"),
+          when(col("n_nbrs") > 0, expr("sum_simx4 div n_nbrs"))
+            .otherwise(lit(0L)).as("density_x4"),
+          (col("n_nbrs") === 0 ||
+            col("sum_simx4") < lit(DENSITY_TAU_X4) * col("n_nbrs"))
+            .as("keep"))
     },
     "dedup_embedding_incremental" -> { (s, d) =>
       // the SEMANTIC member of the incremental dedup family (exact has
@@ -1291,6 +1331,25 @@ object SimilarityOps {
          |SELECT asg.vec_id,
          |       coalesce(comp.rep, asg.vec_id)::BIGINT AS cluster_rep
          |FROM asg LEFT JOIN comp ON asg.vec_id = comp.node""".stripMargin,
+    // knn_graph's CTEs + the per-src integer density fold; the keep gate
+    // is the cross-multiplied integer compare, density the truncating
+    // integer division — both exact in either engine. sum(BIGINT) is
+    // HUGEINT in DuckDB, hence the ::BIGINT directly on the fold.
+    "knn_density" ->
+      s"""WITH ${knnGraphCtesFor(NCELLS)},
+         |dens AS (
+         |  SELECT src_id AS vec_id, count(*)::BIGINT AS n_nbrs,
+         |         sum(round(sim * 10000)::BIGINT)::BIGINT AS sum_simx4
+         |  FROM ktop GROUP BY src_id)
+         |SELECT asg.vec_id,
+         |       coalesce(dens.n_nbrs, 0)::BIGINT AS n_nbrs,
+         |       coalesce(dens.sum_simx4, 0)::BIGINT AS sum_simx4,
+         |       (CASE WHEN coalesce(dens.n_nbrs, 0) > 0
+         |             THEN dens.sum_simx4 // dens.n_nbrs
+         |             ELSE 0 END)::BIGINT AS density_x4,
+         |       (coalesce(dens.n_nbrs, 0) = 0 OR
+         |        dens.sum_simx4 < $DENSITY_TAU_X4 * dens.n_nbrs) AS keep
+         |FROM asg LEFT JOIN dens ON asg.vec_id = dens.vec_id""".stripMargin,
     "sim_topk_ivf_pq_recall" ->
       s"""WITH ex AS ($simTopkSql),
          |iv AS ($ivfPqTopkSql)

@@ -1400,6 +1400,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("knn_density matches a driver re-derivation over the knn graph") {
+    // independent arithmetic: lift each declared knn_graph sim onto the
+    // ×10000 integer grid in plain Scala (BigDecimal HALF_UP — no Spark
+    // expression shared), fold per src, and recheck count/sum/density/
+    // keep for every indexed vector including the edge-less ones.
+    val dens = SparkEntry.queries("knn_density")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(dens.nonEmpty)
+    val edges = SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    def x4(s: Double): Long =
+      BigDecimal(s * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    val expect = edges.groupBy(_._1).map { case (src, g) =>
+      val sum = g.map(t => x4(t._2)).sum
+      src -> (g.length.toLong, sum, sum / g.length, sum < 2700L * g.length)
+    }
+    val dir = operators.SimilarityOps.ensureIvfIndex(spark, sf)
+    val allIds = spark.read.parquet(s"$dir/vectors")
+      .select(col("id")).collect().map(_.getLong(0))
+    assert(dens.keySet === allIds.toSet)
+    allIds.foreach { id =>
+      val e = expect.getOrElse(id, (0L, 0L, 0L, true))
+      assert(dens(id) === e, s"vec $id density mismatch")
+    }
+    // both keep outcomes must be populated — the τ placement contract
+    assert(dens.values.exists(_._4) && dens.values.exists(!_._4))
+  }
+
   test("dataset_card totals agree with the standalone audits") {
     val card = SparkEntry.queries("dataset_card")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
