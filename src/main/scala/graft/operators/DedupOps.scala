@@ -578,6 +578,65 @@ object DedupOps {
       .where(col("n_dup_spans") * SUBSTR_DROP_DEN <=
         col("n_spans") * SUBSTR_DROP_NUM)
 
+  // dedup_paragraph: words per paragraph block. The fixture's texts are
+  // single-line (no '\n' separators a crawl corpus would carry), so the
+  // paragraph unit is a deterministic fixed-width word block — the
+  // doc_chunks fixed-stride discipline applied to words. ONE constant
+  // feeds the Spark relation and the SQL twin.
+  private[graft] val PARA_W = 10
+
+  /** The per-paragraph relation shared by the `dedup_paragraph` audit and
+    * its apply: 10-word blocks with position + word count + text. */
+  private def paragraphBlocks(docs: DataFrame): DataFrame = {
+    val nBlocks = floor((size(col("ws")) - 1) / lit(PARA_W)).cast("int")
+    docs.select(col("doc_id"), wordsCol(col("text")).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        posexplode(transform(sequence(lit(0), nBlocks),
+          i => array_join(slice(col("ws"), i * PARA_W + 1, lit(PARA_W)),
+            " "))))
+      .select(col("doc_id"), col("pos").as("para_idx"),
+        least(lit(PARA_W), size(col("ws")) - col("pos") * PARA_W)
+          .cast("int").as("n_words"),
+        col("col").as("para"))
+  }
+
+  /** The paragraph-dedup core (see the `dedup_paragraph` query): first
+    * global occurrence of each block survives — ordered by (doc_id,
+    * para_idx), windowed by the block DIGEST (never the raw text: the
+    * 100 TB shuffle carries 16 bytes + two ids per block). */
+  private[graft] def paragraphAudit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(digest(col("para")))
+      .orderBy(col("doc_id"), col("para_idx"))
+    paragraphBlocks(docs)
+      .select(col("doc_id"), col("para_idx"), col("n_words"),
+        (row_number().over(w) === 1).as("keep"))
+  }
+
+  /** The paragraph-removal core (see the `dedup_paragraph_apply` query):
+    * each doc re-assembled from its kept blocks in position order;
+    * collect_list drops the when()-nulled dropped blocks, sort_array
+    * restores document order regardless of shuffle arrival. */
+  private[graft] def paragraphApply(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(digest(col("para")))
+      .orderBy(col("doc_id"), col("para_idx"))
+    val kept = paragraphBlocks(docs)
+      .select(col("doc_id"), col("para_idx"), col("para"),
+        (row_number().over(w) === 1).as("keep"))
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("para_idx"), col("para"))))),
+          x => x.getField("para")), " ").as("kept_text"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        length(col("kept_text")).as("kept_len"),
+        digest(col("kept_text")).as("kept_digest"))
+  }
+
   /** Deterministic per-doc URL for the dedup_url fixture — the lake's
     * `source` axis promoted to a crawl-style URL. Every 4 consecutive
     * doc_ids share one logical resource (same host/path/params) published
@@ -827,6 +886,33 @@ object DedupOps {
       // relations (never the exploded windows).
       substringApply(Tables.documents(s, d))
     },
+    "dedup_paragraph" -> { (s, d) =>
+      // PARAGRAPH-granularity exact dedup — the C4/RefinedWeb discipline
+      // between doc-level (dedup_exact: whole texts) and window-level
+      // (dedup_substring: every 30-word span): drop repeated paragraphs
+      // individually, keep the first occurrence globally, leave the rest
+      // of each document intact. The fixture's single-line texts carry
+      // no newline separators, so the paragraph unit is the
+      // deterministic 10-word block (doc_chunks' fixed-stride
+      // arithmetic applied to words; measured: 135 cross-doc duplicated
+      // blocks at sf0.001 — both keep outcomes populated at every SF).
+      // Scale shape: blocks are a per-doc narrow projection (no
+      // explode-join machinery needed for EXACT units), survivor choice
+      // is ONE window partitioned by the 16-byte block digest —
+      // hash-spread over the digest domain, never a global sort; at
+      // 100 TB this is the same shuffle class as dedup_exact's groupBy.
+      paragraphAudit(Tables.documents(s, d))
+    },
+    "dedup_paragraph_apply" -> { (s, d) =>
+      // the REMOVAL step the audit feeds: each doc re-assembled from its
+      // KEPT blocks in position order — the per-doc kept text a C4-style
+      // pipeline ships downstream. Emits counts + kept length + the kept
+      // text's digest (html_extract's convention: the digest pins the
+      // reconstruction bit-for-bit without dumping row-scaled text).
+      // The reassembly groupBy is doc-keyed — corpus-sized, bounded
+      // rows per key (a doc's own block count), no skew surface.
+      paragraphApply(Tables.documents(s, d))
+    },
     "dedup_simhash" -> { (s, d) =>
       simhashFingerprints(Tables.documents(s, d))
     },
@@ -985,6 +1071,25 @@ object DedupOps {
        |        FROM wins GROUP BY doc_id)""".stripMargin
   }
   private lazy val substrAuditCtes: String = substrAuditCtesFor("documents")
+
+  /** dedup_paragraph's CTE chain — 10-word blocks + the first-global-
+    * occurrence window; terminates in `k(doc_id, para_idx, n_words,
+    * para, keep)`. The non-empty guard sits in `w`: a 0-word text would
+    * make `(len-1)//$PARA_W` a phantom 0 here while Spark's
+    * `sequence(0, -1)` DESCENDS — neither branch may ever run. */
+  private lazy val paraCtes: String =
+    s"""w AS (SELECT doc_id, $wSql AS ws FROM documents
+       |       WHERE len($wSql) > 0),
+       |p AS (SELECT doc_id, i::INT AS para_idx,
+       |        least($PARA_W, len(ws) - i * $PARA_W)::INT AS n_words,
+       |        array_to_string(ws[(i * $PARA_W + 1):((i + 1) * $PARA_W)],
+       |                        ' ') AS para
+       |      FROM w, unnest(generate_series(0, (len(ws) - 1) // $PARA_W))
+       |        AS t(i)),
+       |k AS (SELECT doc_id, para_idx, n_words, para,
+       |        (row_number() OVER (PARTITION BY md5(para)
+       |                            ORDER BY doc_id, para_idx) = 1) AS keep
+       |      FROM p)""".stripMargin
 
   private lazy val sigSql: String = {
     val minExprs = (0 until MINHASH_PERMS).map(j =>
@@ -1281,6 +1386,23 @@ object DedupOps {
          |FROM documents d LEFT JOIN aud a USING (doc_id)
          |WHERE coalesce(a.n_dup_spans, 0) * $SUBSTR_DROP_DEN <=
          |      coalesce(a.n_spans, 0) * $SUBSTR_DROP_NUM""".stripMargin,
+    // the paragraph relation + first-occurrence window — the Spark plan's
+    // own shape (the window key is the block digest there; md5(para) here
+    // partitions identically since the digest is injective on the blocks)
+    "dedup_paragraph" ->
+      s"""WITH $paraCtes
+         |SELECT doc_id, para_idx, n_words, keep FROM k""".stripMargin,
+    "dedup_paragraph_apply" ->
+      s"""WITH $paraCtes
+         |SELECT doc_id, count(*)::BIGINT AS n_paras,
+         |       count(*) FILTER (keep)::BIGINT AS n_kept,
+         |       length(coalesce(array_to_string(
+         |         list(para ORDER BY para_idx) FILTER (keep), ' '), ''))::INT
+         |         AS kept_len,
+         |       md5(coalesce(array_to_string(
+         |         list(para ORDER BY para_idx) FILTER (keep), ' '), ''))
+         |         AS kept_digest
+         |FROM k GROUP BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM fp""".stripMargin,

@@ -387,6 +387,41 @@ class PropertySpec extends SparkSpec {
     assert(got.toSeq === Seq(11L, 14L))
   }
 
+  test("paragraph dedup: first global occurrence wins on shared blocks") {
+    // constructed shared-paragraph corpus (the fixture's duplicated
+    // blocks are incidental; this pins the semantics): paragraphs are
+    // exact 10-word blocks A/B/C plus a ragged 3-word tail T. Doc 1
+    // carries A B, doc 2 B C, doc 3 A B again, doc 4 C T, doc 5 A A
+    // (within-doc repeat — BOTH copies lose to doc 1's A).
+    def para(tag: String): String =
+      (1 to 10).map(k => s"$tag$k").mkString(" ")
+    val (a, b, c) = (para("a"), para("b"), para("c"))
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$b $c"), (3L, s"$a $b"),
+      (4L, s"$c t1 t2 t3"), (5L, s"$a $a")).toDF("doc_id", "text")
+    val audit = DedupOps.paragraphAudit(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getBoolean(3)))
+      .toMap
+    val expect = Map(
+      (1L, 0) -> (10, true), (1L, 1) -> (10, true),   // A, B first
+      (2L, 0) -> (10, false), (2L, 1) -> (10, true),  // B dup, C first
+      (3L, 0) -> (10, false), (3L, 1) -> (10, false), // A, B dups
+      (4L, 0) -> (10, false), (4L, 1) -> (3, true),   // C dup, tail first
+      (5L, 0) -> (10, false), (5L, 1) -> (10, false)) // both lose to doc 1
+    assert(audit === expect)
+    val apply = DedupOps.paragraphApply(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getString(4))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(apply(1L) === (2L, 2L, (s"$a $b").length, md5hex(s"$a $b")))
+    assert(apply(2L) === (2L, 1L, c.length, md5hex(c)))
+    assert(apply(3L) === (2L, 0L, 0, md5hex("")))
+    assert(apply(4L) === (2L, 1L, "t1 t2 t3".length, md5hex("t1 t2 t3")))
+    assert(apply(5L) === (2L, 0L, 0, md5hex("")))
+  }
+
   test("embedding incremental: both drop paths and the attribution priority") {
     // constructed base/delta exercising what the fixture lacks: a
     // within-delta duplicate pair, a delta doc matching BOTH a standing
