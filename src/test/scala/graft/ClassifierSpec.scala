@@ -78,6 +78,55 @@ class ClassifierSpec extends SparkSpec {
     assert(ws.count(_ > 0) > 32 && ws.count(_ < 0) > 32)
   }
 
+  test("trained classifier matches an independent JVM derivation") {
+    // weight induction + doc scoring re-derived sharing no Spark
+    // expression code: labels from the DECLARED quality_score relation
+    // (independent of the train query's internal join), java
+    // MessageDigest bucketing, plain-Scala counting, and the same
+    // dsirLpMicros arithmetic the model documents.
+    val labels = SparkEntry.queries("quality_score")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(4) >= 0.35)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(t: String): Int = {
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % TextOps.CLF_BUCKETS).toInt
+    }
+    val nPos = new Array[Long](TextOps.CLF_BUCKETS)
+    val nNeg = new Array[Long](TextOps.CLF_BUCKETS)
+    docs.foreach { case (id, text) =>
+      val arr = if (labels(id)) nPos else nNeg
+      text.split(" ").filter(_.nonEmpty).foreach(t => arr(bucket(t)) += 1)
+    }
+    val (totPos, totNeg) = (nPos.sum, nNeg.sum)
+    val dw = (0 until TextOps.CLF_BUCKETS).map(b =>
+      TextOps.dsirLpMicros(nPos(b), totPos) -
+        TextOps.dsirLpMicros(nNeg(b), totNeg)).toArray
+    val train = SparkEntry.queries("quality_classifier_train")(spark, sf)
+      .collect().map(r =>
+        r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(train.keySet === (0 until TextOps.CLF_BUCKETS).toSet)
+    (0 until TextOps.CLF_BUCKETS).foreach { b =>
+      assert(train(b) === ((nPos(b), nNeg(b), dw(b))),
+        s"bucket $b model row drifted from the independent derivation")
+    }
+    val learned = SparkEntry.queries("quality_classifier_learned")(
+      spark, sf).collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val logit = toks.map(t => dw(bucket(t))).sum
+      val expect = (toks.length.toLong, logit,
+        toks.nonEmpty && logit >= 0L)
+      assert(learned(id) === expect, s"doc $id learned score drifted")
+    }
+    // the learned gate must separate the fixture, not rubber-stamp it
+    assert(learned.values.exists(_._3) && learned.values.exists(!_._3))
+  }
+
   test("dsir_sample matches an independent JVM model + race re-derivation") {
     // full end-to-end recheck on the fixture sharing no Spark expression
     // code: java MessageDigest hashing, plain-Scala counting for both
