@@ -115,26 +115,38 @@ object TextOps {
     * shared by the gopher_rules and dataset_card oracles. */
   private lazy val gopherCteSql: String = {
     val stops = GOPHER_STOPS.map(s => s"'$s'").mkString("[", ", ", "]")
+    val W = GOPHER_LINE_W
     s"""gg AS (
        |  SELECT doc_id, source, len(w)::BIGINT AS n_words,
        |         length(replace(text, ' ', ''))::BIGINT AS sum_len,
        |         len(list_filter(w, x -> list_contains($stops, x)))::BIGINT
        |           AS n_stop,
        |         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
-       |           AS n_alpha
+       |           AS n_alpha,
+       |         ((len(w) - 1) // $W + 1)::BIGINT AS n_lines,
+       |         len(list_filter(generate_series(0, (len(w) - 1) // $W),
+       |             i -> length(w[i * $W + 1]) <= 3))::BIGINT AS n_bullet,
+       |         len(list_filter(generate_series(0, (len(w) - 1) // $W),
+       |             i -> length(w[least((i + 1) * $W, len(w))]) >= 6))
+       |           ::BIGINT AS n_ellipsis
        |  FROM (SELECT doc_id, source, text, $wSql AS w FROM documents
        |        WHERE length(trim(text)) > 0)),
        |gates AS (
        |  SELECT doc_id, source, n_words, sum_len, n_stop, n_alpha,
+       |         n_lines, n_bullet, n_ellipsis,
        |         (n_words >= 50 AND n_words <= 100000) AS g_words,
        |         (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
        |           AS g_wordlen,
        |         (n_stop >= 2) AS g_stop,
        |         (n_alpha * 5 >= n_words * 4) AS g_alpha,
+       |         (n_bullet * 10 <= n_lines * 9) AS g_bullet,
+       |         (n_ellipsis * 10 <= n_lines * 3) AS g_ellipsis,
        |         ((n_words >= 50 AND n_words <= 100000)
        |          AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
        |          AND (n_stop >= 2)
-       |          AND (n_alpha * 5 >= n_words * 4)) AS pass
+       |          AND (n_alpha * 5 >= n_words * 4)
+       |          AND (n_bullet * 10 <= n_lines * 9)
+       |          AND (n_ellipsis * 10 <= n_lines * 3)) AS pass
        |  FROM gg)""".stripMargin
   }
 
@@ -233,6 +245,11 @@ object TextOps {
   private[graft] val GOPHER_STOPS: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** gopher_rules' line-shim width: words per synthesized line (the
+    * fixture's texts carry no real newlines — see the gopherGates
+    * scaladoc). ONE constant feeds the Spark HOFs and the SQL twin. */
+  private[graft] val GOPHER_LINE_W = 8
+
   /** filter_sweep's candidate thresholds — inside the fixture's measured
     * quality range (0.167–0.650), so every point keeps a non-degenerate
     * slice; ONE list feeds the Spark relation and the SQL VALUES. */
@@ -250,7 +267,26 @@ object TextOps {
     * body (see the query entry for the per-gate rationale), carrying
     * `source` so dataset_card can aggregate the same gates per domain
     * without a doc-scale rejoin. */
-  private def gopherGates(docs: DataFrame): DataFrame =
+  private def gopherGates(docs: DataFrame): DataFrame = {
+    // line-shape shim (the html_extract posture): the fixture's texts are
+    // single-line, so a deterministic line rendering is synthesized
+    // in-query — lines are consecutive GOPHER_LINE_W-word blocks, a line
+    // is a bullet line when its first word is short (≤3 chars: the
+    // fixture's article/marker tokens) and an ellipsis line when its
+    // last word is long (≥6 chars) — and the two PUBLISHED Rae et al.
+    // §A1.1 thresholds then run for real: fail when >90% of lines are
+    // bullets or >30% end in ellipsis. MEASURED: 4/500 docs fail
+    // g_bullet and 122/500 fail g_ellipsis at sf0.001 (16 and 1241 at
+    // sf0.1) — both gates exercised at every SF. The per-LINE HOFs scan
+    // n/8 elements per doc (the per-token folds this battery's rewrite
+    // evicted were 8× denser).
+    val lastLine = floor((size(col("w")) - 1) / lit(GOPHER_LINE_W))
+      .cast("int")
+    val nBullet = size(filter(sequence(lit(0), lastLine), i =>
+      length(element_at(col("w"), i * GOPHER_LINE_W + 1)) <= 3))
+    val nEllipsis = size(filter(sequence(lit(0), lastLine), i =>
+      length(element_at(col("w"),
+        least((i + 1) * GOPHER_LINE_W, size(col("w"))))) >= 6))
     docs
       .where(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("source"), col("text"),
@@ -262,19 +298,27 @@ object TextOps {
         element_at(org.apache.spark.sql.graft.MarkerCounts.column(
           col("w"), Seq(GOPHER_STOPS)), 1).cast("long").as("n_stop"),
         org.apache.spark.sql.graft.AlphaTokens.column(col("w"))
-          .cast("long").as("n_alpha"))
+          .cast("long").as("n_alpha"),
+        (lastLine + 1).cast("long").as("n_lines"),
+        nBullet.cast("long").as("n_bullet"),
+        nEllipsis.cast("long").as("n_ellipsis"))
       .select(col("doc_id"), col("n_words"), col("sum_len"),
         col("n_stop"), col("n_alpha"),
+        col("n_lines"), col("n_bullet"), col("n_ellipsis"),
         (col("n_words") >= 50L && col("n_words") <= 100000L)
           .as("g_words"),
         (col("sum_len") >= col("n_words") * 3L &&
           col("sum_len") <= col("n_words") * 10L).as("g_wordlen"),
         (col("n_stop") >= 2L).as("g_stop"),
         (col("n_alpha") * 5L >= col("n_words") * 4L).as("g_alpha"),
+        (col("n_bullet") * 10L <= col("n_lines") * 9L).as("g_bullet"),
+        (col("n_ellipsis") * 10L <= col("n_lines") * 3L)
+          .as("g_ellipsis"),
         col("source"))
       .withColumn("pass",
         col("g_words") && col("g_wordlen") && col("g_stop") &&
-          col("g_alpha"))
+          col("g_alpha") && col("g_bullet") && col("g_ellipsis"))
+  }
 
   /** The lang→keep-rate table of the mixing recipe over a documents
     * relation (MIX_TARGET_PPM targets, largest-feasible-sample rates —
@@ -2627,8 +2671,9 @@ object TextOps {
          |FROM q CROSS JOIN t GROUP BY tau""".stripMargin,
     "gopher_rules" ->
       s"""WITH $gopherCteSql
-         |SELECT doc_id, n_words, sum_len, n_stop, n_alpha, g_words,
-         |       g_wordlen, g_stop, g_alpha, pass
+         |SELECT doc_id, n_words, sum_len, n_stop, n_alpha,
+         |       n_lines, n_bullet, n_ellipsis, g_words,
+         |       g_wordlen, g_stop, g_alpha, g_bullet, g_ellipsis, pass
          |FROM gates""".stripMargin,
     "dataset_card" ->
       s"""WITH $qualityCteSql,

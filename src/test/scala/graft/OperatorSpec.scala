@@ -1473,19 +1473,30 @@ class OperatorSpec extends SparkSpec {
   test("gopher_rules: gates are the declared integer predicates, both paths") {
     val rows = SparkEntry.queries("gopher_rules")(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
-        r.getBoolean(9)))
+        (r.getLong(5), r.getLong(6), r.getLong(7)),
+        (r.getBoolean(8), r.getBoolean(9), r.getBoolean(10),
+          r.getBoolean(11), r.getBoolean(12), r.getBoolean(13)),
+        r.getBoolean(14)))
     assert(rows.nonEmpty)
-    rows.foreach { case (nw, sl, ns, na, gw, gl, gs, ga, p) =>
+    rows.foreach { case (nw, sl, ns, na, (nl, nb, ne),
+        (gw, gl, gs, ga, gb, ge), p) =>
       assert(gw === (nw >= 50 && nw <= 100000))
       assert(gl === (sl >= nw * 3 && sl <= nw * 10))
       assert(gs === (ns >= 2))
       assert(ga === (na * 5 >= nw * 4))
-      assert(p === (gw && gl && gs && ga))
+      // line-shape gates over the synthesized W=8 rendering: the line
+      // count is the block count, fractions are the published 0.9/0.3
+      assert(nl === (nw - 1) / 8 + 1)
+      assert(nb >= 0 && nb <= nl && ne >= 0 && ne <= nl)
+      assert(gb === (nb * 10 <= nl * 9))
+      assert(ge === (ne * 10 <= nl * 3))
+      assert(p === (gw && gl && gs && ga && gb && ge))
     }
     // the word-count and stopword gates both split the fixture corpus
-    assert(rows.exists(_._5) && rows.exists(!_._5))
-    assert(rows.exists(_._7) && rows.exists(!_._7))
+    assert(rows.exists(_._6._1) && rows.exists(!_._6._1))
+    assert(rows.exists(_._6._3) && rows.exists(!_._6._3))
+    // the line-shape gates both fire at every SF (measured placement)
+    assert(rows.exists(!_._6._5) && rows.exists(!_._6._6))
     // fixture honesty: every token is alphabetic, so the alpha gate is
     // exercised only in the always-pass regime here
     rows.foreach(r => assert(r._4 === r._1))
