@@ -1502,6 +1502,88 @@ class OperatorSpec extends SparkSpec {
     rows.foreach(r => assert(r._4 === r._1))
   }
 
+  test("approx_distinct_sketch: merge-invariant registers, bounded error") {
+    // the bench-only sketch projection's own gate (it has no oracle: a
+    // sketch estimate is not DuckDB-reproducible). HLL++ registers merge
+    // by max, so the estimate must be BIT-IDENTICAL under any partition
+    // layout, and the declared rsd=0.01 config must land within a loose
+    // 5% of the exact distinct count the declared sibling verifies.
+    val est = SparkEntry.benchOnly("approx_distinct_sketch")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty)
+    val relaid = Tables.events(spark, sf).repartition(7)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === relaid, "HLL registers are not merge-invariant")
+    val exact = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)).toDouble / exact(k) < 0.05,
+        s"$k: sketch $a vs exact ${exact(k)}")
+    }
+  }
+
+  test("approx_percentile_sketch: ordered, counted, within the gate") {
+    // the declared sibling (approx_percentile_agg) verifies sketch-vs-
+    // exact in one plan; this pins the SAME contract onto the bench-only
+    // pure-sketch projection so a regression in the sketch-only path is
+    // visible outside the bench timings: group counts exact, a50 ≤ a95,
+    // both within 1% of the exact percentiles.
+    val sk = SparkEntry.benchOnly("approx_percentile_sketch")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    assert(sk.nonEmpty)
+    val exact = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1),
+        r.getDouble(2), r.getLong(3))).toMap
+    sk.foreach { case (k, (a50, a95, n)) =>
+      val (p50, p95, en) = exact(k)
+      assert(n === en)
+      assert(a50 <= a95)
+      assert(math.abs(a50 - p50) <= p50 * 0.01, s"$k a50=$a50 p50=$p50")
+      assert(math.abs(a95 - p95) <= p95 * 0.01, s"$k a95=$a95 p95=$p95")
+    }
+  }
+
+  test("ivf_index_build: the built layout matches the standing index") {
+    // the bench-only ETL's layout contract: the training is
+    // deterministic, so a fresh build must reproduce the standing
+    // ensureIvfIndex layout exactly — same k-row cell model, same
+    // cell=* partitioning, every corpus vector assigned identically.
+    val before = Option(new java.io.File("target/ivf-bench").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    val cells = SparkEntry.benchOnly("ivf_index_build")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val builtDir = new java.io.File("target/ivf-bench").listFiles()
+      .map(_.getName).toSet.diff(before)
+    assert(builtDir.size === 1, "expected exactly one fresh build dir")
+    val dir = s"target/ivf-bench/${builtDir.head}"
+    val standing = operators.SimilarityOps.ensureIvfIndex(spark, sf)
+    val standingCells = spark.read.parquet(s"$standing/cells")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cells === standingCells, "cell model drifted from standing")
+    // cell=* partition dirs exist — the static-pruning surface
+    val parts = new java.io.File(s"$dir/vectors").listFiles()
+      .map(_.getName).filter(_.startsWith("cell=")).toSet
+    assert(parts.nonEmpty && parts ===
+      cells.keySet.filter(c => spark.read.parquet(s"$standing/vectors")
+        .where(col("cell") === c).limit(1).count() > 0)
+        .map(c => s"cell=$c"))
+    val built = spark.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("cell").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val std = spark.read.parquet(s"$standing/vectors")
+      .select(col("id"), col("cell").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(built === std, "vector assignment drifted from standing")
+  }
+
   test("zipf_audit: buckets partition the token mass") {
     val rows = SparkEntry.queries("zipf_audit")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
