@@ -607,9 +607,15 @@ object DedupOps {
     * 100 TB shuffle carries 16 bytes + two ids per block). */
   private[graft] def paragraphAudit(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(digest(col("para")))
+    // the digest is PROJECTED before the window and the block text
+    // dropped, so the exchange really does carry only digest + ids +
+    // n_words per block (windowing on digest(para) directly would haul
+    // the text through the shuffle just to re-evaluate the key)
+    val w = Window.partitionBy(col("h"))
       .orderBy(col("doc_id"), col("para_idx"))
     paragraphBlocks(docs)
+      .select(col("doc_id"), col("para_idx"), col("n_words"),
+        digest(col("para")).as("h"))
       .select(col("doc_id"), col("para_idx"), col("n_words"),
         (row_number().over(w) === 1).as("keep"))
   }
@@ -620,9 +626,14 @@ object DedupOps {
     * restores document order regardless of shuffle arrival. */
   private[graft] def paragraphApply(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(digest(col("para")))
+    // the block text rides this exchange by necessity (the reassembly
+    // needs it back); the digest is still pre-projected so the window
+    // key is not re-hashed post-shuffle
+    val w = Window.partitionBy(col("h"))
       .orderBy(col("doc_id"), col("para_idx"))
     val kept = paragraphBlocks(docs)
+      .select(col("doc_id"), col("para_idx"), col("para"),
+        digest(col("para")).as("h"))
       .select(col("doc_id"), col("para_idx"), col("para"),
         (row_number().over(w) === 1).as("keep"))
     kept.groupBy(col("doc_id"))
