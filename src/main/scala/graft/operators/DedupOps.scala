@@ -648,6 +648,32 @@ object DedupOps {
         digest(col("kept_text")).as("kept_digest"))
   }
 
+  /** The paragraph-incremental core (see `dedup_paragraph_incremental`):
+    * base/delta split on the deterministic hash uniform, within-delta
+    * first-occurrence collapse first (it wins the attribution), then
+    * base-digest collision; factored so PropertySpec can drive it over
+    * a constructed base/delta corpus. */
+  private[graft] def paragraphIncremental(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isBase =
+      graft.functions.VectorOps.unitUniform(col("doc_id")) < 0.7
+    val withH = paragraphBlocks(docs)
+      .select(col("doc_id"), col("para_idx"), col("n_words"),
+        digest(col("para")).as("h"))
+    val base = withH.where(isBase).select(col("h")).distinct()
+    val w = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("para_idx"))
+    withH.where(!isBase)
+      .select(col("doc_id"), col("para_idx"), col("n_words"), col("h"),
+        (row_number().over(w) === 1).as("first_d"))
+      .join(base.select(col("h"), lit(true).as("inb")), Seq("h"), "left")
+      .select(col("doc_id"), col("para_idx"), col("n_words"),
+        when(not(col("first_d")), "delta")
+          .when(col("inb").isNotNull, "base")
+          .otherwise("kept").as("stage"))
+      .withColumn("keep", col("stage") === "kept")
+  }
+
   /** Deterministic per-doc URL for the dedup_url fixture — the lake's
     * `source` axis promoted to a crawl-style URL. Every 4 consecutive
     * doc_ids share one logical resource (same host/path/params) published
@@ -924,6 +950,24 @@ object DedupOps {
       // rows per key (a doc's own block count), no skew surface.
       paragraphApply(Tables.documents(s, d))
     },
+    "dedup_paragraph_incremental" -> { (s, d) =>
+      // the PARAGRAPH member of the incremental dedup matrix (exact /
+      // MinHash / embedding / media have theirs): a crawl delta's
+      // blocks deduped against the STANDING corpus's paragraph digest
+      // index — the corpus's own blocks are never re-windowed against
+      // each other. Family discipline: base/delta split by the one
+      // deterministic hash uniform, within-delta first-occurrence
+      // collapse fires FIRST (and wins the attribution — the embedding
+      // form's priority rule), then surviving blocks exit on base
+      // collision. The base side is corpus-scaled digests, so the
+      // collision check is a SHUFFLED left join on 16-byte digests
+      // (dedup_incremental's rationale — broadcast would be O(corpus);
+      // a deployment buckets the digest index and this join co-locates
+      // with zero exchange). Output: the delta's per-block audit with
+      // stage attribution ('delta'/'base'/'kept') — what an ingest
+      // pipeline logs before admitting the kept text.
+      paragraphIncremental(Tables.documents(s, d))
+    },
     "dedup_simhash" -> { (s, d) =>
       simhashFingerprints(Tables.documents(s, d))
     },
@@ -1083,20 +1127,29 @@ object DedupOps {
   }
   private lazy val substrAuditCtes: String = substrAuditCtesFor("documents")
 
-  /** dedup_paragraph's CTE chain — 10-word blocks + the first-global-
-    * occurrence window; terminates in `k(doc_id, para_idx, n_words,
-    * para, keep)`. The non-empty guard sits in `w`: a 0-word text would
-    * make `(len-1)//$PARA_W` a phantom 0 here while Spark's
-    * `sequence(0, -1)` DESCENDS — neither branch may ever run. */
-  private lazy val paraCtes: String =
-    s"""w AS (SELECT doc_id, $wSql AS ws FROM documents
+  /** `w`/`p` CTEs of the paragraph-block relation over `src` (must
+    * provide doc_id, text, and any `extra` columns, carried through).
+    * The non-empty guard sits in `w`: a 0-word text would make
+    * `(len-1)//$PARA_W` a phantom 0 here while Spark's
+    * `sequence(0, -1)` DESCENDS — neither branch may ever run. ONE
+    * builder serves all three paragraph oracles. */
+  private def paraBlocksCtes(src: String, extra: String = ""): String = {
+    val e = if (extra.isEmpty) "" else s", $extra"
+    s"""w AS (SELECT doc_id$e, $wSql AS ws FROM $src
        |       WHERE len($wSql) > 0),
-       |p AS (SELECT doc_id, i::INT AS para_idx,
+       |p AS (SELECT doc_id$e, i::INT AS para_idx,
        |        least($PARA_W, len(ws) - i * $PARA_W)::INT AS n_words,
        |        array_to_string(ws[(i * $PARA_W + 1):((i + 1) * $PARA_W)],
        |                        ' ') AS para
        |      FROM w, unnest(generate_series(0, (len(ws) - 1) // $PARA_W))
-       |        AS t(i)),
+       |        AS t(i))""".stripMargin
+  }
+
+  /** dedup_paragraph's CTE chain — the block relation + the first-
+    * global-occurrence window; terminates in `k(doc_id, para_idx,
+    * n_words, para, keep)`. */
+  private lazy val paraCtes: String =
+    s"""${paraBlocksCtes("documents")},
        |k AS (SELECT doc_id, para_idx, n_words, para,
        |        (row_number() OVER (PARTITION BY md5(para)
        |                            ORDER BY doc_id, para_idx) = 1) AS keep
@@ -1414,6 +1467,29 @@ object DedupOps {
          |         list(para ORDER BY para_idx) FILTER (keep), ' '), ''))
          |         AS kept_digest
          |FROM k GROUP BY doc_id""".stripMargin,
+    // the delta's block relation + within-delta first-occurrence window
+    // + base-digest membership, with the within-delta drop winning the
+    // attribution — the Spark plan's own stage order
+    "dedup_paragraph_incremental" ->
+      s"""WITH u AS (SELECT doc_id, text,
+         |            ${graft.functions.VectorSql.unitUniform("doc_id")} AS uu
+         |           FROM documents),
+         |${paraBlocksCtes("u", "uu")},
+         |ph AS (SELECT doc_id, para_idx, n_words, md5(para) AS h, uu
+         |       FROM p),
+         |base AS (SELECT DISTINCT h FROM ph WHERE uu < 0.7),
+         |delta AS (
+         |  SELECT doc_id, para_idx, n_words, h,
+         |         (row_number() OVER (PARTITION BY h
+         |                             ORDER BY doc_id, para_idx) = 1)
+         |           AS first_d
+         |  FROM ph WHERE uu >= 0.7)
+         |SELECT doc_id, para_idx, n_words,
+         |       CASE WHEN NOT first_d THEN 'delta'
+         |            WHEN h IN (SELECT h FROM base) THEN 'base'
+         |            ELSE 'kept' END AS stage,
+         |       (first_d AND h NOT IN (SELECT h FROM base)) AS keep
+         |FROM delta""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM fp""".stripMargin,

@@ -149,6 +149,27 @@ object SimilarityOps {
       .select(col("src_id"), col("rnk"), col("nbr_id"), col("sim"))
   }
 
+  /** The knn_density tail over an arbitrary graph + full id relation:
+    * per-src integer density fold, left-joined so edge-less vectors keep
+    * themselves. Shared by the standing-index and scaled-k forms. */
+  private def densityFrom(graph: DataFrame, allIds: DataFrame): DataFrame = {
+    val dens = graph
+      .groupBy(col("src_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(round(col("sim") * 10000).cast("long")).as("sum_simx4"))
+    allIds
+      .join(dens, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        coalesce(col("sum_simx4"), lit(0L)).as("sum_simx4"))
+      .select(col("vec_id"), col("n_nbrs"), col("sum_simx4"),
+        when(col("n_nbrs") > 0, expr("sum_simx4 div n_nbrs"))
+          .otherwise(lit(0L)).as("density_x4"),
+        (col("n_nbrs") === 0 ||
+          col("sum_simx4") < lit(DENSITY_TAU_X4) * col("n_nbrs"))
+          .as("keep"))
+  }
+
   // nprobe sweep widths — ONE list shared by the ivf_nprobe_sweep query
   // and its oracle builder so the two can never drift
   private val SWEEP_NPROBES = Seq(2, 4, 8)
@@ -672,22 +693,31 @@ object SimilarityOps {
       // Isolated vectors (edge-less: over-cap cell degrade) keep
       // themselves via the left join over the full index assignment —
       // the dedup family's convention.
-      val dens = knnTopK(s, d)
-        .groupBy(col("src_id").as("vec_id"))
-        .agg(count(lit(1)).as("n_nbrs"),
-          sum(round(col("sim") * 10000).cast("long")).as("sum_simx4"))
       val dir = ensureIvfIndex(s, d)
-      s.read.parquet(s"$dir/vectors").select(col("id").as("vec_id"))
-        .join(dens, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
-          coalesce(col("sum_simx4"), lit(0L)).as("sum_simx4"))
-        .select(col("vec_id"), col("n_nbrs"), col("sum_simx4"),
-          when(col("n_nbrs") > 0, expr("sum_simx4 div n_nbrs"))
-            .otherwise(lit(0L)).as("density_x4"),
-          (col("n_nbrs") === 0 ||
-            col("sum_simx4") < lit(DENSITY_TAU_X4) * col("n_nbrs"))
-            .as("keep"))
+      densityFrom(knnTopK(s, d),
+        s.read.parquet(s"$dir/vectors").select(col("id").as("vec_id")))
+    },
+    "knn_density_scaled" -> { (s, d) =>
+      // the k ∝ n twin (knn_graph_scaled's cells): at 8× embeddings the
+      // fixed-k standing index degrades 10/16 cells to edge-less, and
+      // knn_density then marks every vector in them keep-by-isolation —
+      // the scaled form restores real density scores as the corpus
+      // grows. MEASURED at the replica-built 8× fixture: the standing
+      // form leaves 10624/16000 vectors blind (keep-by-isolation); the
+      // scaled form scores all 16000, and keeps 0 — the RIGHT answer
+      // there, since every vector's 7 planted replicas are its
+      // neighbors at sim≈1 (everything genuinely is dense; D4 prunes
+      // it all). At sf0.001 both keep outcomes are populated (388/500).
+      // ONE density tail serves both forms ([[densityFrom]]), exactly
+      // as ONE graph builder serves both graph forms.
+      val pts = KMeansOps.points(s, d).localCheckpoint()
+      val cells = KMeansOps.lloydStep(pts,
+        KMeansOps.lloydStep(pts, KMeansOps.frozenCenters(s, d,
+          NCELLS_SCALED)))
+      val asg = pts.select(col("id"),
+        KMeansOps.nearestCol(col("v"), cells).as("cell"))
+      densityFrom(knnTopKFrom(asg, pts),
+        asg.select(col("id").as("vec_id")))
     },
     "dedup_embedding_incremental" -> { (s, d) =>
       // the SEMANTIC member of the incremental dedup family (exact has
@@ -1277,6 +1307,25 @@ object SimilarityOps {
        |    FROM sym)
        |  WHERE rnk <= $KNN_K)""".stripMargin
 
+  /** knn_density's oracle at cell count k — the graph CTEs + the per-src
+    * integer density fold over `ktop`, left-joined over `asg` so
+    * edge-less vectors keep themselves. */
+  private def densitySqlFor(k: Int): String =
+    s"""WITH ${knnGraphCtesFor(k)},
+       |dens AS (
+       |  SELECT src_id AS vec_id, count(*)::BIGINT AS n_nbrs,
+       |         sum(round(sim * 10000)::BIGINT)::BIGINT AS sum_simx4
+       |  FROM ktop GROUP BY src_id)
+       |SELECT asg.vec_id,
+       |       coalesce(dens.n_nbrs, 0)::BIGINT AS n_nbrs,
+       |       coalesce(dens.sum_simx4, 0)::BIGINT AS sum_simx4,
+       |       (CASE WHEN coalesce(dens.n_nbrs, 0) > 0
+       |             THEN dens.sum_simx4 // dens.n_nbrs
+       |             ELSE 0 END)::BIGINT AS density_x4,
+       |       (coalesce(dens.n_nbrs, 0) = 0 OR
+       |        dens.sum_simx4 < $DENSITY_TAU_X4 * dens.n_nbrs) AS keep
+       |FROM asg LEFT JOIN dens ON asg.vec_id = dens.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_topk_ivf_pq" -> ivfPqTopkSql,
@@ -1334,22 +1383,10 @@ object SimilarityOps {
     // knn_graph's CTEs + the per-src integer density fold; the keep gate
     // is the cross-multiplied integer compare, density the truncating
     // integer division — both exact in either engine. sum(BIGINT) is
-    // HUGEINT in DuckDB, hence the ::BIGINT directly on the fold.
-    "knn_density" ->
-      s"""WITH ${knnGraphCtesFor(NCELLS)},
-         |dens AS (
-         |  SELECT src_id AS vec_id, count(*)::BIGINT AS n_nbrs,
-         |         sum(round(sim * 10000)::BIGINT)::BIGINT AS sum_simx4
-         |  FROM ktop GROUP BY src_id)
-         |SELECT asg.vec_id,
-         |       coalesce(dens.n_nbrs, 0)::BIGINT AS n_nbrs,
-         |       coalesce(dens.sum_simx4, 0)::BIGINT AS sum_simx4,
-         |       (CASE WHEN coalesce(dens.n_nbrs, 0) > 0
-         |             THEN dens.sum_simx4 // dens.n_nbrs
-         |             ELSE 0 END)::BIGINT AS density_x4,
-         |       (coalesce(dens.n_nbrs, 0) = 0 OR
-         |        dens.sum_simx4 < $DENSITY_TAU_X4 * dens.n_nbrs) AS keep
-         |FROM asg LEFT JOIN dens ON asg.vec_id = dens.vec_id""".stripMargin,
+    // HUGEINT in DuckDB, hence the ::BIGINT directly on the fold. ONE
+    // builder parameterized on the cell count serves both forms.
+    "knn_density" -> densitySqlFor(NCELLS),
+    "knn_density_scaled" -> densitySqlFor(NCELLS_SCALED),
     "sim_topk_ivf_pq_recall" ->
       s"""WITH ex AS ($simTopkSql),
          |iv AS ($ivfPqTopkSql)

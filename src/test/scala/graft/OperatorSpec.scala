@@ -1430,6 +1430,29 @@ class OperatorSpec extends SparkSpec {
     assert(dens.values.exists(_._4) && dens.values.exists(!_._4))
   }
 
+  test("knn_density_scaled re-derives from the scaled graph") {
+    // the scaled form must be exactly the shared density tail applied
+    // to the DECLARED scaled graph — same integer lift, same τ
+    val dens = SparkEntry.queries("knn_density_scaled")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val edges = SparkEntry.queries("knn_graph_scaled")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    def x4(s: Double): Long =
+      BigDecimal(s * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    val expect = edges.groupBy(_._1).map { case (src, g) =>
+      val sum = g.map(t => x4(t._2)).sum
+      src -> (g.length.toLong, sum, sum / g.length, sum < 2700L * g.length)
+    }
+    assert(dens.nonEmpty)
+    dens.foreach { case (id, got) =>
+      assert(got === expect.getOrElse(id, (0L, 0L, 0L, true)),
+        s"vec $id scaled density mismatch")
+    }
+    assert(dens.values.exists(_._4) && dens.values.exists(!_._4))
+  }
+
   test("dataset_card totals agree with the standalone audits") {
     val card = SparkEntry.queries("dataset_card")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

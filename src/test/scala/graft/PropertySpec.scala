@@ -422,6 +422,40 @@ class PropertySpec extends SparkSpec {
     assert(apply(5L) === (2L, 0L, 0, md5hex("")))
   }
 
+  test("paragraph incremental: both drop paths and the attribution priority") {
+    // constructed base/delta corpus exercising every stage AND the
+    // priority rule: a delta block that is both a within-delta dup and
+    // a base collision must attribute 'delta' (the within-delta
+    // collapse fires first — the embedding form's rule). unitUniform
+    // splits on doc_id, so ids are chosen by measuring the split:
+    // u(doc) < 0.7 = base. Paragraphs are exact 10-word blocks.
+    def para(tag: String): String =
+      (1 to 10).map(k => s"$tag$k").mkString(" ")
+    val (a, b, c) = (para("a"), para("b"), para("c"))
+    def uD(i: Long): Double =
+      ((i * 2654435761L) % 4294967296L + 0.5) / 4294967296.0
+    val ids = (1L to 40L).map(i => i -> (uD(i) < 0.7))
+    val baseId = ids.find(_._2).get._1
+    val Seq(d1, d2) = ids.filter(!_._2).take(2).map(_._1)
+    assert(d1 < d2)
+    val docs = Seq(
+      (baseId, a),          // base: carries A
+      (d1, s"$a $b"),       // delta: A collides with base, B fresh
+      (d2, s"$a $c"))       // delta: A is ALSO a delta dup of (d1,0)
+      .toDF("doc_id", "text")
+    val got = DedupOps.paragraphIncremental(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(3), r.getBoolean(4))).toMap
+    // d1's A: first in delta but in base -> 'base'; B fresh -> kept
+    assert(got((d1, 0)) === (("base", false)))
+    assert(got((d1, 1)) === (("kept", true)))
+    // d2's A: within-delta dup AND base collision -> 'delta' wins
+    assert(got((d2, 0)) === (("delta", false)))
+    assert(got((d2, 1)) === (("kept", true)))
+    // base docs never appear in the delta audit
+    assert(!got.keySet.exists(_._1 == baseId))
+  }
+
   test("embedding incremental: both drop paths and the attribution priority") {
     // constructed base/delta exercising what the fixture lacks: a
     // within-delta duplicate pair, a delta doc matching BOTH a standing
