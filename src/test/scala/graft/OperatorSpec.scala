@@ -1607,6 +1607,27 @@ class OperatorSpec extends SparkSpec {
     assert(built === std, "vector assignment drifted from standing")
   }
 
+  test("bpe_train_unicode: merges are genuinely multi-byte + laddered") {
+    // the multilingual gate: the transliterated corpus must force the
+    // trainer through real 2-byte-UTF-8 codepoints (a pair containing a
+    // non-ASCII non-private char) AND through ladder merges over learned
+    // symbols — proving the pair loop is codepoint-clean, not
+    // accidentally ASCII-bound
+    val merges = SparkEntry.queries("bpe_train_unicode")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(merges.length === 12)
+    assert(merges.forall(_._2.length === 2)) // every pair is 2 codepoints
+    def isLearned(c: Char): Boolean = c >= 0xE100 && c <= 0xE1FF
+    assert(merges.exists(_._2.exists(c => c > 127 && !isLearned(c))),
+      "no multi-byte codepoint ever entered a merged pair")
+    assert(merges.exists(_._2.exists(isLearned)),
+      "no ladder merge over a learned symbol")
+    // monotone argmax: each step's count can never exceed the previous
+    merges.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"step ${b._1} count rose above step ${a._1}")
+    }
+  }
+
   test("zipf_audit: buckets partition the token mass") {
     val rows = SparkEntry.queries("zipf_audit")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
