@@ -218,6 +218,17 @@ object StreamingOps {
       spark.readStream.schema(docsSchema)
         .parquet(stageDir(spark, sfDir, "documents")))
 
+  /** Streaming learned-quality gate: the SAME stateless per-row scorer
+    * as the batch `quality_classifier` ([[graft.operators.TextOps
+    * .clfScored]] shared outright — literal weight table, exact
+    * fixed-point logit, integer pass gate) applied on ingest. The
+    * model-gating-at-the-door deployment shape: no state, no shuffle,
+    * per-micro-batch cost is one codegen projection over arrivals. */
+  def qualityGateStream(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextOps.clfScored(
+      spark.readStream.schema(docsSchema)
+        .parquet(stageDir(spark, sfDir, "documents")))
+
   /** Streaming tumbling 1h window per event_type with a 2h watermark.
     * The value total is [[graft.operators.RelationalOps.centsSum]]
     * (round-16 sweep, in lock-step with the batch time_window_agg):
@@ -540,6 +551,9 @@ object StreamingOps {
       runToMemorySink(outlierStream(s, d), "vq_stream_outlier", "append") },
     "streaming_strip" -> { (s, d) =>
       runToMemorySink(stripStream(s, d), "vq_stream_strip", "append") },
+    "streaming_quality_gate" -> { (s, d) =>
+      runToMemorySink(qualityGateStream(s, d), "vq_stream_qgate",
+        "append") },
     "streaming_phrase_hits" -> { (s, d) =>
       runToMemorySink(phraseHitsStream(s, d), "vq_stream_phrase",
         "append") },
@@ -628,6 +642,11 @@ object StreamingOps {
     // per-row core shared outright) — StreamingSpec proves row-identity
     "streaming_strip" ->
       graft.operators.TextOps.oracles("repetition_strip"),
+    // identical weight table / logit / gate to the batch classifier
+    // (stateless per-row core shared outright) — StreamingSpec proves
+    // row-identity, so the batch oracle applies verbatim
+    "streaming_quality_gate" ->
+      graft.operators.TextOps.oracles("quality_classifier"),
     "streaming_window_agg" ->
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
          |       event_type, count(*)::BIGINT AS n,

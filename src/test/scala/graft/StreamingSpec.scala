@@ -305,6 +305,14 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming quality gate matches the batch quality_classifier") {
+    val streamed = SparkEntry.queries("streaming_quality_gate")(spark, sf)
+    val batch = SparkEntry.queries("quality_classifier")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming admission sampling matches the batch mix_sample") {
     val streamed = SparkEntry.queries("streaming_mix")(spark, sf)
     val batch = SparkEntry.queries("mix_sample")(spark, sf)
