@@ -214,6 +214,28 @@ class PlanSpec extends SparkSpec {
       "repetition_strip must be a zero-shuffle map stage")
   }
 
+  test("round-17 shapes: one-exchange paragraph audit, zero-shuffle gates") {
+    // dedup_paragraph: the ONLY wide dependency is the digest-keyed
+    // survivor window — a second exchange would mean the block relation
+    // got re-shuffled on its way out, and the exchange must be keyed on
+    // the pre-projected digest, never the block text
+    val dp = executed("dedup_paragraph")
+    assert(dp.split("Exchange hashpartitioning", -1).length - 1 == 1,
+      "exactly one digest exchange in the paragraph audit")
+    assert(dp.contains("hashpartitioning(h#"),
+      "the survivor window must be keyed on the projected digest column")
+    // gopher_rules stays a zero-shuffle projection after the line-shape
+    // gates (the per-line HOFs are still per-row work)
+    assert(!executed("gopher_rules").contains("Exchange"),
+      "gopher_rules must remain a zero-shuffle map stage")
+    // quality_classifier_learned: training happens at plan-construction
+    // time (bounded collect, the DSIR discipline); the RETURNED plan is
+    // the literal-map fold — any Exchange means scoring stopped being
+    // a pure projection
+    assert(!executed("quality_classifier_learned").contains("Exchange"),
+      "learned-classifier scoring must be a zero-shuffle map stage")
+  }
+
   test("drop-set broadcast hint is conf-gated; shuffled fallback matches") {
     // graft.dropSetBroadcast=false (for duplicate-degenerate corpora whose
     // drop set outgrows the broadcast budget) must yield the SAME rows via
