@@ -962,12 +962,14 @@ object TextOps {
     * driver materialization, the dsir_sample precedent). */
   private[graft] def clfTrainedWeights(s: SparkSession, d: String)
       : IndexedSeq[(Int, Long, Long, Long)] = {
-    val docs = Tables.documents(s, d)
-    val lbl = qualityScored(docs).select(col("doc_id"),
-      (col("quality") >= CARD_QUALITY_TAU).as("pos"))
-    val counts = docs.select(col("doc_id"), col("text"))
-      .join(lbl, Seq("doc_id"))
-      .select(col("pos"), explode(wordsCol(col("text"))).as("t"))
+    // the label is a PURE PROJECTION of the doc row (qualityScored keeps
+    // text), so labeling + exploding is one narrow pass — the first cut
+    // joined docs back to their own quality relation, hauling every text
+    // through a self-join shuffle (measured 4× the whole-query cost at
+    // the 64× fixture)
+    val counts = qualityScored(Tables.documents(s, d))
+      .select((col("quality") >= CARD_QUALITY_TAU).as("pos"),
+        explode(wordsCol(col("text"))).as("t"))
       .select(col("pos"),
         pmod(DedupOps.h60(col("t")), lit(CLF_BUCKETS.toLong))
           .cast("int").as("b"))
