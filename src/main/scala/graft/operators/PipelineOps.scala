@@ -62,11 +62,24 @@ object PipelineOps {
     val docs = Tables.documents(s, d)
     val keep = maybePin(TextOps.qualityScored(docs)
       .where(col("quality") >= QMIN))
-    // survivors: one doc per distinct text; quality is a pure function
-    // of text, so min() is just "the" group value, kept for the output
+    val (sur, sub, clean) = curateTail(docs, keep, "quality", pin)
+    (docs, keep, sur, sub, clean)
+  }
+
+  /** The dedup → substring → decontam tail over an arbitrary admitted
+    * relation carrying (doc_id, text, `metric`) — the gate at the door
+    * is the only stage the two curate pipelines differ in, so ONE tail
+    * serves both (heuristic quality in [[stages]], the learned logit in
+    * pipeline_curate_learned) and the stage semantics can never drift. */
+  private def curateTail(docs: DataFrame, keep: DataFrame, metric: String,
+      pin: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    def maybePin(df: DataFrame): DataFrame =
+      if (pin) df.localCheckpoint() else df
+    // survivors: one doc per distinct text; the metric is a pure
+    // function of text, so min() is just "the" group value
     val sur = keep
       .groupBy(DedupOps.digest(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col(metric)).as(metric))
       .localCheckpoint()
     // substring removal over the SURVIVOR corpus (the ExactSubstr stage
     // runs after exact dedup: what recurs among survivors is cross-doc
@@ -81,18 +94,21 @@ object PipelineOps {
     val hits = DedupOps.contamPairs(docs).select(col("doc_id")).distinct()
     val clean = sub.where(col("doc_id") >= DedupOps.NEVAL)
       .join(DedupOps.dropSetHint(sub, hits), Seq("doc_id"), "left_anti")
-    (docs, keep, sur, sub, clean)
+    (sur, sub, clean)
+  }
+
+  /** The hash-split projection shared by both curate pipelines. */
+  private def withSplit(clean: DataFrame, metric: String): DataFrame = {
+    val u = graft.functions.VectorOps.unitUniform(col("doc_id"))
+    clean.select(col("doc_id"), col(metric),
+      when(u < 0.8, "train").when(u < 0.9, "val")
+        .otherwise("test").as("split"))
   }
 
   /** (doc_id, quality, split) for the curated corpus — the shared
     * curation DAG of both declared pipelines. */
-  private def curated(s: SparkSession, d: String): DataFrame = {
-    val clean = stages(s, d)._5
-    val u = graft.functions.VectorOps.unitUniform(col("doc_id"))
-    clean.select(col("doc_id"), col("quality"),
-      when(u < 0.8, "train").when(u < 0.9, "val")
-        .otherwise("test").as("split"))
-  }
+  private def curated(s: SparkSession, d: String): DataFrame =
+    withSplit(stages(s, d)._5, "quality")
 
   /** Shared oracle CTE chain ending in `cur(doc_id, quality, split)` —
     * mirrors [[curated]]; both pipeline oracles extend it. */
@@ -122,6 +138,21 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> { (s, d) => curated(s, d) },
+    "pipeline_curate_learned" -> { (s, d) =>
+      // the curate DAG with the round-17 LEARNED gate at the door: the
+      // classifier trains in-engine from the corpus's own proxy labels
+      // (quality_classifier_train's weights, bounded driver
+      // materialization), docs are admitted on the sign of their learned
+      // logit (quality_classifier_learned's gate, text carried through),
+      // and the IDENTICAL dedup → substring → decontam → split tail runs
+      // over the admitted set — train-then-curate end to end in one
+      // declared plan. The carried metric is the learned logit (the
+      // published per-doc score of this pipeline's gate).
+      val docs = Tables.documents(s, d)
+      val keep = TextOps.learnedKeep(docs, TextOps.clfTrainedWeights(s, d))
+      withSplit(curateTail(docs, keep, "logit_micros", pin = false)._3,
+        "logit_micros")
+    },
     "pipeline_pack" -> { (s, d) =>
       // the full pretraining-data build: curated train split → fixed-
       // length sequence packing. The handoff is a narrow id equi-join
@@ -159,6 +190,45 @@ object PipelineOps {
     "pipeline_curate" ->
       s"""WITH $curatedCtes
          |SELECT doc_id, quality, split FROM cur""".stripMargin,
+    // the learned-gate curate: classifier training CTEs (labels → bucket
+    // counts → log-ratio weights), the per-doc logit fold, the admitted
+    // set, then the IDENTICAL tail fragments the heuristic pipeline's
+    // oracle uses — gate swapped, stages shared
+    "pipeline_curate_learned" ->
+      s"""WITH ${TextOps.qualityCteSql},
+         |${TextOps.clfTrainCtes},
+         |lk AS (
+         |  SELECT d.doc_id, d.text,
+         |         coalesce(sum(cw.weight_micros), 0)::BIGINT
+         |           AS logit_micros,
+         |         count(tb.b) AS n_toks
+         |  FROM documents d
+         |  LEFT JOIN tb ON d.doc_id = tb.doc_id
+         |  LEFT JOIN cw ON tb.b = cw.bucket
+         |  GROUP BY d.doc_id, d.text),
+         |keepl AS (SELECT doc_id, text, logit_micros FROM lk
+         |          WHERE n_toks > 0 AND logit_micros >= 0),
+         |sur AS (SELECT min(doc_id) AS doc_id,
+         |               min(logit_micros) AS logit_micros
+         |        FROM keepl GROUP BY md5(text)),
+         |surdocs AS (SELECT sur.doc_id, d.text
+         |            FROM sur JOIN documents d USING (doc_id)),
+         |${DedupOps.substrAuditCtesFor("surdocs")},
+         |sub AS (SELECT sur.doc_id, sur.logit_micros FROM sur
+         |        LEFT JOIN aud USING (doc_id)
+         |        WHERE coalesce(aud.n_dup_spans, 0) * ${DedupOps.SUBSTR_DROP_DEN} <=
+         |              coalesce(aud.n_spans, 0) * ${DedupOps.SUBSTR_DROP_NUM}),
+         |${DedupOps.deconCtes},
+         |hit AS (SELECT DISTINCT tg.doc_id FROM trg tg JOIN evg USING (s))
+         |SELECT doc_id, logit_micros,
+         |       CASE WHEN u < 0.8 THEN 'train'
+         |            WHEN u < 0.9 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, logit_micros,
+         |        ${graft.functions.VectorSql.unitUniform("doc_id")} AS u
+         |      FROM sub
+         |      WHERE doc_id >= ${DedupOps.NEVAL}
+         |        AND doc_id NOT IN (SELECT doc_id FROM hit))""".stripMargin,
     // counts over the same shared CTE fragments the pipelines' oracles
     // use; `cur` counts the decontaminated set (the split adds no rows)
     "pipeline_report" ->

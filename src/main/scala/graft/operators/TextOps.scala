@@ -991,6 +991,26 @@ object TextOps {
     }
   }
 
+  /** (doc_id, text, logit_micros) of the docs passing the learned gate —
+    * `quality_classifier_learned`'s scorer with text carried through,
+    * the composable form `pipeline_curate_learned` feeds into the
+    * curation tail. Same zero-shuffle literal-map fold; the weight list
+    * comes from [[clfTrainedWeights]] so the caller controls when the
+    * training jobs run. */
+  private[graft] def learnedKeep(docs: DataFrame,
+      wts: Seq[(Int, Long, Long, Long)]): DataFrame = {
+    val wMap = map(wts.flatMap { case (b, _, _, w) => Seq(lit(b), lit(w)) }: _*)
+    val words = wordsCol(col("text"))
+    val logit = aggregate(
+      transform(words, t => element_at(wMap,
+        pmod(DedupOps.h60(t), lit(CLF_BUCKETS.toLong)).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(col("doc_id"), col("text"), logit.as("logit_micros"),
+        (size(words) > 0 && logit >= 0L).as("pass"))
+      .where(col("pass"))
+      .select(col("doc_id"), col("text"), col("logit_micros"))
+  }
+
   /** `dsir_sample` config — DSIR (Xie et al. 2023, arXiv:2302.03169):
     * data selection by importance resampling under hashed bag-of-words
     * language models. 256 hashed buckets (quality_classifier's md5
@@ -2323,7 +2343,7 @@ object TextOps {
     * floor-per-term Mitchell-log2 discipline verbatim); terminates in
     * `cw(bucket, n_pos, n_neg, weight_micros)`. Requires $qualityCteSql
     * (the `q` relation) already in scope. */
-  private lazy val clfTrainCtes: String = {
+  private[graft] lazy val clfTrainCtes: String = {
     val V = graft.functions.VectorSql
     s"""lbl AS (SELECT doc_id, quality >= $CARD_QUALITY_TAU AS pos FROM q),
        |tb AS MATERIALIZED (

@@ -1628,6 +1628,28 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_curate_learned composes its declared stage operators") {
+    // cross-audit against the standalone stages: every curated doc must
+    // pass the declared learned gate (same logit), sit past the eval-id
+    // fence, and the curated set must differ from the heuristic
+    // pipeline's (the gate swap is load-bearing, not cosmetic)
+    val cur = SparkEntry.queries("pipeline_curate_learned")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cur.nonEmpty)
+    val gate = SparkEntry.queries("quality_classifier_learned")(spark, sf)
+      .where(col("pass")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    cur.foreach { case (id, logit) =>
+      assert(gate.contains(id), s"curated doc $id failed the learned gate")
+      assert(gate(id) === logit, s"doc $id logit drifted from the gate's")
+      assert(id >= 20L, s"eval doc $id leaked through the fence")
+    }
+    val heuristic = SparkEntry.queries("pipeline_curate")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(cur.keySet !== heuristic,
+      "the learned gate admitted exactly the heuristic set — suspicious")
+  }
+
   test("zipf_audit: buckets partition the token mass") {
     val rows = SparkEntry.queries("zipf_audit")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
