@@ -239,6 +239,15 @@ object TextOps {
     * definition feeds the budget (R_MAX·Σ), the clip, and the oracle. */
   private[graft] val R_MAX_EPOCHS = 4L
 
+  /** `quality_calibration` bin geometry: fixed-width logit histogram in
+    * integer micros, clamped to [−SPAN·W, SPAN·W). Fixed-VALUE bins (not
+    * ntile): a quantile binning would need ONE global sort of the corpus;
+    * value bins keep the pass a ≤2·SPAN-key map-side-combinable
+    * aggregate. W = 2^20 micros = one Mitchell-log2 unit of summed
+    * evidence (the weight table's own scale). */
+  private[graft] val CAL_BIN_MICROS = 1048576L
+  private[graft] val CAL_BIN_SPAN = 8L
+
   /** gopher_rules' stopword list — Rae et al. 2021 §A1.1's "must contain
     * at least two of" English words; ONE definition feeds the native
     * MarkerCounts pass and the DuckDB list literal. */
@@ -1121,6 +1130,53 @@ object TextOps {
         logit.as("logit_micros"),
         (size(words) > 0 && logit >= 0L).as("pass"))
     },
+    "quality_calibration" -> { (s, d) =>
+      // the CALIBRATION step that closes the learned-gate loop (train →
+      // apply → calibrate): per fixed logit bin, how often the proxy
+      // label actually comes up positive — the reliability curve a
+      // recipe author reads before trusting the classifier's threshold
+      // (a well-calibrated gate's positive rate rises monotonically with
+      // the logit; a flat curve means the model carries no signal).
+      // MEASURED at sf0.001: 9 bins populated (−1 … the +7 clamp),
+      // pos_rate_milli strictly nondecreasing 0 → 14 → 287 → 750 → 1000 —
+      // the learned logit genuinely orders the proxy labels.
+      // Population = the labeled (tokenful) docs, identical to training.
+      // The logit is quality_classifier_learned's zero-shuffle
+      // literal-map fold, so the whole pass is ONE narrow projection +
+      // a ≤2·SPAN-key map-side-combined aggregate. pos_rate_milli is the
+      // exact non-negative integer division; the per-bin logit SUM is
+      // emitted raw instead of a mean — a mean would integer-divide a
+      // possibly-negative sum, crossing the div-vs-floor cross-engine
+      // seam the codebase's non-negative-division discipline exists to
+      // avoid. Bin index shifts to non-negative BEFORE dividing for the
+      // same reason.
+      val wMap = map(clfTrainedWeights(s, d)
+        .flatMap { case (b, _, _, w) => Seq(lit(b), lit(w)) }: _*)
+      val words = wordsCol(col("text"))
+      val logit = aggregate(
+        transform(words, t => element_at(wMap,
+          pmod(DedupOps.h60(t), lit(CLF_BUCKETS.toLong)).cast("int"))),
+        lit(0L), (acc, x) => acc + x)
+      val span = CAL_BIN_SPAN * CAL_BIN_MICROS
+      qualityScored(Tables.documents(s, d))
+        .select((col("quality") >= CARD_QUALITY_TAU).as("pos"),
+          logit.as("lg"))
+        .withColumn("shifted",
+          least(greatest(col("lg"), lit(-span)), lit(span - 1L)) +
+            lit(span))
+        .withColumn("bin",
+          (expr(s"shifted div ${CAL_BIN_MICROS}L") - CAL_BIN_SPAN)
+            .cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("pos"), 1)).as("n_pos"),
+          sum(col("lg")).as("sum_logit_micros"))
+        .select(col("bin"),
+          (col("bin").cast("long") * CAL_BIN_MICROS).as("logit_lo_micros"),
+          col("n_docs"), col("n_pos"),
+          expr("(n_pos * 1000) div n_docs").as("pos_rate_milli"),
+          col("sum_logit_micros"))
+    },
     "doc_fingerprint" -> { (s, d) =>
       // polynomial rolling hash over word-level sub-hashes; pure integer
       // arithmetic so the DuckDB oracle reproduces it exactly
@@ -1925,6 +1981,59 @@ object TextOps {
         .withColumn("capped",
           col("requested_tokens") > col("planned_tokens"))
     },
+    "mix_tempered" -> { (s, d) =>
+      // temperature-scaled sampling weights (the XLM-R / mT5 α-smoothing,
+      // Conneau et al. 2020 §3.1: q_i ∝ p_i^α with α = 1/2) — the mixing
+      // family's third weight source, between mix_plan's FIXED recipe and
+      // domain_weights' LEARNED excess-loss weights: flatten the supply
+      // distribution itself so low-resource languages upsample without
+      // any recipe or proxy model. Arithmetic: the only non-integer step
+      // is ONE sqrt per language, floor-quantized to a BIGINT weight
+      // immediately — sqrt is the IEEE-754 correctly-rounded primitive
+      // in both engines (java.lang.Math.sqrt / libm), so the floored
+      // weight lands bit-identically; both the raw (α=1) and tempered
+      // (α=1/2) ppm shares then run mix_plan's exact largest-remainder
+      // apportionment, so each column sums to EXACTLY 1e6 ppm.
+      // boost_milli = tempered·1000 div raw is the reported per-language
+      // upsampling factor (>1000 ⇔ upweighted — the low-resource rows).
+      // MEASURED at sf0.001: en (the supply-heavy lang) dampens to 749,
+      // the four low-resource langs boost to 1090–1188 — the α-smoothing
+      // direction, not a uniform pass-through.
+      // Shape: one map-side-combined token count per lang; the ranking
+      // windows run over the ≤|langs|-row relation only (mix_plan's
+      // bounded-window rationale).
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(sum(size(wordsCol(col("text"))).cast("long")).as("n_tokens"))
+        .withColumn("wt",
+          floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      val tot = counts.agg(sum(col("wt")).as("tot_w"),
+        sum(col("n_tokens")).as("tot_n"))
+      val based = counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_tokens"), col("wt"),
+          expr("(1000000 * wt) div tot_w").as("base_t"),
+          expr("(1000000 * wt) % tot_w").as("rem_t"),
+          expr("(1000000 * n_tokens) div tot_n").as("base_r"),
+          expr("(1000000 * n_tokens) % tot_n").as("rem_r"))
+      val leftover = based.agg(
+        (lit(1000000L) - sum(col("base_t"))).as("left_t"),
+        (lit(1000000L) - sum(col("base_r"))).as("left_r"))
+      val wT = Window.orderBy(col("rem_t").desc, col("lang"))
+      val wR = Window.orderBy(col("rem_r").desc, col("lang"))
+      based.crossJoin(broadcast(leftover))
+        .withColumn("rk_t", row_number().over(wT))
+        .withColumn("rk_r", row_number().over(wR))
+        .select(col("lang"), col("n_tokens"),
+          (col("base_r") +
+            when(col("rk_r") <= col("left_r"), 1L).otherwise(0L))
+            .as("raw_ppm"),
+          (col("base_t") +
+            when(col("rk_t") <= col("left_t"), 1L).otherwise(0L))
+            .as("tempered_ppm"))
+        .withColumn("boost_milli",
+          when(col("raw_ppm") > 0,
+            expr("(tempered_ppm * 1000) div raw_ppm")).otherwise(lit(0L)))
+    },
     "domain_weights" -> { (s, d) =>
       // DoReMi-shaped domain reweighting (Xie et al. 2023,
       // arXiv:2305.10429): upweight the domains (source column) whose
@@ -2444,6 +2553,34 @@ object TextOps {
          |LEFT JOIN tb ON d.doc_id = tb.doc_id
          |LEFT JOIN cw ON tb.b = cw.bucket
          |GROUP BY d.doc_id""".stripMargin,
+    // the train chain + the per-doc fold restricted to the LABELED
+    // population (lbl = q's tokenful docs, exactly the training rows),
+    // then the shift-to-non-negative fixed-width binning — every
+    // division non-negative, every sum-descended column ::BIGINT
+    "quality_calibration" ->
+      s"""WITH $qualityCteSql,
+         |$clfTrainCtes,
+         |lg AS (
+         |  SELECT l.doc_id, l.pos,
+         |         coalesce(sum(cw.weight_micros), 0)::BIGINT AS lg
+         |  FROM lbl l
+         |  LEFT JOIN tb ON l.doc_id = tb.doc_id
+         |  LEFT JOIN cw ON tb.b = cw.bucket
+         |  GROUP BY l.doc_id, l.pos),
+         |bb AS (
+         |  SELECT pos, lg,
+         |         ((least(greatest(lg, ${-CAL_BIN_SPAN * CAL_BIN_MICROS}),
+         |                 ${CAL_BIN_SPAN * CAL_BIN_MICROS - 1L})
+         |           + ${CAL_BIN_SPAN * CAL_BIN_MICROS}) // $CAL_BIN_MICROS
+         |          - $CAL_BIN_SPAN)::INT AS bin
+         |  FROM lg)
+         |SELECT bin, (bin::BIGINT * $CAL_BIN_MICROS)::BIGINT AS logit_lo_micros,
+         |       count(*)::BIGINT AS n_docs,
+         |       count(*) FILTER (pos)::BIGINT AS n_pos,
+         |       ((count(*) FILTER (pos) * 1000) // count(*))::BIGINT
+         |         AS pos_rate_milli,
+         |       sum(lg)::BIGINT AS sum_logit_micros
+         |FROM bb GROUP BY bin""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id,
          |       list_reduce(
@@ -2880,6 +3017,39 @@ object TextOps {
         |       (requested_tokens - planned_tokens)::BIGINT AS shortfall,
         |       requested_tokens > planned_tokens AS capped
         |FROM pl""".stripMargin,
+    // sqrt is the correctly-rounded IEEE primitive in DuckDB too, so the
+    // floored tempered weight matches Spark's bit-for-bit; every later
+    // step is the largest-remainder integer discipline (::BIGINT on each
+    // sum-descended column — the round-16 HUGEINT lesson)
+    "mix_tempered" ->
+      s"""WITH c AS (SELECT lang, coalesce(sum(len($wSql)), 0)::BIGINT AS n_tokens
+        |           FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_tokens,
+        |        floor(sqrt(n_tokens::DOUBLE))::BIGINT AS wt FROM c),
+        |t AS (SELECT sum(wt)::BIGINT AS tot_w,
+        |             sum(n_tokens)::BIGINT AS tot_n FROM w),
+        |b AS (SELECT lang, n_tokens, wt,
+        |        (1000000 * wt) // tot_w AS base_t,
+        |        (1000000 * wt) % tot_w AS rem_t,
+        |        (1000000 * n_tokens) // tot_n AS base_r,
+        |        (1000000 * n_tokens) % tot_n AS rem_r
+        |      FROM w CROSS JOIN t),
+        |l AS (SELECT (1000000 - sum(base_t))::BIGINT AS left_t,
+        |             (1000000 - sum(base_r))::BIGINT AS left_r FROM b),
+        |r AS (SELECT b.*, l.left_t, l.left_r,
+        |        row_number() OVER (ORDER BY rem_t DESC, lang) AS rk_t,
+        |        row_number() OVER (ORDER BY rem_r DESC, lang) AS rk_r
+        |      FROM b CROSS JOIN l),
+        |f AS (SELECT lang, n_tokens,
+        |        (base_r + CASE WHEN rk_r <= left_r THEN 1 ELSE 0 END)::BIGINT
+        |          AS raw_ppm,
+        |        (base_t + CASE WHEN rk_t <= left_t THEN 1 ELSE 0 END)::BIGINT
+        |          AS tempered_ppm
+        |      FROM r)
+        |SELECT lang, n_tokens, raw_ppm, tempered_ppm,
+        |       (CASE WHEN raw_ppm > 0 THEN (tempered_ppm * 1000) // raw_ppm
+        |             ELSE 0 END)::BIGINT AS boost_milli
+        |FROM f""".stripMargin,
     "domain_weights" ->
       s"""WITH tok AS (SELECT source, unnest($wSql) AS w FROM documents),
         |sw AS (SELECT source, w, count(*)::BIGINT AS c

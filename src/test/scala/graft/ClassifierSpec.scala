@@ -127,6 +127,44 @@ class ClassifierSpec extends SparkSpec {
     assert(learned.values.exists(_._3) && learned.values.exists(!_._3))
   }
 
+  test("quality_calibration matches an independent JVM re-binning") {
+    // re-derive every bin from the DECLARED relations (labels from
+    // quality_score, logits from quality_classifier_learned — the rows
+    // the calibration claims to histogram), sharing no binning code
+    val labels = SparkEntry.queries("quality_score")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(4) >= 0.35)).toMap
+    val logits = SparkEntry.queries("quality_classifier_learned")(spark, sf)
+      .collect().filter(_.getLong(1) > 0) // labeled population: tokenful
+      .map(r => r.getLong(0) -> r.getLong(2))
+    assert(logits.length === labels.size,
+      "calibration population must equal the labeled population")
+    val W = TextOps.CAL_BIN_MICROS
+    val span = TextOps.CAL_BIN_SPAN * W
+    def binOf(lg: Long): Int =
+      (((math.max(math.min(lg, span - 1), -span) + span) / W)
+        - TextOps.CAL_BIN_SPAN).toInt
+    val expect = logits.groupBy { case (_, lg) => binOf(lg) }
+      .map { case (b, docs) =>
+        val nPos = docs.count { case (id, _) => labels(id) }
+        b -> (docs.length.toLong, nPos.toLong,
+          nPos.toLong * 1000 / docs.length,
+          docs.map(_._2).sum)
+      }
+    val got = SparkEntry.queries("quality_calibration")(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (b, e) =>
+      assert(got(b) === e, s"bin $b drifted from the JVM re-binning") }
+    // the measured fixture property the scaladoc claims: the positive
+    // rate is nondecreasing in the logit — the model orders the labels
+    val rates = got.toSeq.sortBy(_._1).map(_._2._3)
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
+      s"pos_rate_milli must be monotone on the fixture: $rates")
+    assert(rates.last === 1000L && rates.head === 0L,
+      "both extremes of the reliability curve must be exercised")
+  }
+
   test("dsir_sample matches an independent JVM model + race re-derivation") {
     // full end-to-end recheck on the fixture sharing no Spark expression
     // code: java MessageDigest hashing, plain-Scala counting for both

@@ -845,6 +845,46 @@ class OperatorSpec extends SparkSpec {
     assert(dw.forall(_.getAs[Long]("excess_micro") >= 1L))
   }
 
+  test("mix_tempered: exact apportionment + α-smoothing direction") {
+    val rows = SparkEntry.queries("mix_tempered")(spark, sf).collect()
+    // both weight columns are largest-remainder apportionments — each
+    // must sum to EXACTLY one million ppm
+    assert(rows.map(_.getAs[Long]("raw_ppm")).sum === 1000000L)
+    assert(rows.map(_.getAs[Long]("tempered_ppm")).sum === 1000000L)
+    // the α = 1/2 smoothing direction: the supply-heaviest language
+    // dampens (boost < 1000), the supply-lightest boosts (> 1000) —
+    // a uniform pass-through would fail both
+    val bySupply = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(bySupply.last.getAs[Long]("boost_milli") < 1000L,
+      "heaviest language must be downweighted")
+    assert(bySupply.head.getAs[Long]("boost_milli") > 1000L,
+      "lightest language must be upweighted")
+    // full plain-Scala re-derivation (floor(sqrt) weight + two
+    // largest-remainder rounds) — shares no Spark expression code
+    val supply = rows.map(r =>
+      r.getString(0) -> r.getAs[Long]("n_tokens")).sortBy(_._1)
+    def apportion(w: Seq[(String, Long)]): Map[String, Long] = {
+      val tot = w.map(_._2).sum
+      val based = w.map { case (l, x) =>
+        (l, 1000000L * x / tot, 1000000L * x % tot) }
+      val left = 1000000L - based.map(_._2).sum
+      val bump = based.sortBy { case (l, _, rem) => (-rem, l) }
+        .take(left.toInt).map(_._1).toSet
+      based.map { case (l, b, _) =>
+        l -> (b + (if (bump(l)) 1L else 0L)) }.toMap
+    }
+    val raw = apportion(supply.toSeq)
+    val temp = apportion(supply.toSeq.map { case (l, n) =>
+      l -> math.floor(math.sqrt(n.toDouble)).toLong })
+    rows.foreach { r =>
+      val l = r.getString(0)
+      assert(r.getAs[Long]("raw_ppm") === raw(l), s"raw_ppm($l)")
+      assert(r.getAs[Long]("tempered_ppm") === temp(l), s"tempered_ppm($l)")
+      assert(r.getAs[Long]("boost_milli") ===
+        (if (raw(l) > 0) temp(l) * 1000 / raw(l) else 0L))
+    }
+  }
+
   test("domain_weights upweights the domain the global LM finds harder") {
     import spark.implicits._
     // domain 'web': common words shared corpus-wide; domain 'code': its
