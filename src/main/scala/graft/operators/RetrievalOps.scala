@@ -185,6 +185,28 @@ object RetrievalOps {
           (col("n_hits10").cast("double") / lit(10.0)).as("prec_at_10"),
           coalesce(lit(1.0) / col("fr"), lit(0.0)).as("mrr"))
     },
+    "hard_negatives" -> { (s, d) =>
+      // hard-negative mining — the RETRIEVAL family's contribution to
+      // contrastive training data (DPR / sentence-encoder trainers pair
+      // each positive with the top-scoring NON-relevant docs, which
+      // carry far more gradient than random negatives): per query, the
+      // BM25 top-k among docs that miss ≥ 1 query term, i.e. the exact
+      // complement of retrieval_eval's deterministic boolean-AND
+      // relevance — so "negative" is oracle-derivable, not a judgment
+      // call. Since the per-(qid, doc) aggregate already counts matched
+      // terms (n_terms), the relevance filter is one broadcast of
+      // |queries| rows applied BEFORE the top-k: no extra corpus pass,
+      // no extra shuffle vs bm25_topk — the mining is free at any scale
+      // once the posting extraction ran.
+      val docs = Tables.documents(s, d)
+      val nt = { import s.implicits._
+        QUERIES.groupBy(_._1).view.mapValues(_.size).toSeq.toDF("qid", "nt") }
+      topKPerQid(bm25Scored(docs)
+          .join(broadcast(nt), Seq("qid"))
+          .where(col("n_terms") < col("nt")), TOPK)
+        .select(col("qid"), col("rk"), col("doc_id"), col("n_terms"),
+          col("score"))
+    },
     "rank_fusion" -> { (s, d) =>
       // reciprocal-rank fusion (RRF, k = 60) of the BM25 and summed-tf
       // top-10 lists: rrf = Σ 1/(60+rank) over the systems that
@@ -291,6 +313,19 @@ object RetrievalOps {
          |       coalesce(1.0::DOUBLE / min(rk), 0.0::DOUBLE) AS mrr
          |FROM rel LEFT JOIN top USING (qid, doc_id)
          |GROUP BY qid""".stripMargin,
+    // the shared BM25 chain + the partial-match filter (n_terms < the
+    // query's term count) BEFORE re-ranking — rank is recomputed over
+    // the negative pool, not sliced out of atop's all-docs ranking
+    "hard_negatives" ->
+      s"""WITH $bm25Ctes,
+         |ntq AS (SELECT qid, count(*)::BIGINT AS nt FROM q GROUP BY qid),
+         |neg AS (SELECT agg.qid, agg.doc_id, agg.n_terms, agg.score,
+         |          row_number() OVER (PARTITION BY agg.qid
+         |            ORDER BY agg.score DESC, agg.doc_id)::INT AS rk
+         |        FROM agg JOIN ntq USING (qid)
+         |        WHERE agg.n_terms < ntq.nt)
+         |SELECT qid, rk, doc_id, n_terms, score FROM neg
+         |WHERE rk <= 10""".stripMargin,
     "rank_fusion" ->
       s"""WITH $bm25Ctes,
          |tfr AS (SELECT qid, doc_id, sum(tf)::BIGINT AS score

@@ -58,8 +58,8 @@ object SimilarityOps {
   // curve); this query is the near-dup-grade LSH machinery exercised in
   // top-k form.
   private val PLANES_TOPK = 10
-  private val BUCKET_CAP = 1000 // max docs per (table, bucket) in self-joins
-  private val NCELLS = 16 // IVF: centroid cells in the inverted file
+  private[graft] val BUCKET_CAP = 1000 // max docs per (table, bucket) in self-joins
+  private[graft] val NCELLS = 16 // IVF: centroid cells in the inverted file
   private val NPROBE = 4 // IVF: cells probed per query
   private val RERANK = 20 // IVF-PQ: int8-scored shortlist width per query
   // semdedup: within-cell near-dup cosine threshold. 0.3 is the engine's
@@ -584,6 +584,30 @@ object SimilarityOps {
       val deltaDir = ensureIvfDelta(s, d)
       s.read.parquet(s"$deltaDir/vectors")
         .select(col("id"), col("cell").cast("int").as("cell"))
+    },
+    "ivf_cell_stats" -> { (s, d) =>
+      // index HEALTH audit — the skew report every serving-scale IVF
+      // deployment watches (a hot cell degrades its probes toward brute
+      // force; an empty cell wastes its centroid): per-cell population,
+      // ppm share of the corpus, and whether the cell breaches the
+      // BUCKET_CAP the within-cell self-join families (semdedup,
+      // knn_graph) silently degrade at — surfacing the degradation the
+      // cap discipline otherwise hides. Reads the PERSISTED layout (the
+      // bytes probes actually scan, ensureIvfIndex's one-off ETL); the
+      // pass is one NCELLS-key map-side-combined count over bare (id,
+      // cell) rows — no vectors move. The oracle re-derives the frozen
+      // cell model with the same trained-cells CTEs every IVF oracle
+      // uses, so the stats hash-verify the written layout end to end.
+      val dir = ensureIvfIndex(s, d)
+      val counts = s.read.parquet(s"$dir/vectors")
+        .select(col("cell").cast("int").as("cell"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val tot = counts.agg(sum(col("n_vecs")).as("n_total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"),
+          expr("(n_vecs * 1000000) div n_total").as("share_ppm"),
+          (col("n_vecs") > BUCKET_CAP).as("over_cap"))
     },
     "semdedup" -> { (s, d) =>
       // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
@@ -1340,6 +1364,18 @@ object SimilarityOps {
          |  FROM embeddings WHERE vec_id % 8 = 0),
          |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist, "delta")})
          |SELECT vec_id AS id, cluster_id AS cell FROM a""".stripMargin,
+    // the same trained-cell assignment, rolled up to the NCELLS-row
+    // population stats the persisted layout must reproduce
+    "ivf_cell_stats" ->
+      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+         |asg AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
+         |cnt AS (SELECT cluster_id AS cell, count(*)::BIGINT AS n_vecs
+         |        FROM asg GROUP BY cluster_id),
+         |t AS (SELECT sum(n_vecs)::BIGINT AS n_total FROM cnt)
+         |SELECT cell, n_vecs,
+         |       ((n_vecs * 1000000) // n_total)::BIGINT AS share_ppm,
+         |       n_vecs > $BUCKET_CAP AS over_cap
+         |FROM cnt CROSS JOIN t""".stripMargin,
     // the same trained-cell assignment every IVF oracle re-derives
     // (hash-proven equal to the persisted layout by the IVF oracles),
     // then within-cell pairs at the r4 cosine grid; asg MATERIALIZED —

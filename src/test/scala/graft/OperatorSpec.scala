@@ -332,6 +332,28 @@ class OperatorSpec extends SparkSpec {
     assert(ivf.where(col("sim") > 1.0001 || col("sim") < -1.0001).count() === 0L)
   }
 
+  test("ivf_cell_stats recomputes exactly from the persisted layout") {
+    import graft.operators.SimilarityOps
+    val got = SparkEntry.queries("ivf_cell_stats")(spark, sf).collect()
+      .map(r => r.getAs[Int]("cell") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("share_ppm"),
+          r.getAs[Boolean]("over_cap"))).toMap
+    // independent recount straight off the layout bytes the probes scan
+    val dir = SimilarityOps.ensureIvfIndex(spark, sf)
+    val cells = spark.read.parquet(s"$dir/vectors")
+      .select(col("cell").cast("int")).collect().map(_.getInt(0))
+    val expect = cells.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = cells.length.toLong
+    assert(got.keySet === expect.keySet)
+    assert(got.keySet.size <= SimilarityOps.NCELLS)
+    assert(got.values.map(_._1).sum === total, "populations must tile the corpus")
+    got.foreach { case (cell, (n, ppm, over)) =>
+      assert(n === expect(cell), s"cell $cell population drift")
+      assert(ppm === n * 1000000L / total, s"cell $cell ppm drift")
+      assert(over === (n > SimilarityOps.BUCKET_CAP))
+    }
+  }
+
   test("ivf_index_incremental: appended layout equals a frozen-model rebuild") {
     import graft.operators.{KMeansOps, SimilarityOps}
     val baseDir = SimilarityOps.ensureIvfIndex(spark, sf)

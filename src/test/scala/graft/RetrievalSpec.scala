@@ -387,6 +387,36 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hard_negatives: exact partial-match top-10, disjoint from relevant") {
+    val got = SparkEntry.queries("hard_negatives")(spark, sf).collect()
+    assert(got.nonEmpty)
+    // brute-force recheck from the shared BM25 chain: per qid the
+    // negative pool is docs matching >= 1 but NOT all terms; its top-10
+    // under (score desc, doc_id) must equal the declared result exactly
+    val nt = RetrievalOps.QUERIES.groupBy(_._1).view.mapValues(_.size).toMap
+    val pool = RetrievalOps.bm25Scored(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getAs[Int]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_terms"), r.getAs[Long]("score")))
+      .filter { case (q, _, m, _) => m < nt(q) }
+    val expect = pool.groupBy(_._1).map { case (q, g) =>
+      q -> g.sortBy(t => (-t._4, t._2)).take(10).zipWithIndex
+        .map { case ((_, id, m, s), i) => (i + 1, id, m, s) }.toSeq
+    }
+    assert(got.map(_.getAs[Int]("qid")).toSet == expect.keySet)
+    got.groupBy(_.getAs[Int]("qid")).foreach { case (q, rows) =>
+      val gotSeq = rows.sortBy(_.getAs[Int]("rk")).map(r =>
+        (r.getAs[Int]("rk"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_terms"), r.getAs[Long]("score"))).toSeq
+      assert(gotSeq == expect(q), s"qid $q negative top-10 drift")
+    }
+    // the mined negatives are hard by construction: every one matched at
+    // least one query term yet missed at least one — never a full match
+    got.foreach { r =>
+      val m = r.getAs[Long]("n_terms")
+      assert(m >= 1 && m < nt(r.getAs[Int]("qid")))
+    }
+  }
+
   test("grouping_sets_agg marginals equal their single-set groupBys") {
     val gs = SparkEntry.queries("grouping_sets_agg")(spark, sf).collect()
     assert(gs.map(_.getAs[Long]("gid")).toSet == Set(1L, 2L))
