@@ -728,6 +728,39 @@ class PlanSpec extends SparkSpec {
       "map-side top-k pruning missing before the ranking shuffle")
   }
 
+  test("hard_negatives prunes map-side: broadcast filter + partial top-k") {
+    val plan = executed("hard_negatives")
+    // the |queries|-row term-count relation must broadcast onto the
+    // already-aggregated BM25 relation (mining adds no corpus pass and
+    // no new shuffle over bm25_topk), and the negative ranking must keep
+    // bm25_topk's map-side WindowGroupLimit cap — no per-query funnel
+    assert(plan.contains("BroadcastHashJoin"), "nt relation not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("WindowGroupLimit") &&
+        "(?s)WindowGroupLimit.*10.*Partial".r.findFirstIn(plan).isDefined,
+      "map-side top-k pruning missing before the negative ranking shuffle")
+  }
+
+  test("ivf_cell_stats reads bare cells off the standing layout") {
+    val plan = executed("ivf_cell_stats")
+    // the audit must scan the persisted index bytes (never re-assign),
+    // read ONLY the cell column (no float vectors, no ids move), and
+    // collapse map-side: a partial count per cell before any exchange;
+    // the 1-row total joins back as a broadcast, never a cartesian
+    assert(!plan.toLowerCase.contains("nearestcenter"),
+      "stats must read the persisted layout, not re-assign in-query")
+    val idxScans = plan.split("\n").filter(l =>
+      l.contains("Scan parquet") && l.contains("ivf-index"))
+    assert(idxScans.nonEmpty, "no scan of the standing IVF layout")
+    assert(idxScans.forall(l => !l.contains("v:") && !l.contains("id:")),
+      "cell-count scans must read the cell column only")
+    assert(plan.contains("partial_count"),
+      "per-cell count must combine map-side")
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      "the 1-row total must broadcast")
+  }
+
   test("quality_classifier is a zero-shuffle projection with folded weights") {
     val plan = executed("quality_classifier")
     // the model's weight table is a literal map in the projection — the
