@@ -674,6 +674,66 @@ object DedupOps {
       .withColumn("keep", col("stage") === "kept")
   }
 
+  /** `source_overlap` core over any (doc_id, source, text) relation —
+    * the cross-source duplicate-overlap matrix (which sources republish
+    * which): n_overlap(a, b) = a's docs whose exact text also appears in
+    * b (diagonal = a's docs duplicated WITHIN a), plus the integer-ppm
+    * share of a's corpus. The governance read before mixing corpora:
+    * a source pair with high overlap double-counts under any recipe
+    * weights, and the diagonal is each source's own dup mass.
+    *
+    * Scale shape: ONE corpus pass — the (digest, source) pre-aggregate
+    * (map-side combined; the dedup_exact digest discipline, never raw
+    * text) also yields the per-source totals by re-aggregating its own
+    * bounded output; singleton digests (the overwhelming mass of a real
+    * corpus) are dropped by a window total BEFORE the pair join, so the
+    * join runs only over genuinely duplicated digests, keyed on the
+    * digest with output bounded by |sources|² per digest — never
+    * all-pairs, never text. Factored so the spec can drive it over a
+    * constructed corpus. */
+  private[graft] def sourceOverlap(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .groupBy(digest(col("text")).as("h"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val dupd = g
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("h"))))
+      .where(col("tot") >= 2)
+    val a = dupd.select(col("h"), col("source").as("src_a"), col("c").as("c_a"))
+    val b = dupd.select(col("h"), col("source").as("src_b"))
+    // totals from g's own bounded output: every doc lands in exactly one
+    // (digest, source) cell, so sum(c) per source IS the corpus count —
+    // no second corpus scan
+    val totals = g.groupBy(col("source").as("src_a"))
+      .agg(sum(col("c")).as("n_docs_a"))
+    a.join(b, Seq("h"))
+      .where(col("src_a") =!= col("src_b") || col("c_a") >= 2)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("c_a")).as("n_overlap"))
+      .join(broadcast(totals), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_docs_a"), col("n_overlap"),
+        expr("(n_overlap * 1000000) div n_docs_a").as("share_ppm"))
+  }
+
+  /** `source_overlap`'s fixture shim: the raw fixture has NO exact text
+    * duplicates at all (every doc body is unique), so — the dataset_diff
+    * / dedup_url precedent — cross-source duplication is synthesized as
+    * a pure function of the parquet source: every doc with doc_id ≡ 5
+    * (mod 9) takes a shared payload keyed by its 200-block. 9 is coprime
+    * with the source period 20, so each 200-block's shim group spans ~20
+    * sources (off-diagonal overlap), and since lcm(9, 20) = 180 < 200
+    * some sources repeat within a block (diagonal overlap) — both matrix
+    * arms fire and the oracle checks the WHOLE shim+matrix computation. */
+  private[graft] val overlapShimExpr: Column =
+    when(col("doc_id") % 9 === 5,
+      concat(lit("shared resource "), expr("doc_id div 200").cast("string")))
+      .otherwise(col("text"))
+
+  private[graft] val overlapShimSql: String =
+    """CASE WHEN doc_id % 9 = 5
+      |     THEN 'shared resource ' || (doc_id // 200)::VARCHAR
+      |     ELSE text END""".stripMargin
+
   /** Deterministic per-doc URL for the dedup_url fixture — the lake's
     * `source` axis promoted to a crawl-style URL. Every 4 consecutive
     * doc_ids share one logical resource (same host/path/params) published
@@ -777,6 +837,14 @@ object DedupOps {
         .groupBy(digest(col("text")).as("text_hash"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
+    },
+    "source_overlap" -> { (s, d) =>
+      // the cross-source duplicate-overlap matrix (see sourceOverlap):
+      // which sources republish which — the double-counting audit read
+      // before trusting any mixing recipe over a multi-source corpus
+      sourceOverlap(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          overlapShimExpr.as("text")))
     },
     "dedup_incremental" -> { (s, d) =>
       // the PRODUCTION dedup deployment shape: a new crawl DELTA deduped
@@ -1220,6 +1288,25 @@ object DedupOps {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_exact_docs" ->
       "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)",
+    // the shim + the same digest-group / dup-filter / pair-join matrix;
+    // totals re-aggregated from the (digest, source) cells like the
+    // engine side so the two passes can never disagree on the base
+    "source_overlap" ->
+      s"""WITH s AS (SELECT doc_id, source, $overlapShimSql AS text
+         |           FROM documents),
+         |c AS (SELECT md5(text) AS h, source, count(*)::BIGINT AS c
+         |      FROM s GROUP BY 1, 2),
+         |d AS (SELECT h FROM c GROUP BY h HAVING sum(c) >= 2),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |             sum(a.c)::BIGINT AS n_overlap
+         |      FROM c a JOIN c b USING (h) JOIN d USING (h)
+         |      WHERE a.source <> b.source OR a.c >= 2
+         |      GROUP BY 1, 2),
+         |n AS (SELECT source AS src_a, sum(c)::BIGINT AS n_docs_a
+         |      FROM c GROUP BY 1)
+         |SELECT src_a, src_b, n_docs_a, n_overlap,
+         |       ((n_overlap * 1000000) // n_docs_a)::BIGINT AS share_ppm
+         |FROM p JOIN n USING (src_a)""".stripMargin,
     "dedup_incremental" ->
       s"""WITH u AS (SELECT doc_id, text,
         |             ${graft.functions.VectorSql.unitUniform("doc_id")} AS uu

@@ -354,6 +354,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("source_overlap matches a text-equality re-derivation on the fixture") {
+    // independent recheck grouping by RAW TEXT with plain string equality
+    // (no digest, no Spark expression shared) — also proves the digest
+    // grouping equals text grouping on the fixture
+    val got = SparkEntry.queries("source_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val shimmed = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
+        (src, if (id % 9 == 5) s"shared resource ${id / 200}" else text)
+      }
+    val expect = collection.mutable.Map.empty[(String, String), Long]
+    shimmed.groupBy(_._2).values.filter(_.length >= 2).foreach { g =>
+      val bySrc = g.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      for ((a, ca) <- bySrc; b <- bySrc.keys if a != b || ca >= 2)
+        expect((a, b)) = expect.getOrElse((a, b), 0L) + ca
+    }
+    val totals = shimmed.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (k, n) =>
+      assert(got(k) === ((totals(k._1), n, n * 1000000L / totals(k._1))),
+        s"pair $k drifted")
+    }
+    // the shim must exercise BOTH matrix arms
+    assert(got.keys.exists(k => k._1 == k._2), "no diagonal rows")
+    assert(got.keys.exists(k => k._1 != k._2), "no off-diagonal rows")
+  }
+
   test("ivf_index_incremental: appended layout equals a frozen-model rebuild") {
     import graft.operators.{KMeansOps, SimilarityOps}
     val baseDir = SimilarityOps.ensureIvfIndex(spark, sf)

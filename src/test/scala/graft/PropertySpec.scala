@@ -422,6 +422,23 @@ class PropertySpec extends SparkSpec {
     assert(apply(5L) === (2L, 0L, 0, md5hex("")))
   }
 
+  test("source_overlap: hand-computed matrix on a constructed corpus") {
+    // text x straddles sources A and B (off-diagonal, both directions);
+    // text y is duplicated WITHIN A (diagonal, both copies count); text
+    // z is a singleton (must not appear); source C has no dups at all
+    // (absent from the matrix entirely)
+    val docs = Seq(
+      (1L, "A", "x"), (2L, "B", "x"), (3L, "A", "y"), (4L, "A", "y"),
+      (5L, "C", "z")).toDF("doc_id", "source", "text")
+    val got = DedupOps.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(
+      ("A", "B") -> (3L, 1L, 333333L),
+      ("B", "A") -> (1L, 1L, 1000000L),
+      ("A", "A") -> (3L, 2L, 666666L)))
+  }
+
   test("paragraph incremental: both drop paths and the attribution priority") {
     // constructed base/delta corpus exercising every stage AND the
     // priority rule: a delta block that is both a within-delta dup and
