@@ -838,6 +838,37 @@ object DedupOps {
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
     },
+    "dedup_url_incremental" -> { (s, d) =>
+      // the URL member of the incremental dedup matrix (exact / MinHash /
+      // embedding / media / paragraph have theirs): a crawl delta's
+      // canonical URLs deduped against the standing corpus's
+      // canonical-URL index — within-delta first-fetch collapse first
+      // (wins the stage attribution, the family's priority rule), then
+      // standing collision via a shuffled left join on the canonical key
+      // (bucketable at deployment). Split = md5-parity of doc_id rather
+      // than the usual unitUniform: the multiplicative-hash uniform is
+      // LOW-DISCREPANCY over consecutive ids (4 consecutive fetch
+      // variants of one resource can never land all-delta, so the 'kept'
+      // arm would never fire); hashing the id through h60 decorrelates
+      // the split from the resource grouping — all three stages fire on
+      // the fixture (108 base / 122 delta / 5 kept).
+      import org.apache.spark.sql.expressions.Window
+      val urls = Tables.documents(s, d)
+        .select(col("doc_id"), urlGenExpr.as("url"))
+        .withColumn("canon_url", urlCanonCol(col("url")))
+        .withColumn("par", pmod(h60(col("doc_id").cast("string")), lit(2L)))
+      val base = urls.where(col("par") === 0)
+        .select(col("canon_url")).distinct()
+      val w = Window.partitionBy(col("canon_url")).orderBy(col("doc_id"))
+      urls.where(col("par") === 1)
+        .withColumn("first_d", row_number().over(w) === 1)
+        .join(base.select(col("canon_url"), lit(true).as("inb")),
+          Seq("canon_url"), "left")
+        .select(col("doc_id"), col("canon_url"),
+          when(not(col("first_d")), "delta")
+            .when(col("inb").isNotNull, "base")
+            .otherwise("kept").as("stage"))
+    },
     "source_overlap" -> { (s, d) =>
       // the cross-source duplicate-overlap matrix (see sourceOverlap):
       // which sources republish which — the double-counting audit read
@@ -1288,6 +1319,23 @@ object DedupOps {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_exact_docs" ->
       "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)",
+    // the canonicalize chain shared with dedup_url + the incremental
+    // family's two-stage attribution; the split parity via the shared
+    // h60 rendering
+    "dedup_url_incremental" ->
+      s"""WITH u AS (SELECT doc_id, $urlGenSql AS url FROM documents),
+         |c AS (SELECT doc_id, ${urlCanonSql("url")} AS canon_url,
+         |        ${h60Sql("doc_id::VARCHAR")} % 2 AS par FROM u),
+         |base AS (SELECT DISTINCT canon_url FROM c WHERE par = 0),
+         |delta AS (SELECT doc_id, canon_url,
+         |            row_number() OVER (PARTITION BY canon_url
+         |              ORDER BY doc_id) AS rk
+         |          FROM c WHERE par = 1)
+         |SELECT d.doc_id, d.canon_url,
+         |       CASE WHEN d.rk > 1 THEN 'delta'
+         |            WHEN b.canon_url IS NOT NULL THEN 'base'
+         |            ELSE 'kept' END AS stage
+         |FROM delta d LEFT JOIN base b USING (canon_url)""".stripMargin,
     // the shim + the same digest-group / dup-filter / pair-join matrix;
     // totals re-aggregated from the (digest, source) cells like the
     // engine side so the two passes can never disagree on the base

@@ -1062,6 +1062,29 @@ object TextOps {
         .select(col("doc_id"), markerCounts(wordsCol(col("text"))).as("mc"))
         .select(col("doc_id"), langFromCounts(col("mc")).as("lang_guess"))
     },
+    "lang_confusion" -> { (s, d) =>
+      // the metadata-vs-content label audit — the confusion matrix
+      // between the corpus's own `lang` column and the n-gram detector:
+      // the first thing read when deciding whether to trust crawl
+      // metadata for mixing/filtering. On THIS fixture it quantifies the
+      // known honesty note (every language draws from one English-ish
+      // vocabulary, so en mostly detects 'en' and the rest split
+      // en/und) — exactly the artifact a confusion matrix exists to
+      // surface. One corpus pass (the lang_id projection), rolled up
+      // map-side to a ≤ |langs|·|guesses|-key aggregate; the per-lang
+      // total for the ppm share re-aggregates the bounded cell relation
+      // through a lang-partitioned window — no second corpus scan.
+      Tables.documents(s, d)
+        .select(col("lang"),
+          langFromCounts(markerCounts(wordsCol(col("text"))))
+            .as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_lang",
+          sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("lang_guess"), col("n_docs"),
+          expr("(n_docs * 1000000) div n_lang").as("share_ppm"))
+    },
     "quality_score" -> { (s, d) =>
       import graft.functions.VectorOps.rIeee
       qualityScored(Tables.documents(s, d))
@@ -1176,6 +1199,42 @@ object TextOps {
           col("n_docs"), col("n_pos"),
           expr("(n_pos * 1000) div n_docs").as("pos_rate_milli"),
           col("sum_logit_micros"))
+    },
+    "quality_classifier_eval" -> { (s, d) =>
+      // the EVALUATION row that completes the learned-gate loop (train →
+      // apply → calibrate → eval): the confusion matrix of the learned
+      // decision (logit ≥ 0) against the proxy labels it trained on,
+      // with integer-milli precision/recall/accuracy — the headline
+      // numbers the scaladoc of quality_classifier_learned could only
+      // report as prose measurements, now a declared oracle-checked
+      // artifact that drifts visibly if the trainer or scorer changes.
+      // Self-training honesty carries over: agreement with the heuristic
+      // gate measures signal recovery, not ground truth. Population =
+      // the labeled (tokenful) docs, identical to training/calibration.
+      // ONE corpus pass (the same zero-shuffle literal-map fold) rolled
+      // up map-side to a single row; all divisions are non-negative
+      // integers, nullif-guarded like retrieval_eval's mrr.
+      val wMap = map(clfTrainedWeights(s, d)
+        .flatMap { case (b, _, _, w) => Seq(lit(b), lit(w)) }: _*)
+      val words = wordsCol(col("text"))
+      val logit = aggregate(
+        transform(words, t => element_at(wMap,
+          pmod(DedupOps.h60(t), lit(CLF_BUCKETS.toLong)).cast("int"))),
+        lit(0L), (acc, x) => acc + x)
+      qualityScored(Tables.documents(s, d))
+        .select((col("quality") >= CARD_QUALITY_TAU).as("pos"),
+          (logit >= 0L).as("pred"))
+        .agg(count(when(col("pos") && col("pred"), 1)).as("n_tp"),
+          count(when(!col("pos") && col("pred"), 1)).as("n_fp"),
+          count(when(col("pos") && !col("pred"), 1)).as("n_fn"),
+          count(when(!col("pos") && !col("pred"), 1)).as("n_tn"))
+        .select(col("n_tp"), col("n_fp"), col("n_fn"), col("n_tn"),
+          expr("(n_tp * 1000) div nullif(n_tp + n_fp, 0)")
+            .as("precision_milli"),
+          expr("(n_tp * 1000) div nullif(n_tp + n_fn, 0)")
+            .as("recall_milli"),
+          expr("((n_tp + n_tn) * 1000) div (n_tp + n_fp + n_fn + n_tn)")
+            .as("accuracy_milli"))
     },
     "doc_fingerprint" -> { (s, d) =>
       // polynomial rolling hash over word-level sub-hashes; pure integer
@@ -2496,6 +2555,26 @@ object TextOps {
          |FROM (SELECT doc_id, ${hitsSql("en")} AS s_en, ${hitsSql("es")} AS s_es,
          |             ${hitsSql("de")} AS s_de, ${hitsSql("fr")} AS s_fr
          |      FROM (SELECT doc_id, $wSql AS w FROM documents))""".stripMargin,
+    // the lang_id decision chain with the metadata lang carried through,
+    // rolled up to the bounded confusion cells; per-lang totals
+    // re-aggregate the cells (no second corpus pass on either engine)
+    "lang_confusion" ->
+      s"""WITH li AS (
+         |  SELECT lang, CASE
+         |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |    WHEN s_fr > 0 THEN 'fr'
+         |    ELSE 'und' END AS lang_guess
+         |  FROM (SELECT lang, ${hitsSql("en")} AS s_en, ${hitsSql("es")} AS s_es,
+         |               ${hitsSql("de")} AS s_de, ${hitsSql("fr")} AS s_fr
+         |        FROM (SELECT lang, $wSql AS w FROM documents))),
+         |c AS (SELECT lang, lang_guess, count(*)::BIGINT AS n_docs
+         |      FROM li GROUP BY 1, 2),
+         |t AS (SELECT lang, sum(n_docs)::BIGINT AS n_lang FROM c GROUP BY 1)
+         |SELECT lang, lang_guess, n_docs,
+         |       ((n_docs * 1000000) // n_lang)::BIGINT AS share_ppm
+         |FROM c JOIN t USING (lang)""".stripMargin,
     "quality_score" ->
       s"""SELECT doc_id, n_tokens,
          |       ${graft.functions.VectorSql.rIeee("avg_token_len", 4)} AS avg_token_len,
@@ -2581,6 +2660,33 @@ object TextOps {
          |         AS pos_rate_milli,
          |       sum(lg)::BIGINT AS sum_logit_micros
          |FROM bb GROUP BY bin""".stripMargin,
+    // the same labeled-population fold, collapsed to the confusion
+    // matrix; every division non-negative and nullif-guarded, every
+    // count-descended column ::BIGINT
+    "quality_classifier_eval" ->
+      s"""WITH $qualityCteSql,
+         |$clfTrainCtes,
+         |lg AS (
+         |  SELECT l.doc_id, l.pos,
+         |         coalesce(sum(cw.weight_micros), 0)::BIGINT AS lg
+         |  FROM lbl l
+         |  LEFT JOIN tb ON l.doc_id = tb.doc_id
+         |  LEFT JOIN cw ON tb.b = cw.bucket
+         |  GROUP BY l.doc_id, l.pos),
+         |cm AS (SELECT
+         |    count(*) FILTER (pos AND lg >= 0)::BIGINT AS n_tp,
+         |    count(*) FILTER (NOT pos AND lg >= 0)::BIGINT AS n_fp,
+         |    count(*) FILTER (pos AND lg < 0)::BIGINT AS n_fn,
+         |    count(*) FILTER (NOT pos AND lg < 0)::BIGINT AS n_tn
+         |  FROM lg)
+         |SELECT n_tp, n_fp, n_fn, n_tn,
+         |       ((n_tp * 1000) // nullif(n_tp + n_fp, 0))::BIGINT
+         |         AS precision_milli,
+         |       ((n_tp * 1000) // nullif(n_tp + n_fn, 0))::BIGINT
+         |         AS recall_milli,
+         |       (((n_tp + n_tn) * 1000) // (n_tp + n_fp + n_fn + n_tn))::BIGINT
+         |         AS accuracy_milli
+         |FROM cm""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id,
          |       list_reduce(

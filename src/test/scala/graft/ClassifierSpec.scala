@@ -165,6 +165,33 @@ class ClassifierSpec extends SparkSpec {
       "both extremes of the reliability curve must be exercised")
   }
 
+  test("quality_classifier_eval re-derives from the declared gate outputs") {
+    // confusion matrix recomputed from the DECLARED relations (labels
+    // from quality_score, decisions from quality_classifier_learned on
+    // the tokenful population) — no aggregation code shared
+    val labels = SparkEntry.queries("quality_score")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(4) >= 0.35)).toMap
+    val preds = SparkEntry.queries("quality_classifier_learned")(spark, sf)
+      .collect().filter(_.getLong(1) > 0)
+      .map(r => r.getLong(0) -> (r.getLong(2) >= 0L))
+    assert(preds.length === labels.size)
+    val tp = preds.count { case (id, p) => p && labels(id) }.toLong
+    val fp = preds.count { case (id, p) => p && !labels(id) }.toLong
+    val fn = preds.count { case (id, p) => !p && labels(id) }.toLong
+    val tn = preds.count { case (id, p) => !p && !labels(id) }.toLong
+    val r = SparkEntry.queries("quality_classifier_eval")(spark, sf)
+      .collect() match { case Array(one) => one }
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((tp, fp, fn, tn)))
+    assert(r.getLong(4) === tp * 1000 / (tp + fp))
+    assert(r.getLong(5) === tp * 1000 / (tp + fn))
+    assert(r.getLong(6) === (tp + tn) * 1000 / (tp + fp + fn + tn))
+    // the measured fixture facts the learned-gate scaladocs claim:
+    // full recall of the heuristic positives, imperfect precision
+    assert(r.getLong(5) === 1000L, "learned gate must recover every positive")
+    assert(r.getLong(1) > 0L, "the fixture must exercise false positives")
+  }
+
   test("dsir_sample matches an independent JVM model + race re-derivation") {
     // full end-to-end recheck on the fixture sharing no Spark expression
     // code: java MessageDigest hashing, plain-Scala counting for both

@@ -354,6 +354,64 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("lang_confusion re-derives from lang_id and the metadata column") {
+    val got = SparkEntry.queries("lang_confusion")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // independent: join the DECLARED lang_id guesses to the raw lang
+    // column by doc_id in plain Scala and recount every cell
+    val guesses = SparkEntry.queries("lang_id")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val langs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getString(1), guesses(r.getLong(0))))
+    val cells = langs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = langs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet === cells.keySet)
+    cells.foreach { case (k, n) =>
+      assert(got(k) === ((n, n * 1000000L / totals(k._1))), s"cell $k") }
+    // the matrix tiles the corpus, and the fixture's known honesty
+    // artifact is visible in it: en detects mostly 'en', and no
+    // non-English metadata lang is ever detected as itself
+    assert(got.values.map(_._1).sum === langs.length.toLong)
+    assert(got.getOrElse(("en", "en"), (0L, 0L))._2 > 500000L,
+      "en must mostly detect as en via the shared stopwords")
+    assert(!got.keys.exists(k => k._1 != "en" && k._1 == k._2),
+      "no non-en lang can detect as itself on the shared-vocab fixture")
+  }
+
+  test("dedup_url_incremental re-derives from dedup_url's canonical keys") {
+    val got = SparkEntry.queries("dedup_url_incremental")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    // independent: take the DECLARED canonicalization (dedup_url's
+    // canon_url column), split by a plain-java md5 parity, and replay
+    // the two-stage attribution with Scala collections
+    def par(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16) % 2
+    val canon = SparkEntry.queries("dedup_url")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val delta = canon.keys.toSeq.filter(par(_) == 1).sorted
+    val baseCanon = canon.keys.filter(par(_) == 0).map(canon).toSet
+    val firstOf = delta.groupBy(canon).map { case (c, ids) => c -> ids.min }
+    val expect = delta.map { id =>
+      val c = canon(id)
+      id -> (c,
+        if (firstOf(c) != id) "delta"
+        else if (baseCanon(c)) "base"
+        else "kept")
+    }.toMap
+    assert(got === expect)
+    // all three stages must fire on the fixture (the md5-parity split
+    // exists exactly because the multiplicative hash never isolates a
+    // whole 4-variant resource in the delta)
+    assert(Set("delta", "base", "kept").subsetOf(
+      got.values.map(_._2).toSet))
+  }
+
   test("source_overlap matches a text-equality re-derivation on the fixture") {
     // independent recheck grouping by RAW TEXT with plain string equality
     // (no digest, no Spark expression shared) — also proves the digest
