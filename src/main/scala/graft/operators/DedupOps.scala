@@ -693,9 +693,17 @@ object DedupOps {
     * constructed corpus. */
   private[graft] def sourceOverlap(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE corpus pass, materialized: three consumers (the dup window,
+    // the pair join's second side, the per-source totals) would each
+    // recompute the digest aggregate from the raw text without this —
+    // measured 3 full corpus scans in the physical plan. The checkpoint
+    // holds only (16-byte digest, source, count) rows — the narrow
+    // relation dedup_exact's discipline says may shuffle at 100 TB
+    // (rank_fusion's shared-termMatches precedent).
     val g = docs
       .groupBy(digest(col("text")).as("h"), col("source"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val dupd = g
       .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("h"))))
       .where(col("tot") >= 2)

@@ -989,7 +989,7 @@ object SimilarityOps {
       val dim = 64
       val c = covMatrix(KMeansOps.points(s, d), dim)
       val (v, _) = powerIterate(c, dim, steps = 2)
-      val pcLit = array(v.map(x => lit(r6d(x))): _*)
+      val pcLit = array(v.toIndexedSeq.map(x => lit(r6d(x))): _*)
       KMeansOps.points(s, d)
         .select(col("id").as("vec_id"),
           graft.functions.VectorOps.rIeee(

@@ -761,6 +761,36 @@ class PlanSpec extends SparkSpec {
       "the 1-row total must broadcast")
   }
 
+  test("source_overlap: one corpus scan, no cartesian, broadcast totals") {
+    val plan = executed("source_overlap")
+    // the matrix must derive everything from ONE digest pass: the
+    // (digest, source, c) cells are localCheckpointed, so the final plan
+    // carries NO parquet scan at all — its three consumers (dup window,
+    // pair join, totals) all read the materialized cells (without the
+    // checkpoint this plan re-scanned the corpus 3×, text re-hashed each
+    // time); the pair join is keyed (never cartesian) and the bounded
+    // totals join back as a broadcast
+    assert(!plan.contains("Scan parquet"),
+      "all consumers must read the checkpointed cells, not the corpus")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"), "totals not broadcast")
+  }
+
+  test("lang_confusion and quality_classifier_eval stay one-pass") {
+    val lc = executed("lang_confusion")
+    // one corpus scan to bounded cells; the per-lang total re-aggregates
+    // the cells (a second scan would double the 100 TB price)
+    assert(lc.split("Scan parquet", -1).length - 1 == 1,
+      "confusion matrix must read the corpus exactly once")
+    assert(!lc.contains("Join"), "no join belongs in the confusion rollup")
+    val ev = executed("quality_classifier_eval")
+    // the eval row is the classifier fold + one global aggregate: the
+    // learned weights fold as literals (never a join), one corpus scan
+    assert(ev.split("Scan parquet", -1).length - 1 == 1,
+      "eval must read the corpus exactly once")
+    assert(!ev.contains("Join"), "weights must fold as literals, not join")
+  }
+
   test("quality_classifier is a zero-shuffle projection with folded weights") {
     val plan = executed("quality_classifier")
     // the model's weight table is a literal map in the projection — the
