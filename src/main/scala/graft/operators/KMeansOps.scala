@@ -249,6 +249,17 @@ object KMeansOps {
     * check reads the query's own output). */
   private val SWEEP_KS = Seq(2, 4, 8)
 
+  /** `kmeans_minibatch` knobs: 4 trips at a 25% hash-rate batch, with
+    * the per-id draw stream offset past every other roundUniform user
+    * (init_plusplus uses rounds 0..k). Rate-based batching (a
+    * deterministic hash threshold) rather than Sculley's fixed-size b:
+    * fixed-size needs |corpus| to set the threshold — a rate is the
+    * shuffle-free distributed form, and the learning-rate arithmetic
+    * (per-center cumulative counts) is identical. */
+  private[graft] val MB_TRIPS = 4
+  private[graft] val MB_FRAC = 0.25
+  private[graft] val MB_ROUND0 = 40
+
   /** Frozen deterministic center set shared by the oracle-checked
     * assignment queries: first K points of the id permutation — the same
     * set `ORDER BY (vec_id*2654435761)%4294967296, vec_id LIMIT K` yields
@@ -556,6 +567,14 @@ object KMeansOps {
       // the cell-mean float sums round through rIeee@6.
       coresetReps(s)
     },
+    "kmeans_minibatch" -> { (s, d) =>
+      // mini-batch k-means (Sculley 2010) — the family's third scale
+      // path: trips touch only a 25% hash-rate batch and centers move by
+      // the per-center cumulative-count learning rate, all in exact
+      // integer micros (see minibatch's scaladoc for the determinism and
+      // scale contracts)
+      minibatch(s, d)
+    },
     "kmeans_lloyd_coreset" -> { (s, _) =>
       // the flagship loop ITERATED ON THE SUMMARY — how k-means actually
       // runs at 100 TB: the corpus contributes exactly one map-side-
@@ -704,6 +723,81 @@ object KMeansOps {
     * scale). Seeding: farthest-point from the max-L2 rep, ties broken
     * by (x, y) ascending — the reference's InitMaxFarthest discipline
     * applied to reps. */
+  /** Mini-batch k-means (Sculley 2010, WWW — "Web-scale k-means
+    * clustering"): each trip touches only a deterministic hash-rate
+    * sample of the corpus, and centers move by the per-center
+    * cumulative-count learning rate c += (Σx − m·c)/n_seen — the third
+    * scale path of the family, between full-corpus Lloyd (every trip
+    * scans everything) and the coreset loop (one scan ever, then
+    * summary-sized trips): mini-batch trips cost FRAC of a scan each and
+    * converge on far fewer points seen.
+    *
+    * Exactness contract (the kmeans_lloyd_coreset discipline,
+    * distributed): coordinates quantize ONCE to integer micros
+    * (floor(x·1e6 + 0.5) — identical IEEE steps in both engines);
+    * distances on the micro grid are exact integers ≤ 2.6e14, computed
+    * bit-identically even in double registers (< 2^53); batch sums are
+    * LONG aggregates (order-free); the update division is the
+    * sign-symmetric round-half-away form (DuckDB `//` truncates, Java
+    * floorDiv floors — |a|-based is the engine-neutral one). The whole
+    * trajectory is bit-identical cross-engine with zero snap/tolerance
+    * machinery.
+    *
+    * Scale shape: the quantized corpus localCheckpoints once (5 touches:
+    * 4 batch trips + the final assignment — kmeans_lloyd's precedent);
+    * each trip is filter → codegen NearestCenter → ONE map-side-combined
+    * (cid → count + 64 LONG sums) aggregate collapsing to ≤ k rows; the
+    * driver holds only k×64 longs. Output: per-center cumulative batch
+    * points seen, full-corpus assignment count, and the exact integer
+    * sum of squared micro-distances. */
+  private[graft] def minibatch(s: SparkSession, d: String): DataFrame = {
+    def quant(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    def divHalfAway(a: Long, b: Long): Long = {
+      val q = (2 * math.abs(a) + b) / (2 * b)
+      if (a < 0) -q else q
+    }
+    val pq = points(s, d).select(col("id"),
+        transform(col("v"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")).as("q"))
+      .localCheckpoint()
+    val qd = transform(col("q"), x => x.cast("double"))
+    val centers: Array[Array[Long]] = frozenCenters(s, d).map(_._2.map(quant))
+    val nSeen = Array.fill(K)(0L)
+    for (t <- 1 to MB_TRIPS) {
+      val cLit = centers.zipWithIndex.map { case (c, i) =>
+        (i, c.map(_.toDouble)) }
+      val sums = pq
+        .where(roundUniform(col("id"), MB_ROUND0 + t) < MB_FRAC)
+        .select(nearestCol(qd, cLit).as("cid"), col("q"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("m"),
+          (1 to DIM).map(i => sum(element_at(col("q"), i)).as(s"s$i")): _*)
+        .collect()
+      sums.foreach { r =>
+        val cid = r.getInt(0)
+        val m = r.getLong(1)
+        nSeen(cid) += m
+        var i = 0
+        while (i < DIM) {
+          centers(cid)(i) +=
+            divHalfAway(r.getLong(2 + i) - m * centers(cid)(i), nSeen(cid))
+          i += 1
+        }
+      }
+    }
+    val cLit = centers.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble)) }
+    val asg = org.apache.spark.sql.graft.NearestCenter.struct(qd, cLit)
+    val nMap = map(centers.indices.flatMap(i =>
+      Seq(lit(i), lit(nSeen(i)))): _*)
+    pq.select(asg.getField("cid").as("cluster_id"),
+        asg.getField("dist").cast("long").as("sd"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("sd")).as("sum_sqdist"))
+      .select(col("cluster_id"),
+        element_at(nMap, col("cluster_id")).as("n_seen"),
+        col("n_assigned"), col("sum_sqdist"))
+  }
+
   private[graft] def coresetLloyd(s: SparkSession): DataFrame = {
     val reps: Array[(Long, Long, Long)] = coresetReps(s)
       .select(col("cx"), col("cy"), col("weight")).collect()
@@ -1013,6 +1107,7 @@ object KMeansOps {
       // no SQL mirror by construction.
       "kmeans_lloyd" -> lloydLoopSql(FLAGSHIP_K, 5, 1e-4),
       "kmeans_coreset" -> coresetSql,
+      "kmeans_minibatch" -> minibatchSql,
       "kmeans_lloyd_coreset" -> coresetLloydSql,
       "kmeans_reference_data" -> refLloydSql(5),
       // measured trip count on the committed 100k file: also 5 (the cap —
@@ -1180,6 +1275,63 @@ object KMeansOps {
     * integer squared distances, the identical floor-division
     * round-half-up mean update), so both engines walk a bit-identical
     * trajectory with no tolerance machinery. */
+  /** DuckDB mirror of [[minibatch]] — the 4-trip Sculley loop unrolled:
+    * pq quantizes once (the same floor(x·1e6+0.5) IEEE steps), each trip
+    * filters its roundUniform batch, assigns against the previous center
+    * relation (min-cid ties like NearestCenter), folds count + 64 LONG
+    * sums, and updates through the sign-symmetric round-half-away
+    * division at the cumulative count; a center missing from a batch
+    * carries through the LEFT JOIN untouched (exactly the engine's
+    * "not in the aggregate" arm). Distances are exact integers whether
+    * computed in BIGINT or DOUBLE (≤ 2.6e14 < 2^53), so the DOUBLE-list
+    * sqDist rendering is bit-faithful. */
+  private[operators] def minibatchSql: String = {
+    val V = VectorSql
+    def qList(e: String) =
+      s"list_transform($e::DOUBLE[], x -> floor(x * 1000000 + 0.5)::BIGINT)"
+    def divHA(a: String, b: String) =
+      s"(CASE WHEN ($a) < 0 THEN -1 ELSE 1 END * ((2 * abs($a) + ($b)) // (2 * ($b))))"
+    def assign(name: String, src: String, centers: String) =
+      s"""$name AS (SELECT vec_id, min(cid)::INT AS cid, min(dr) AS dr FROM (
+         |  SELECT p.vec_id, c.cid, ${V.sqDist("p.q", "c.cv")} AS dr,
+         |         min(${V.sqDist("p.q", "c.cv")})
+         |           OVER (PARTITION BY p.vec_id) AS mdr
+         |  FROM $src p CROSS JOIN $centers c)
+         |WHERE dr = mdr GROUP BY vec_id)""".stripMargin
+    val sb = new StringBuilder
+    sb.append("WITH pq AS MATERIALIZED (SELECT vec_id, " +
+      s"${qList("embedding")} AS q FROM embeddings),\n")
+    sb.append(s"c0 AS (SELECT cid, ${qList("embedding")} AS cv, " +
+      s"0::BIGINT AS n FROM ${frozenCentersSql()} f),\n")
+    for (t <- 1 to MB_TRIPS) {
+      sb.append(s"b$t AS (SELECT vec_id, q FROM pq WHERE " +
+        s"${V.roundUniform("vec_id", MB_ROUND0 + t)} < $MB_FRAC),\n")
+      sb.append(assign(s"a$t", s"b$t", s"c${t - 1}") + ",\n")
+      val sumList = (1 to DIM).map(i => s"sum(p.q[$i])::BIGINT")
+        .mkString(", ")
+      sb.append(s"""u$t AS (SELECT a.cid, count(*)::BIGINT AS m,
+        |  list_value($sumList) AS sv
+        |FROM a$t a JOIN b$t p USING (vec_id) GROUP BY a.cid),
+        |""".stripMargin)
+      val updList = (1 to DIM).map(i =>
+        s"(c.cv[$i] + ${divHA(s"u.sv[$i] - u.m * c.cv[$i]", "c.n + u.m")})::BIGINT")
+        .mkString(", ")
+      sb.append(s"""c$t AS MATERIALIZED (SELECT c.cid,
+        |  CASE WHEN u.m IS NULL THEN c.cv ELSE list_value($updList) END AS cv,
+        |  (c.n + coalesce(u.m, 0))::BIGINT AS n
+        |FROM c${t - 1} c LEFT JOIN u$t u USING (cid)),
+        |""".stripMargin)
+    }
+    sb.append(assign("af", "pq", s"c$MB_TRIPS"))
+    sb.append(s"""
+      |SELECT a.cid AS cluster_id, c.n AS n_seen,
+      |       count(*)::BIGINT AS n_assigned,
+      |       sum(a.dr::BIGINT)::BIGINT AS sum_sqdist
+      |FROM af a JOIN c$MB_TRIPS c USING (cid)
+      |GROUP BY a.cid, c.n""".stripMargin)
+    sb.toString
+  }
+
   private def coresetLloydSql: String = {
     val sb = new StringBuilder
     sb.append(s"WITH cs AS (\n$coresetSql),\n")

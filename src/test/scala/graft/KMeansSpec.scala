@@ -353,6 +353,69 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("kmeans_minibatch replays bit-exactly in plain Scala") {
+    // full driver-side replay of the whole Sculley loop — quantization,
+    // the roundUniform batch membership, integer argmin assignment, the
+    // cumulative-count update division, and the final stats — sharing no
+    // Spark expression code with the declared query
+    val got = SparkEntry.queries("kmeans_minibatch")(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def quant(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val pts = operators.KMeansOps.points(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray.map(quant)).sortBy(_._1)
+    val centers = operators.KMeansOps.frozenCenters(spark, sf)
+      .map(_._2.map(quant))
+    val k = centers.length
+    def uni(id: Long, r: Int): Double =
+      ((((id * 31 + r) % 2147483648L) * 2654435761L) % 4294967296L + 0.5) /
+        4294967296.0
+    def nearest(q: Array[Long]): Int = {
+      var best = 0; var bestD = Long.MaxValue
+      for (c <- 0 until k) {
+        var d = 0L; var i = 0
+        while (i < q.length) {
+          val dx = q(i) - centers(c)(i); d += dx * dx; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    def divHA(a: Long, b: Long): Long = {
+      val q = (2 * math.abs(a) + b) / (2 * b)
+      if (a < 0) -q else q
+    }
+    val n = Array.fill(k)(0L)
+    for (t <- 1 to operators.KMeansOps.MB_TRIPS) {
+      val batch = pts.filter { case (id, _) =>
+        uni(id, operators.KMeansOps.MB_ROUND0 + t) <
+          operators.KMeansOps.MB_FRAC }
+      val byC = batch.groupBy { case (_, q) => nearest(q) }
+      byC.toSeq.sortBy(_._1).foreach { case (c, members) =>
+        val m = members.length.toLong
+        n(c) += m
+        for (i <- centers(c).indices) {
+          val sv = members.map(_._2(i)).sum
+          centers(c)(i) += divHA(sv - m * centers(c)(i), n(c))
+        }
+      }
+    }
+    val expect = pts.groupBy { case (_, q) => nearest(q) }.map {
+      case (c, members) =>
+        c -> (n(c), members.length.toLong, members.map { case (_, q) =>
+          var d = 0L; var i = 0
+          while (i < q.length) {
+            val dx = q(i) - centers(c)(i); d += dx * dx; i += 1
+          }
+          d
+        }.sum)
+    }
+    assert(got === expect)
+    // the loop genuinely moved: some center saw points in some batch
+    assert(n.exists(_ > 0L), "no batch ever sampled — the loop is vacuous")
+  }
+
   test("kmeans_lloyd_coreset recovers the full-data centers from the summary") {
     val loop = SparkEntry.queries("kmeans_lloyd_coreset")(spark, sf).collect()
     assert(loop.length === 4)
