@@ -609,6 +609,35 @@ object SimilarityOps {
           expr("(n_vecs * 1000000) div n_total").as("share_ppm"),
           (col("n_vecs") > BUCKET_CAP).as("over_cap"))
     },
+    "embed_drift" -> { (s, d) =>
+      // embedding-space drift monitor — the VECTOR twin of drift_report's
+      // length PSI, completing the index observability pair with
+      // ivf_cell_stats (population health → distribution drift): PSI of
+      // the arriving delta's IVF-cell occupancy against the standing
+      // corpus's, the admit/alert check before ivf_index_incremental
+      // appends a batch whose embedding distribution has shifted (a new
+      // encoder version, a new domain — exactly what cell-occupancy PSI
+      // catches and per-vector checks don't). The standing side reads the
+      // PERSISTED layout's bare cell column; the delta (the incremental
+      // family's deterministic negated-every-8th batch — antipodal
+      // vectors, so the shift is real and large on the fixture) assigns
+      // to the SAME frozen cell model via the k-row broadcast-literal
+      // argmin; both collapse map-side to the NCELLS-bounded cell domain
+      // and the PSI float stage runs on that tiny relation only (the
+      // shared driftOf core — the formula cannot drift from drift_report).
+      val dir = ensureIvfIndex(s, d)
+      val base = s.read.parquet(s"$dir/vectors")
+        .select(col("cell").cast("int").as("bucket"),
+          lit(true).as("is_base"))
+      val cells = KMeansOps.collectCenters(
+        s.read.parquet(s"$dir/cells").orderBy(col("cell")), "cell", "cv")
+      val delta = ivfDeltaVectors(s, d)
+        .select(KMeansOps.nearestCol(col("v"), cells).as("bucket"),
+          lit(false).as("is_base"))
+      TextOps.driftOf(base.unionByName(delta))
+        .select(col("bucket").as("cell"), col("n_base"), col("n_delta"),
+          col("psi"))
+    },
     "semdedup" -> { (s, d) =>
       // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
       // cluster-then-within-cluster cosine — the cluster-topology
@@ -1364,6 +1393,35 @@ object SimilarityOps {
          |  FROM embeddings WHERE vec_id % 8 = 0),
          |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist, "delta")})
          |SELECT vec_id AS id, cluster_id AS cell FROM a""".stripMargin,
+    // base occupancy from the trained-cell assignment (hash-proven equal
+    // to the persisted layout), delta occupancy from the negated batch at
+    // the same frozen model, then drift_report's exact PSI formula over
+    // the full-outer cell domain
+    "embed_drift" ->
+      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+         |asgb AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
+         |delta AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding::DOUBLE[], x -> -x) AS embedding
+         |  FROM embeddings WHERE vec_id % 8 = 0),
+         |asgd AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist, "delta")}),
+         |cb AS (SELECT cluster_id AS cell, count(*)::BIGINT AS n_base
+         |       FROM asgb GROUP BY 1),
+         |cd AS (SELECT cluster_id AS cell, count(*)::BIGINT AS n_delta
+         |       FROM asgd GROUP BY 1),
+         |c AS (SELECT cell, coalesce(n_base, 0)::BIGINT AS n_base,
+         |             coalesce(n_delta, 0)::BIGINT AS n_delta
+         |      FROM cb FULL OUTER JOIN cd USING (cell)),
+         |t AS (SELECT sum(n_base)::BIGINT AS t_base,
+         |             sum(n_delta)::BIGINT AS t_delta,
+         |             count(*)::BIGINT AS n_buckets FROM c)
+         |SELECT cell, n_base, n_delta,
+         |       ${graft.functions.VectorSql.rIeee(
+               "((n_delta + 1) / (t_delta + n_buckets) - " +
+                 "(n_base + 1) / (t_base + n_buckets)) * " +
+                 "ln(((n_delta + 1) / (t_delta + n_buckets)) / " +
+                 "((n_base + 1) / (t_base + n_buckets)))", 6)} AS psi
+         |FROM c, t""".stripMargin,
     // the same trained-cell assignment, rolled up to the NCELLS-row
     // population stats the persisted layout must reproduce
     "ivf_cell_stats" ->

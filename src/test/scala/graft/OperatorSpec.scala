@@ -1436,6 +1436,38 @@ class OperatorSpec extends SparkSpec {
       docs.length / 2)
   }
 
+  test("embed_drift: occupancy re-derives from the declared index ops") {
+    val got = SparkEntry.queries("embed_drift")(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // n_base per cell must equal ivf_cell_stats' population, and n_delta
+    // the declared incremental append's cell occupancy — the drift rides
+    // exactly the relations those two operators already hash-verify
+    val base = SparkEntry.queries("ivf_cell_stats")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val delta = SparkEntry.queries("ivf_index_incremental")(spark, sf)
+      .collect().map(_.getInt(1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet === (base.keySet ++ delta.keySet))
+    got.foreach { case (c, (nb, nd, _)) =>
+      assert(nb === base.getOrElse(c, 0L), s"cell $c base occupancy")
+      assert(nd === delta.getOrElse(c, 0L), s"cell $c delta occupancy")
+    }
+    // the antipodal delta genuinely shifts the occupancy distribution
+    assert(got.values.map(_._3).sum > 0.05,
+      s"expected visible drift, got ${got.values.map(_._3).sum}")
+    // and each PSI recomputes from the counts (the driftFromCounts math)
+    val tb = got.values.map(_._1).sum
+    val td = got.values.map(_._2).sum
+    val nB = got.size
+    got.foreach { case (c, (nb, nd, psi)) =>
+      val p = (nb + 1).toDouble / (tb + nB)
+      val q = (nd + 1).toDouble / (td + nB)
+      assert(math.abs(psi - (q - p) * math.log(q / p)) < 1e-6,
+        s"cell $c psi drift")
+    }
+  }
+
   test("drift_report: identical slices → 0 PSI; shifted slices → positive") {
     import spark.implicits._
     val same = ((1 to 50).map(i => (i % 5, true)) ++
