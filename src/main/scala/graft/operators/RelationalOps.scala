@@ -349,6 +349,50 @@ object RelationalOps {
           coalesce(col("next_click_us"), lit(-1L)).as("next_click_us"))
     },
 
+    "join_asof_nearest" -> { (s, d) =>
+      // the NEAREST as-of join — the third merge_asof direction
+      // (backward and forward are declared above): for every purchase,
+      // the same-user click with the smallest |Δts|, ties resolved
+      // BACKWARD (deterministic and documented; a same-µs click is a
+      // 0-distance backward match). Both candidate frames ride ONE
+      // (user_id) hash partitioning — two sort+window passes over one
+      // exchange, never a range join's per-user cross product; the µs
+      // and -1-sentinel discipline of join_asof applies verbatim, and
+      // the tie placement of clicks at equal ts mirrors each direction's
+      // own form (before for backward, after for forward).
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+        .withColumn("click_us",
+          when(col("event_type") === "click", col("ts_us")))
+      val wb = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"),
+          when(col("event_type") === "click", 0).otherwise(1),
+          col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"),
+          when(col("event_type") === "click", 1).otherwise(0),
+          col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("lb", last(col("click_us"), true).over(wb))
+        .withColumn("nf", first(col("click_us"), true).over(wf))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("lb").isNull && col("nf").isNull, lit(-1L))
+            .when(col("nf").isNull, col("lb"))
+            .when(col("lb").isNull, col("nf"))
+            .when(col("ts_us") - col("lb") <= col("nf") - col("ts_us"),
+              col("lb"))
+            .otherwise(col("nf")).as("nearest_click_us"),
+          when(col("lb").isNull && col("nf").isNull, "none")
+            .when(col("nf").isNull, "backward")
+            .when(col("lb").isNull, "forward")
+            .when(col("ts_us") - col("lb") <= col("nf") - col("ts_us"),
+              "backward")
+            .otherwise("forward").as("side"))
+    },
+
     "join_bloom" -> { (s, d) =>
       // bloom-style pre-filtered semi join (the runtime-filter shape): when
       // the build side is too big to broadcast EXACTLY but its M-bucket
@@ -1229,6 +1273,28 @@ object RelationalOps {
         |                   AND epoch_us(c.ts) >= epoch_us(e.ts)), -1)
         |         AS next_click_us
         |FROM events e WHERE event_type = 'purchase'""".stripMargin,
+    // both directions' correlated extrema, then the same closer-wins /
+    // tie-backward / sentinel CASE arms the engine computes
+    "join_asof_nearest" ->
+      """SELECT event_id, user_id, ts_us,
+        |       CASE WHEN lb IS NULL AND nf IS NULL THEN -1
+        |            WHEN nf IS NULL THEN lb
+        |            WHEN lb IS NULL THEN nf
+        |            WHEN ts_us - lb <= nf - ts_us THEN lb
+        |            ELSE nf END AS nearest_click_us,
+        |       CASE WHEN lb IS NULL AND nf IS NULL THEN 'none'
+        |            WHEN nf IS NULL THEN 'backward'
+        |            WHEN lb IS NULL THEN 'forward'
+        |            WHEN ts_us - lb <= nf - ts_us THEN 'backward'
+        |            ELSE 'forward' END AS side
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |        (SELECT max(epoch_us(c.ts)) FROM events c
+        |         WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |           AND epoch_us(c.ts) <= epoch_us(e.ts)) AS lb,
+        |        (SELECT min(epoch_us(c.ts)) FROM events c
+        |         WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |           AND epoch_us(c.ts) >= epoch_us(e.ts)) AS nf
+        |      FROM events e WHERE event_type = 'purchase')""".stripMargin,
     // the bucket pre-filter is engine-internal and sound (never drops a
     // true match), so the oracle is the plain semi join it accelerates
     "join_bloom" ->

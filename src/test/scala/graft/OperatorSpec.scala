@@ -1482,6 +1482,35 @@ class OperatorSpec extends SparkSpec {
     assert(totalPsi > 0.25, s"expected clear drift, got $totalPsi")
   }
 
+  test("join_asof_nearest is the closer of the two declared directions") {
+    // cross-operator derivation: nearest must pick between join_asof's
+    // backward match and join_asof_fwd's forward match by distance, ties
+    // backward, sentinels composing — plain Scala over the declared rows
+    val back = SparkEntry.queries("join_asof")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val fwd = SparkEntry.queries("join_asof_fwd")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val got = SparkEntry.queries("join_asof_nearest")(spark, sf).collect()
+    assert(got.length === back.size && got.length === fwd.size)
+    var sides = Set.empty[String]
+    got.foreach { r =>
+      val (id, ts) = (r.getLong(0), r.getLong(2))
+      val (lb, nf) = (back(id), fwd(id))
+      val (expVal, expSide) =
+        if (lb == -1L && nf == -1L) (-1L, "none")
+        else if (nf == -1L) (lb, "backward")
+        else if (lb == -1L) (nf, "forward")
+        else if (ts - lb <= nf - ts) (lb, "backward")
+        else (nf, "forward")
+      assert(r.getLong(3) === expVal, s"purchase $id nearest value")
+      assert(r.getString(4) === expSide, s"purchase $id side")
+      sides += r.getString(4)
+    }
+    // both real directions must fire on the fixture (the sentinel arm is
+    // data-dependent and not required)
+    assert(Set("backward", "forward").subsetOf(sides), sides.toString)
+  }
+
   test("join_pit: one version per fact, knowable-then semantics") {
     val pit = SparkEntry.queries("join_pit")(spark, sf)
     val nEvents = Tables.events(spark, sf).count()
