@@ -241,6 +241,22 @@ object TextIO {
           "source STRING, n_chars LONG").json(out)
         .select(cols.map(col): _*)
     },
+    "sink_orc" -> { (s, d) =>
+      // ORC EXPORT round-trip — completes the sink matrix (text / jsonl /
+      // sharded / hive-partitioned / ORC): scan_orc covers the landing
+      // side, this is the handoff to an ORC-native warehouse. Write the
+      // documents table as ORC, read it back, compare PER ROW against
+      // the parquet source of truth — ORC's typed columnar encoding makes
+      // the round-trip lossless for longs and strings by construction,
+      // and the oracle (reading the PARQUET source) hash-proves it. Same
+      // single-shard contract note as sink_text: a 100 TB export drops
+      // the coalesce and writes one shard per task.
+      val out = s"target/text-fixtures/${sfName(d)}/docs_sink_orc"
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      Tables.documents(s, d).select(cols.map(col): _*)
+        .coalesce(1).write.mode("overwrite").orc(out)
+      s.read.orc(out).select(cols.map(col): _*)
+    },
     "sink_text" -> { (s, d) =>
       // full round-trip through the single-shard sink: write, read back,
       // and compare PER ROW against the parquet source of truth. (An
@@ -313,6 +329,9 @@ object TextIO {
              "THEN round(embedding[1]::DOUBLE, 4) END)", 2)} AS sum_f1
          |FROM embeddings""".stripMargin,
     "sink_jsonl" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // the written ORC must round-trip the parquet source of truth
+    "sink_orc" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "sink_text" ->
       s"""SELECT vec_id, ${dSql(1, "d0")},

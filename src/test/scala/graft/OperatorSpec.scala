@@ -38,6 +38,22 @@ class OperatorSpec extends SparkSpec {
     assert(k <= 4L && k >= 1L)
   }
 
+  test("sink_orc round-trips every row against the parquet source") {
+    val back = SparkEntry.queries("sink_orc")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toMap
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")).collect()
+    assert(back.size === src.length)
+    src.foreach { r =>
+      assert(back(r.getLong(0)) ===
+        ((r.getString(1), r.getString(2), r.getString(3), r.getLong(4))),
+        s"doc ${r.getLong(0)} drifted through the ORC round-trip")
+    }
+  }
+
   test("sink_text_sharded writes >1 shard and round-trips every row") {
     val sharded = SparkEntry.queries("sink_text_sharded")(spark, sf)
     val single = SparkEntry.queries("sink_text")(spark, sf)
