@@ -406,6 +406,60 @@ object StreamingOps {
       .toDF("user_id", "event_id", "multiple")
   }
 
+  /** Streaming as-of enrichment — join_asof run ON the ingest stream:
+    * for every arriving purchase, the most recent same-user click at or
+    * before its timestamp, against state carried ACROSS micro-batches
+    * (Spark's built-in stream-stream joins cannot express as-of's
+    * "latest preceding" semantics — this is the custom-state escape
+    * hatch, thresholdAlerts' shape). State per user is ONE long (the
+    * last click's µs) — O(users) total, the bounded-state contract that
+    * survives an unbounded stream; a production deployment would add a
+    * state TTL for idle users. Rows process in (ts, click-before-other,
+    * event_id) order within each group+micro-batch — exactly the batch
+    * operator's at-or-before tie rule — so the emitted enrichment is
+    * row-identical to batch join_asof (StreamingSpec proves it, plus the
+    * cross-batch carry: a click landing in one micro-batch must enrich a
+    * purchase arriving in a later one). The same µs-resolution and
+    * -1-sentinel discipline as the batch form; thresholdAlerts' memory
+    * contract note (per-group sort bounded by the trigger size, not
+    * stream history) applies verbatim. */
+  def asofStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    asofEnrich(spark.readStream.schema(eventsSchema)
+      .parquet(stageDir(spark, sfDir, "events"))
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)])
+  }
+
+  /** The as-of state core over any (user_id, event_id, ts_us, type)
+    * stream — factored so the spec can drive it over a time-split
+    * two-batch source and prove the cross-batch click carry. */
+  private[graft] def asofEnrich(
+      ev: org.apache.spark.sql.Dataset[(Long, Long, Long, String)])
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[Long]) =>
+          var lastClick = state.getOption.getOrElse(-1L)
+          val out = rows.toSeq.sortBy(r =>
+            (r._3, if (r._4 == "click") 0 else 1, r._2)).flatMap {
+            case (_, eventId, ts, etype) =>
+              if (etype == "click") { lastClick = ts; None }
+              else if (etype == "purchase")
+                Some((eventId, user, ts, lastClick))
+              else None
+          }
+          state.update(lastClick)
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "ts_us", "last_click_us")
+  }
+
   /** Streaming changelog compaction — the always-fresh "latest state per
     * key" materialized view (the KTable shape): the same map-side-combined
     * `max(struct(ts_us, event_id, payload…))` aggregate as the batch
@@ -543,6 +597,8 @@ object StreamingOps {
     "streaming_alerts" -> { (s, d) =>
       runToMemorySink(thresholdAlerts(s, d, ALERT_THRESHOLD),
         "vq_stream_alerts", "append") },
+    "streaming_asof" -> { (s, d) =>
+      runToMemorySink(asofStream(s, d), "vq_stream_asof", "append") },
     "streaming_compact" -> { (s, d) =>
       runToMemorySink(compactStream(s, d), "vq_stream_compact") },
     "streaming_decontam" -> { (s, d) =>
@@ -635,6 +691,11 @@ object StreamingOps {
     "streaming_drift" ->
       graft.operators.TextOps.oracles("drift_report"),
     // identical mz formula/gates to the batch robust listing —
+    // the carried-state enrichment is row-identical to the batch as-of
+    // join (same tie rule, same sentinel) — StreamingSpec proves it plus
+    // the cross-micro-batch click carry, so the batch oracle applies
+    "streaming_asof" ->
+      graft.operators.RelationalOps.oracles("join_asof"),
     // StreamingSpec proves the two row-identical
     "streaming_outlier" ->
       graft.operators.RelationalOps.oracles("outlier_mad"),

@@ -109,6 +109,70 @@ class StreamingSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected)
   }
 
+  test("streaming as-of carries clicks across micro-batches") {
+    // split events by TIME (not id) so batch 1 holds everything at or
+    // before the median µs and batch 2 the rest: cross-batch order is
+    // then guaranteed and a batch-2 purchase whose nearest click landed
+    // in batch 1 exercises the state carry — the path a single-batch run
+    // never touches. Result must equal the batch as-of join exactly.
+    import java.nio.file.{Files, Paths}
+    val dir = "target/stream-fixtures/test-asof-2batch"
+    graft.sources.Staging.deleteRecursively(Paths.get(dir))
+    Files.createDirectories(Paths.get(dir))
+    val ev = graft.Tables.events(spark, sf)
+    val medianUs = ev.select(expr("ts div 1000").as("ts_us"))
+      .stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    ev.where(expr("ts div 1000") <= medianUs).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/half-a")
+    ev.where(expr("ts div 1000") > medianUs).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/half-b")
+    val twoFiles = Seq("half-a", "half-b").flatMap { h =>
+      val entries = Files.list(Paths.get(s"$dir/$h"))
+      try entries.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      finally entries.close()
+    }
+    twoFiles.zipWithIndex.foreach { case (f, i) =>
+      Files.move(Paths.get(f), Paths.get(s"$dir/part-$i.parquet"))
+    }
+    Seq("half-a", "half-b").foreach(h =>
+      graft.sources.Staging.deleteRecursively(Paths.get(s"$dir/$h")))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    spark.catalog.dropTempView("stream_asof_2b")
+    val q = StreamingOps.asofEnrich(
+        spark.readStream.schema(StreamingOps.eventsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type"))
+          .as[(Long, Long, Long, String)])
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("stream_asof_2b").start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 2,
+      s"expected >=2 data micro-batches, got $dataBatches")
+    val streamed = spark.table("stream_asof_2b")
+    val batch = SparkEntry.queries("join_asof")(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+    // the carry genuinely fired: some batch-2 purchase was enriched by a
+    // batch-1 click (purchase after the median, click at or before it)
+    assert(streamed.where(col("ts_us") > medianUs &&
+        col("last_click_us") =!= -1L &&
+        col("last_click_us") <= medianUs).count() > 0L,
+      "no purchase crossed the batch boundary with a carried click")
+  }
+
+  test("streaming_asof is row-identical to the batch as-of join") {
+    val streamed = SparkEntry.queries("streaming_asof")(spark, sf)
+    val batch = SparkEntry.queries("join_asof")(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming compaction revises state across micro-batches") {
     // two half-files + maxFilesPerTrigger=1 force TWO micro-batches, so a
     // key's batch-1 winner must be REVISED when batch 2 brings a later
