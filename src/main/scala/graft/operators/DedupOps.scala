@@ -1081,6 +1081,58 @@ object DedupOps {
     "dedup_simhash_pairs" -> { (s, d) =>
       simhashPairs(Tables.documents(s, d))
     },
+    "dedup_simhash_incremental" -> { (s, d) =>
+      // the SIMHASH member of the incremental dedup matrix (exact /
+      // MinHash / embedding / media / paragraph / URL have theirs): a
+      // crawl delta's fingerprints probed against the standing corpus's
+      // chunk index, then deduped within itself. Unlike the MinHash form
+      // — where a band collision IS the near-dup decision — a chunk
+      // collision here is only a CANDIDATE: the drop decision is the
+      // exact hamming ≤ HAMMING_MAX verify on the 64-bit fingerprints
+      // (dedup_simhash_pairs' own criterion), applied both against the
+      // standing index and within the delta (capped chunk cells, the one
+      // family capping discipline; components via the shared min-label
+      // propagation). Survivors = delta docs that collide with nothing
+      // standing and are their within-delta cluster's representative.
+      val docs = Tables.documents(s, d)
+      val isBase =
+        graft.functions.VectorOps.unitUniform(col("doc_id")) < 0.7
+      val fp = simhashFingerprints(docs).localCheckpoint()
+      val chunks = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until CHUNKS).map(c =>
+          shiftright(col("simhash"), CHUNK_BITS * c)
+            .bitwiseAND(lit((1L << CHUNK_BITS) - 1))): _*))
+          .as(Seq("chunk_id", "chunk")))
+      val drop = chunks.groupBy(col("chunk_id"), col("chunk"))
+        .agg(count(lit(1)).as("bcnt")).where(col("bcnt") > CHUNK_CAP)
+        .select(col("chunk_id"), col("chunk"))
+      val capped = chunks.join(dropSetHint(chunks, drop),
+          Seq("chunk_id", "chunk"), "left_anti")
+        .withColumn("is_base", isBase)
+        .localCheckpoint()
+      val baseC = capped.where(col("is_base"))
+      val deltaC = capped.where(!col("is_base"))
+      val collide = deltaC
+        .join(baseC.select(col("chunk_id"), col("chunk"),
+          col("simhash").as("sim_b")), Seq("chunk_id", "chunk"))
+        .where(bit_count(col("simhash").bitwiseXOR(col("sim_b"))) <=
+          HAMMING_MAX)
+        .select(col("doc_id")).distinct()
+      val rem = deltaC.join(collide, Seq("doc_id"), "left_anti")
+      val pairs = rem.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sim_a"), col("chunk_id"), col("chunk"))
+        .join(rem.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sim_b"), col("chunk_id"), col("chunk")),
+          Seq("chunk_id", "chunk"))
+        .where(col("doc_a") < col("doc_b") &&
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= HAMMING_MAX)
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val nonRep = componentsOf(pairs)
+        .where(col("doc_id") =!= col("cluster_rep")).select(col("doc_id"))
+      docs.where(!isBase).select(col("doc_id"))
+        .join(collide, Seq("doc_id"), "left_anti")
+        .join(nonRep, Seq("doc_id"), "left_anti")
+    },
     "dedup_clusters" -> { (s, d) =>
       duplicateClusters(Tables.documents(s, d))
     },
@@ -1655,6 +1707,53 @@ object DedupOps {
          |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
          |  WHERE a.doc_id < b.doc_id)
          |WHERE hamming <= $HAMMING_MAX""".stripMargin,
+    // the pairs oracle's chunk/cap chain + the incremental family's
+    // split/collide/components structure, with the exact hamming verify
+    // on both the standing probe and the within-delta pairs
+    "dedup_simhash_incremental" ->
+      s"""WITH RECURSIVE $simhashSql,
+         |chunks AS (
+         |  SELECT doc_id, simhash, c.c AS chunk_id,
+         |         (simhash >> (${CHUNK_BITS} * c.c)) & ${(1L << CHUNK_BITS) - 1} AS chunk
+         |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, ${CHUNKS - 1})) AS c) c),
+         |keep AS (
+         |  SELECT chunk_id, chunk FROM chunks
+         |  GROUP BY chunk_id, chunk HAVING count(*) <= $CHUNK_CAP),
+         |capped AS (
+         |  SELECT c.* FROM chunks c JOIN keep k
+         |    ON c.chunk_id = k.chunk_id AND c.chunk = k.chunk),
+         |u AS (SELECT doc_id,
+         |             ${graft.functions.VectorSql.unitUniform("doc_id")} AS uu
+         |      FROM documents),
+         |basec AS (SELECT c.* FROM capped c JOIN u USING (doc_id)
+         |          WHERE uu < 0.7),
+         |deltac AS (SELECT c.* FROM capped c JOIN u USING (doc_id)
+         |           WHERE uu >= 0.7),
+         |collide AS (SELECT DISTINCT d.doc_id FROM deltac d
+         |            WHERE EXISTS (SELECT 1 FROM basec b
+         |                          WHERE b.chunk_id = d.chunk_id
+         |                            AND b.chunk = d.chunk
+         |                            AND bit_count(xor(b.simhash, d.simhash))
+         |                                  <= $HAMMING_MAX)),
+         |rem AS (SELECT * FROM deltac
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM collide)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM rem a JOIN rem b
+         |            ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+         |          WHERE a.doc_id < b.doc_id
+         |            AND bit_count(xor(a.simhash, b.simhash)) <= $HAMMING_MAX),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (SELECT s, s FROM edges
+         |                   UNION
+         |                   SELECT e.s, r.r FROM edges e
+         |                   JOIN reach r ON e.t = r.node),
+         |nonrep AS (SELECT node AS doc_id FROM reach
+         |           GROUP BY node HAVING min(r) < node)
+         |SELECT doc_id::BIGINT AS doc_id FROM u
+         |WHERE uu >= 0.7
+         |  AND doc_id NOT IN (SELECT doc_id FROM collide)
+         |  AND doc_id NOT IN (SELECT doc_id FROM nonrep)""".stripMargin,
     "dedup_ngram" ->
       s"""WITH w AS (SELECT doc_id, $wSql AS w FROM documents),
          |sh AS (SELECT doc_id, $shSql AS sh FROM w),
