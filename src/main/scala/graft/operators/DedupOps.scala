@@ -946,6 +946,59 @@ object DedupOps {
       // THRESHOLD levenshtein (≤ τ=5) — see [[fuzzyPairs]]
       fuzzyPairs(Tables.documents(s, d))
     },
+    "dedup_fuzzy_incremental" -> { (s, d) =>
+      // the EDIT-METRIC member closing the incremental dedup matrix
+      // (exact / URL / MinHash / SimHash / embedding / media / paragraph
+      // all have theirs): delta docs banded against the standing corpus's
+      // MinHash band index, but — like the simhash form and unlike the
+      // plain MinHash one — a band collision is only a CANDIDATE: the
+      // drop decision is the thresholded levenshtein ≤ FUZZY_TAU
+      // (dedup_fuzzy's own criterion, banded DP so a non-match exits
+      // early) on both the standing probe and the within-delta pairs.
+      // Texts join only onto the already-banded candidate pairs (bare
+      // ids ride the band join), the dedup family's never-shuffle-text
+      // discipline.
+      val docs = Tables.documents(s, d)
+      val isBase =
+        graft.functions.VectorOps.unitUniform(col("doc_id")) < 0.7
+      val t = docs.select(col("doc_id"), col("text"))
+      val capped = cappedBands(minhashBands(docs).localCheckpoint())
+        .withColumn("is_base", isBase)
+        .localCheckpoint()
+      val baseB = capped.where(col("is_base"))
+      val deltaB = capped.where(!col("is_base"))
+      def editOk(a: Column, b: Column): Column =
+        when(a === b, lit(0))
+          .otherwise(levenshtein(a, b, FUZZY_TAU)) =!= -1
+      val collide = deltaB.select(col("doc_id"), col("band_id"),
+          col("band_hash"))
+        .join(baseB.select(col("doc_id").as("doc_b"), col("band_id"),
+          col("band_hash")), Seq("band_id", "band_hash"))
+        .select(col("doc_id"), col("doc_b")).distinct()
+        .join(t.select(col("doc_id"), col("text").as("ta")), "doc_id")
+        .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+          "doc_b")
+        .where(editOk(col("ta"), col("tb")))
+        .select(col("doc_id")).distinct()
+      val rem = deltaB.join(collide, Seq("doc_id"), "left_anti")
+      val pairs = rem.select(col("doc_id").as("doc_a"), col("band_id"),
+          col("band_hash"))
+        .join(rem.select(col("doc_id").as("doc_b"), col("band_id"),
+          col("band_hash")), Seq("band_id", "band_hash"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+          "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+          "doc_b")
+        .where(editOk(col("ta"), col("tb")))
+        .select(col("doc_a"), col("doc_b"))
+      val nonRep = componentsOf(pairs)
+        .where(col("doc_id") =!= col("cluster_rep")).select(col("doc_id"))
+      docs.where(!isBase).select(col("doc_id"))
+        .join(collide, Seq("doc_id"), "left_anti")
+        .join(nonRep, Seq("doc_id"), "left_anti")
+    },
     "dedup_fuzzy_apply" -> { (s, d) =>
       // the keep set under the EDIT-verified pair relation — same
       // component-min survivor convention as dedup_minhash_apply, but
@@ -1511,6 +1564,48 @@ object DedupOps {
          |FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
          |            JOIN documents tb ON tb.doc_id = c.doc_b
          |WHERE levenshtein(ta.text, tb.text) <= $FUZZY_TAU""".stripMargin,
+    // the minhash-incremental split/collide/components structure with
+    // dedup_fuzzy's levenshtein verify on both candidate classes
+    "dedup_fuzzy_incremental" ->
+      s"""WITH RECURSIVE $sigSql,
+         |$bandsSql,
+         |$cappedBandsSql,
+         |u AS (SELECT doc_id,
+         |             ${graft.functions.VectorSql.unitUniform("doc_id")} AS uu
+         |      FROM documents),
+         |baseb AS (SELECT c.doc_id, band_id, band_hash
+         |          FROM cbands c JOIN u USING (doc_id) WHERE uu < 0.7),
+         |deltab AS (SELECT c.doc_id, band_id, band_hash
+         |           FROM cbands c JOIN u USING (doc_id) WHERE uu >= 0.7),
+         |xcand AS (SELECT DISTINCT d.doc_id, b.doc_id AS doc_b
+         |          FROM deltab d JOIN baseb b
+         |            ON b.band_id = d.band_id AND b.band_hash = d.band_hash),
+         |collide AS (SELECT DISTINCT x.doc_id
+         |            FROM xcand x JOIN documents ta ON ta.doc_id = x.doc_id
+         |                         JOIN documents tb ON tb.doc_id = x.doc_b
+         |            WHERE levenshtein(ta.text, tb.text) <= $FUZZY_TAU),
+         |rem AS (SELECT * FROM deltab
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM collide)),
+         |dcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM rem a JOIN rem b
+         |            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |          WHERE a.doc_id < b.doc_id),
+         |pairs AS (SELECT c.doc_a, c.doc_b
+         |          FROM dcand c JOIN documents ta ON ta.doc_id = c.doc_a
+         |                       JOIN documents tb ON tb.doc_id = c.doc_b
+         |          WHERE levenshtein(ta.text, tb.text) <= $FUZZY_TAU),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (SELECT s, s FROM edges
+         |                   UNION
+         |                   SELECT e.s, r.r FROM edges e
+         |                   JOIN reach r ON e.t = r.node),
+         |nonrep AS (SELECT node AS doc_id FROM reach
+         |           GROUP BY node HAVING min(r) < node)
+         |SELECT doc_id::BIGINT AS doc_id FROM u
+         |WHERE uu >= 0.7
+         |  AND doc_id NOT IN (SELECT doc_id FROM collide)
+         |  AND doc_id NOT IN (SELECT doc_id FROM nonrep)""".stripMargin,
     "dedup_fuzzy_apply" ->
       s"""WITH RECURSIVE $sigSql,
          |$bandsSql,

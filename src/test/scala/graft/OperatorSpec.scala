@@ -428,6 +428,39 @@ class OperatorSpec extends SparkSpec {
       got.values.map(_._2).toSet))
   }
 
+  test("dedup_fuzzy_incremental re-derives from the declared fuzzy pairs") {
+    // same replay as the simhash form, over the EDIT-verified pair graph:
+    // a delta doc drops on any verified partner in the base, else on
+    // losing its within-delta component's min-id representation
+    val got = SparkEntry.queries("dedup_fuzzy_incremental")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    def isBase(id: Long): Boolean =
+      ((id * 2654435761L) % 4294967296L + 0.5) / 4294967296.0 < 0.7
+    val pairs = SparkEntry.queries("dedup_fuzzy")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val delta = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0)).filterNot(isBase)
+    val collide = delta.filter(d => pairs.exists { case (a, b) =>
+      (a == d && isBase(b)) || (b == d && isBase(a)) }).toSet
+    val remPairs = pairs.filter { case (a, b) =>
+      !isBase(a) && !isBase(b) && !collide(a) && !collide(b) }
+    val label = collection.mutable.Map.empty[Long, Long]
+    remPairs.flatMap(p => Seq(p._1, p._2)).foreach(n => label(n) = n)
+    var changed = true
+    while (changed) {
+      changed = false
+      remPairs.foreach { case (a, b) =>
+        val m = math.min(label(a), label(b))
+        if (label(a) != m) { label(a) = m; changed = true }
+        if (label(b) != m) { label(b) = m; changed = true }
+      }
+    }
+    val nonRep = label.collect { case (n, l) if l != n => n }.toSet
+    assert(got === delta.toSet -- collide -- nonRep)
+    assert(got.size < delta.length,
+      "no delta doc ever dropped — the incremental arms are vacuous")
+  }
+
   test("dedup_simhash_incremental re-derives from the declared pair graph") {
     // the incremental form must be exactly the declared
     // dedup_simhash_pairs relation (same capping, same hamming verify)
