@@ -578,6 +578,77 @@ object DedupOps {
       .where(col("n_dup_spans") * SUBSTR_DROP_DEN <=
         col("n_spans") * SUBSTR_DROP_NUM)
 
+  /** The span-EXCISION core (see the `dedup_substring_excise` query):
+    * where [[substringApply]] keeps/drops WHOLE documents on their
+    * duplicated-span fraction, this removes the duplicated spans
+    * themselves and keeps the rest of each document — the ExactSubstr
+    * discipline of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022), where a cluster-scale pipeline excises
+    * lifted passages rather than discarding the documents that carry
+    * them. A word is excised iff ANY duplicated length-[[SUBSTR_L]]
+    * window covers it — i.e. a duplicated window STARTS within the
+    * previous `L-1` word positions — so overlapping duplicated spans
+    * merge naturally and partially-duplicated documents survive with
+    * their unique text intact.
+    *
+    * Scale shape: the audit's explode → hash-count machinery unchanged
+    * (window strings never shuffle; the dup set joins back by 60-bit
+    * hash, never statically broadcast — corpus-scaled worst case, same
+    * rationale as [[substringAudit]]). Coverage marking is ONE range
+    * window over a UNION of word rows and dup-start marker rows — the
+    * marker rows ride the same doc_id exchange the reassembly groupBy
+    * reuses, so the whole excise pass after candidate hashing is a
+    * single corpus-token-sized shuffle (the word text rides it by
+    * necessity: the reassembly needs it back — paragraphApply's rule),
+    * and there is no per-word × per-span join anywhere. Output follows
+    * the apply-family convention: counts + kept length + the kept
+    * text's digest (the digest pins the reconstruction bit-for-bit
+    * without dumping row-scaled text). */
+  private[graft] def substringExcise(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // word rows carry ds=0; duplicated-window START rows carry ds=1 at
+    // the start's word position. Both use the SAME tokenization, so a
+    // start position is always a valid word position.
+    val tok = spread(docs)
+      .select(col("doc_id"), posexplode(wordsCol(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("w"),
+        lit(0).as("ds"))
+    val wins = spread(docs)
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graft.WordShingles.all(col("text"), SUBSTR_L)))
+      .select(col("doc_id"), col("pos"), h60(col("col")).as("h"))
+      .localCheckpoint()
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("h"))
+    val ds = wins.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"),
+        lit(null).cast("string").as("w"), lit(1).as("ds"))
+    // covered(p) ⇔ max(ds) over positions [p-L+1, p] is 1: a RANGE frame
+    // over the int position, so marker rows count as peers of the word
+    // row sharing their position. One window, one exchange.
+    val covWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rangeBetween(-(SUBSTR_L - 1), Window.currentRow)
+    val cov = tok.unionAll(ds)
+      .select(col("doc_id"), col("pos"), col("w"),
+        (max(col("ds")).over(covWin) === 1).as("covered"))
+      .where(col("w").isNotNull) // marker rows served the frame; drop them
+    val agg = cov.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        count(when(!col("covered"), 1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(!col("covered"),
+            struct(col("pos"), col("w"))))),
+          x => x.getField("w")), " ").as("kept_text"))
+    // wordless docs carry no token rows: reinstated with a zeroed audit
+    // (substringApply's convention), digest pinned to the empty text
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(length(col("kept_text")), lit(0)).as("kept_len"),
+        coalesce(digest(col("kept_text")), digest(lit(""))).as("kept_digest"))
+  }
+
   // dedup_paragraph: words per paragraph block. The fixture's texts are
   // single-line (no '\n' separators a crawl corpus would carry), so the
   // paragraph unit is a deterministic fixed-width word block — the
@@ -1083,6 +1154,18 @@ object DedupOps {
       // relations (never the exploded windows).
       substringApply(Tables.documents(s, d))
     },
+    "dedup_substring_excise" -> { (s, d) =>
+      // span-level REMOVAL — the third consumer of the substring audit
+      // machinery and the modern pipeline's actual discipline (Lee et
+      // al. 2022, C4/RefinedWeb): excise the duplicated spans, keep the
+      // rest of every document. Completes the exact-substring family's
+      // apply matrix: audit (dedup_substring) → doc-level keep/drop
+      // (dedup_substring_apply) → span-level excision (this). See
+      // [[substringExcise]] for the single-shuffle coverage-marking
+      // shape; the kept text is digest-pinned, so the oracle verifies
+      // the reconstruction bit-for-bit.
+      substringExcise(Tables.documents(s, d))
+    },
     "dedup_paragraph" -> { (s, d) =>
       // PARAGRAPH-granularity exact dedup — the C4/RefinedWeb discipline
       // between doc-level (dedup_exact: whole texts) and window-level
@@ -1338,6 +1421,41 @@ object DedupOps {
        |        FROM wins GROUP BY doc_id)""".stripMargin
   }
   private lazy val substrAuditCtes: String = substrAuditCtesFor("documents")
+
+  /** CTE chain of the excise oracle — [[substringExcise]]'s own stages:
+    * positioned windows (`pwins` keeps the 0-based start, unlike the
+    * audit's bag-of-hashes `wins`), the dup set, the word/marker union,
+    * the range-frame coverage window, and the per-doc reassembly
+    * terminating in `exc(doc_id, n_words, n_kept, kept_len,
+    * kept_digest)`. Positions are `i-1` so they line up with Spark's
+    * 0-based posexplode. */
+  private[graft] def substrExciseCtes(src: String): String = {
+    val terms = (0 until SUBSTR_L).map(k => s"w[i+$k]").mkString(", ")
+    val keptTxt = "coalesce(array_to_string(" +
+      "list(word ORDER BY pos) FILTER (NOT covered), ' '), '')"
+    s"""w AS (SELECT doc_id, $wSql AS w FROM $src),
+       |tok AS (SELECT doc_id, i::INT - 1 AS pos, w[i] AS word, 0 AS ds
+       |        FROM w, unnest(generate_series(1, len(w))) AS t(i)),
+       |pwins AS (SELECT doc_id, i::INT - 1 AS pos,
+       |    ${h60Sql(s"concat_ws(' ', $terms)")} AS h
+       |  FROM w, unnest(generate_series(1, len(w) - ${SUBSTR_L - 1}))
+       |    AS t(i)
+       |  WHERE len(w) >= $SUBSTR_L),
+       |dup AS (SELECT h FROM pwins GROUP BY h HAVING count(*) > 1),
+       |u AS (SELECT * FROM tok UNION ALL
+       |      SELECT doc_id, pos, NULL::VARCHAR AS word, 1 AS ds
+       |      FROM pwins WHERE h IN (SELECT h FROM dup)),
+       |cov AS (SELECT doc_id, pos, word,
+       |    max(ds) OVER (PARTITION BY doc_id ORDER BY pos
+       |      RANGE BETWEEN ${SUBSTR_L - 1} PRECEDING AND CURRENT ROW) = 1
+       |      AS covered
+       |  FROM u),
+       |exc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+       |    count(*) FILTER (NOT covered)::BIGINT AS n_kept,
+       |    length($keptTxt)::INT AS kept_len,
+       |    md5($keptTxt) AS kept_digest
+       |  FROM cov WHERE word IS NOT NULL GROUP BY doc_id)""".stripMargin
+  }
 
   /** `w`/`p` CTEs of the paragraph-block relation over `src` (must
     * provide doc_id, text, and any `extra` columns, carried through).
@@ -1740,6 +1858,13 @@ object DedupOps {
          |FROM documents d LEFT JOIN aud a USING (doc_id)
          |WHERE coalesce(a.n_dup_spans, 0) * $SUBSTR_DROP_DEN <=
          |      coalesce(a.n_spans, 0) * $SUBSTR_DROP_NUM""".stripMargin,
+    "dedup_substring_excise" ->
+      s"""WITH ${substrExciseCtes("documents")}
+         |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+         |       coalesce(n_kept, 0)::BIGINT AS n_kept,
+         |       coalesce(kept_len, 0)::INT AS kept_len,
+         |       coalesce(kept_digest, md5('')) AS kept_digest
+         |FROM documents d LEFT JOIN exc USING (doc_id)""".stripMargin,
     // the paragraph relation + first-occurrence window — the Spark plan's
     // own shape (the window key is the block digest there; md5(para) here
     // partitions identically since the digest is injective on the blocks)

@@ -619,6 +619,40 @@ class PropertySpec extends SparkSpec {
       4L -> ((1L, 0L))))
   }
 
+  test("substring excise: duplicated spans removed, unique text kept") {
+    // constructed overlapping-span corpus at SUBSTR_L=12: the shared
+    // 12-word span S appears in docs A (prefix), B (offset 2), and C
+    // (twice, back to back); the shared span T appears in E (after S
+    // with a 1-word gap) and F. Exercises: coverage at both ends of a
+    // doc, the word exactly BETWEEN two duplicated spans surviving
+    // (frame boundary), within-doc repetition excising everything, and
+    // a <L-word doc (no windows) passing through untouched.
+    def span(tag: String): String =
+      (1 to 12).map(k => s"$tag$k").mkString(" ")
+    val (sS, sT) = (span("s"), span("t"))
+    val docs = Seq(
+      (1L, s"$sS a1 a2 a3"),       // A: S covers 0-11, kept a1 a2 a3
+      (2L, s"b1 b2 $sS"),          // B: S at 2 covers 2-13, kept b1 b2
+      (3L, s"$sS $sS"),            // C: starts 0+12 cover all 24 words
+      (4L, "d1 d2 d3 d4 d5"),      // D: <12 words, no windows, all kept
+      (5L, s"$sS e1 $sT"),         // E: covers 0-11 and 13-24, kept e1
+      (6L, s"$sT f1"))             // F: T covers 0-11, kept f1
+      .toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = graft.operators.DedupOps.substringExcise(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got === Map(
+      1L -> ((15L, 3L, "a1 a2 a3".length, md5hex("a1 a2 a3"))),
+      2L -> ((14L, 2L, "b1 b2".length, md5hex("b1 b2"))),
+      3L -> ((24L, 0L, 0, md5hex(""))),
+      4L -> ((5L, 5L, "d1 d2 d3 d4 d5".length, md5hex("d1 d2 d3 d4 d5"))),
+      5L -> ((25L, 1L, "e1".length, md5hex("e1"))),
+      6L -> ((13L, 1L, "f1".length, md5hex("f1")))))
+  }
+
   test("incremental NEAR-dup drops base collisions and collapses the delta") {
     // the minhash twin: identical texts guarantee identical signatures,
     // hence band collisions — exercising (a) the base-index probe drop,
