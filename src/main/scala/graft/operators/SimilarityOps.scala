@@ -44,7 +44,7 @@ object SimilarityOps {
   private val SEM_TAU = 0.35
   private val SALT = 16 // first-phase top-k fan-out per query
   private val TABLES = 4
-  private val PLANES_DEDUP = 12 // 4096 buckets/table: near-dup detection
+  private[graft] val PLANES_DEDUP = 12 // 4096 buckets/table: near-dup detection
   // 1024 buckets/table — broader collision prob than the dedup config, but
   // sign-LSH remains a HIGH-SIMILARITY method: collision prob per table is
   // (1 - θ/π)^P, so cos≥0.99 pairs collide ~97% over 4 tables while a
@@ -569,7 +569,107 @@ object SimilarityOps {
     }
   }
 
+  /** `ivf_index_delete`'s takedown set — the rows a compliance pass must
+    * remove from the standing layout. Content-clustered by construction
+    * (real takedown batches cluster: one source's near-identical items
+    * embed into the same cells): every [[IVF_DELETE_MOD]]-th id WITHIN
+    * cells [[IVF_DELETE_CELLS]]. Defined over the persisted layout's own
+    * cell column; the oracle re-derives the cell from the frozen model,
+    * which the layout is hash-proven equal to (ivf_cell_stats), so both
+    * engines name the identical set. */
+  private[graft] val IVF_DELETE_CELLS = Seq(3, 7)
+  private[graft] val IVF_DELETE_MOD = 4
+
+  /** Standing-IVF-index DELETION without a rebuild — the inverse of
+    * [[ensureIvfDelta]]'s append, closing the index-maintenance pair
+    * (compliance/takedown removal is a real operation against a 100 TB
+    * standing index; rebuilding to serve it is the anti-pattern).
+    * Mechanism: PARTITION SURGERY. Cell partitions containing no deleted
+    * row carry over byte-for-byte (file copy here only because ensureDir
+    * publishes whole directories atomically — on a real lake they are
+    * simply left in place), and ONLY the affected cells' survivors are
+    * rewritten, from a scan statically pruned to those cells. The cell
+    * MODEL is untouched: deletion never retrains (the frozen-model
+    * discipline append already obeys). A takedown that empties a cell
+    * just drops its partition — probes of that cell then scan nothing.
+    * Cost at scale: affected-partitions × rewrite, never corpus-scaled.
+    * OperatorSpec proves delete == frozen-model rebuild minus the set,
+    * bit-for-bit, AND that untouched partitions carried over as the
+    * same files — so probe parity is structural. */
+  private[graft] def ensureIvfDeleted(s: SparkSession, d: String): String = {
+    val sfTag = graft.sources.Staging.fixtureKey(d)
+    graft.sources.Staging.ensureDir(
+      s"target/ivf-index/$sfTag/nc$NCELLS-q8-deleted",
+      marker = "vectors/_SUCCESS") { tmp =>
+      import java.nio.file.{Files, Paths}
+      val dir = ensureIvfIndex(s, d)
+      graft.sources.Staging.copyRecursively(
+        Paths.get(s"$dir/cells"), Paths.get(s"$tmp/cells"))
+      val affected = IVF_DELETE_CELLS.map(c => s"cell=$c").toSet
+      val entries = Files.list(Paths.get(s"$dir/vectors"))
+      try entries.forEach { e =>
+        val n = e.getFileName.toString
+        // _SUCCESS is NOT carried: the survivor write below re-marks the
+        // dir only after the surgery commits
+        if (!affected.contains(n) && n != "_SUCCESS")
+          graft.sources.Staging.copyRecursively(e,
+            Paths.get(s"$tmp/vectors").resolve(n))
+      } finally entries.close()
+      // survivors of the affected partitions only — the filter on the
+      // partition column prunes the scan to exactly those cells
+      s.read.parquet(s"$dir/vectors")
+        .where(col("cell").isin(IVF_DELETE_CELLS: _*))
+        .where(!(pmod(col("id"), lit(IVF_DELETE_MOD)) === 1))
+        .write.mode("append").partitionBy("cell").parquet(s"$tmp/vectors")
+    }
+  }
+
+  /** `dedup_index_delete`'s tombstone set: the standing ids a takedown
+    * removes from the band index. Every 32nd id — which includes the
+    * sources of the incremental delta's unchanged re-crawls (ids ≡ 0 mod
+    * 16 ⊃ mod 32), so the fixture exercises takedown PROPAGATION: a
+    * delta doc held down only by a tombstoned base vector flips to
+    * 'kept'. */
+  private[graft] val BAND_DELETE_MOD = 32
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_index_delete" -> { (s, d) =>
+      // compliance takedown against the standing IVF layout WITHOUT a
+      // rebuild — the delete member of the index-maintenance matrix
+      // (build / incremental append / delete). The declared relation
+      // reads back the post-surgery layout itself (id → cell straight
+      // from the partition files), so the oracle hash-verifies the bytes
+      // the takedown actually left behind — not an in-plan recomputation;
+      // the DuckDB side assigns the corpus to the re-derived frozen cell
+      // model and subtracts the takedown set. See [[ensureIvfDeleted]]
+      // for the partition-surgery mechanism and its spec gates.
+      val dir = ensureIvfDeleted(s, d)
+      s.read.parquet(s"$dir/vectors")
+        .select(col("id"), col("cell").cast("int").as("cell"))
+    },
+    "dedup_index_delete" -> { (s, d) =>
+      // band-index takedown. The standing (id, t, b) index carries every
+      // id in EVERY table partition, so partition surgery cannot prune
+      // (unlike the IVF layout); the production mechanism is a TOMBSTONE
+      // set anti-joined at probe time and compacted later. The takedown
+      // batch is tiny next to the corpus, so the anti-join BROADCASTS —
+      // the standing index itself never shuffles for a takedown. Output
+      // is the incremental dedup verdict over the pruned index: what an
+      // ingest pipeline computes the day after honoring a removal.
+      // OperatorSpec proves pruned-index results == a fresh re-band of
+      // (base minus the set) AND the propagation flip (a delta doc held
+      // down only by a deleted base vector comes back 'kept').
+      val bands = s.read.parquet(s"${ensureBandIndex(s, d)}/bands")
+      val tomb = KMeansOps.points(s, d)
+        .where(pmod(col("id"), lit(BAND_DELETE_MOD)) === 0)
+        .select(col("id"))
+      val pruned = bands.join(broadcast(tomb), Seq("id"), "left_anti")
+      // the verify-side vector rejoin keeps the UNFILTERED corpus: every
+      // base candidate id comes from the pruned index, so a tombstoned
+      // vector can never reach a pair — no second corpus anti-join needed
+      dedupEmbIncrementalOf(KMeansOps.points(s, d),
+        dedupDeltaVectors(s, d), Some(pruned))
+    },
     "ivf_index_incremental" -> { (s, d) =>
       // the declared relation reads back the APPENDED delta layout itself
       // (id → assigned cell straight from the partition files), so the
@@ -1379,6 +1479,66 @@ object SimilarityOps {
        |        dens.sum_simx4 < $DENSITY_TAU_X4 * dens.n_nbrs) AS keep
        |FROM asg LEFT JOIN dens ON asg.vec_id = dens.vec_id""".stripMargin
 
+  /** The full `dedup_embedding_incremental` oracle chain, parameterized
+    * over the standing-base relation name (and any prefix CTEs defining
+    * it) so `dedup_index_delete` — the takedown variant — shares it
+    * verbatim with a tombstone-filtered base: deletion on the SQL side
+    * is just the base relation no longer naming the removed ids, exactly
+    * the Spark side's broadcast anti-join. */
+  private def embIncOracleFor(base: String,
+      prefixCtes: String = ""): String = {
+    val baseTables = (0 until TABLES).map { t =>
+      s"SELECT vec_id, $t AS t, ${bucketSql(64, PLANES_DEDUP, t)} AS b" +
+        s" FROM $base"
+    }.mkString("\n  UNION ALL\n  ")
+    val deltaTables = (0 until TABLES).map { t =>
+      s"SELECT vec_id, $t AS t, ${bucketSql(64, PLANES_DEDUP, t)} AS b" +
+        " FROM dv"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${prefixCtes}dv AS (
+       |  SELECT e.vec_id + $IVF_DELTA_OFFSET AS vec_id,
+       |         CASE WHEN e.vec_id % 16 = 0 THEN e.embedding::DOUBLE[]
+       |              ELSE list_transform(e.embedding::DOUBLE[], x -> -x)
+       |         END AS embedding
+       |  FROM embeddings e WHERE e.vec_id % 8 = 0),
+       |bb AS (
+       |  $baseTables),
+       |db AS (
+       |  $deltaTables),
+       |keepc AS (
+       |  SELECT t, b FROM (SELECT t, b FROM bb
+       |                    UNION ALL SELECT t, b FROM db)
+       |  GROUP BY t, b HAVING count(*) <= $BUCKET_CAP),
+       |dc AS (SELECT db.vec_id, db.t, db.b FROM db JOIN keepc USING (t, b)),
+       |bc AS (SELECT bb.vec_id, bb.t, bb.b FROM bb JOIN keepc USING (t, b)
+       |       WHERE EXISTS (SELECT 1 FROM dc
+       |                     WHERE dc.t = bb.t AND dc.b = bb.b)),
+       |candd AS (SELECT DISTINCT a.vec_id AS id_1, b2.vec_id AS id_2
+       |          FROM dc a JOIN dc b2 ON a.t = b2.t AND a.b = b2.b
+       |          WHERE a.vec_id < b2.vec_id),
+       |candb AS (SELECT DISTINCT dc.vec_id AS id_d, bc.vec_id AS id_b
+       |          FROM dc JOIN bc ON dc.t = bc.t AND dc.b = bc.b),
+       |dropd AS (
+       |  SELECT DISTINCT id_2 AS vec_id FROM candd
+       |  JOIN dv d1 ON d1.vec_id = candd.id_1
+       |  JOIN dv d2 ON d2.vec_id = candd.id_2
+       |  WHERE round(${VectorSql.cosine("d1.embedding", "d2.embedding")},
+       |              4) >= 0.3),
+       |dropb AS (
+       |  SELECT DISTINCT id_d AS vec_id FROM candb
+       |  JOIN dv da ON da.vec_id = candb.id_d
+       |  JOIN $base eb ON eb.vec_id = candb.id_b
+       |  WHERE round(${VectorSql.cosine("da.embedding", "eb.embedding")},
+       |              4) >= 0.3)
+       |SELECT dv.vec_id,
+       |       (dropd.vec_id IS NULL AND dropb.vec_id IS NULL) AS keep,
+       |       CASE WHEN dropd.vec_id IS NOT NULL THEN 'delta'
+       |            WHEN dropb.vec_id IS NOT NULL THEN 'base'
+       |            ELSE 'kept' END AS stage
+       |FROM dv LEFT JOIN dropd ON dv.vec_id = dropd.vec_id
+       |        LEFT JOIN dropb ON dv.vec_id = dropb.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_topk_ivf_pq" -> ivfPqTopkSql,
@@ -1514,58 +1674,21 @@ object SimilarityOps {
     // indexes regenerated via the shared bucketSql formula, cells capped
     // over the COMBINED population, and the two drop stages replayed with
     // the same priority attribution the Spark form declares
-    "dedup_embedding_incremental" -> {
-      val baseTables = (0 until TABLES).map { t =>
-        s"SELECT vec_id, $t AS t, ${bucketSql(64, PLANES_DEDUP, t)} AS b" +
-          " FROM embeddings"
-      }.mkString("\n  UNION ALL\n  ")
-      val deltaTables = (0 until TABLES).map { t =>
-        s"SELECT vec_id, $t AS t, ${bucketSql(64, PLANES_DEDUP, t)} AS b" +
-          " FROM dv"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH dv AS (
-         |  SELECT e.vec_id + $IVF_DELTA_OFFSET AS vec_id,
-         |         CASE WHEN e.vec_id % 16 = 0 THEN e.embedding::DOUBLE[]
-         |              ELSE list_transform(e.embedding::DOUBLE[], x -> -x)
-         |         END AS embedding
-         |  FROM embeddings e WHERE e.vec_id % 8 = 0),
-         |bb AS (
-         |  $baseTables),
-         |db AS (
-         |  $deltaTables),
-         |keepc AS (
-         |  SELECT t, b FROM (SELECT t, b FROM bb
-         |                    UNION ALL SELECT t, b FROM db)
-         |  GROUP BY t, b HAVING count(*) <= $BUCKET_CAP),
-         |dc AS (SELECT db.vec_id, db.t, db.b FROM db JOIN keepc USING (t, b)),
-         |bc AS (SELECT bb.vec_id, bb.t, bb.b FROM bb JOIN keepc USING (t, b)
-         |       WHERE EXISTS (SELECT 1 FROM dc
-         |                     WHERE dc.t = bb.t AND dc.b = bb.b)),
-         |candd AS (SELECT DISTINCT a.vec_id AS id_1, b2.vec_id AS id_2
-         |          FROM dc a JOIN dc b2 ON a.t = b2.t AND a.b = b2.b
-         |          WHERE a.vec_id < b2.vec_id),
-         |candb AS (SELECT DISTINCT dc.vec_id AS id_d, bc.vec_id AS id_b
-         |          FROM dc JOIN bc ON dc.t = bc.t AND dc.b = bc.b),
-         |dropd AS (
-         |  SELECT DISTINCT id_2 AS vec_id FROM candd
-         |  JOIN dv d1 ON d1.vec_id = candd.id_1
-         |  JOIN dv d2 ON d2.vec_id = candd.id_2
-         |  WHERE round(${VectorSql.cosine("d1.embedding", "d2.embedding")},
-         |              4) >= 0.3),
-         |dropb AS (
-         |  SELECT DISTINCT id_d AS vec_id FROM candb
-         |  JOIN dv da ON da.vec_id = candb.id_d
-         |  JOIN embeddings eb ON eb.vec_id = candb.id_b
-         |  WHERE round(${VectorSql.cosine("da.embedding", "eb.embedding")},
-         |              4) >= 0.3)
-         |SELECT dv.vec_id,
-         |       (dropd.vec_id IS NULL AND dropb.vec_id IS NULL) AS keep,
-         |       CASE WHEN dropd.vec_id IS NOT NULL THEN 'delta'
-         |            WHEN dropb.vec_id IS NOT NULL THEN 'base'
-         |            ELSE 'kept' END AS stage
-         |FROM dv LEFT JOIN dropd ON dv.vec_id = dropd.vec_id
-         |        LEFT JOIN dropb ON dv.vec_id = dropb.vec_id""".stripMargin
-    },
+    "dedup_embedding_incremental" -> embIncOracleFor("embeddings"),
+    // the SAME chain over the tombstone-filtered base: deletion = the
+    // standing side simply stops naming the removed ids (the Spark
+    // side's broadcast anti-join), everything downstream is shared
+    "dedup_index_delete" -> embIncOracleFor("basekeep",
+      s"basekeep AS (SELECT * FROM embeddings " +
+        s"WHERE vec_id % $BAND_DELETE_MOD <> 0),\n"),
+    // the post-surgery layout = the frozen-model assignment of the
+    // corpus minus the content-clustered takedown set
+    "ivf_index_delete" ->
+      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+         |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)})
+         |SELECT vec_id AS id, cluster_id AS cell FROM a
+         |WHERE NOT (cluster_id IN (${IVF_DELETE_CELLS.mkString(", ")})
+         |           AND vec_id % $IVF_DELETE_MOD = 1)""".stripMargin,
     "sim_topk_lsh" ->
       s"""WITH ${lshCtes(64, PLANES_TOPK)},
          |q AS (SELECT vec_id AS q_id, t, b FROM bkt WHERE vec_id < $NQ),

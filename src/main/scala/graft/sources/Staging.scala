@@ -158,6 +158,23 @@ object Staging {
     }
   }
 
+  /** Recursive byte-for-byte copy, for PARTITION-SURGERY staging: a
+    * takedown pass carries a staged layout's untouched partition subtrees
+    * into the new staged dir verbatim (on a real lake those partitions
+    * are simply left in place; the copy only exists because ensureDir
+    * publishes complete directories atomically). */
+  private[graft] def copyRecursively(from: Path, to: Path): Unit = {
+    if (Files.isDirectory(from, LinkOption.NOFOLLOW_LINKS)) {
+      Files.createDirectories(to)
+      val entries = Files.list(from)
+      try entries.forEach(e => copyRecursively(e, to.resolve(e.getFileName)))
+      finally entries.close()
+    } else {
+      Files.createDirectories(to.getParent)
+      Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   private[graft] def deleteRecursively(p: Path): Unit = {
     import scala.util.control.NonFatal
     try {

@@ -559,6 +559,95 @@ class OperatorSpec extends SparkSpec {
     assert(deltaCells > 2, s"delta concentrated in $deltaCells cells")
   }
 
+  test("ivf_index_delete: surgery equals frozen-model rebuild minus the set") {
+    import graft.operators.{KMeansOps, SimilarityOps}
+    val baseDir = SimilarityOps.ensureIvfIndex(spark, sf)
+    val delDir = SimilarityOps.ensureIvfDeleted(spark, sf)
+    val cells = KMeansOps.collectCenters(
+      spark.read.parquet(s"$baseDir/cells").orderBy(col("cell")),
+      "cell", "cv")
+    val del = spark.read.parquet(s"$delDir/vectors")
+      .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+    // the rebuild at the SAME frozen model, minus the takedown set —
+    // the ivf_index_incremental append==rebuild spec run in reverse
+    val reb = KMeansOps.points(spark, sf)
+      .select(col("id"), col("v"),
+        KMeansOps.nearestCol(col("v"), cells).as("cell"))
+      .where(!(col("cell").isin(SimilarityOps.IVF_DELETE_CELLS: _*) &&
+        pmod(col("id"), lit(SimilarityOps.IVF_DELETE_MOD)) === 1))
+    assert(del.count() === reb.count())
+    assert(del.exceptAll(reb).count() === 0L, "deleted layout drifted")
+    assert(reb.exceptAll(del).count() === 0L, "deleted layout lost rows")
+    // the takedown removed something (a vacuous set would prove nothing)
+    val removed =
+      spark.read.parquet(s"$baseDir/vectors").count() - del.count()
+    assert(removed > 0, "takedown set empty on the fixture")
+    // PARTITION SURGERY pinned at the file level: untouched cell
+    // partitions carried over as the SAME files (name+size), and only
+    // the affected cells were rewritten
+    def partFiles(dir: String): Map[String, Set[(String, Long)]] = {
+      val p = java.nio.file.Paths.get(s"$dir/vectors")
+      val cellsIt = java.nio.file.Files.list(p)
+      try cellsIt.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(e => e.getFileName.toString.startsWith("cell="))
+        .map { e =>
+          val fs = java.nio.file.Files.list(e)
+          try e.getFileName.toString -> fs.toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .map(f => (f.getFileName.toString, java.nio.file.Files.size(f)))
+            .toSet
+          finally fs.close()
+        }.toMap
+      finally cellsIt.close()
+    }
+    val (before, after) = (partFiles(baseDir), partFiles(delDir))
+    val affected = SimilarityOps.IVF_DELETE_CELLS.map(c => s"cell=$c").toSet
+    for ((cell, files) <- before if !affected.contains(cell))
+      assert(after(cell) === files, s"untouched partition $cell rewritten")
+    for (cell <- affected)
+      assert(before(cell) !== after.getOrElse(cell, Set.empty),
+        s"affected partition $cell not rewritten")
+  }
+
+  test("dedup_index_delete: tombstoned index == re-band of base minus set; " +
+      "takedown propagates") {
+    import graft.operators.SimilarityOps
+    import spark.implicits._
+    def e(i: Int): Seq[Double] =
+      Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    val base = Seq((0L, e(0)), (1L, e(1)), (2L, e(2))).toDF("id", "v")
+    val delta = Seq(
+      (10L, e(0)), // still matches standing base 0      -> 'base'
+      (11L, e(2)), // held down ONLY by tombstoned 2     -> flips to 'kept'
+      (12L, e(3))) // fresh                              -> 'kept'
+      .toDF("id", "v")
+    val tomb = Seq(2L).toDF("id")
+    // production path: the standing band index pruned by the tombstone
+    // anti-join (identical vectors share every sign bucket, so base hits
+    // are guaranteed candidates at cos 1)
+    val standing = SimilarityOps
+      .bucketedAllTables(base, 64, SimilarityOps.PLANES_DEDUP)
+      .select(col("id"), col("t"), col("b"))
+    val pruned = standing.join(broadcast(tomb), Seq("id"), "left_anti")
+    val got = SimilarityOps
+      .dedupEmbIncrementalOf(base, delta, Some(pruned))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got === Map(
+      10L -> ((false, "base")),
+      11L -> ((true, "kept")), // the propagation flip
+      12L -> ((true, "kept"))))
+    // rebuild parity: pruning the standing index must equal re-banding
+    // the surviving base from scratch — deletion without rebuild is
+    // result-identical to the rebuild it avoids
+    val keepBase = base.where(col("id") =!= 2L)
+    val reband = SimilarityOps
+      .dedupEmbIncrementalOf(keepBase, delta, None)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(reband === got, "tombstone pruning drifted from a fresh re-band")
+  }
+
   test("sim_topk_ivf recall@5 vs the exact top-k stays above the floor") {
     // retrieval QUALITY, not just determinism (round-6 verdict #1): the
     // declared recall query must report one row per query and a mean
