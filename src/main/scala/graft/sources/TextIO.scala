@@ -132,6 +132,31 @@ object TextIO {
         .coalesce(1).write.mode("overwrite").orc(tmp)
     }
 
+  /** `scan_evolved`'s tier rule — gen-2 files score docs by length; ONE
+    * constant feeding fixture, query, and oracle. */
+  private[graft] val EVOLVED_TIER_CHARS = 300
+
+  /** Two-generation parquet dir for `scan_evolved`: generation 1 files
+    * carry (doc_id, lang, n_chars); generation 2 — written later by an
+    * upgraded producer — adds a `quality_tier` column. Routine lake
+    * behavior: the schema moved mid-corpus and nobody rewrites the old
+    * files. Split on doc_id parity so both generations exist at any SF
+    * and the oracle reconstructs the whole layout from the parquet
+    * source of truth. */
+  def ensureDocsEvolved(s: SparkSession, d: String): String =
+    Staging.ensureDir(s"target/text-fixtures/${sfName(d)}/docs_evolved",
+      marker = "gen2/_SUCCESS") { tmp =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/gen1")
+      docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumn("quality_tier",
+          when(col("n_chars") >= EVOLVED_TIER_CHARS, "long")
+            .otherwise("short"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/gen2")
+    }
+
   /** Idempotently create every text-format fixture for a scale factor.
     * Fixture generation is one-time staging, not query work: Bench calls
     * this in its setup pass so the scan_* queries time the SCAN; the
@@ -142,6 +167,7 @@ object TextIO {
     ensurePointsCsvBad(s, d)
     ensureEventsJsonl(s, d)
     ensureDocsOrc(s, d)
+    ensureDocsEvolved(s, d)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -193,6 +219,25 @@ object TextIO {
       s.read.schema(schema).orc(ensureDocsOrc(s, d))
         .where(col("lang") === "en")
         .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+    "scan_evolved" -> { (s, d) =>
+      // parquet SCHEMA EVOLUTION on scan — a later file generation added
+      // a column and the old files are never rewritten (routine lake
+      // behavior the fixed-schema scans can't express). mergeSchema
+      // reconciles the per-file footers into the union schema — a
+      // footer-only planning pass, no data read, which is why Spark
+      // ships it off by default: at 100 TB you reconcile once at ingest
+      // (or in the catalog), not on every query. Old-generation rows
+      // surface the added column as null; the TYPED BACKFILL names their
+      // sentinel explicitly, so downstream consumers never meet an
+      // accidental null. The oracle reconstructs BOTH generations from
+      // the parquet source of truth (DuckDB's union_by_name semantics
+      // over the same split), verifying the staged layout end to end.
+      val dir = ensureDocsEvolved(s, d)
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/gen1", s"$dir/gen2")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          coalesce(col("quality_tier"), lit("unscored")).as("quality_tier"))
     },
     "scan_csv_badrecords" -> { (s, d) =>
       // malformed-record-TOLERANT ingestion — PERMISSIVE mode with a
@@ -313,6 +358,15 @@ object TextIO {
     "scan_orc" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE lang = 'en'""".stripMargin,
+    // both generations reconstructed from the source of truth: even rows
+    // are gen-1 (backfilled sentinel), odd rows gen-2 (scored tier)
+    "scan_evolved" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |       CASE WHEN doc_id % 2 = 1 THEN
+         |         CASE WHEN n_chars >= $EVOLVED_TIER_CHARS
+         |              THEN 'long' ELSE 'short' END
+         |       ELSE 'unscored' END AS quality_tier
+         |FROM documents""".stripMargin,
     "scan_text" ->
       s"""SELECT vec_id, ${dSql(1, "d0")},
          |       ${dSql(2, "d1")},

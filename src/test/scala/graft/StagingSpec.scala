@@ -116,6 +116,29 @@ class StagingSpec extends AnyFunSuite {
     assert(!Files.exists(dir))
   }
 
+  test("scan_evolved's staged layout genuinely evolves its file schema") {
+    // the evolution must live in the FILES (different parquet footers per
+    // generation), not in the query: gen-1 read alone has no
+    // quality_tier column, gen-2 alone does, and the merged read is the
+    // union with backfilled nulls only on gen-1 rows
+    val spark = SparkSpec.session
+    val sf = "/root/testdata/sf0.001"
+    val dir = graft.sources.TextIO.ensureDocsEvolved(spark, sf)
+    val g1 = spark.read.parquet(s"$dir/gen1")
+    val g2 = spark.read.parquet(s"$dir/gen2")
+    assert(!g1.columns.contains("quality_tier"), "gen1 already evolved")
+    assert(g2.columns.contains("quality_tier"), "gen2 missing the column")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/gen1", s"$dir/gen2")
+    assert(merged.columns.toSet ===
+      Set("doc_id", "lang", "n_chars", "quality_tier"))
+    import org.apache.spark.sql.functions._
+    val nullTier = merged.where(col("quality_tier").isNull)
+    assert(nullTier.count() === g1.count(), "null backfill drifted")
+    assert(nullTier.where(pmod(col("doc_id"), lit(2)) =!= 0).count() === 0L,
+      "a gen-2 row surfaced a null tier")
+  }
+
   test("a pre-protocol partial dir (no marker) is rebuilt") {
     val base = Files.createTempDirectory(Paths.get("target"), "staging-spec-")
     val dir = base.resolve("fixture")
