@@ -413,8 +413,9 @@ object StreamingOps {
     * "latest preceding" semantics — this is the custom-state escape
     * hatch, thresholdAlerts' shape). State per user is ONE long (the
     * last click's µs) — O(users) total, the bounded-state contract that
-    * survives an unbounded stream; a production deployment would add a
-    * state TTL for idle users. Rows process in (ts, click-before-other,
+    * survives an unbounded stream; [[asofTtlStream]] is the production
+    * form that additionally TTLs idle users out. Rows process in (ts,
+    * click-before-other,
     * event_id) order within each group+micro-batch — exactly the batch
     * operator's at-or-before tie rule — so the emitted enrichment is
     * row-identical to batch join_asof (StreamingSpec proves it, plus the
@@ -434,7 +435,19 @@ object StreamingOps {
 
   /** The as-of state core over any (user_id, event_id, ts_us, type)
     * stream — factored so the spec can drive it over a time-split
-    * two-batch source and prove the cross-batch click carry. */
+    * two-batch source and prove the cross-batch click carry.
+    *
+    * ARRIVAL CONTRACT: micro-batches are non-decreasing in event time
+    * (each batch's rows are all at or after the previous batch's — the
+    * shape AvailableNow over a landing dir and any in-order ingest
+    * produce). Within a batch, rows sort by event time, so ordering
+    * there is the operator's own; ACROSS batches the stored last-click
+    * only ever ADVANCES (the max() guard below), so even a
+    * contract-violating older batch can no longer regress state — its
+    * purchases would still enrich against the newer click, which is
+    * as-of's correct answer under the at-or-before rule only when
+    * arrival is in order. True out-of-order arrival is out of contract;
+    * the watermark-buffered re-sort it needs is a different operator. */
   private[graft] def asofEnrich(
       ev: org.apache.spark.sql.Dataset[(Long, Long, Long, String)])
       : DataFrame = {
@@ -449,8 +462,9 @@ object StreamingOps {
           val out = rows.toSeq.sortBy(r =>
             (r._3, if (r._4 == "click") 0 else 1, r._2)).flatMap {
             case (_, eventId, ts, etype) =>
-              if (etype == "click") { lastClick = ts; None }
-              else if (etype == "purchase")
+              if (etype == "click") {
+                lastClick = math.max(lastClick, ts); None
+              } else if (etype == "purchase")
                 Some((eventId, user, ts, lastClick))
               else None
           }
@@ -460,6 +474,95 @@ object StreamingOps {
       .toDF("event_id", "user_id", "ts_us", "last_click_us")
   }
 
+  /** `streaming_asof_ttl`'s state TTL: a click older than this (in event
+    * time) no longer enriches, and its user's state evicts. 24 h — both
+    * outcomes fire at every fixture SF (sf0.001: 71 of 202 purchases
+    * enrich within TTL; sf0.01: 683 of 1981). ONE constant feeding the
+    * stream and the oracle. */
+  private[graft] val ASOF_TTL_US = 86400000000L
+
+  /** The TTL'd as-of enrichment — [[asofStream]]'s PRODUCTION form,
+    * implementing the bounded-state promise the un-TTL'd form only
+    * documents: a stored click enriches only purchases within `ttlUs` of
+    * it (older → the -1 sentinel), and state is EVICTED two ways —
+    * eagerly when the group's own newest event time has passed the
+    * click's TTL (the click can never enrich a later in-order purchase),
+    * and by EVENT-TIME TIMEOUT for wholly idle users (the group is never
+    * re-invoked by data, so eviction must ride the watermark: the
+    * timeout fires once other traffic advances it past lastClick + TTL
+    * — this is why the input carries a watermark). State is therefore
+    * O(users active within one TTL window), not O(users ever seen) —
+    * the contract that actually survives an unbounded stream. Arrival
+    * contract and tie rule identical to [[asofEnrich]]. */
+  private[graft] def asofTtlEnrich(
+      ev: org.apache.spark.sql.Dataset[
+        (Long, Long, Long, String, java.sql.Timestamp)],
+      ttlUs: Long): DataFrame = {
+    // the 5th field is the WATERMARKED event-time column: it must flow
+    // into the grouped Dataset itself (projecting it away lets the
+    // analyzer prune the EventTimeWatermark node, and event-time timeout
+    // then fails the unsupported-operation check); the handler never
+    // reads it — ts_us carries the same instant at µs precision
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long,
+            rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // idle past TTL: the watermark proved no enrichable purchase
+            // can still arrive for this click — drop the user entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            var lastClick = state.getOption.getOrElse(-1L)
+            var maxTs = Long.MinValue
+            val out = rows.toSeq.sortBy(r =>
+              (r._3, if (r._4 == "click") 0 else 1, r._2)).flatMap {
+              case (_, eventId, ts, etype, _) =>
+                maxTs = math.max(maxTs, ts)
+                if (etype == "click") {
+                  lastClick = math.max(lastClick, ts); None
+                } else if (etype == "purchase")
+                  Some((eventId, user, ts,
+                    if (lastClick >= 0 && ts - lastClick <= ttlUs) lastClick
+                    else -1L))
+                else None
+            }
+            val expiryMs = // µs → ms, rounded UP so the µs TTL is honored
+              math.addExact(lastClick, ttlUs) / 1000 + 1
+            if (lastClick < 0 || maxTs - lastClick > ttlUs ||
+                expiryMs <= state.getCurrentWatermarkMs()) {
+              // nothing enrichable left (no click, or the group's own
+              // traffic / the global watermark already passed the TTL)
+              state.remove()
+            } else {
+              state.update(lastClick)
+              state.setTimeoutTimestamp(expiryMs)
+            }
+            out.iterator
+          }
+      }
+      .toDF("event_id", "user_id", "ts_us", "last_click_us")
+  }
+
+  /** [[asofTtlEnrich]] over the staged events landing dir, with the
+    * event-time watermark the timeout eviction rides (delay 0: the
+    * landing staging is consumed in order; a real deployment sets its
+    * out-of-orderness allowance here). */
+  def asofTtlStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    asofTtlEnrich(spark.readStream.schema(eventsSchema)
+      .parquet(stageDir(spark, sfDir, "events"))
+      .withColumn("ts_evt", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_evt", "0 seconds")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"), col("ts_evt"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)], ASOF_TTL_US)
+  }
+
   /** Streaming changelog compaction — the always-fresh "latest state per
     * key" materialized view (the KTable shape): the same map-side-combined
     * `max(struct(ts_us, event_id, payload…))` aggregate as the batch
@@ -467,7 +570,10 @@ object StreamingOps {
     * key — bounded by the key domain, not the stream length — which is the
     * contract that lets a compaction view run forever; a deployment whose
     * key domain itself grows without bound TTLs keys out via
-    * flatMapGroupsWithState instead (the alerts query shows that path).
+    * flatMapGroupsWithState instead — [[asofTtlEnrich]] implements
+    * exactly that state-TTL machinery (in-band expiry + event-time
+    * timeout eviction), so the escape hatch is code in this file, not
+    * prose.
     * No watermark: compaction never closes — every key's latest row must
     * stay revisable by later arrivals, exactly why complete mode (not
     * append) is the only sound output mode here. */
@@ -599,6 +705,16 @@ object StreamingOps {
         "vq_stream_alerts", "append") },
     "streaming_asof" -> { (s, d) =>
       runToMemorySink(asofStream(s, d), "vq_stream_asof", "append") },
+    "streaming_asof_ttl" -> { (s, d) =>
+      // the PRODUCTION form of streaming_asof: same enrichment, but a
+      // click only enriches within ASOF_TTL_US and user state EVICTS
+      // past it (eagerly on the group's own traffic, by event-time
+      // timeout for idle users — the watermark-ridden path). The fixture
+      // populates both outcomes at every SF; StreamingSpec pins the
+      // eviction (idle user re-enriches with the sentinel, state rows
+      // drop); the oracle is the TTL-bounded batch as-of.
+      runToMemorySink(asofTtlStream(s, d), "vq_stream_asof_ttl",
+        "append") },
     "streaming_compact" -> { (s, d) =>
       runToMemorySink(compactStream(s, d), "vq_stream_compact") },
     "streaming_decontam" -> { (s, d) =>
@@ -696,6 +812,19 @@ object StreamingOps {
     // the cross-micro-batch click carry, so the batch oracle applies
     "streaming_asof" ->
       graft.operators.RelationalOps.oracles("join_asof"),
+    // the TTL-bounded batch as-of: the correlated max gains the TTL
+    // lower bound, expired clicks fall to the sentinel — everything
+    // else identical to join_asof's oracle
+    "streaming_asof_ttl" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |       coalesce((SELECT max(epoch_us(c.ts)) FROM events c
+         |                 WHERE c.user_id = e.user_id
+         |                   AND c.event_type = 'click'
+         |                   AND epoch_us(c.ts) <= epoch_us(e.ts)
+         |                   AND epoch_us(c.ts) >=
+         |                       epoch_us(e.ts) - $ASOF_TTL_US), -1)
+         |         AS last_click_us
+         |FROM events e WHERE event_type = 'purchase'""".stripMargin,
     // StreamingSpec proves the two row-identical
     "streaming_outlier" ->
       graft.operators.RelationalOps.oracles("outlier_mad"),

@@ -165,6 +165,93 @@ class StreamingSpec extends SparkSpec {
       "no purchase crossed the batch boundary with a carried click")
   }
 
+  test("asof TTL: expired clicks fall to the sentinel and state evicts") {
+    // crafted two-batch source at a 5-second TTL, covering every arm:
+    // user 2's click enriches a next-batch purchase arriving 1µs inside
+    // the TTL; user 4's purchase arrives past it (sentinel + eager
+    // eviction by the group's own traffic); user 1 clicks once and goes
+    // idle — its state must evict by EVENT-TIME TIMEOUT when batch 2's
+    // other traffic advances the watermark past its click + TTL (the
+    // path eager eviction can never reach: the group is never
+    // re-invoked by data); user 3 never clicks (sentinel, no state).
+    // Final state = user 2 alone.
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val ttl = 5000000L // 5 s in µs
+    val dir = "target/stream-fixtures/test-asof-ttl"
+    graft.sources.Staging.deleteRecursively(Paths.get(dir))
+    Files.createDirectories(Paths.get(dir))
+    def write(part: String, rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ts_us", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$part")
+    write("half-a", Seq(
+      (1L, 100L, 1000000L, "click"),    // idle user: timeout eviction
+      (4L, 101L, 2000000L, "click"),    // will expire against its own row
+      (2L, 102L, 10000000L, "click")))  // survives
+    write("half-b", Seq(
+      (4L, 200L, 9000000L, "purchase"),         // 7 s gap > TTL: sentinel
+      (3L, 201L, 10500000L, "purchase"),        // never clicked: sentinel
+      (2L, 202L, 10000000L + ttl - 1, "purchase"))) // 1µs inside: enriched
+    val twoFiles = Seq("half-a", "half-b").flatMap { h =>
+      val entries = Files.list(Paths.get(s"$dir/$h"))
+      try entries.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      finally entries.close()
+    }
+    twoFiles.zipWithIndex.foreach { case (f, i) =>
+      Files.move(Paths.get(f), Paths.get(s"$dir/part-$i.parquet"))
+    }
+    Seq("half-a", "half-b").foreach(h =>
+      graft.sources.Staging.deleteRecursively(Paths.get(s"$dir/$h")))
+    spark.catalog.dropTempView("stream_asof_ttl")
+    val q = StreamingOps.asofTtlEnrich(
+        spark.readStream
+          .schema("user_id LONG, event_id LONG, ts_us LONG, " +
+            "event_type STRING")
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .withColumn("ts_evt", timestamp_micros(col("ts_us")))
+          .withWatermark("ts_evt", "0 seconds")
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("event_type"), col("ts_evt"))
+          .as[(Long, Long, Long, String, java.sql.Timestamp)], ttl)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("stream_asof_ttl").start()
+    q.awaitTermination()
+    val got = spark.table("stream_asof_ttl").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(
+      200L -> -1L,                // past TTL
+      201L -> -1L,                // no click at all
+      202L -> 10000000L))         // carried across batches, inside TTL
+    // eviction observable in the state-store metrics: only user 2's
+    // state survives the run (1: timed out, 3: never stored, 4: eagerly
+    // removed when its own purchase aged the click out)
+    val finalState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    assert(finalState === 1L, s"expected 1 surviving state row")
+  }
+
+  test("streaming_asof_ttl is row-identical to the TTL-bounded batch as-of") {
+    val streamed = SparkEntry.queries("streaming_asof_ttl")(spark, sf)
+    val events = graft.Tables.events(spark, sf)
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), expr("ts div 1000").as("c_us"))
+    val batch = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .join(clicks, col("user_id") === col("c_user") &&
+        col("c_us") <= col("ts_us") &&
+        col("c_us") >= col("ts_us") - StreamingOps.ASOF_TTL_US, "left")
+      .groupBy(col("event_id"), col("user_id"), col("ts_us"))
+      .agg(coalesce(max(col("c_us")), lit(-1L)).as("last_click_us"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+    // both outcomes fire on the fixture
+    assert(streamed.where(col("last_click_us") === -1L).count() > 0L)
+    assert(streamed.where(col("last_click_us") =!= -1L).count() > 0L)
+  }
+
   test("streaming_asof is row-identical to the batch as-of join") {
     val streamed = SparkEntry.queries("streaming_asof")(spark, sf)
     val batch = SparkEntry.queries("join_asof")(spark, sf)
