@@ -593,6 +593,45 @@ object MultimodalOps {
        |        LEFT JOIN dropb ON fd.doc_id = dropb.doc_id""".stripMargin
   }
 
+  /** [[mediaPairCtes]] + the recursive-CTE closure over the verified
+    * pairs (the dedup_clusters convention) + the per-cluster resolution
+    * argmax (ORDER BY res DESC, doc_id ASC — exactly the Spark side's
+    * max(struct(res, -doc_id))) + the kept-id set `mkeep` — ONE fragment
+    * serving the dedup_media_apply oracle and the composed
+    * pipeline_curate_multimodal oracle, so the two can never drift.
+    * m-prefixed CTE names: the curate chain this composes into has its
+    * own keep/sur relations. Callers supply `WITH RECURSIVE`. */
+  private[operators] def mediaKeepCtes: String =
+    s"""$mediaPairCtes,
+       |mpairs AS (SELECT doc_a, doc_b FROM v WHERE linf < 0.004),
+       |medges AS (
+       |  SELECT doc_a AS s, doc_b AS t FROM mpairs
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS t FROM mpairs),
+       |mreach(node, r) AS (
+       |  SELECT s, s FROM medges
+       |  UNION
+       |  SELECT e.s, r.r FROM medges e JOIN mreach r ON e.t = r.node),
+       |mcomp AS (SELECT node::BIGINT AS doc_id,
+       |                 min(r)::BIGINT AS cluster_rep
+       |          FROM mreach GROUP BY node),
+       |mmembers AS (
+       |  SELECT c.doc_id, c.cluster_rep,
+       |         (f.width::BIGINT * f.height) AS res
+       |  FROM mcomp c JOIN f USING (doc_id)),
+       |mbest AS (
+       |  SELECT doc_id, cluster_rep, n_members FROM (
+       |    SELECT doc_id, cluster_rep,
+       |           count(*) OVER (PARTITION BY cluster_rep) AS n_members,
+       |           row_number() OVER (PARTITION BY cluster_rep
+       |                              ORDER BY res DESC, doc_id ASC) AS rn
+       |    FROM mmembers) WHERE rn = 1),
+       |mkeep AS (
+       |  SELECT doc_id FROM mbest
+       |  UNION ALL
+       |  SELECT doc_id FROM f
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM mcomp))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_media_incremental" -> mediaIncrementalSql,
     "dedup_media" ->
@@ -600,38 +639,15 @@ object MultimodalOps {
          |SELECT doc_a, doc_b, media_type,
          |       ${graft.functions.VectorSql.rIeee("linf", 6)} AS dist, same_dims
          |FROM v WHERE linf < 0.004 ORDER BY doc_a, doc_b""".stripMargin,
-    // the removal oracle: recursive-CTE closure over the verified pairs
-    // (the dedup_clusters convention), then the per-cluster resolution
-    // argmax as a window — ORDER BY res DESC, doc_id ASC is exactly the
-    // Spark side's max(struct(res, -doc_id))
+    // the removal oracle: the shared closure fragment's argmax winners
+    // plus singleton reinstatement — see [[mediaKeepCtes]]
     "dedup_media_apply" ->
-      s"""WITH RECURSIVE $mediaPairCtes,
-         |pairs AS (SELECT doc_a, doc_b FROM v WHERE linf < 0.004),
-         |edges AS (
-         |  SELECT doc_a AS s, doc_b AS t FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS s, doc_a AS t FROM pairs),
-         |reach(node, r) AS (
-         |  SELECT s, s FROM edges
-         |  UNION
-         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.node),
-         |comp AS (SELECT node::BIGINT AS doc_id, min(r)::BIGINT AS cluster_rep
-         |         FROM reach GROUP BY node),
-         |members AS (
-         |  SELECT c.doc_id, c.cluster_rep,
-         |         (f.width::BIGINT * f.height) AS res
-         |  FROM comp c JOIN f USING (doc_id)),
-         |best AS (
-         |  SELECT doc_id, cluster_rep, n_members FROM (
-         |    SELECT doc_id, cluster_rep,
-         |           count(*) OVER (PARTITION BY cluster_rep) AS n_members,
-         |           row_number() OVER (PARTITION BY cluster_rep
-         |                              ORDER BY res DESC, doc_id ASC) AS rn
-         |    FROM members) WHERE rn = 1)
-         |SELECT doc_id, cluster_rep, n_members::BIGINT AS n_members FROM best
+      s"""WITH RECURSIVE $mediaKeepCtes
+         |SELECT doc_id, cluster_rep, n_members::BIGINT AS n_members
+         |FROM mbest
          |UNION ALL
          |SELECT doc_id, doc_id AS cluster_rep, 1::BIGINT AS n_members
-         |FROM f WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+         |FROM f WHERE doc_id NOT IN (SELECT doc_id FROM mcomp)
          |ORDER BY doc_id""".stripMargin,
     // the byte-sum feature math is reproducible from the utf-8 text in SQL
     // (the fixture docs are ASCII, so char positions == byte positions);

@@ -166,6 +166,38 @@ object PipelineOps {
       TextOps.packSequences(
         Tables.documents(s, d).join(ids, "doc_id"))
     },
+    "pipeline_curate_multimodal" -> { (s, d) =>
+      // the curate DAG with the MEDIA leg composed in — multimodal stops
+      // being leaf-only (round-17 verdict item 5): visual near-dup
+      // removal gates the door (dedup_media_apply's keep set — per
+      // cluster the highest-resolution copy survives, exactly what a
+      // joint text+image corpus trains on), then the quality gate, then
+      // the IDENTICAL dedup → substring → decontam tail. Declared as the
+      // FUNNEL (pipeline_report's style): per-stage survivor counts are
+      // the observability artifact a composed pass ships, and every
+      // count rides the shared stage relations — not re-implementations.
+      // Scale audit: the media leg is the banded pair graph + component
+      // argmax (nodes ≪ corpus), its keep set hands off as a bare-id
+      // semi-join; everything downstream inherits the text tail's
+      // shapes.
+      val docs = Tables.documents(s, d)
+      val mediaKeep = MultimodalOps.mediaApply(s, d)
+        .select(col("doc_id")).localCheckpoint()
+      val admitted = TextOps.qualityScored(docs)
+        .where(col("quality") >= QMIN)
+        .join(mediaKeep, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val (sur, sub, clean) = curateTail(docs, admitted, "quality",
+        pin = true)
+      Seq(("raw", 0, docs), ("media", 1, mediaKeep),
+        ("quality", 2, admitted), ("dedup", 3, sur),
+        ("substring", 4, sub), ("decontam", 5, clean))
+        .map { case (name, id, df) =>
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(id).as("stage_id"), lit(name).as("stage"),
+              col("n_docs"))
+        }.reduce(_ union _)
+    },
     "pipeline_report" -> { (s, d) =>
       // per-stage loss accounting — the observability artifact a curation
       // pass ships beside its output (how many docs each stage cost is
@@ -229,6 +261,36 @@ object PipelineOps {
          |      FROM sub
          |      WHERE doc_id >= ${DedupOps.NEVAL}
          |        AND doc_id NOT IN (SELECT doc_id FROM hit))""".stripMargin,
+    // the media keep set (the shared closure fragment), the
+    // doubly-gated admission, then the identical tail fragments —
+    // every stage named once, counted by the funnel select
+    "pipeline_curate_multimodal" ->
+      s"""WITH RECURSIVE ${MultimodalOps.mediaKeepCtes},
+         |${TextOps.qualityCteSql},
+         |kq AS (SELECT doc_id, text, quality FROM q
+         |       WHERE quality >= $QMIN
+         |         AND doc_id IN (SELECT doc_id FROM mkeep)),
+         |sur AS (SELECT min(doc_id) AS doc_id, min(quality) AS quality
+         |        FROM kq GROUP BY md5(text)),
+         |surdocs AS (SELECT sur.doc_id, d.text
+         |            FROM sur JOIN documents d USING (doc_id)),
+         |${DedupOps.substrAuditCtesFor("surdocs")},
+         |sub AS (SELECT sur.doc_id, sur.quality FROM sur
+         |        LEFT JOIN aud USING (doc_id)
+         |        WHERE coalesce(aud.n_dup_spans, 0) * ${DedupOps.SUBSTR_DROP_DEN} <=
+         |              coalesce(aud.n_spans, 0) * ${DedupOps.SUBSTR_DROP_NUM}),
+         |${DedupOps.deconCtes},
+         |hit AS (SELECT DISTINCT t.doc_id FROM trg t JOIN evg e USING (s)),
+         |cur AS (SELECT doc_id FROM sub
+         |        WHERE doc_id >= ${DedupOps.NEVAL}
+         |          AND doc_id NOT IN (SELECT doc_id FROM hit))
+         |SELECT 0 AS stage_id, 'raw' AS stage,
+         |       (SELECT count(*) FROM documents)::BIGINT AS n_docs
+         |UNION ALL SELECT 1, 'media', (SELECT count(*) FROM mkeep)::BIGINT
+         |UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM kq)::BIGINT
+         |UNION ALL SELECT 3, 'dedup', (SELECT count(*) FROM sur)::BIGINT
+         |UNION ALL SELECT 4, 'substring', (SELECT count(*) FROM sub)::BIGINT
+         |UNION ALL SELECT 5, 'decontam', (SELECT count(*) FROM cur)::BIGINT""".stripMargin,
     // counts over the same shared CTE fragments the pipelines' oracles
     // use; `cur` counts the decontaminated set (the split adds no rows)
     "pipeline_report" ->
