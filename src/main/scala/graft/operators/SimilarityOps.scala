@@ -695,16 +695,24 @@ object SimilarityOps {
       // cap discipline otherwise hides. Reads the PERSISTED layout (the
       // bytes probes actually scan, ensureIvfIndex's one-off ETL); the
       // pass is one NCELLS-key map-side-combined count over bare (id,
-      // cell) rows — no vectors move. The oracle re-derives the frozen
-      // cell model with the same trained-cells CTEs every IVF oracle
-      // uses, so the stats hash-verify the written layout end to end.
+      // cell) rows — no vectors move — LEFT-joined against the k-row
+      // cell MODEL so an empty cell reports its n_vecs=0 row instead of
+      // vanishing (an audit that cannot show the condition it warns on
+      // is half an audit; the r17 ADVICE item). The oracle re-derives
+      // the frozen cell model with the same trained-cells CTEs every
+      // IVF oracle uses, so the stats hash-verify the written layout
+      // end to end.
       val dir = ensureIvfIndex(s, d)
       val counts = s.read.parquet(s"$dir/vectors")
         .select(col("cell").cast("int").as("cell"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_vecs"))
-      val tot = counts.agg(sum(col("n_vecs")).as("n_total"))
-      counts.crossJoin(broadcast(tot))
+      val filled = s.read.parquet(s"$dir/cells")
+        .select(col("cell").cast("int").as("cell"))
+        .join(counts, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      val tot = filled.agg(sum(col("n_vecs")).as("n_total"))
+      filled.crossJoin(broadcast(tot))
         .select(col("cell"), col("n_vecs"),
           expr("(n_vecs * 1000000) div n_total").as("share_ppm"),
           (col("n_vecs") > BUCKET_CAP).as("over_cap"))
@@ -1587,8 +1595,11 @@ object SimilarityOps {
     "ivf_cell_stats" ->
       s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
          |asg AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
-         |cnt AS (SELECT cluster_id AS cell, count(*)::BIGINT AS n_vecs
-         |        FROM asg GROUP BY cluster_id),
+         |cnt0 AS (SELECT cluster_id AS cell, count(*)::BIGINT AS n_vecs
+         |         FROM asg GROUP BY cluster_id),
+         |cnt AS (SELECT c2.cid::INT AS cell,
+         |               coalesce(n_vecs, 0)::BIGINT AS n_vecs
+         |        FROM c2 LEFT JOIN cnt0 ON c2.cid = cnt0.cell),
          |t AS (SELECT sum(n_vecs)::BIGINT AS n_total FROM cnt)
          |SELECT cell, n_vecs,
          |       ((n_vecs * 1000000) // n_total)::BIGINT AS share_ppm,

@@ -358,9 +358,16 @@ class OperatorSpec extends SparkSpec {
     val dir = SimilarityOps.ensureIvfIndex(spark, sf)
     val cells = spark.read.parquet(s"$dir/vectors")
       .select(col("cell").cast("int")).collect().map(_.getInt(0))
-    val expect = cells.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // the audit's domain is the cell MODEL, not just populated cells:
+    // an empty cell must report n_vecs=0 instead of vanishing (r17
+    // ADVICE) — on this fixture every cell happens to be populated, so
+    // the domains coincide; the keySet check is against the model
+    val modelCells = spark.read.parquet(s"$dir/cells")
+      .select(col("cell").cast("int")).collect().map(_.getInt(0)).toSet
+    val pop = cells.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = modelCells.map(c => c -> pop.getOrElse(c, 0L)).toMap
     val total = cells.length.toLong
-    assert(got.keySet === expect.keySet)
+    assert(got.keySet === modelCells)
     assert(got.keySet.size <= SimilarityOps.NCELLS)
     assert(got.values.map(_._1).sum === total, "populations must tile the corpus")
     got.foreach { case (cell, (n, ppm, over)) =>
