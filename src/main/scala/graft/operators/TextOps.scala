@@ -863,6 +863,244 @@ object TextOps {
       .map(k => s"SELECT $k AS step, pair, n_occ FROM b$k")
       .mkString("\nUNION ALL\n")
 
+  // ---- GPT-2-style regex pre-tokenizer + 256-merge trainer (r17 verdict
+  // item 8: "train at 256+ merges with a GPT-2-style regex pre-tokenizer
+  // split, keeping the unrolled-CTE oracle") ----
+
+  /** The GPT-2 pre-tokenizer pattern, in the ASCII Java∩RE2 common
+    * dialect (the pii_redact discipline). Branches, in order:
+    * contraction suffixes, optionally space-prefixed letter runs, digit
+    * runs, punctuation runs, residual space runs. Two deliberate deltas
+    * from GPT-2's published pattern, both dialect-forced and both
+    * boundary-preserving on this corpus: `\p{L}`/`\p{N}` narrow to ASCII
+    * classes (the fixture is spec-pinned printable ASCII) and the
+    * `\s+(?!\S)` arm is dropped (RE2 has no lookahead; without it a
+    * trailing space run lands in the ` +` arm — same token boundary).
+    * Alternation is leftmost-FIRST in both engines (Java always; RE2 in
+    * its default non-POSIX mode), so branch ORDER is semantics: the
+    * contraction arm must outrank the punctuation arm or `'s` tokenizes
+    * as `'`+`s`. `pretokenize_gpt2` hash-pins every branch cross-engine.
+    */
+  private[graft] val GPT2_PRE_PAT =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** [[GPT2_PRE_PAT]] with the apostrophes doubled for embedding in a
+    * single-quoted DuckDB string literal. */
+  private[graft] val GPT2_PRE_PAT_SQL = GPT2_PRE_PAT.replace("'", "''")
+
+  /** GPT-2's Ġ (U+0120): pre-tokens carry their leading space as part of
+    * the token, and the byte-encoder maps 0x20 to Ġ so the space is an
+    * ordinary mergeable symbol. Mapping it here (rather than keeping raw
+    * spaces) preserves the trainer's "pairs never contain a bare space"
+    * invariant and lets ` the`-style whole-word-with-boundary merges
+    * form — the semantic difference between GPT-2 pre-tokenization and
+    * the split-on-space trainers above. */
+  private[graft] val GWORD = "\u0120"
+
+  /** 256 merges (the realism bump past bpe_train_bytes' 64) from a
+    * top-[[BPE_REGEX_VOCAB]] frequency-pruned pre-token histogram. The
+    * prune is the scale control production trainers use (SentencePiece's
+    * seed-vocab cap; HF trainers drop sub-min-frequency words): it bounds
+    * the per-step training relation AND the one driver materialization by
+    * vocabulary, not corpus — at sf0.1 it already bites (15206 → 1024
+    * pre-tokens) and the learned table is identical in both engines
+    * because the cut is the deterministic (freq DESC, w ASC) prefix.
+    * Merge capacity of the pruned fixture histogram is ≥300 at every SF
+    * (measured; exhaustion would stop the loop early and is spec-pinned
+    * not to happen at 256). */
+  private[graft] val BPE_REGEX_STEPS = 256
+  private[graft] val BPE_REGEX_VOCAB = 1024
+
+  /** The merged symbol step k mints: U+E201… — disjoint from the frozen
+    * U+E000 table, bpe_train's U+E101… and the U+F8F1 sentinel space. */
+  private[graft] def regexSym(k: Int): String =
+    new String(Character.toChars(0xE200 + k))
+
+  /** The trainer's MULTI-DOMAIN corpus: prose (documents), JSON payloads
+    * (events.props), catalog text (part name+brand+type), and ID-bearing
+    * names (customer name+segment). Real tokenizer corpora mix domains
+    * exactly like this (prose + structured + identifiers), and the mix is
+    * load-bearing twice over: the JSON/ID columns fire the digit and
+    * punctuation regex arms the prose fixture never exercises, and the
+    * prose-only pre-token vocabulary (~60 forms) exhausts its mergeable
+    * pairs at 128 steps — the 256-step regime needs the full mix
+    * (measured capacity 300 at sf0.001/sf0.01/sf0.1). */
+  private[graft] def regexCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("text").as("t"))
+      .unionAll(Tables.table(s, d, "events").select(col("props").as("t")))
+      .unionAll(Tables.table(s, d, "part").select(
+        concat(col("p_name"), lit(" "), col("p_brand"), lit(" "),
+          col("p_type")).as("t")))
+      .unionAll(Tables.table(s, d, "customer").select(
+        concat(col("c_name"), lit(" "), col("c_mktsegment")).as("t")))
+
+  /** [[regexCorpus]]'s DuckDB twin (column `t`). */
+  private[graft] val REGEX_CORPUS_SQL =
+    """SELECT text AS t FROM documents UNION ALL
+      |  SELECT props FROM events UNION ALL
+      |  SELECT p_name || ' ' || p_brand || ' ' || p_type FROM part UNION ALL
+      |  SELECT c_name || ' ' || c_mktsegment FROM customer""".stripMargin
+
+  /** The pruned pre-token histogram: ONE distributed corpus pass (regex
+    * explode → Ġ-map → count), then the deterministic (freq DESC, w ASC)
+    * top-V cut. 1-symbol pre-tokens can never contribute a pair in any
+    * step (replace only shortens), so they are dropped before the cut
+    * exactly as [[bpeMerges]] drops 1-char words. */
+  private[graft] def regexHistogram(s: SparkSession, d: String): DataFrame =
+    DedupOps.spread(regexCorpus(s, d))
+      .select(explode(regexp_extract_all(col("t"), lit(GPT2_PRE_PAT),
+        lit(0))).as("tok"))
+      .select(translate(col("tok"), " ", GWORD).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(BPE_REGEX_VOCAB)
+
+  /** The merge loop over a COLLECTED histogram — pure driver memory, zero
+    * Spark jobs. This is deliberately a different control plane from
+    * [[bpeMerges]]' per-trip distributed loop, because it is what
+    * production trainers actually do (HF/SentencePiece: distributed word
+    * count, in-memory merge loop): once the histogram is pruned to the
+    * vocab cap, per-step work is O(vocab·len), microseconds — paying a
+    * Spark job per step would make the 256-step trainer ~100× slower for
+    * no distribution benefit (bpe_train_bytes' measured driver-trip floor
+    * is the bench's priciest single query at 64 steps). The collect is a
+    * BOUNDED driver materialization: ≤[[BPE_REGEX_VOCAB]] rows by
+    * construction, independent of corpus size.
+    *
+    * Ordering contracts, both cross-engine safe on this symbol set
+    * (ASCII + Ġ + U+E2xx — all BMP, no surrogates, so UTF-16 unit order
+    * == codepoint order == UTF-8 byte order): the argmax is
+    * (count DESC, pair ASC), the prune is (freq DESC, w ASC). Rewrites
+    * are Java `String.replace` — left-to-right non-overlapping, the
+    * engines' shared semantics. Distinct words stay distinct under
+    * rewriting (the step symbol is fresh, so `replace(w, sym, pair)`
+    * inverts it), so the histogram never re-groups. */
+  private[graft] def bpeMergesInMemory(hist: Seq[(String, Long)],
+      steps: Int): Seq[(Int, String, Long)] = {
+    var h = hist
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (k <- 1 to steps) {
+      val pc = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- h; i <- 0 until w.length - 1) {
+        val p = w.substring(i, i + 2)
+        pc.update(p, pc.getOrElse(p, 0L) + f)
+      }
+      if (pc.nonEmpty) {
+        val (bp, bn) = pc.minBy { case (p, n) => (-n, p) }
+        out += ((k, bp, bn))
+        val sym = regexSym(k)
+        h = h.map { case (w, f) => (w.replace(bp, sym), f) }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Cached trainer for the regex family (the bpe_train build≠apply
+    * discipline): `bpe_train_regex` is the timed build; apply-side
+    * consumers read the cache, training only on a miss. The cache key
+    * carries a family tag so a hypothetical 12- or 64-step regex trainer
+    * could never collide with the split-on-space tables. */
+  private[graft] def learnedRegexMergesFor(s: SparkSession,
+      d: String): Seq[(Int, String, Long)] =
+    learnedMergeCache.getOrElseUpdate((d + "#gpt2", BPE_REGEX_STEPS),
+      bpeMergesInMemory(
+        regexHistogram(s, d).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq,
+        BPE_REGEX_STEPS))
+
+  /** Parenthesized balanced UNION ALL — a left-deep 256-arm union chain
+    * exceeds DuckDB's binder expression-depth cap (1000); the balanced
+    * tree binds at depth ~log2(arms). */
+  private def balancedUnion(arms: IndexedSeq[String]): String =
+    if (arms.length == 1) arms.head
+    else {
+      val (l, r) = arms.splitAt(arms.length / 2)
+      "(" + balancedUnion(l) + " UNION ALL " + balancedUnion(r) + ")"
+    }
+
+  /** The regex trainer unrolled for DuckDB, HISTOGRAM form: h0 is the
+    * pruned pre-token histogram (one corpus scan, like the Spark side),
+    * then per step a best-pair aggregate + a histogram rewrite. Unlike
+    * [[bpeTrainCtes]]' corpus-rewriting chain this stays vocab-bounded
+    * per step, which is what makes 256 steps replayable at all; the
+    * histogram==corpus counting equality is the one [[bpeMerges]]
+    * documents and bpe_train's corpus-scanning oracle re-proves every
+    * round. b_k is deliberately NOT materialized: its two consumers each
+    * re-run a vocab-bounded aggregate, and dropping the hint keeps the
+    * named-CTE count at 2/step — DuckDB's binder depth cap rejects 4
+    * named CTEs/step at 256 steps (measured), and CTE machinery overhead
+    * dominated the materialized variant (57 s → 7 s). */
+  private[graft] def bpeRegexCtes(steps: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH corpus AS MATERIALIZED (
+         |  $REGEX_CORPUS_SQL),
+         |h0 AS MATERIALIZED (
+         |  SELECT w, count(*)::BIGINT AS freq FROM (
+         |    SELECT replace(unnest(regexp_extract_all(t, '$GPT2_PRE_PAT_SQL')),
+         |           ' ', chr(288)) AS w FROM corpus)
+         |  WHERE length(w) >= 2
+         |  GROUP BY w ORDER BY freq DESC, w LIMIT $BPE_REGEX_VOCAB)""".stripMargin)
+    for (k <- 1 to steps) {
+      sb.append(s""",
+        |b$k AS (
+        |  SELECT pair, sum(freq)::BIGINT AS n_occ
+        |  FROM (SELECT substring(w, i, 2) AS pair, freq
+        |        FROM h${k - 1}, unnest(range(1, length(w))) AS r(i))
+        |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 1),
+        |h$k AS MATERIALIZED (
+        |  SELECT replace(w, (SELECT pair FROM b$k), chr(${0xE200 + k}))
+        |    AS w, freq FROM h${k - 1})""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private[graft] def bpeRegexTrainSql(steps: Int): String =
+    bpeRegexCtes(steps) + "\n" + balancedUnion(
+      (1 to steps).map(k => s"SELECT $k AS step, pair, n_occ FROM b$k"))
+
+  /** token_count_regex's oracle: the training chain plus a parallel
+    * rewrite chain over the DISTINCT document pre-tokens (dv_k), so the
+    * apply side is replayed at vocabulary cost too — including pre-tokens
+    * the top-V prune dropped from TRAINING, which still get every merge
+    * APPLIED (the standard OOV contract: merges apply to any word). The
+    * final join fans the per-distinct-pre-token symbol counts back out to
+    * documents. 3 named CTEs/step binds under the depth cap (4 does not).
+    */
+  private[graft] def tokenCountRegexSql(steps: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH corpus AS MATERIALIZED (
+         |  $REGEX_CORPUS_SQL),
+         |h0 AS MATERIALIZED (
+         |  SELECT w, count(*)::BIGINT AS freq FROM (
+         |    SELECT replace(unnest(regexp_extract_all(t, '$GPT2_PRE_PAT_SQL')),
+         |           ' ', chr(288)) AS w FROM corpus)
+         |  WHERE length(w) >= 2
+         |  GROUP BY w ORDER BY freq DESC, w LIMIT $BPE_REGEX_VOCAB),
+         |dpre AS MATERIALIZED (
+         |  SELECT doc_id, replace(tok, ' ', chr(288)) AS w FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(text, '$GPT2_PRE_PAT_SQL'))
+         |      AS tok FROM documents)),
+         |dv0 AS MATERIALIZED (SELECT DISTINCT w AS w0, w FROM dpre)""".stripMargin)
+    for (k <- 1 to steps) {
+      sb.append(s""",
+        |b$k AS (
+        |  SELECT pair, sum(freq)::BIGINT AS n_occ
+        |  FROM (SELECT substring(w, i, 2) AS pair, freq
+        |        FROM h${k - 1}, unnest(range(1, length(w))) AS r(i))
+        |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 1),
+        |h$k AS MATERIALIZED (
+        |  SELECT replace(w, (SELECT pair FROM b$k), chr(${0xE200 + k}))
+        |    AS w, freq FROM h${k - 1}),
+        |dv$k AS MATERIALIZED (
+        |  SELECT w0, replace(w, (SELECT pair FROM b$k), chr(${0xE200 + k}))
+        |    AS w FROM dv${k - 1})""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT d.doc_id, sum(length(v.w))::INT AS n_tokens
+      |FROM dpre d JOIN dv$steps v ON d.w = v.w0 GROUP BY d.doc_id""".stripMargin)
+    sb.toString
+  }
+
   /** Core of `quality_entropy` (factored out so OperatorSpec can assert
     * hand-computable histograms: "aaaa"→0, "abab"→1, "abcd"→2 bits). */
   private[graft] def charEntropy(docs: DataFrame): DataFrame = {
@@ -1400,6 +1638,65 @@ object TextOps {
           .select(translate(col("text"), UNI_FROM, UNI_TO).as("t")),
           BPE_TRAIN_STEPS)
         .toDF("step", "pair", "n_occ")
+    },
+    "bpe_train_regex" -> { (s, d) =>
+      // the production-shaped trainer (r17 verdict item 8): GPT-2-style
+      // regex pre-tokenization (space-attachment via Ġ — merges like
+      // " the" can form, the semantic the split-on-space trainers can't
+      // express), a MULTI-DOMAIN corpus (prose + JSON + catalog + IDs,
+      // [[regexCorpus]]), a top-V frequency prune as the scale control,
+      // and 256 merges — 4× bpe_train_bytes' count, 21× the demo's. The
+      // control plane changes with the count: ONE distributed corpus
+      // pass builds the pruned histogram, then the merge loop runs in
+      // DRIVER MEMORY over the ≤V collected rows ([[bpeMergesInMemory]]
+      // — the HF/SentencePiece architecture; per-step Spark jobs would
+      // be pure scheduling overhead at this vocab size). Writes the
+      // session cache token_count_regex applies from.
+      import s.implicits._
+      val merges = learnedRegexMergesFor(s, d)
+      merges.toDF("step", "pair", "n_occ")
+    },
+    "token_count_regex" -> { (s, d) =>
+      // the 256-merge regex tokenizer applied to the FULL documents
+      // corpus: pre-tokenize (regexp_extract_all, codegen), then ONE
+      // generated call folds all 256 merges per pre-token
+      // ([[org.apache.spark.sql.graft.BpeTokens]] — a 256-deep replace
+      // chain would blow the generated-method budget that already caps
+      // the 64-merge chain). OOV pre-tokens (pruned from TRAINING) still
+      // get every merge APPLIED — the standard BPE apply contract.
+      val merges = learnedRegexMergesFor(s, d)
+      Tables.documents(s, d).select(col("doc_id"),
+        org.apache.spark.sql.graft.BpeTokens.column(
+          regexp_extract_all(col("text"), lit(GPT2_PRE_PAT), lit(0)),
+          merges.map(_._2), merges.map(m => regexSym(m._1)))
+          .as("n_tokens"))
+    },
+    "pretokenize_gpt2" -> { (s, d) =>
+      // the pre-tokenizer's cross-engine branch audit: every arm of
+      // [[GPT2_PRE_PAT]] (contraction / word / number / punct / spaces)
+      // exercised and hash-pinned against DuckDB's RE2 on the
+      // multi-domain corpus. The JSON/catalog/ID columns fire the digit
+      // and punctuation arms natively; the contraction arm needs an
+      // apostrophe the ASCII prose fixture lacks, so a deterministic
+      // a→' transliteration is layered on (the bpe_train_unicode shim
+      // posture) — it yields BOTH true contractions ("fast"→"f'st": `'s`
+      // must win over the punct arm) and bare mid-word apostrophes
+      // ("table"→"t'ble": punct arm), so the leftmost-first branch
+      // ORDER is what the hash proves, not just each arm alone.
+      val tok = DedupOps.spread(regexCorpus(s, d))
+        .select(explode(regexp_extract_all(
+          translate(col("t"), "a", "'"), lit(GPT2_PRE_PAT), lit(0)))
+          .as("tok"))
+      tok.select(col("tok"),
+        when(col("tok").rlike("^'(?:s|t|re|ve|m|ll|d)$"), "contraction")
+          .when(col("tok").rlike("^ ?[A-Za-z]+$"), "word")
+          .when(col("tok").rlike("^ ?[0-9]+$"), "number")
+          .when(col("tok").rlike("^ +$"), "spaces")
+          .otherwise("punct").as("cls"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_toks"),
+          countDistinct(col("tok")).as("n_kinds"),
+          sum(length(col("tok"))).as("n_chars"))
     },
     "token_count_learned_bytes" -> { (s, d) =>
       // the 64-merge byte tokenizer applied to the FULL corpus (train on
@@ -2774,6 +3071,32 @@ object TextOps {
           (1 to BPE_BYTES_STEPS).foldLeft("text") { (acc, k) =>
             s"replace($acc, (SELECT pair FROM b$k), chr(${57600 + k}))"
           }})::INT AS n_tokens FROM documents"),
+    // the regex trainer replayed in its histogram form (vocab-bounded
+    // per step — 256 corpus rewrites would not be): one regex scan to
+    // h0, 256 b/h steps, balanced-union merge-table collection
+    "bpe_train_regex" -> bpeRegexTrainSql(BPE_REGEX_STEPS),
+    // the training chain + a distinct-pre-token rewrite chain (dv_k) +
+    // the fan-out join back to documents — the apply replayed at
+    // vocabulary cost, OOV pre-tokens included
+    "token_count_regex" -> tokenCountRegexSql(BPE_REGEX_STEPS),
+    // the branch audit: same shim (a → ', via chr(39) to dodge literal
+    // quoting), same pattern string, same CASE arm order
+    "pretokenize_gpt2" ->
+      s"""WITH corpus AS (
+         |  $REGEX_CORPUS_SQL),
+         |tok AS (
+         |  SELECT unnest(regexp_extract_all(translate(t, 'a', chr(39)),
+         |    '$GPT2_PRE_PAT_SQL')) AS tok FROM corpus)
+         |SELECT CASE
+         |    WHEN regexp_matches(tok, '^''(?:s|t|re|ve|m|ll|d)$$') THEN 'contraction'
+         |    WHEN regexp_matches(tok, '^ ?[A-Za-z]+$$') THEN 'word'
+         |    WHEN regexp_matches(tok, '^ ?[0-9]+$$') THEN 'number'
+         |    WHEN regexp_matches(tok, '^ +$$') THEN 'spaces'
+         |    ELSE 'punct' END AS cls,
+         |  count(*)::BIGINT AS n_toks,
+         |  count(DISTINCT tok)::BIGINT AS n_kinds,
+         |  sum(length(tok))::BIGINT AS n_chars
+         |FROM tok GROUP BY cls""".stripMargin,
     "drift_report" ->
       s"""WITH b AS (
          |  SELECT (n_chars // 50) AS bucket,

@@ -138,6 +138,37 @@ class ExpressionSpec extends SparkSpec {
     assert(got(1) === 0) // NaN row: deterministic cid 0, never -1
   }
 
+  test("BpeTokens: hand fold, OOV application, Ġ-mapping, edge shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.BpeTokens
+    val S1 = graft.operators.TextOps.regexSym(1)
+    val S2 = graft.operators.TextOps.regexSym(2)
+    // merge table: ab→S1 then S1c→S2 — applied IN RANK ORDER, so "abc"
+    // collapses to the single ladder symbol
+    val pats = Seq("ab", S1 + "c"); val subs = Seq(S1, S2)
+    val rows = Seq(
+      (1L, Seq("abc")),                 // ladder: ab→S1, S1c→S2 → 1
+      (2L, Seq("abcabc", "ab")),        // 2 + 1 = 3
+      (3L, Seq(" ab")),                 // Ġ-mapped BEFORE merging: Ġ+S1 → 2
+      (4L, Seq("zq", "xx")),            // OOV tokens: merges still applied
+                                        // (no hits) → raw lengths 2+2=4
+      (5L, Seq.empty[String]),          // empty pre-token array → 0
+      (6L, null.asInstanceOf[Seq[String]])) // null array → null
+      .toDF("id", "toks")
+    val got = rows.select(col("id"),
+        BpeTokens.column(col("toks"), pats, subs).as("n"))
+      .orderBy("id").collect()
+    assert(got.map(r => if (r.isNullAt(1)) -1 else r.getInt(1)).toSeq ===
+      Seq(1, 3, 2, 4, 0, -1))
+    // and the "space is an ordinary mergeable symbol" semantic: a merge
+    // pair CONTAINING Ġ fires on the mapped leading space
+    val g = 0x0120.toChar.toString
+    val got2 = Seq(Tuple1(Seq(" the"))).toDF("toks")
+      .select(BpeTokens.column(col("toks"), Seq(g + "t"), Seq(S1)).as("n"))
+      .collect()(0).getInt(0)
+    assert(got2 === 3) // Ġthe → S1he
+  }
+
   test("CentroidAgg skips null and empty vectors without poisoning counts") {
     import spark.implicits._
     val rows = Seq(

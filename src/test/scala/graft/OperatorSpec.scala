@@ -1502,6 +1502,123 @@ class OperatorSpec extends SparkSpec {
       "64 byte merges did not out-compress the 12-step table")
   }
 
+  test("bpe_train_regex: 256 merges, Ġ-boundary merges, deep ladder, honest prune") {
+    import graft.operators.TextOps
+    val merges = SparkEntry.queries("bpe_train_regex")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    // 256 real merges — the corpus must not exhaust its mergeable pairs
+    // (measured capacity 300; exhaustion would silently shrink the table)
+    assert(merges.length === 256)
+    assert(merges.forall(_.getLong(2) >= 1L), "a merge fired on zero pairs")
+    assert(merges.map(_.getString(1)).distinct.length === 256,
+      "duplicate merge pair — the rewrite is not consuming what it merges")
+    // the GPT-2 semantic the split-on-space trainers can't express:
+    // merges that swallow the word boundary (Ġ inside a learned pair)
+    assert(merges.count(_.getString(1).contains(0x0120.toChar)) >= 8,
+      "no word-boundary (Ġ) merges — space attachment is not happening")
+    // deep ladder: late merges build on learned U+E2xx symbols
+    assert(merges.count(_.getString(1).exists(_ >= 0xE200.toChar)) >= 64,
+      "fewer than 64 ladder merges in 256 steps")
+    // the prune is honest: the trained histogram is exactly the
+    // (freq DESC, w ASC) top-V prefix of the full pre-token counts
+    val full = graft.operators.DedupOps.spread(
+        TextOps.regexCorpus(spark, sf))
+      .select(explode(regexp_extract_all(col("t"),
+        lit(TextOps.GPT2_PRE_PAT), lit(0))).as("tok"))
+      .select(translate(col("tok"), " ", TextOps.GWORD).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = full.sortBy { case (w, f) => (-f, w) }
+      .take(TextOps.BPE_REGEX_VOCAB).toSeq
+    val got = TextOps.regexHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.sortBy { case (w, f) => (-f, w) } === expect,
+      "pruned histogram is not the deterministic top-V prefix")
+  }
+
+  test("bpeMergesInMemory: hand ladder, tie-break, and exhaustion stop") {
+    import graft.operators.TextOps
+    // hand ladder on ("aabaab",2),("aac",1):
+    //   step 1: aa=2*2+1=5, ab=2*2=4, ba=2, ac=1 -> ("aa",5), aa->S1
+    //   step 2: over S1bS1b / S1c: S1b=4, bS1=2, S1c=1 -> (S1+"b",4) --
+    //           left-to-right NON-OVERLAPPING replace is load-bearing
+    //           here: overlap-rewriting "aa" in "aabaab" twice per run
+    //           would change these counts
+    //   step 3: over S2S2 / S1c: S2S2=2 wins -> the ladder merges a
+    //           merged symbol with itself
+    val S1 = TextOps.regexSym(1); val S2 = TextOps.regexSym(2)
+    val m = TextOps.bpeMergesInMemory(
+      Seq(("aabaab", 2L), ("aac", 1L)), 3)
+    assert(m === Seq((1, "aa", 5L), (2, S1 + "b", 4L), (3, S2 + S2, 2L)))
+    // count tie breaks pair-ASC, the cross-engine (binary-collation)
+    // ordering: ab:1 vs ba:1 -> "ab"
+    val tie = TextOps.bpeMergesInMemory(Seq(("ab", 1L), ("ba", 1L)), 1)
+    assert(tie === Seq((1, "ab", 1L)))
+    // exhaustion: a 1-pair vocabulary stops emitting, never loops or
+    // fabricates (the oracle's empty-b_k arm mirrors the omission)
+    val short = TextOps.bpeMergesInMemory(Seq(("ab", 1L)), 5)
+    assert(short.map(_._1) === Seq(1))
+  }
+
+  test("token_count_regex equals a driver-side 256-merge replay; beats bytes-64") {
+    import graft.operators.TextOps
+    val merges = SparkEntry.queries("bpe_train_regex")(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getString(1)))
+    val got = SparkEntry.queries("token_count_regex")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(got.size === docs.length)
+    val rx = TextOps.GPT2_PRE_PAT.r
+    docs.foreach { r =>
+      val n = rx.findAllIn(r.getString(1)).map { tok =>
+        val end = merges.foldLeft(tok.replace(' ', 0x0120.toChar)) {
+          case (acc, (k, p)) =>
+            acc.replace(p, new String(Character.toChars(0xE200 + k)))
+        }
+        end.codePointCount(0, end.length)
+      }.sum
+      assert(got(r.getLong(0)) === n,
+        s"doc ${r.getLong(0)} diverged from the regex-merge replay")
+    }
+    // r17 verdict item 8's acceptance bar: the 256-merge regex tokenizer
+    // compresses the FULL documents corpus strictly better than the
+    // 64-merge byte tokenizer (same corpus, same symbol-count measure —
+    // pre-tokenization preserves character mass, spaces → Ġ 1:1)
+    val bytes64 = SparkEntry.queries("token_count_learned_bytes")(spark, sf)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    val regex256 = got.values.map(_.toLong).sum
+    assert(regex256 < bytes64,
+      s"regex-256 ($regex256 tokens) did not beat bytes-64 ($bytes64)")
+  }
+
+  test("pretokenize_gpt2: branch coverage, order, and losslessness") {
+    import graft.operators.TextOps
+    // constructed text exercises every arm INCLUDING the residual
+    // space-run one the fixture never produces, and the arm ORDER:
+    // `'s` must tokenize as a contraction, a bare `'x` as punct+word
+    val rx = java.util.regex.Pattern.compile(TextOps.GPT2_PRE_PAT)
+    def toks(s: String): Seq[String] = {
+      val m = rx.matcher(s)
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group()
+      b.result()
+    }
+    assert(toks("it's 42 wells, 'x  ") ===
+      Seq("it", "'s", " 42", " wells", ",", " '", "x", "  "))
+    // losslessness: pre-tokenization partitions the text exactly
+    val sample = Tables.documents(spark, sf).limit(50)
+      .select("text").collect().map(_.getString(0))
+    sample.foreach(t => assert(toks(t).mkString === t))
+    // the declared audit: 4 classes at this fixture (no space runs
+    // survive — every space attaches to a following token), contraction
+    // n_toks > 0 proves the shim fires the arm the raw corpus can't
+    val cls = SparkEntry.queries("pretokenize_gpt2")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cls.keySet === Set("contraction", "word", "number", "punct"))
+    assert(cls("contraction") > 0 && cls("number") > 0 && cls("punct") > 0)
+  }
+
   test("embed_project replays embed_pca's declared component exactly") {
     val pc = SparkEntry.queries("embed_pca")(spark, sf).collect()
       .sortBy(_.getInt(0)).map(_.getDouble(1))
