@@ -152,8 +152,62 @@ object StorageOps {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"),
           graft.operators.RelationalOps.revenueSum.as("revenue"))
+    },
+    "shard_manifest" -> { (s, d) =>
+      // the training-data EXPORT manifest (WebDataset/tar-shard
+      // discipline): documents pack in doc_id order into fixed-size
+      // shards of [[SHARD_TARGET_CHARS]], and the manifest rows — doc
+      // count, payload size, id range, content digest per shard — are
+      // what a loader consumes to plan epochs and what an auditor
+      // replays to detect shard corruption/drift. Assignment is
+      // OFFSET-BUCKETED: a document belongs to the shard its starting
+      // offset falls in (shard_id = start div target), the contract
+      // production shard writers implement (a shard exceeds the target
+      // only by its straddling last document's tail; documents never
+      // split).
+      //
+      // The exact global prefix sum is computed as a TWO-LEVEL scan, not
+      // one corpus-wide window: per-bucket (doc_id div 256) sums roll up
+      // map-side, the bucket-level exclusive cumsum runs on the n/256
+      // bucket relation, and the within-bucket cumsum windows are
+      // 256-row partitions. The only single-task stage is the bucket
+      // cumsum over the n/256 relation — re-bucketable recursively (the
+      // standard multi-level scan) if a corpus ever outgrows it; a
+      // global-ORDER window over the documents themselves (what the
+      // DuckDB oracle runs) would be the 100 TB scale-killer.
+      // Digest domain: per-doc h60 mod 1e9+7 summed — overflow-free for
+      // any shard under ~9e9 docs, HUGEINT-free in the oracle.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          pmod(graft.operators.DedupOps.h60(col("text")),
+            lit(1000000007L)).as("dg"),
+          expr("doc_id div 256").as("bkt"))
+      val bktTot = docs.groupBy(col("bkt"))
+        .agg(sum(col("n_chars")).as("bkt_chars"))
+      val bktPrefix = bktTot.select(col("bkt"),
+        (sum(col("bkt_chars")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("bkt_chars")).as("bkt_start"))
+      val inBkt = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(bktPrefix), Seq("bkt"))
+        .select(col("doc_id"), col("n_chars"), col("dg"),
+          (col("bkt_start") + sum(col("n_chars")).over(inBkt)
+            - col("n_chars")).as("start"))
+        .groupBy(expr(s"start div $SHARD_TARGET_CHARS").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("shard_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          sum(col("dg")).as("digest"))
     }
   )
+
+  /** shard_manifest's shard payload target, in corpus characters (the
+    * fixture's byte measure — pure-ASCII text, spec-pinned elsewhere).
+    * ~9 shards at sf0.001; a real export targets ~100 MB–1 GB. */
+  private[graft] val SHARD_TARGET_CHARS = 16384L
 
   val oracles: Map[String, String] = Map(
     "zorder_layout" ->
@@ -173,6 +227,25 @@ object StorageOps {
       s"""SELECT o_orderstatus, count(*)::BIGINT AS n_items,
         |       ${graft.operators.RelationalOps.revenueSumSql} AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus""".stripMargin,
+    // the oracle runs the one-window global-prefix form the Spark plan
+    // deliberately avoids (fine at replay scale; the scale-killer at
+    // 100 TB) — equality proves the two-level scan computes the same
+    // offsets
+    "shard_manifest" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, n_chars,
+         |         (${graft.operators.DedupOps.h60Sql("text")}) % 1000000007
+         |           AS dg,
+         |         sum(n_chars) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - n_chars AS start
+         |  FROM documents)
+         |SELECT (start // $SHARD_TARGET_CHARS)::BIGINT AS shard_id,
+         |       count(*)::BIGINT AS n_docs,
+         |       sum(n_chars)::BIGINT AS shard_chars,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |       sum(dg)::BIGINT AS digest
+         |FROM c GROUP BY shard_id""".stripMargin
   )
 }

@@ -1640,6 +1640,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("shard_manifest: exact offset replay, partition/contiguity/size bounds") {
+    import graft.sources.StorageOps
+    val man = SparkEntry.queries("shard_manifest")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // driver replay of the offset-bucketing contract: doc → shard of its
+    // starting offset — must reproduce every manifest row's counts
+    var off = 0L
+    val byShard = docs.map { case (id, n) =>
+      val sid = off / StorageOps.SHARD_TARGET_CHARS; off += n; (sid, id, n)
+    }.groupBy(_._1)
+    assert(man.length === byShard.size)
+    man.foreach { r =>
+      val g = byShard(r.getLong(0))
+      assert(r.getLong(1) === g.length.toLong, s"shard ${r.getLong(0)} n_docs")
+      assert(r.getLong(2) === g.map(_._3).sum, s"shard ${r.getLong(0)} chars")
+      assert(r.getLong(3) === g.map(_._2).min)
+      assert(r.getLong(4) === g.map(_._2).max)
+    }
+    // structural contracts a loader relies on: shard ids are the dense
+    // 0..K range; id ranges never interleave; a shard exceeds the target
+    // only by its straddling last document's tail
+    assert(man.map(_.getLong(0)).toSeq === man.indices.map(_.toLong))
+    man.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0).getLong(4) < w(1).getLong(3),
+        "shard doc-id ranges interleave")
+    }
+    val maxLen = docs.map(_._2).max
+    man.foreach(r => assert(r.getLong(2) < StorageOps.SHARD_TARGET_CHARS + maxLen))
+    assert(man.length >= 5, "target too coarse — packing never splits")
+  }
+
   test("zorder: morton hand cases; a 2-D box stays inside one tile block") {
     import spark.implicits._
     import graft.sources.StorageOps
