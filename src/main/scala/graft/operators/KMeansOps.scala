@@ -1168,7 +1168,7 @@ object KMeansOps {
 
   /** The 64 snapped per-dimension means of a recompute step —
     * rIeee@12 mirrors lloydStep's snap12 bit-for-bit (see its doc). */
-  private def snappedCentroidSql: String =
+  private[operators] def snappedCentroidSql: String =
     (1 to DIM).map(i => VectorSql.rIeee(s"avg(e.embedding[$i]::DOUBLE)", 12))
       .mkString(",\n         ")
 

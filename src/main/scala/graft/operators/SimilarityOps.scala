@@ -624,6 +624,47 @@ object SimilarityOps {
     }
   }
 
+  /** Standing-index REFRESH — the maintenance step that closes the IVF
+    * lifecycle (build → incremental append → delete → refresh): after
+    * churn, the frozen cell model drifts from the population it
+    * partitions (the delta's antipodal vectors crowd cells the build
+    * never balanced for; takedowns hollow others — embed_drift is the
+    * alarm that fires first), so probes of hot cells degrade toward
+    * brute force. The production response (FAISS/Milvus compaction) is
+    * NOT a from-scratch rebuild: re-center each cell on its CURRENT
+    * members (one snap12 Lloyd step from the standing model — the k-row
+    * driver materialization every K-Means op uses) and reassign, keeping
+    * the probe protocol untouched. Churned population = post-takedown
+    * survivors ∪ appended delta, read from the persisted layouts
+    * themselves (the bytes probes scan), whose stored cells equal
+    * nearest-frozen-center by the delete/append parity specs — so one
+    * lloydStep recomputes exactly the per-current-cell means. An
+    * emptied cell keeps its old centroid (lloydStep's contract),
+    * mirrored by the oracle's LEFT JOIN + coalesce. */
+  private[graft] def ensureIvfRefreshed(s: SparkSession, d: String): String = {
+    val sfTag = graft.sources.Staging.fixtureKey(d)
+    graft.sources.Staging.ensureDir(
+      s"target/ivf-index/$sfTag/nc$NCELLS-q8-refreshed",
+      marker = "vectors/_SUCCESS") { tmp =>
+      val churn = s.read.parquet(s"${ensureIvfDeleted(s, d)}/vectors")
+        .select(col("id"), col("v"))
+        .unionAll(s.read.parquet(s"${ensureIvfDelta(s, d)}/vectors")
+          .select(col("id"), col("v")))
+        .localCheckpoint()
+      val old = KMeansOps.collectCenters(
+        s.read.parquet(s"${ensureIvfIndex(s, d)}/cells").orderBy(col("cell")),
+        "cell", "cv")
+      val fresh = KMeansOps.lloydStep(churn, old)
+      s.createDataFrame(fresh.toSeq.map { case (cid, v) => (cid, v.toSeq) })
+        .toDF("cell", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cells")
+      churn.select(col("id"), col("v"),
+          q8Codes(col("v")).as("codes"), q8Scale(col("v")).as("scale"),
+          KMeansOps.nearestCol(col("v"), fresh).as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/vectors")
+    }
+  }
+
   /** `dedup_index_delete`'s tombstone set: the standing ids a takedown
     * removes from the band index. Every 32nd id — which includes the
     * sources of the incremental delta's unchanged re-crawls (ids ≡ 0 mod
@@ -669,6 +710,20 @@ object SimilarityOps {
       // vector can never reach a pair — no second corpus anti-join needed
       dedupEmbIncrementalOf(KMeansOps.points(s, d),
         dedupDeltaVectors(s, d), Some(pruned))
+    },
+    "ivf_index_refresh" -> { (s, d) =>
+      // re-center + reassign over the churned standing index (see
+      // [[ensureIvfRefreshed]] — the compaction step after append +
+      // takedown; never a from-scratch retrain). The declared relation
+      // reads back the refreshed layout itself, so the oracle
+      // hash-verifies the bytes the maintenance pass wrote: the DuckDB
+      // side rebuilds the churned population from the frozen model
+      // (base minus takedown, plus the assigned delta), recomputes the
+      // per-cell snap12 means, reassigns, and must land every vector in
+      // the identical cell.
+      val dir = ensureIvfRefreshed(s, d)
+      s.read.parquet(s"$dir/vectors")
+        .select(col("id"), col("cell").cast("int").as("cell"))
     },
     "ivf_index_incremental" -> { (s, d) =>
       // the declared relation reads back the APPENDED delta layout itself
@@ -1692,6 +1747,37 @@ object SimilarityOps {
     "dedup_index_delete" -> embIncOracleFor("basekeep",
       s"basekeep AS (SELECT * FROM embeddings " +
         s"WHERE vec_id % $BAND_DELETE_MOD <> 0),\n"),
+    // the refresh replayed end to end: churned population (base minus
+    // the takedown, plus the assigned delta) at the frozen model, fresh
+    // per-cell snap12 means with the LEFT JOIN + coalesce empty-cell
+    // keep, then reassignment of the whole population to the fresh set
+    "ivf_index_refresh" ->
+      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+         |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
+         |delta AS (
+         |  SELECT vec_id + $IVF_DELTA_OFFSET AS vec_id,
+         |         list_transform(embedding::DOUBLE[], x -> -x) AS embedding
+         |  FROM embeddings WHERE vec_id % 8 = 0),
+         |ad AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist,
+               "delta")}),
+         |pop AS (
+         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS embedding,
+         |         a.cluster_id AS cell
+         |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id
+         |  WHERE NOT (a.cluster_id IN (${IVF_DELETE_CELLS.mkString(", ")})
+         |             AND e.vec_id % $IVF_DELETE_MOD = 1)
+         |  UNION ALL
+         |  SELECT d.vec_id, d.embedding, ad.cluster_id AS cell
+         |  FROM delta d JOIN ad ON d.vec_id = ad.vec_id),
+         |fresh AS (
+         |  SELECT c2.cid, coalesce(n.cv, c2.cv) AS cv
+         |  FROM c2 LEFT JOIN (
+         |    SELECT e.cell AS cid,
+         |           list_value(${KMeansOps.snappedCentroidSql}) AS cv
+         |    FROM pop e GROUP BY e.cell) n USING (cid)),
+         |r AS (${KMeansOps.assignSqlFor("fresh", "cv", VectorSql.sqDist,
+               "pop")})
+         |SELECT vec_id AS id, cluster_id AS cell FROM r""".stripMargin,
     // the post-surgery layout = the frozen-model assignment of the
     // corpus minus the content-clustered takedown set
     "ivf_index_delete" ->

@@ -566,6 +566,55 @@ class OperatorSpec extends SparkSpec {
     assert(deltaCells > 2, s"delta concentrated in $deltaCells cells")
   }
 
+  test("ivf_index_refresh: covers the churn, moves vectors, tightens the fit") {
+    import graft.operators.{KMeansOps, SimilarityOps}
+    val delDir = SimilarityOps.ensureIvfDeleted(spark, sf)
+    val deltaDir = SimilarityOps.ensureIvfDelta(spark, sf)
+    val refDir = SimilarityOps.ensureIvfRefreshed(spark, sf)
+    val churn = spark.read.parquet(s"$delDir/vectors").select("id", "v")
+      .unionByName(spark.read.parquet(s"$deltaDir/vectors").select("id", "v"))
+    val ref = spark.read.parquet(s"$refDir/vectors")
+      .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+    // exact population: refresh rewrites assignments, never gains or
+    // loses a vector
+    assert(ref.count() === churn.count())
+    assert(ref.select("id").exceptAll(churn.select("id")).count() === 0L)
+    // the re-centering genuinely moved assignments (the stale model no
+    // longer fits the churned population — otherwise refresh is a no-op
+    // and the operator proves nothing)
+    val staleCells = spark.read.parquet(s"$delDir/vectors")
+      .select(col("id"), col("cell").cast("int").as("old_cell"))
+      .unionByName(spark.read.parquet(s"$deltaDir/vectors")
+        .select(col("id"), col("cell").cast("int").as("old_cell")))
+    val moved = ref.join(staleCells, "id")
+      .where(col("cell") =!= col("old_cell")).count()
+    assert(moved > 0, "refresh moved nothing — vacuous on this fixture")
+    // Lloyd monotonicity, the POINT of the refresh: total squared
+    // distance to the assigned centroid strictly improves over the
+    // stale (model, assignment) pair on the churned population
+    def cost(vecs: org.apache.spark.sql.DataFrame, cellCol: String,
+        centers: Array[(Int, Array[Double])]): Double = {
+      val m = centers.toMap
+      vecs.select(col("v"), col(cellCol)).collect().map { r =>
+        val v = r.getSeq[Double](0); val c = m(r.getInt(1))
+        v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+      }.sum
+    }
+    val oldC = KMeansOps.collectCenters(
+      spark.read.parquet(s"${SimilarityOps.ensureIvfIndex(spark, sf)}/cells")
+        .orderBy(col("cell")), "cell", "cv")
+    val newC = KMeansOps.collectCenters(
+      spark.read.parquet(s"$refDir/cells").orderBy(col("cell")),
+      "cell", "cv")
+    val staleCost = cost(spark.read.parquet(s"$delDir/vectors")
+      .select(col("v"), col("cell").cast("int").as("cell"))
+      .unionByName(spark.read.parquet(s"$deltaDir/vectors")
+        .select(col("v"), col("cell").cast("int").as("cell"))), "cell", oldC)
+    val freshCost = cost(ref.select(col("v"), col("cell")), "cell", newC)
+    assert(freshCost < staleCost,
+      s"refresh did not tighten the fit: $freshCost !< $staleCost")
+  }
+
   test("ivf_index_delete: surgery equals frozen-model rebuild minus the set") {
     import graft.operators.{KMeansOps, SimilarityOps}
     val baseDir = SimilarityOps.ensureIvfIndex(spark, sf)
