@@ -945,15 +945,29 @@ object TextOps {
     * explode → Ġ-map → count), then the deterministic (freq DESC, w ASC)
     * top-V cut. 1-symbol pre-tokens can never contribute a pair in any
     * step (replace only shortens), so they are dropped before the cut
-    * exactly as [[bpeMerges]] drops 1-char words. */
-  private[graft] def regexHistogram(s: SparkSession, d: String): DataFrame =
-    DedupOps.spread(regexCorpus(s, d))
+    * exactly as [[bpeMerges]] drops 1-char words.
+    *
+    * The spread is CONDITIONAL, unlike the single-file fixture loops
+    * above: an unconditional repartition pushes the whole corpus through
+    * a disk shuffle before the scan-shaped pass, which at the 64× fixture
+    * is ~100 MB of pure shuffle overhead with 10–30 s of shared-disk
+    * variance (measured — the scan+regex+aggregate itself is ~2 s there),
+    * and at real scale would shuffle the corpus to feed a pipeline whose
+    * aggregate already combines map-side. Only an under-parallel source
+    * (the single-file small fixtures) gets spread. */
+  private[graft] def regexHistogram(s: SparkSession, d: String): DataFrame = {
+    val corpus = regexCorpus(s, d)
+    val par = if (corpus.rdd.getNumPartitions <
+        s.sparkContext.defaultParallelism) DedupOps.spread(corpus)
+      else corpus
+    par
       .select(explode(regexp_extract_all(col("t"), lit(GPT2_PRE_PAT),
         lit(0))).as("tok"))
       .select(translate(col("tok"), " ", GWORD).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(BPE_REGEX_VOCAB)
+  }
 
   /** The merge loop over a COLLECTED histogram — pure driver memory, zero
     * Spark jobs. This is deliberately a different control plane from
@@ -1651,9 +1665,15 @@ object TextOps {
       // DRIVER MEMORY over the ≤V collected rows ([[bpeMergesInMemory]]
       // — the HF/SentencePiece architecture; per-step Spark jobs would
       // be pure scheduling overhead at this vocab size). Writes the
-      // session cache token_count_regex applies from.
+      // session cache token_count_regex applies from. Trains
+      // UNCONDITIONALLY (the bpe_train_bytes discipline: this IS the
+      // timed build; only apply-side consumers read the cache).
       import s.implicits._
-      val merges = learnedRegexMergesFor(s, d)
+      val merges = bpeMergesInMemory(
+        regexHistogram(s, d).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq,
+        BPE_REGEX_STEPS)
+      learnedMergeCache((d + "#gpt2", BPE_REGEX_STEPS)) = merges
       merges.toDF("step", "pair", "n_occ")
     },
     "token_count_regex" -> { (s, d) =>
