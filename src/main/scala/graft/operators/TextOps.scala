@@ -1072,6 +1072,30 @@ object TextOps {
     bpeRegexCtes(steps) + "\n" + balancedUnion(
       (1 to steps).map(k => s"SELECT $k AS step, pair, n_occ FROM b$k"))
 
+  /** bpe_vocab_regex's oracle: the training chain, the merge rows
+    * collected (balanced union into v0), then a DESCENDING
+    * reverse-replace chain — v_i replaces chr(0xE200 + (steps − i + 1))
+    * with that step's pair; since pair_j contains only symbols < j, the
+    * descent leaves every row fully expanded to base characters. */
+  private[graft] def bpeVocabRegexSql(steps: Int): String = {
+    val sb = new StringBuilder(bpeRegexCtes(steps))
+    sb.append(",\nv0 AS MATERIALIZED (SELECT step, pair AS x FROM (\n")
+    sb.append(balancedUnion(
+      (1 to steps).map(k => s"SELECT $k AS step, pair FROM b$k")))
+    sb.append("))")
+    for (i <- 1 to steps) {
+      val j = steps - i + 1
+      sb.append(s""",
+        |v$i AS MATERIALIZED (
+        |  SELECT step, replace(x, chr(${0xE200 + j}), (SELECT pair FROM b$j))
+        |    AS x FROM v${i - 1})""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT step, x AS expansion, length(x)::INT AS n_chars
+      |FROM v$steps""".stripMargin)
+    sb.toString
+  }
+
   /** token_count_regex's oracle: the training chain plus a parallel
     * rewrite chain over the DISTINCT document pre-tokens (dv_k), so the
     * apply side is replayed at vocabulary cost too — including pre-tokens
@@ -1675,6 +1699,29 @@ object TextOps {
         BPE_REGEX_STEPS)
       learnedMergeCache((d + "#gpt2", BPE_REGEX_STEPS)) = merges
       merges.toDF("step", "pair", "n_occ")
+    },
+    "bpe_vocab_regex" -> { (s, d) =>
+      // the VOCABULARY EXPORT — what a serving tokenizer actually loads:
+      // each learned symbol expanded recursively to base characters
+      // (merge k's pair can only contain symbols < k, so one ascending
+      // pass with a growing expansion map fully resolves the ladder).
+      // Expansions keep Ġ (the boundary marker IS part of the serving
+      // vocab, exactly as GPT-2 ships "Ġthe") and carry no private-use
+      // symbols — the U+E2xx alphabet is training-internal. Driver
+      // memory over the 256-row merge list; the corpus is not touched
+      // (cache-miss trains once). Oracle: the training chain plus a
+      // descending reverse-replace chain over the merge rows (replacing
+      // sym_j for j = 256…1 re-introduces only symbols < j, so the
+      // descent terminates fully expanded).
+      import s.implicits._
+      val merges = learnedRegexMergesFor(s, d)
+      val exp = scala.collection.mutable.Map.empty[Char, String]
+      val out = merges.map { case (k, p, _) =>
+        val e = p.flatMap(c => exp.getOrElse(c, c.toString))
+        exp((0xE200 + k).toChar) = e
+        (k, e, e.codePointCount(0, e.length))
+      }
+      out.toDF("step", "expansion", "n_chars")
     },
     "token_count_regex" -> { (s, d) =>
       // the 256-merge regex tokenizer applied to the FULL documents
@@ -3095,6 +3142,9 @@ object TextOps {
     // per step — 256 corpus rewrites would not be): one regex scan to
     // h0, 256 b/h steps, balanced-union merge-table collection
     "bpe_train_regex" -> bpeRegexTrainSql(BPE_REGEX_STEPS),
+    // training chain + descending reverse-replace expansion of the
+    // merge rows to base characters (the serving-vocab view)
+    "bpe_vocab_regex" -> bpeVocabRegexSql(BPE_REGEX_STEPS),
     // the training chain + a distinct-pre-token rewrite chain (dv_k) +
     // the fan-out join back to documents — the apply replayed at
     // vocabulary cost, OOV pre-tokens included

@@ -229,6 +229,29 @@ object StreamingOps {
       spark.readStream.schema(docsSchema)
         .parquet(stageDir(spark, sfDir, "documents")))
 
+  /** The learned 256-merge regex tokenizer ON the ingest stream — the
+    * token-budget meter a live curation pipeline runs per arriving doc
+    * (admission quotas and pack planning consume token counts, not
+    * char counts). The merge table is the OFFLINE model artifact
+    * (bpe_train_regex's session cache; a cache miss trains once,
+    * batch-side — the stream itself never touches the trainer), folded
+    * into the one [[org.apache.spark.sql.graft.BpeTokens]] generated
+    * call, so the stream is a stateless append-mode projection: zero
+    * state, row-identical to the batch token_count_regex by
+    * construction (StreamingSpec pins it). */
+  def tokenCountStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextOps
+    val merges = TextOps.learnedRegexMergesFor(spark, sfDir)
+    spark.readStream.schema(docsSchema)
+      .parquet(stageDir(spark, sfDir, "documents"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.BpeTokens.column(
+          regexp_extract_all(col("text"), lit(TextOps.GPT2_PRE_PAT),
+            lit(0)),
+          merges.map(_._2), merges.map(m => TextOps.regexSym(m._1)))
+          .as("n_tokens"))
+  }
+
   /** Streaming tumbling 1h window per event_type with a 2h watermark.
     * The value total is [[graft.operators.RelationalOps.centsSum]]
     * (round-16 sweep, in lock-step with the batch time_window_agg):
@@ -726,6 +749,9 @@ object StreamingOps {
     "streaming_quality_gate" -> { (s, d) =>
       runToMemorySink(qualityGateStream(s, d), "vq_stream_qgate",
         "append") },
+    "streaming_token_count" -> { (s, d) =>
+      runToMemorySink(tokenCountStream(s, d), "vq_stream_tokc",
+        "append") },
     "streaming_phrase_hits" -> { (s, d) =>
       runToMemorySink(phraseHitsStream(s, d), "vq_stream_phrase",
         "append") },
@@ -837,6 +863,10 @@ object StreamingOps {
     // row-identity, so the batch oracle applies verbatim
     "streaming_quality_gate" ->
       graft.operators.TextOps.oracles("quality_classifier"),
+    // the batch apply oracle verbatim — the stream is the same stateless
+    // projection over the same rows
+    "streaming_token_count" ->
+      graft.operators.TextOps.oracles("token_count_regex"),
     "streaming_window_agg" ->
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
          |       event_type, count(*)::BIGINT AS n,

@@ -1610,6 +1610,35 @@ class OperatorSpec extends SparkSpec {
     assert(short.map(_._1) === Seq(1))
   }
 
+  test("bpe_vocab_regex: base-char expansions that roundtrip to their symbol") {
+    val merges = SparkEntry.queries("bpe_train_regex")(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getString(1)))
+    val vocab = SparkEntry.queries("bpe_vocab_regex")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(vocab.length === 256)
+    vocab.foreach { r =>
+      val e = r.getString(1)
+      // serving vocab carries no training-internal symbols, only base
+      // chars + the Ġ boundary marker; every merge covers ≥2 base chars
+      assert(!e.exists(_ >= 0xE000.toChar),
+        s"step ${r.getInt(0)} expansion leaks a private-use symbol: $e")
+      assert(r.getInt(2) === e.codePointCount(0, e.length))
+      assert(r.getInt(2) >= 2)
+      // ROUNDTRIP: replaying the full merge list over the expansion must
+      // collapse it to exactly this step's symbol — the property that
+      // makes the export a faithful serving artifact (a tokenizer
+      // loading (expansion → id) reproduces training's segmentation)
+      val replay = merges.foldLeft(e) { case (acc, (k, p)) =>
+        acc.replace(p, new String(Character.toChars(0xE200 + k)))
+      }
+      assert(replay === new String(Character.toChars(0xE200 + r.getInt(0))),
+        s"step ${r.getInt(0)}: '$e' replays to '$replay', not its symbol")
+    }
+    // the GPT-2 space-attachment realism surfaces in the export: some
+    // vocab entries are Ġ-prefixed whole words
+    assert(vocab.count(_.getString(1).startsWith(0x0120.toChar.toString)) >= 8)
+  }
+
   test("token_count_regex equals a driver-side 256-merge replay; beats bytes-64") {
     import graft.operators.TextOps
     val merges = SparkEntry.queries("bpe_train_regex")(spark, sf).collect()

@@ -464,6 +464,14 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming token counting matches the batch token_count_regex") {
+    val streamed = SparkEntry.queries("streaming_token_count")(spark, sf)
+    val batch = SparkEntry.queries("token_count_regex")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming admission sampling matches the batch mix_sample") {
     val streamed = SparkEntry.queries("streaming_mix")(spark, sf)
     val batch = SparkEntry.queries("mix_sample")(spark, sf)
