@@ -906,4 +906,51 @@ class PlanSpec extends SparkSpec {
       s"expected >=3 broadcast dimensions")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("token_count_regex: one codegen projection over a pruned doc scan") {
+    // the 256-merge apply is ONE generated call (BpeTokens) inside
+    // whole-stage codegen over a 2-column scan — a refactor back to a
+    // replace-expression chain (codegen blowup → interpreted fallback)
+    // or a join against a merge relation fails here
+    SparkEntry.queries("bpe_train_regex")(spark, sf).collect() // warm cache
+    val df = SparkEntry.queries("token_count_regex")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "per-doc tokenization must not shuffle")
+    assert(plan.contains("*(1) Project"),
+      "BpeTokens fell out of whole-stage codegen (no *(1) marker)")
+    val read = plan.split("\n").find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang"),
+      s"scan not pruned to (doc_id, text): $read")
+  }
+
+  test("ivf_index_refresh reads back the refreshed layout, nothing else") {
+    // refresh is maintenance ETL (ensureIvfRefreshed); the DECLARED
+    // relation is one pruned scan of the refreshed files — no exchange,
+    // no in-query reassignment, no corpus rescan
+    val plan = executed("ivf_index_refresh")
+    assert(!plan.contains("Exchange"),
+      "reading the refreshed layout must not shuffle")
+    assert(!plan.toLowerCase.contains("nearestcenter"),
+      "reassignment must happen at maintenance ETL time, not in-query")
+    assert(plan.split("Scan parquet", -1).length - 1 == 1,
+      "exactly one scan: the refreshed layout")
+    assert(plan.contains("-refreshed"),
+      "scan must target the refreshed layout")
+  }
+
+  test("shard_manifest: bounded windows only; one corpus-scaled aggregate") {
+    val plan = executed("shard_manifest")
+    // two Window nodes: the n/256 bucket-level cumsum (single-task over
+    // a bounded relation) and the 256-row within-bucket prefix; the
+    // corpus itself must never pass through a global-ORDER window
+    assert(plan.split("\\bWindow\\b").length - 1 == 2,
+      "expected exactly the two prefix-scan windows")
+    // the bucket prefix joins back as a broadcast, never a shuffle of
+    // the doc rows against bucket sums
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"),
+      "bucket prefix relation is not broadcast")
+  }
 }
