@@ -138,6 +138,24 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> { (s, d) => curated(s, d) },
+    "pipeline_export" -> { (s, d) =>
+      // the LAST mile, composed: the curated train split packed into
+      // fixed-size training shards with a verifiable manifest — what
+      // actually leaves a curation pipeline for the training cluster.
+      // The curate→export handoff is the pipeline_pack discipline: a
+      // bare-id left-semi join (text and sizes flow straight from the
+      // scan into the manifest builder, never through the curation
+      // stages); the shard rollup is shard_manifest's two-level exact
+      // prefix scan over the surviving train docs, so shard boundaries
+      // are deterministic functions of the curated corpus alone.
+      val train = curated(s, d).where(col("split") === "train")
+        .select(col("doc_id"))
+      graft.sources.StorageOps.manifestOf(
+        Tables.documents(s, d)
+          .join(train, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("n_chars"),
+            pmod(DedupOps.h60(col("text")), lit(1000000007L)).as("dg")))
+    },
     "pipeline_curate_learned" -> { (s, d) =>
       // the curate DAG with the round-17 LEARNED gate at the door: the
       // classifier trains in-engine from the corpus's own proxy labels
@@ -222,6 +240,27 @@ object PipelineOps {
     "pipeline_curate" ->
       s"""WITH $curatedCtes
          |SELECT doc_id, quality, split FROM cur""".stripMargin,
+    // the shared curation chain, then shard_manifest's offset-bucketed
+    // rollup over the surviving train docs (the oracle runs the
+    // one-window global-prefix form; equality proves the composed
+    // two-level scan computes identical shard boundaries)
+    "pipeline_export" ->
+      s"""WITH $curatedCtes,
+         |tr AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |         (${DedupOps.h60Sql("d.text")}) % 1000000007 AS dg,
+         |         sum(d.n_chars) OVER (ORDER BY d.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - d.n_chars AS start
+         |  FROM documents d JOIN cur ON d.doc_id = cur.doc_id
+         |  WHERE cur.split = 'train')
+         |SELECT (start // ${graft.sources.StorageOps.SHARD_TARGET_CHARS})::BIGINT
+         |         AS shard_id,
+         |       count(*)::BIGINT AS n_docs,
+         |       sum(n_chars)::BIGINT AS shard_chars,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |       sum(dg)::BIGINT AS digest
+         |FROM tr GROUP BY shard_id""".stripMargin,
     // the learned-gate curate: classifier training CTEs (labels → bucket
     // counts → log-ratio weights), the per-doc logit fold, the admitted
     // set, then the IDENTICAL tail fragments the heuristic pipeline's

@@ -177,32 +177,40 @@ object StorageOps {
       // DuckDB oracle runs) would be the 100 TB scale-killer.
       // Digest domain: per-doc h60 mod 1e9+7 summed — overflow-free for
       // any shard under ~9e9 docs, HUGEINT-free in the oracle.
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
+      manifestOf(Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"),
           pmod(graft.operators.DedupOps.h60(col("text")),
-            lit(1000000007L)).as("dg"),
-          expr("doc_id div 256").as("bkt"))
-      val bktTot = docs.groupBy(col("bkt"))
-        .agg(sum(col("n_chars")).as("bkt_chars"))
-      val bktPrefix = bktTot.select(col("bkt"),
-        (sum(col("bkt_chars")).over(Window.orderBy(col("bkt"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - col("bkt_chars")).as("bkt_start"))
-      val inBkt = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs.join(broadcast(bktPrefix), Seq("bkt"))
-        .select(col("doc_id"), col("n_chars"), col("dg"),
-          (col("bkt_start") + sum(col("n_chars")).over(inBkt)
-            - col("n_chars")).as("start"))
-        .groupBy(expr(s"start div $SHARD_TARGET_CHARS").as("shard_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("shard_chars"),
-          min(col("doc_id")).as("min_doc"),
-          max(col("doc_id")).as("max_doc"),
-          sum(col("dg")).as("digest"))
+            lit(1000000007L)).as("dg")))
     }
   )
+
+  /** The manifest builder over any (doc_id, n_chars, dg) relation — the
+    * two-level exact prefix scan + offset-bucketed shard rollup (see
+    * shard_manifest's scaladoc for the mechanism and scale shape).
+    * Shared by the standalone shard_manifest and the composed
+    * pipeline_export (curated corpus → shards). */
+  private[graft] def manifestOf(src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = src.withColumn("bkt", expr("doc_id div 256"))
+    val bktTot = docs.groupBy(col("bkt"))
+      .agg(sum(col("n_chars")).as("bkt_chars"))
+    val bktPrefix = bktTot.select(col("bkt"),
+      (sum(col("bkt_chars")).over(Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("bkt_chars")).as("bkt_start"))
+    val inBkt = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(bktPrefix), Seq("bkt"))
+      .select(col("doc_id"), col("n_chars"), col("dg"),
+        (col("bkt_start") + sum(col("n_chars")).over(inBkt)
+          - col("n_chars")).as("start"))
+      .groupBy(expr(s"start div $SHARD_TARGET_CHARS").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("shard_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("dg")).as("digest"))
+  }
 
   /** shard_manifest's shard payload target, in corpus characters (the
     * fixture's byte measure — pure-ASCII text, spec-pinned elsewhere).

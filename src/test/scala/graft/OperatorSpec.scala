@@ -1751,6 +1751,29 @@ class OperatorSpec extends SparkSpec {
     assert(man.length >= 5, "target too coarse — packing never splits")
   }
 
+  test("pipeline_export: shards cover exactly the curated train split") {
+    val train = SparkEntry.queries("pipeline_curate")(spark, sf).collect()
+      .filter(_.getString(2) == "train").map(_.getLong(0)).toSet
+    val man = SparkEntry.queries("pipeline_export")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    // doc and char mass both equal the curated train slice of the source
+    assert(man.map(_.getLong(1)).sum === train.size.toLong)
+    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().filter(r => train(r.getLong(0))).map(_.getLong(1)).sum
+    assert(man.map(_.getLong(2)).sum === chars)
+    // manifest structure survives the composition: dense ids from 0,
+    // non-interleaving id ranges, more than one shard (export splits)
+    assert(man.map(_.getLong(0)).toSeq === man.indices.map(_.toLong))
+    man.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0).getLong(4) < w(1).getLong(3))
+    }
+    assert(man.length >= 2)
+    // and the curation is load-bearing: the composed manifest differs
+    // from sharding the raw corpus (same target, fewer docs)
+    val raw = SparkEntry.queries("shard_manifest")(spark, sf).collect()
+    assert(man.map(_.getLong(1)).sum < raw.map(_.getLong(1)).sum)
+  }
+
   test("zorder: morton hand cases; a 2-D box stays inside one tile block") {
     import spark.implicits._
     import graft.sources.StorageOps
