@@ -153,6 +153,24 @@ object StorageOps {
         .agg(count(lit(1)).as("n_items"),
           graft.operators.RelationalOps.revenueSum.as("revenue"))
     },
+    "compact_small_files" -> { (s, d) =>
+      // the small-files maintenance op (the #1 operational pathology of
+      // incremental lake writers: a 100 TB table behind millions of
+      // KB-scale files pays open/footer costs per file and starves the
+      // scheduler). See [[ensureCompacted]] for the mechanism —
+      // metadata-driven sizing, shuffle-free coalesce rewrite. The
+      // declared relation reads back the COMPACTED bytes and rolls them
+      // to per-lang content stats with a digest, so the oracle (which
+      // reads the original fixture) hash-proves the rewrite preserved
+      // every row byte-for-byte; the file-level many→few claim is
+      // spec-pinned (48 → ceil(bytes/target) files, counted on disk).
+      val (_, compacted) = ensureCompacted(s, d)
+      s.read.parquet(compacted)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(pmod(graft.operators.DedupOps.h60(col("text")),
+            lit(1000000007L))).as("digest"))
+    },
     "shard_manifest" -> { (s, d) =>
       // the training-data EXPORT manifest (WebDataset/tar-shard
       // discipline): documents pack in doc_id order into fixed-size
@@ -217,6 +235,60 @@ object StorageOps {
     * ~9 shards at sf0.001; a real export targets ~100 MB–1 GB. */
   private[graft] val SHARD_TARGET_CHARS = 16384L
 
+  /** compact_small_files' target output-file size. Fixture-scale (the
+    * real knob is 128 MB–1 GB); what matters is the mechanism, and that
+    * the fixture's small layout genuinely compacts many-to-few. */
+  private[graft] val COMPACT_TARGET_BYTES = 32768L
+
+  /** Sum of the parquet data-file sizes under a layout dir. */
+  private[graft] def layoutBytes(dir: String): Long = {
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try files.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size).sum
+    finally files.close()
+  }
+
+  /** Parquet data-file count under a layout dir (spec + sizing). */
+  private[graft] def layoutFiles(dir: String): Int = {
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try files.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    finally files.close()
+  }
+
+  /** The small-files layout + its compaction, staged once each (the
+    * compact_small_files ETL pair). Returns (smallDir, compactedDir). */
+  private[graft] def ensureCompacted(s: SparkSession,
+      d: String): (String, String) = {
+    val tag = sfName(d)
+    val small = Staging.ensureDir(s"target/compact-fixtures/$tag/small") {
+      tmp =>
+        // the pathology every incremental writer produces: one commit =
+        // one tiny file; 48 writers' worth staged deterministically
+        Tables.documents(s, d).repartition(48)
+          .write.mode("overwrite").parquet(tmp)
+    }
+    val compacted =
+      Staging.ensureDir(s"target/compact-fixtures/$tag/compacted") { tmp =>
+        // compaction = METADATA-DRIVEN sizing + one balanced rewrite:
+        // the output file count comes from the layout's actual bytes
+        // (the footer/manifest stats a lake compactor reads), and
+        // repartition makes it EXACT and balanced — a coalesce would be
+        // exchange-free but caps at the reader's split count (which
+        // varies with session parallelism → non-deterministic layout)
+        // and inherits input skew; a compactor is paying a full copy of
+        // the data anyway, so the shuffle is the same bytes moved once.
+        // At 100 TB this runs per partition directory over its own file
+        // group, embarrassingly parallel across partitions.
+        val n = math.max(1, math.ceil(
+          layoutBytes(small).toDouble / COMPACT_TARGET_BYTES).toInt)
+        s.read.parquet(small).repartition(n)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    (small, compacted)
+  }
+
   val oracles: Map[String, String] = Map(
     "zorder_layout" ->
       s"""WITH z AS (
@@ -236,6 +308,14 @@ object StorageOps {
         |       ${graft.operators.RelationalOps.revenueSumSql} AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+    // content stats over the ORIGINAL fixture — equality with the
+    // compacted-layout read-back proves the rewrite lost/changed nothing
+    "compact_small_files" ->
+      s"""SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(n_chars)::BIGINT AS sum_chars,
+         |       sum((${graft.operators.DedupOps.h60Sql("text")})
+         |           % 1000000007)::BIGINT AS digest
+         |FROM documents GROUP BY lang""".stripMargin,
     // the oracle runs the one-window global-prefix form the Spark plan
     // deliberately avoids (fine at replay scale; the scale-killer at
     // 100 TB) — equality proves the two-level scan computes the same

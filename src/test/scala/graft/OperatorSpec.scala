@@ -1774,6 +1774,27 @@ class OperatorSpec extends SparkSpec {
     assert(man.map(_.getLong(1)).sum < raw.map(_.getLong(1)).sum)
   }
 
+  test("compact_small_files: many→few on disk, content preserved, sized right") {
+    import graft.sources.StorageOps
+    val (small, compacted) = StorageOps.ensureCompacted(spark, sf)
+    val (nSmall, nComp) =
+      (StorageOps.layoutFiles(small), StorageOps.layoutFiles(compacted))
+    // the pathology is real and the compaction bites: 48 staged writer
+    // files collapse to the metadata-derived target count
+    assert(nSmall === 48)
+    val expect = math.max(1, math.ceil(StorageOps.layoutBytes(small)
+      .toDouble / StorageOps.COMPACT_TARGET_BYTES).toInt)
+    assert(nComp === expect, s"expected $expect compacted files, got $nComp")
+    assert(nComp < nSmall / 4, "compaction barely reduced the file count")
+    // row-level identity (the declared query's digest proves the same
+    // against DuckDB; this is the Spark-side set equality incl. text)
+    val a = spark.read.parquet(small)
+    val b = spark.read.parquet(compacted)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+  }
+
   test("zorder: morton hand cases; a 2-D box stays inside one tile block") {
     import spark.implicits._
     import graft.sources.StorageOps
