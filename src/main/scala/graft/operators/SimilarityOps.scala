@@ -1602,6 +1602,14 @@ object SimilarityOps {
        |        LEFT JOIN dropb ON dv.vec_id = dropb.vec_id""".stripMargin
   }
 
+  /** The bare frozen-model corpus assignment (vec → cell) — the relation
+    * every IVF oracle embeds; exposed whole for `streaming_ivf_assign`'s
+    * oracle (the stream is exactly this projection). */
+  private[graft] def ivfAssignAllSql: String =
+    s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+       |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)})
+       |SELECT vec_id AS id, cluster_id AS cell FROM a""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_topk_ivf_pq" -> ivfPqTopkSql,

@@ -239,6 +239,31 @@ object StreamingOps {
     * call, so the stream is a stateless append-mode projection: zero
     * state, row-identical to the batch token_count_regex by
     * construction (StreamingSpec pins it). */
+  /** Embeddings schema for the staged vector stream. */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** IVF cell assignment ON the vector ingest stream — the streaming leg
+    * of ivf_index_incremental's ETL: each arriving embedding is assigned
+    * to the PERSISTED frozen cell model (k-row broadcast argmin, the
+    * NearestCenter codegen expression — literally the projection the
+    * batch ingest runs before its partitioned write). Stateless append
+    * mode; the model is maintenance-owned (ensureIvfIndex's one-off ETL,
+    * refreshed by ivf_index_refresh) and the stream NEVER retrains. */
+  def ivfAssignStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{KMeansOps, SimilarityOps}
+    val dir = SimilarityOps.ensureIvfIndex(spark, sfDir)
+    val cells = KMeansOps.collectCenters(
+      spark.read.parquet(s"$dir/cells").orderBy(col("cell")), "cell", "cv")
+    spark.readStream.schema(embSchema)
+      .parquet(stageDir(spark, sfDir, "embeddings"))
+      .select(col("vec_id").as("id"),
+        KMeansOps.nearestCol(col("embedding").cast("array<double>"), cells)
+          .as("cell"))
+  }
+
   def tokenCountStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextOps
     val merges = TextOps.learnedRegexMergesFor(spark, sfDir)
@@ -752,6 +777,9 @@ object StreamingOps {
     "streaming_token_count" -> { (s, d) =>
       runToMemorySink(tokenCountStream(s, d), "vq_stream_tokc",
         "append") },
+    "streaming_ivf_assign" -> { (s, d) =>
+      runToMemorySink(ivfAssignStream(s, d), "vq_stream_ivf",
+        "append") },
     "streaming_phrase_hits" -> { (s, d) =>
       runToMemorySink(phraseHitsStream(s, d), "vq_stream_phrase",
         "append") },
@@ -867,6 +895,10 @@ object StreamingOps {
     // projection over the same rows
     "streaming_token_count" ->
       graft.operators.TextOps.oracles("token_count_regex"),
+    // the frozen-model corpus assignment every IVF oracle embeds — the
+    // stream is exactly that projection, row for row
+    "streaming_ivf_assign" ->
+      graft.operators.SimilarityOps.ivfAssignAllSql,
     "streaming_window_agg" ->
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
          |       event_type, count(*)::BIGINT AS n,

@@ -472,6 +472,19 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming IVF assignment matches the batch frozen-model argmin") {
+    import graft.operators.{KMeansOps, SimilarityOps}
+    val streamed = SparkEntry.queries("streaming_ivf_assign")(spark, sf)
+    val dir = SimilarityOps.ensureIvfIndex(spark, sf)
+    val cells = KMeansOps.collectCenters(
+      spark.read.parquet(s"$dir/cells").orderBy(col("cell")), "cell", "cv")
+    val batch = KMeansOps.points(spark, sf)
+      .select(col("id"), KMeansOps.nearestCol(col("v"), cells).as("cell"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming admission sampling matches the batch mix_sample") {
     val streamed = SparkEntry.queries("streaming_mix")(spark, sf)
     val batch = SparkEntry.queries("mix_sample")(spark, sf)
