@@ -725,6 +725,48 @@ object SimilarityOps {
       s.read.parquet(s"$dir/vectors")
         .select(col("id"), col("cell").cast("int").as("cell"))
     },
+    "ivf_refresh_report" -> { (s, d) =>
+      // the refresh's OBSERVABILITY twin (ivf_cell_stats is the build's):
+      // per cell, population before/after the re-centering, how many
+      // vectors moved in/out, and how far the centroid itself shifted —
+      // the numbers an index operator reads to decide whether churn has
+      // outrun the refresh cadence (big shifts + big migration = the
+      // model was badly stale; ~0 everywhere = wasted compaction). All
+      // inputs are the persisted layouts (stale = post-delete ∪ delta,
+      // refreshed = ensureIvfRefreshed's rewrite) plus the two k-row
+      // cell models; the only row-scaled work is one id equi-join of
+      // bare (id, cell) pairs and two NCELLS-key aggregates.
+      import graft.functions.VectorOps.{rIeee, sqDist}
+      val before =
+        s.read.parquet(s"${ensureIvfDeleted(s, d)}/vectors")
+          .select(col("id"), col("cell").cast("int").as("old_cell"))
+          .unionAll(s.read.parquet(s"${ensureIvfDelta(s, d)}/vectors")
+            .select(col("id"), col("cell").cast("int").as("old_cell")))
+      val refDir = ensureIvfRefreshed(s, d)
+      val after = s.read.parquet(s"$refDir/vectors")
+        .select(col("id"), col("cell").cast("int").as("new_cell"))
+      val m = after.join(before, Seq("id"))
+      val byOld = m.groupBy(col("old_cell").as("cell"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("old_cell") =!= col("new_cell"), 1L).otherwise(0L))
+            .as("n_out"))
+      val byNew = m.groupBy(col("new_cell").as("cell"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("old_cell") =!= col("new_cell"), 1L).otherwise(0L))
+            .as("n_in"))
+      val oldC = s.read.parquet(s"${ensureIvfIndex(s, d)}/cells")
+        .select(col("cell").cast("int").as("cell"), col("cv").as("old_cv"))
+      val newC = s.read.parquet(s"$refDir/cells")
+        .select(col("cell").cast("int").as("cell"), col("cv").as("new_cv"))
+      oldC.join(newC, Seq("cell"))
+        .join(byOld, Seq("cell"), "left").join(byNew, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("n_in"), lit(0L)).as("n_in"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"),
+          rIeee(sqrt(sqDist(col("old_cv"), col("new_cv"))), 4).as("shift"))
+    },
     "ivf_index_incremental" -> { (s, d) =>
       // the declared relation reads back the APPENDED delta layout itself
       // (id → assigned cell straight from the partition files), so the
@@ -1602,6 +1644,39 @@ object SimilarityOps {
        |        LEFT JOIN dropb ON dv.vec_id = dropb.vec_id""".stripMargin
   }
 
+  /** The refresh replay's shared CTE chain: frozen model (c2) → base +
+    * delta assignments → churned population `pop(vec_id, embedding,
+    * cell)` → fresh snap12 means `fresh(cid, cv)` → reassignment
+    * `r(vec_id, cluster_id)`. Shared by the ivf_index_refresh and
+    * ivf_refresh_report oracles so the two can never replay different
+    * maintenance passes. */
+  private lazy val ivfRefreshCtes: String =
+    s"""${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+       |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
+       |delta AS (
+       |  SELECT vec_id + $IVF_DELTA_OFFSET AS vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> -x) AS embedding
+       |  FROM embeddings WHERE vec_id % 8 = 0),
+       |ad AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist,
+             "delta")}),
+       |pop AS (
+       |  SELECT e.vec_id, e.embedding::DOUBLE[] AS embedding,
+       |         a.cluster_id AS cell
+       |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id
+       |  WHERE NOT (a.cluster_id IN (${IVF_DELETE_CELLS.mkString(", ")})
+       |             AND e.vec_id % $IVF_DELETE_MOD = 1)
+       |  UNION ALL
+       |  SELECT d.vec_id, d.embedding, ad.cluster_id AS cell
+       |  FROM delta d JOIN ad ON d.vec_id = ad.vec_id),
+       |fresh AS (
+       |  SELECT c2.cid, coalesce(n.cv, c2.cv) AS cv
+       |  FROM c2 LEFT JOIN (
+       |    SELECT e.cell AS cid,
+       |           list_value(${KMeansOps.snappedCentroidSql}) AS cv
+       |    FROM pop e GROUP BY e.cell) n USING (cid)),
+       |r AS (${KMeansOps.assignSqlFor("fresh", "cv", VectorSql.sqDist,
+             "pop")})""".stripMargin
+
   /** The bare frozen-model corpus assignment (vec → cell) — the relation
     * every IVF oracle embeds; exposed whole for `streaming_ivf_assign`'s
     * oracle (the stream is exactly this projection). */
@@ -1760,32 +1835,35 @@ object SimilarityOps {
     // per-cell snap12 means with the LEFT JOIN + coalesce empty-cell
     // keep, then reassignment of the whole population to the fresh set
     "ivf_index_refresh" ->
-      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
-         |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
-         |delta AS (
-         |  SELECT vec_id + $IVF_DELTA_OFFSET AS vec_id,
-         |         list_transform(embedding::DOUBLE[], x -> -x) AS embedding
-         |  FROM embeddings WHERE vec_id % 8 = 0),
-         |ad AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist,
-               "delta")}),
-         |pop AS (
-         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS embedding,
-         |         a.cluster_id AS cell
-         |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id
-         |  WHERE NOT (a.cluster_id IN (${IVF_DELETE_CELLS.mkString(", ")})
-         |             AND e.vec_id % $IVF_DELETE_MOD = 1)
-         |  UNION ALL
-         |  SELECT d.vec_id, d.embedding, ad.cluster_id AS cell
-         |  FROM delta d JOIN ad ON d.vec_id = ad.vec_id),
-         |fresh AS (
-         |  SELECT c2.cid, coalesce(n.cv, c2.cv) AS cv
-         |  FROM c2 LEFT JOIN (
-         |    SELECT e.cell AS cid,
-         |           list_value(${KMeansOps.snappedCentroidSql}) AS cv
-         |    FROM pop e GROUP BY e.cell) n USING (cid)),
-         |r AS (${KMeansOps.assignSqlFor("fresh", "cv", VectorSql.sqDist,
-               "pop")})
+      s"""WITH $ivfRefreshCtes
          |SELECT vec_id AS id, cluster_id AS cell FROM r""".stripMargin,
+    // the same replay, rolled up per cell over both assignments plus
+    // the old→new centroid shift through the shared rIeee@4 grid
+    "ivf_refresh_report" ->
+      s"""WITH $ivfRefreshCtes,
+         |m AS (
+         |  SELECT pop.vec_id, pop.cell AS old_cell,
+         |         r.cluster_id AS new_cell
+         |  FROM pop JOIN r ON pop.vec_id = r.vec_id),
+         |bo AS (SELECT old_cell AS cell, count(*)::BIGINT AS n_before,
+         |         sum(CASE WHEN old_cell <> new_cell THEN 1 ELSE 0
+         |             END)::BIGINT AS n_out
+         |       FROM m GROUP BY 1),
+         |bn AS (SELECT new_cell AS cell, count(*)::BIGINT AS n_after,
+         |         sum(CASE WHEN old_cell <> new_cell THEN 1 ELSE 0
+         |             END)::BIGINT AS n_in
+         |       FROM m GROUP BY 1)
+         |SELECT c2.cid::INT AS cell,
+         |       coalesce(bo.n_before, 0)::BIGINT AS n_before,
+         |       coalesce(bn.n_after, 0)::BIGINT AS n_after,
+         |       coalesce(bn.n_in, 0)::BIGINT AS n_in,
+         |       coalesce(bo.n_out, 0)::BIGINT AS n_out,
+         |       ${VectorSql.rIeee(
+               "sqrt(" + VectorSql.sqDist("c2.cv", "fresh.cv") + ")", 4)}
+         |         AS shift
+         |FROM c2 JOIN fresh ON c2.cid = fresh.cid
+         |LEFT JOIN bo ON c2.cid = bo.cell
+         |LEFT JOIN bn ON c2.cid = bn.cell""".stripMargin,
     // the post-surgery layout = the frozen-model assignment of the
     // corpus minus the content-clustered takedown set
     "ivf_index_delete" ->

@@ -615,6 +615,27 @@ class OperatorSpec extends SparkSpec {
       s"refresh did not tighten the fit: $freshCost !< $staleCost")
   }
 
+  test("ivf_refresh_report: a consistent ledger of the refresh's migration") {
+    import graft.operators.SimilarityOps
+    val rep = SparkEntry.queries("ivf_refresh_report")(spark, sf).collect()
+    assert(rep.length === 16)
+    // population conservation: both sides total the churned population,
+    // and migration balances (every move leaves one cell and enters one)
+    val (nb, na) = (rep.map(_.getLong(1)).sum, rep.map(_.getLong(2)).sum)
+    assert(nb === na)
+    val churn = spark.read.parquet(
+        s"${SimilarityOps.ensureIvfRefreshed(spark, sf)}/vectors").count()
+    assert(na === churn)
+    val (in, out) = (rep.map(_.getLong(3)).sum, rep.map(_.getLong(4)).sum)
+    assert(in === out)
+    assert(in > 0, "report shows no migration — inconsistent with the " +
+      "refresh spec's moved-assignments gate")
+    // the takedown-hollowed cells re-centered: their centroids shifted
+    rep.filter(r => SimilarityOps.IVF_DELETE_CELLS.contains(r.getInt(0)))
+      .foreach(r => assert(r.getDouble(5) > 0.0,
+        s"cell ${r.getInt(0)} lost vectors but its centroid never moved"))
+  }
+
   test("ivf_index_delete: surgery equals frozen-model rebuild minus the set") {
     import graft.operators.{KMeansOps, SimilarityOps}
     val baseDir = SimilarityOps.ensureIvfIndex(spark, sf)
