@@ -761,4 +761,49 @@ class PropertySpec extends SparkSpec {
     // (shared REP_TAU): a doc passes here iff n3 = 0 or rep < tau
     assert(graft.operators.TextOps.REP_TAU === 0.05)
   }
+
+  test("the two BPE trainers agree on generated corpora (loop shapes differ, " +
+      "semantics must not)") {
+    // The repo ships TWO trainer control planes: bpeMerges (distributed
+    // per-trip loop — bpe_train/_bytes/_unicode) and bpeMergesInMemory
+    // (histogram-collect + driver loop — bpe_train_regex). Both claim
+    // the same textbook semantics: overlap-counted within-word pairs
+    // weighted by frequency, (count DESC, pair ASC) argmax,
+    // left-to-right non-overlapping rewrite. This pins them to each
+    // other on generated corpora — a semantic drift in either loop
+    // (overlap handling, tie order, rewrite direction) breaks equality
+    // here before it surfaces as an unexplained oracle mismatch. The
+    // minted alphabets differ by design (U+E1xx vs U+E2xx), so pairs
+    // compare through a symbol-index normalization.
+    import graft.operators.TextOps
+    val alphas = "abcde"
+    def word(i: Int, c: Int): String = {
+      val len = 2 + ((i * 2654435761L + c * 69069L) % 5L).toInt
+      (0 until len).map { j =>
+        alphas(((i * 40503L + c * 97L + j * 131L) % alphas.length).toInt)
+      }.mkString
+    }
+    for (c <- 0 until 6) {
+      val words = (0 until 12).map(i => (word(i, c), 1L + (i % 3)))
+      val docs = words.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      val steps = 6
+      val dist = TextOps.bpeTrain(
+        Seq(docs.mkString(" ")).toDF("t"), steps).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      // histogram equivalent of the same corpus (len>=2 filter matches)
+      val hist = words.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.filter(_._1.length >= 2)
+      val mem = TextOps.bpeMergesInMemory(hist, steps)
+      def norm(sym0: Int)(p: String): String = p.map { ch =>
+        if (ch >= 0xE000.toChar) ('A' + (ch - sym0)).toChar else ch
+      }
+      assert(dist.length === mem.length, s"case $c: step counts diverged")
+      dist.zip(mem).foreach { case ((k1, p1, n1), (k2, p2, n2)) =>
+        assert(k1 === k2 && n1 === n2 &&
+          norm(0xE101)(p1) === norm(0xE201)(p2),
+          s"case $c step $k1: ($p1, $n1) vs ($p2, $n2)")
+      }
+    }
+  }
 }
