@@ -926,13 +926,7 @@ object TextOps {
     * pairs at 128 steps — the 256-step regime needs the full mix
     * (measured capacity 300 at sf0.001/sf0.01/sf0.1). */
   private[graft] def regexCorpus(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("text").as("t"))
-      .unionAll(Tables.table(s, d, "events").select(col("props").as("t")))
-      .unionAll(Tables.table(s, d, "part").select(
-        concat(col("p_name"), lit(" "), col("p_brand"), lit(" "),
-          col("p_type")).as("t")))
-      .unionAll(Tables.table(s, d, "customer").select(
-        concat(col("c_name"), lit(" "), col("c_mktsegment")).as("t")))
+    regexCorpusTagged(s, d).select(col("t"))
 
   /** [[regexCorpus]]'s DuckDB twin (column `t`). */
   private[graft] val REGEX_CORPUS_SQL =
@@ -940,6 +934,27 @@ object TextOps {
       |  SELECT props FROM events UNION ALL
       |  SELECT p_name || ' ' || p_brand || ' ' || p_type FROM part UNION ALL
       |  SELECT c_name || ' ' || c_mktsegment FROM customer""".stripMargin
+
+  /** [[regexCorpus]] with its domain tag kept — `tokenizer_eval_regex`
+    * reports per domain, so the union carries (dom, t). */
+  private[graft] def regexCorpusTagged(s: SparkSession,
+      d: String): DataFrame =
+    Tables.documents(s, d).select(lit("prose").as("dom"), col("text").as("t"))
+      .unionAll(Tables.table(s, d, "events")
+        .select(lit("json").as("dom"), col("props").as("t")))
+      .unionAll(Tables.table(s, d, "part").select(lit("catalog").as("dom"),
+        concat(col("p_name"), lit(" "), col("p_brand"), lit(" "),
+          col("p_type")).as("t")))
+      .unionAll(Tables.table(s, d, "customer").select(lit("ids").as("dom"),
+        concat(col("c_name"), lit(" "), col("c_mktsegment")).as("t")))
+
+  /** [[regexCorpusTagged]]'s DuckDB twin (columns `dom, t`). */
+  private[graft] val REGEX_CORPUS_TAGGED_SQL =
+    """SELECT 'prose' AS dom, text AS t FROM documents UNION ALL
+      |  SELECT 'json', props FROM events UNION ALL
+      |  SELECT 'catalog', p_name || ' ' || p_brand || ' ' || p_type
+      |    FROM part UNION ALL
+      |  SELECT 'ids', c_name || ' ' || c_mktsegment FROM customer""".stripMargin
 
   /** The pruned pre-token histogram: ONE distributed corpus pass (regex
     * explode → Ġ-map → count), then the deterministic (freq DESC, w ASC)
@@ -1093,6 +1108,52 @@ object TextOps {
     sb.append(s"""
       |SELECT step, x AS expansion, length(x)::INT AS n_chars
       |FROM v$steps""".stripMargin)
+    sb.toString
+  }
+
+  /** tokenizer_eval_regex's oracle: the training chain over the TAGGED
+    * corpus (same histogram — the tag is dropped for h0), the
+    * distinct-pre-token rewrite chain over the FULL corpus vocabulary,
+    * then the per-domain rollup with the chars/token ratio on the
+    * shared rIeee@4 grid. */
+  private[graft] def tokenizerEvalRegexSql(steps: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH corpus AS MATERIALIZED (
+         |  $REGEX_CORPUS_TAGGED_SQL),
+         |h0 AS MATERIALIZED (
+         |  SELECT w, count(*)::BIGINT AS freq FROM (
+         |    SELECT replace(unnest(regexp_extract_all(t, '$GPT2_PRE_PAT_SQL')),
+         |           ' ', chr(288)) AS w FROM corpus)
+         |  WHERE length(w) >= 2
+         |  GROUP BY w ORDER BY freq DESC, w LIMIT $BPE_REGEX_VOCAB),
+         |dpre AS MATERIALIZED (
+         |  SELECT dom, replace(tok, ' ', chr(288)) AS w FROM (
+         |    SELECT dom, unnest(regexp_extract_all(t, '$GPT2_PRE_PAT_SQL'))
+         |      AS tok FROM corpus)),
+         |dv0 AS MATERIALIZED (SELECT DISTINCT w AS w0, w FROM dpre)""".stripMargin)
+    for (k <- 1 to steps) {
+      sb.append(s""",
+        |b$k AS (
+        |  SELECT pair, sum(freq)::BIGINT AS n_occ
+        |  FROM (SELECT substring(w, i, 2) AS pair, freq
+        |        FROM h${k - 1}, unnest(range(1, length(w))) AS r(i))
+        |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 1),
+        |h$k AS MATERIALIZED (
+        |  SELECT replace(w, (SELECT pair FROM b$k), chr(${0xE200 + k}))
+        |    AS w, freq FROM h${k - 1}),
+        |dv$k AS MATERIALIZED (
+        |  SELECT w0, replace(w, (SELECT pair FROM b$k), chr(${0xE200 + k}))
+        |    AS w FROM dv${k - 1})""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT c.dom, c.n_texts, c.n_chars, tk.n_tokens,
+      |       ${graft.functions.VectorSql.rIeee(
+           "c.n_chars::DOUBLE / tk.n_tokens", 4)} AS chars_per_token
+      |FROM (SELECT dom, count(*)::BIGINT AS n_texts,
+      |        sum(length(t))::BIGINT AS n_chars FROM corpus GROUP BY dom) c
+      |JOIN (SELECT d.dom, sum(length(v.w))::BIGINT AS n_tokens
+      |      FROM dpre d JOIN dv$steps v ON d.w = v.w0 GROUP BY d.dom) tk
+      |  USING (dom)""".stripMargin)
     sb.toString
   }
 
@@ -1737,6 +1798,30 @@ object TextOps {
           regexp_extract_all(col("text"), lit(GPT2_PRE_PAT), lit(0)),
           merges.map(_._2), merges.map(m => regexSym(m._1)))
           .as("n_tokens"))
+    },
+    "tokenizer_eval_regex" -> { (s, d) =>
+      // the tokenizer EVAL — the per-domain compression table a
+      // tokenizer review reads before adopting a vocab (a tokenizer
+      // trained mostly on prose compresses JSON/IDs worse; if a target
+      // domain's chars-per-token craters, the mix or the merge budget
+      // is wrong). One corpus pass: per domain, text count, char mass,
+      // learned-token mass (the BpeTokens generated call), and the
+      // chars/token ratio on the shared rIeee@4 grid. Completes the
+      // family arc: train (bpe_train_regex) → export (bpe_vocab_regex)
+      // → apply (token_count_regex) → EVAL.
+      import graft.functions.VectorOps.rIeee
+      val merges = learnedRegexMergesFor(s, d)
+      regexCorpusTagged(s, d)
+        .select(col("dom"), length(col("t")).as("nc"),
+          org.apache.spark.sql.graft.BpeTokens.column(
+            regexp_extract_all(col("t"), lit(GPT2_PRE_PAT), lit(0)),
+            merges.map(_._2), merges.map(m => regexSym(m._1))).as("nt"))
+        .groupBy(col("dom"))
+        .agg(count(lit(1)).as("n_texts"), sum(col("nc")).as("n_chars"),
+          sum(col("nt")).as("n_tokens"))
+        .select(col("dom"), col("n_texts"), col("n_chars"), col("n_tokens"),
+          rIeee(col("n_chars").cast("double") / col("n_tokens"), 4)
+            .as("chars_per_token"))
     },
     "pretokenize_gpt2" -> { (s, d) =>
       // the pre-tokenizer's cross-engine branch audit: every arm of
@@ -3149,6 +3234,8 @@ object TextOps {
     // the fan-out join back to documents — the apply replayed at
     // vocabulary cost, OOV pre-tokens included
     "token_count_regex" -> tokenCountRegexSql(BPE_REGEX_STEPS),
+    // the tagged-corpus train+apply chain rolled up per domain
+    "tokenizer_eval_regex" -> tokenizerEvalRegexSql(BPE_REGEX_STEPS),
     // the branch audit: same shim (a → ', via chr(39) to dodge literal
     // quoting), same pattern string, same CASE arm order
     "pretokenize_gpt2" ->

@@ -1691,6 +1691,28 @@ class OperatorSpec extends SparkSpec {
       s"regex-256 ($regex256 tokens) did not beat bytes-64 ($bytes64)")
   }
 
+  test("tokenizer_eval_regex: a consistent per-domain compression table") {
+    val ev = SparkEntry.queries("tokenizer_eval_regex")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ev.keySet === Set("prose", "json", "catalog", "ids"))
+    // the prose row IS token_count_regex's corpus, totalled
+    val tc = SparkEntry.queries("token_count_regex")(spark, sf)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(ev("prose").getLong(3) === tc)
+    assert(ev("prose").getLong(1) === 500L)
+    // char mass is the source's, untouched by tokenization
+    val chars = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")))).collect()(0).getLong(0)
+    assert(ev("prose").getLong(2) === chars)
+    // the story the eval exists to tell: the frequency-weighted trainer
+    // serves the dominant domain best — prose compresses hardest, the
+    // high-entropy JSON payloads worst
+    val cpt = ev.view.mapValues(_.getDouble(4)).toMap
+    assert(cpt("prose") === cpt.values.max)
+    assert(cpt("json") === cpt.values.min)
+    assert(cpt.values.forall(_ >= 1.0), "a token can never cover <1 char")
+  }
+
   test("pretokenize_gpt2: branch coverage, order, and losslessness") {
     import graft.operators.TextOps
     // constructed text exercises every arm INCLUDING the residual
