@@ -852,7 +852,8 @@ object TextOps {
         |b$k AS MATERIALIZED (
         |  SELECT pair, n_occ FROM p$k ORDER BY n_occ DESC, pair LIMIT 1),
         |s$k AS MATERIALIZED (
-        |  SELECT doc_id, replace(t, (SELECT pair FROM b$k), chr(${57600 + k}))
+        |  SELECT doc_id,
+        |    coalesce(replace(t, (SELECT pair FROM b$k), chr(${57600 + k})), t)
         |    AS t FROM $prev)""".stripMargin)
     }
     sb.toString
@@ -970,19 +971,24 @@ object TextOps {
     * and at real scale would shuffle the corpus to feed a pipeline whose
     * aggregate already combines map-side. Only an under-parallel source
     * (the single-file small fixtures) gets spread. */
-  private[graft] def regexHistogram(s: SparkSession, d: String): DataFrame = {
-    val corpus = regexCorpus(s, d)
-    val par = if (corpus.rdd.getNumPartitions <
-        s.sparkContext.defaultParallelism) DedupOps.spread(corpus)
-      else corpus
-    par
+  private[graft] def regexHistogram(s: SparkSession, d: String): DataFrame =
+    spreadIfNarrow(s, regexCorpus(s, d))
       .select(explode(regexp_extract_all(col("t"), lit(GPT2_PRE_PAT),
         lit(0))).as("tok"))
       .select(translate(col("tok"), " ", GWORD).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(BPE_REGEX_VOCAB)
-  }
+
+  /** Conditional [[DedupOps.spread]]: repartition only an under-parallel
+    * source (the single-file small fixtures); an already-parallel scan
+    * feeds the downstream map-side-combining pipeline directly (see
+    * [[regexHistogram]]'s scaladoc for the measured cost of the
+    * unconditional form). */
+  private[graft] def spreadIfNarrow(s: SparkSession, df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      DedupOps.spread(df)
+    else df
 
   /** The merge loop over a COLLECTED histogram — pure driver memory, zero
     * Spark jobs. This is deliberately a different control plane from
@@ -1077,7 +1083,8 @@ object TextOps {
         |        FROM h${k - 1}, unnest(range(1, length(w))) AS r(i))
         |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 1),
         |h$k AS MATERIALIZED (
-        |  SELECT replace(w, (SELECT pair FROM b$k), chr(${0xE200 + k}))
+        |  SELECT coalesce(replace(w, (SELECT pair FROM b$k),
+        |      chr(${0xE200 + k})), w)
         |    AS w, freq FROM h${k - 1})""".stripMargin)
     }
     sb.toString
@@ -1102,7 +1109,8 @@ object TextOps {
       val j = steps - i + 1
       sb.append(s""",
         |v$i AS MATERIALIZED (
-        |  SELECT step, replace(x, chr(${0xE200 + j}), (SELECT pair FROM b$j))
+        |  SELECT step,
+        |    coalesce(replace(x, chr(${0xE200 + j}), (SELECT pair FROM b$j)), x)
         |    AS x FROM v${i - 1})""".stripMargin)
     }
     sb.append(s"""
@@ -1139,10 +1147,12 @@ object TextOps {
         |        FROM h${k - 1}, unnest(range(1, length(w))) AS r(i))
         |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 1),
         |h$k AS MATERIALIZED (
-        |  SELECT replace(w, (SELECT pair FROM b$k), chr(${0xE200 + k}))
+        |  SELECT coalesce(replace(w, (SELECT pair FROM b$k),
+        |      chr(${0xE200 + k})), w)
         |    AS w, freq FROM h${k - 1}),
         |dv$k AS MATERIALIZED (
-        |  SELECT w0, replace(w, (SELECT pair FROM b$k), chr(${0xE200 + k}))
+        |  SELECT w0, coalesce(replace(w, (SELECT pair FROM b$k),
+        |      chr(${0xE200 + k})), w)
         |    AS w FROM dv${k - 1})""".stripMargin)
     }
     sb.append(s"""
@@ -1188,10 +1198,12 @@ object TextOps {
         |        FROM h${k - 1}, unnest(range(1, length(w))) AS r(i))
         |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 1),
         |h$k AS MATERIALIZED (
-        |  SELECT replace(w, (SELECT pair FROM b$k), chr(${0xE200 + k}))
+        |  SELECT coalesce(replace(w, (SELECT pair FROM b$k),
+        |      chr(${0xE200 + k})), w)
         |    AS w, freq FROM h${k - 1}),
         |dv$k AS MATERIALIZED (
-        |  SELECT w0, replace(w, (SELECT pair FROM b$k), chr(${0xE200 + k}))
+        |  SELECT w0, coalesce(replace(w, (SELECT pair FROM b$k),
+        |      chr(${0xE200 + k})), w)
         |    AS w FROM dv${k - 1})""".stripMargin)
     }
     sb.append(s"""
@@ -1835,7 +1847,7 @@ object TextOps {
       // must win over the punct arm) and bare mid-word apostrophes
       // ("table"→"t'ble": punct arm), so the leftmost-first branch
       // ORDER is what the hash proves, not just each arm alone.
-      val tok = DedupOps.spread(regexCorpus(s, d))
+      val tok = spreadIfNarrow(s, regexCorpus(s, d))
         .select(explode(regexp_extract_all(
           translate(col("t"), "a", "'"), lit(GPT2_PRE_PAT), lit(0)))
           .as("tok"))
@@ -3216,7 +3228,10 @@ object TextOps {
         .mkString("\nUNION ALL\n")),
     // train on the sample, apply to the FULL corpus: the learned pairs
     // come from the 64 materialized b_k rows; the apply is the same
-    // 64-deep replace fold Spark runs, nested inline
+    // 64-deep replace fold Spark runs, nested inline. This fold is the
+    // one replace chain NOT coalesce-guarded against an empty b_k (the
+    // guard would duplicate the accumulator → 2^64 SQL text); it relies
+    // on the measured merge-capacity pin the trainer CTEs no longer need
     "token_count_learned_bytes" -> (
       bpeTrainCtes(BPE_BYTES_STEPS, bpeSampleWhere) + "\n" +
         s"SELECT doc_id, length(${

@@ -158,7 +158,9 @@ object StorageOps {
       // incremental lake writers: a 100 TB table behind millions of
       // KB-scale files pays open/footer costs per file and starves the
       // scheduler). See [[ensureCompacted]] for the mechanism —
-      // metadata-driven sizing, shuffle-free coalesce rewrite. The
+      // metadata-driven sizing + one balanced repartition rewrite (a
+      // coalesce was considered and rejected there: split-count-capped
+      // and skew-inheriting; the compactor pays a full copy anyway). The
       // declared relation reads back the COMPACTED bytes and rolls them
       // to per-lang content stats with a digest, so the oracle (which
       // reads the original fixture) hash-proves the rewrite preserved

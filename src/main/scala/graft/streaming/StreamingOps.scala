@@ -229,16 +229,6 @@ object StreamingOps {
       spark.readStream.schema(docsSchema)
         .parquet(stageDir(spark, sfDir, "documents")))
 
-  /** The learned 256-merge regex tokenizer ON the ingest stream — the
-    * token-budget meter a live curation pipeline runs per arriving doc
-    * (admission quotas and pack planning consume token counts, not
-    * char counts). The merge table is the OFFLINE model artifact
-    * (bpe_train_regex's session cache; a cache miss trains once,
-    * batch-side — the stream itself never touches the trainer), folded
-    * into the one [[org.apache.spark.sql.graft.BpeTokens]] generated
-    * call, so the stream is a stateless append-mode projection: zero
-    * state, row-identical to the batch token_count_regex by
-    * construction (StreamingSpec pins it). */
   /** Embeddings schema for the staged vector stream. */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
@@ -264,6 +254,16 @@ object StreamingOps {
           .as("cell"))
   }
 
+  /** The learned 256-merge regex tokenizer ON the ingest stream — the
+    * token-budget meter a live curation pipeline runs per arriving doc
+    * (admission quotas and pack planning consume token counts, not
+    * char counts). The merge table is the OFFLINE model artifact
+    * (bpe_train_regex's session cache; a cache miss trains once,
+    * batch-side — the stream itself never touches the trainer), folded
+    * into the one [[org.apache.spark.sql.graft.BpeTokens]] generated
+    * call, so the stream is a stateless append-mode projection: zero
+    * state, row-identical to the batch token_count_regex by
+    * construction (StreamingSpec pins it). */
   def tokenCountStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextOps
     val merges = TextOps.learnedRegexMergesFor(spark, sfDir)
