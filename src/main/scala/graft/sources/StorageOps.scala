@@ -201,8 +201,64 @@ object StorageOps {
         .select(col("doc_id"), col("n_chars"),
           pmod(graft.operators.DedupOps.h60(col("text")),
             lit(1000000007L)).as("dg")))
+    },
+    "join_partitioned_dpp" -> { (s, d) =>
+      // DYNAMIC partition pruning — the join-driven twin of
+      // sink_partitioned's static directory prune, and the single
+      // biggest scan-reduction lever of a TPC-DS-shaped workload: the
+      // fact table is hive-partitioned on the join key, the query's
+      // selectivity lives on the DIMENSION (`tier = 'high'` — an
+      // attribute the fact rows never carry, so no static filter can
+      // reach the fact scan), and Catalyst turns the broadcast dim's
+      // join keys into a runtime partition filter on the fact scan
+      // (`dynamicpruningexpression(lang IN dynamicpruning#...)` —
+      // PlanSpec pins both the expression and the measured partition
+      // count dropping 5 → 2). At 100 TB this is the difference between
+      // scanning two language directories and scanning the lake; the
+      // broadcast is the same exchange the join itself consumes, so the
+      // pruning subquery is free. The oracle replays the join over the
+      // unpartitioned source of truth.
+      val fact = s.read.parquet(ensurePartitionedDocs(s, d))
+      val dim = s.read.parquet(ensureLangDim(s, d))
+        .where(col("tier") === "high")
+      fact.join(broadcast(dim), Seq("lang"))
+        .groupBy(col("lang"), col("script"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }
   )
+
+  /** `join_partitioned_dpp`'s literal language dimension — (lang,
+    * script, tier), the recipe-style bounded relation (MIX_TARGET_PPM's
+    * discipline: ONE literal feeds the staged dim table and the oracle's
+    * VALUES). `tier = 'high'` selects {en, zh} — 2 of the layout's 5
+    * lang partitions, so the runtime prune is observable. */
+  private[graft] val LANG_DIM = Seq(
+    ("en", "latin", "high"), ("de", "latin", "mid"), ("es", "latin", "mid"),
+    ("fr", "latin", "mid"), ("zh", "han", "high"))
+
+  /** The hive-partitioned fact layout for `join_partitioned_dpp`, staged
+    * once per fixture (sink_partitioned keeps writing per call — there
+    * the WRITE is the measured op; here the layout is input ETL and the
+    * query times the pruned join). */
+  private[graft] def ensurePartitionedDocs(s: SparkSession,
+      d: String): String =
+    Staging.ensureDir(
+      s"target/part-fixtures/${Staging.fixtureKey(d)}/docs_by_lang_dpp") {
+      tmp =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    }
+
+  /** [[LANG_DIM]] staged as a real parquet dim table (DPP is a
+    * scan-to-scan contract; a LocalRelation dim would not exercise it
+    * the way a lake dimension does). */
+  private[graft] def ensureLangDim(s: SparkSession, d: String): String =
+    Staging.ensureDir(
+      s"target/part-fixtures/${Staging.fixtureKey(d)}/lang_dim") { tmp =>
+      s.createDataFrame(LANG_DIM).toDF("lang", "script", "tier")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
 
   /** The manifest builder over any (doc_id, n_chars, dg) relation — the
     * two-level exact prefix scan + offset-bucketed shard rollup (see
@@ -292,6 +348,17 @@ object StorageOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // the dim is the same LANG_DIM literal; DuckDB reads the
+    // unpartitioned source of truth, so the hash equality proves the
+    // pruned partitioned scan returned exactly the full join's rows
+    "join_partitioned_dpp" ->
+      s"""WITH dim(lang, script, tier) AS (VALUES ${LANG_DIM.map {
+            case (l, sc, t) => s"('$l', '$sc', '$t')" }.mkString(", ")})
+         |SELECT d.lang, m.script, count(*)::BIGINT AS n_docs,
+         |       sum(d.n_chars)::BIGINT AS sum_chars
+         |FROM documents d JOIN dim m USING (lang)
+         |WHERE m.tier = 'high'
+         |GROUP BY d.lang, m.script""".stripMargin,
     "zorder_layout" ->
       s"""WITH z AS (
          |  SELECT (${mortonSql("l_orderkey // 3", "l_partkey")}) AS z,

@@ -953,4 +953,36 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"),
       "bucket prefix relation is not broadcast")
   }
+
+  test("join_partitioned_dpp: runtime partition prune lands in the fact scan") {
+    // the declared path (AQE on): the fact scan must carry a
+    // DynamicPruningExpression — the dim's join keys arriving as a
+    // runtime partition filter
+    val plan = executed("join_partitioned_dpp")
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no DynamicPruningExpression in the fact scan:\n$plan")
+    // measured partition-count drop: with AQE off the executed tree is
+    // directly traversable, and the scan's own metrics report how many
+    // partitions survived the runtime prune — 2 of the layout's 5 lang
+    // dirs (LANG_DIM's tier='high' = {en, zh}); staticFilesNum proves
+    // the un-pruned layout really holds all 5
+    val adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries("join_partitioned_dpp")(spark, sf)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.exists(
+            _.toString.contains("dynamicpruning")) => f
+      }
+      assert(scans.size == 1,
+        s"expected exactly one dynamically-pruned scan, got ${scans.size}")
+      assert(scans.head.metrics("numPartitions").value == 2,
+        s"fact scan read ${scans.head.metrics("numPartitions").value} " +
+          "partitions; the runtime prune should leave 2 of 5")
+      assert(scans.head.metrics("staticFilesNum").value == 5,
+        "the unpruned layout should hold 5 single-file lang partitions")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+  }
 }
