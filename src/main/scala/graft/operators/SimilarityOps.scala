@@ -43,7 +43,7 @@ object SimilarityOps {
   private val SEM_EVAL_N = 20
   private val SEM_TAU = 0.35
   private val SALT = 16 // first-phase top-k fan-out per query
-  private val TABLES = 4
+  private[graft] val TABLES = 4
   private[graft] val PLANES_DEDUP = 12 // 4096 buckets/table: near-dup detection
   // 1024 buckets/table — broader collision prob than the dedup config, but
   // sign-LSH remains a HIGH-SIMILARITY method: collision prob per table is
@@ -673,6 +673,35 @@ object SimilarityOps {
     * 'kept'. */
   private[graft] val BAND_DELETE_MOD = 32
 
+  /** Tombstone RETIREMENT for the standing band index — the compaction
+    * `dedup_index_delete`'s scaladoc defers ("compacted later"), closing
+    * the band-index lifecycle the way [[ensureIvfRefreshed]] closed
+    * IVF's: rewrite the standing `(id, t, b)` layout minus the tombstone
+    * set and retire the tombstones, so probes stop paying the anti-join
+    * forever (a long-lived deployment otherwise accretes tombstones
+    * without bound and every probe re-pays the growing broadcast). The
+    * rewrite is the takedown anti-join run ONCE at maintenance time —
+    * the tiny tombstone batch broadcast against one scan of the index —
+    * written back partitioned by table exactly like the original layout,
+    * so probes are layout-oblivious. At 100 TB: a per-table-partition
+    * rewrite, embarrassingly parallel; the cost is one copy of the
+    * index, amortized over every future probe. */
+  private[graft] def ensureBandCompacted(s: SparkSession,
+      d: String): String = {
+    val sfTag = graft.sources.Staging.fixtureKey(d)
+    graft.sources.Staging.ensureDir(
+      s"target/band-index/$sfTag/p$PLANES_DEDUP-t$TABLES-compacted",
+      marker = "bands/_SUCCESS") { tmp =>
+      val bands = s.read.parquet(s"${ensureBandIndex(s, d)}/bands")
+      val tomb = KMeansOps.points(s, d)
+        .where(pmod(col("id"), lit(BAND_DELETE_MOD)) === 0)
+        .select(col("id"))
+      bands.join(broadcast(tomb), Seq("id"), "left_anti")
+        .select(col("id"), col("b"), col("t"))
+        .write.mode("overwrite").partitionBy("t").parquet(s"$tmp/bands")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_index_delete" -> { (s, d) =>
       // compliance takedown against the standing IVF layout WITHOUT a
@@ -710,6 +739,22 @@ object SimilarityOps {
       // vector can never reach a pair — no second corpus anti-join needed
       dedupEmbIncrementalOf(KMeansOps.points(s, d),
         dedupDeltaVectors(s, d), Some(pruned))
+    },
+    "dedup_index_compact" -> { (s, d) =>
+      // tombstone RETIREMENT — the maintenance step dedup_index_delete
+      // defers: the standing band index rewritten minus the tombstone
+      // set (see [[ensureBandCompacted]]), after which probes read the
+      // compacted layout DIRECTLY — no anti-join in the probe path, the
+      // broadcast the delete variant pays on every probe retired along
+      // with the tombstones. The declared relation is the same
+      // incremental dedup verdict, probed against the compacted bytes;
+      // OperatorSpec pins that the compacted layout names no tombstoned
+      // id, that it equals the pruned standing index row-for-row, and
+      // that the probe verdict is identical to the tombstone-anti-joined
+      // form (so retirement is invisible to results — the whole point).
+      val bands = s.read.parquet(s"${ensureBandCompacted(s, d)}/bands")
+      dedupEmbIncrementalOf(KMeansOps.points(s, d),
+        dedupDeltaVectors(s, d), Some(bands))
     },
     "ivf_index_refresh" -> { (s, d) =>
       // re-center + reassign over the churned standing index (see
@@ -1828,6 +1873,14 @@ object SimilarityOps {
     // standing side simply stops naming the removed ids (the Spark
     // side's broadcast anti-join), everything downstream is shared
     "dedup_index_delete" -> embIncOracleFor("basekeep",
+      s"basekeep AS (SELECT * FROM embeddings " +
+        s"WHERE vec_id % $BAND_DELETE_MOD <> 0),\n"),
+    // compaction is probe-invisible BY CONTRACT: the SQL side has no
+    // notion of which physical layout served the base bands, so the
+    // retired-tombstone form shares the delete variant's oracle verbatim
+    // — the hash equality is itself the probe-parity proof against the
+    // bytes the compaction actually wrote
+    "dedup_index_compact" -> embIncOracleFor("basekeep",
       s"basekeep AS (SELECT * FROM embeddings " +
         s"WHERE vec_id % $BAND_DELETE_MOD <> 0),\n"),
     // the refresh replayed end to end: churned population (base minus

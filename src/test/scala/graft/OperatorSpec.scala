@@ -725,6 +725,42 @@ class OperatorSpec extends SparkSpec {
     assert(reband === got, "tombstone pruning drifted from a fresh re-band")
   }
 
+  test("dedup_index_compact: layout retires every tombstone; probe parity") {
+    import graft.operators.{KMeansOps, SimilarityOps}
+    val dir = SimilarityOps.ensureBandCompacted(spark, sf)
+    val compacted = spark.read.parquet(s"$dir/bands")
+      .select(col("id"), col("t"), col("b"))
+    // byte-level layout gate: the compacted files name NO tombstoned id
+    assert(compacted.where(
+      pmod(col("id"), lit(SimilarityOps.BAND_DELETE_MOD)) === 0)
+      .count() === 0L, "a tombstoned id survived compaction")
+    // the compacted layout IS the pruned standing index, row for row —
+    // survivors keep their full band sets (retirement loses nothing)
+    val pruned = spark.read
+      .parquet(s"${SimilarityOps.ensureBandIndex(spark, sf)}/bands")
+      .select(col("id"), col("t"), col("b"))
+      .where(pmod(col("id"), lit(SimilarityOps.BAND_DELETE_MOD)) =!= 0)
+    assert(compacted.count() === pruned.count())
+    assert(compacted.exceptAll(pruned).count() === 0L)
+    assert(pruned.exceptAll(compacted).count() === 0L)
+    // same physical scheme as the standing layout: one dir per table,
+    // so probes stay layout-oblivious after retirement
+    val parts = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/bands"))
+      .toArray.map(_.toString.split("/").last)
+      .filter(_.startsWith("t=")).sorted
+    assert(parts.length === SimilarityOps.TABLES,
+      s"expected ${SimilarityOps.TABLES} table partitions, got $parts")
+    // probe parity: compacted-index verdict == tombstone-anti-joined
+    // verdict (retirement is invisible to results)
+    def verdict(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2))))
+        .toMap
+    assert(verdict("dedup_index_compact") === verdict("dedup_index_delete"),
+      "compacted probe verdict drifted from the tombstone-filtered form")
+  }
+
   test("sim_topk_ivf recall@5 vs the exact top-k stays above the floor") {
     // retrieval QUALITY, not just determinism (round-6 verdict #1): the
     // declared recall query must report one row per query and a mean
