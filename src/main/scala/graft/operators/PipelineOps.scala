@@ -136,6 +136,36 @@ object PipelineOps {
        |              WHERE doc_id >= ${DedupOps.NEVAL}
        |                AND doc_id NOT IN (SELECT doc_id FROM hit)))""".stripMargin
 
+  /** The physical shard payload files for `pipeline_export_files` — the
+    * last inch of the export path the manifest alone leaves open: one
+    * text file per shard directory, each line `doc_id<TAB>text`
+    * (lossless by fixture contract: document text is single-line,
+    * tab-free, spec-pinned), written once per fixture. The writer rides
+    * the SAME [[graft.sources.StorageOps.shardAssignments]] relation the
+    * manifest rolls up — one shard arithmetic, two consumers — then
+    * `repartition(shard_id)` puts each shard's rows in exactly one task
+    * and `partitionBy(shard_id)` splits directories, so every shard dir
+    * holds exactly one payload file (spec-pinned) whose bytes are
+    * deterministic (sorted within the write). At 100 TB this is the
+    * standard shard-writer shape: one task per output shard, text never
+    * shuffles twice (the assignment join moves only ids and sizes; the
+    * payload shuffle is the one unavoidable move to shard locality). */
+  private[graft] def ensureExportShards(s: SparkSession, d: String): String =
+    graft.sources.Staging.ensureDir(
+      s"target/export-shards/${graft.sources.Staging.fixtureKey(d)}") { tmp =>
+      val train = curated(s, d).where(col("split") === "train")
+        .select(col("doc_id"))
+      graft.sources.StorageOps.shardAssignments(
+        Tables.documents(s, d)
+          .join(train, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("n_chars"), col("text")))
+        .select(concat(col("doc_id").cast("string"), lit("\t"),
+          col("text")).as("value"), col("shard_id"))
+        .repartition(col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("value"))
+        .write.mode("overwrite").partitionBy("shard_id").text(tmp)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> { (s, d) => curated(s, d) },
     "pipeline_export" -> { (s, d) =>
@@ -155,6 +185,34 @@ object PipelineOps {
           .join(train, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("n_chars"),
             pmod(DedupOps.h60(col("text")), lit(1000000007L)).as("dg")))
+    },
+    "pipeline_export_files" -> { (s, d) =>
+      // manifest ↔ BYTES agreement — the compact_small_files discipline
+      // applied to the export (r18 verdict item 3): the shard payload
+      // files are actually written ([[ensureExportShards]] — one text
+      // file per shard dir, `doc_id\ttext` lines riding the same
+      // shardAssignments relation the manifest rolls up), then the
+      // declared relation re-derives the manifest FROM THE BYTES ON
+      // DISK: read back, re-parse, re-digest, roll up per shard. It
+      // shares pipeline_export's oracle, so the hash gate proves the
+      // loader-facing artifact (files + partition dirs) carries exactly
+      // the documents, sizes, id ranges and digests the manifest
+      // promises — a dropped line, a mangled doc or a mis-assigned
+      // shard all break the hash. One-file-per-shard and read-back
+      // row-identity are spec-pinned on top.
+      val back = s.read.text(ensureExportShards(s, d))
+        .select(col("shard_id").cast("long").as("shard_id"),
+          split(col("value"), "\t", 2).as("kv"))
+        .select(col("shard_id"),
+          element_at(col("kv"), 1).cast("long").as("doc_id"),
+          element_at(col("kv"), 2).as("text"))
+      back.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("shard_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          sum(pmod(DedupOps.h60(col("text")),
+            lit(1000000007L))).as("digest"))
     },
     "pipeline_curate_learned" -> { (s, d) =>
       // the curate DAG with the round-17 LEARNED gate at the door: the
@@ -236,6 +294,31 @@ object PipelineOps {
     }
   )
 
+  /** The export-manifest oracle — the shared curation chain, then
+    * shard_manifest's offset-bucketed rollup over the surviving train
+    * docs (the oracle runs the one-window global-prefix form; equality
+    * proves the composed two-level scan computes identical shard
+    * boundaries). Shared by `pipeline_export` (manifest from source)
+    * and `pipeline_export_files` (manifest re-derived from the payload
+    * bytes on disk). */
+  private lazy val exportManifestOracle: String =
+    s"""WITH $curatedCtes,
+       |tr AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |         (${DedupOps.h60Sql("d.text")}) % 1000000007 AS dg,
+       |         sum(d.n_chars) OVER (ORDER BY d.doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - d.n_chars AS start
+       |  FROM documents d JOIN cur ON d.doc_id = cur.doc_id
+       |  WHERE cur.split = 'train')
+       |SELECT (start // ${graft.sources.StorageOps.SHARD_TARGET_CHARS})::BIGINT
+       |         AS shard_id,
+       |       count(*)::BIGINT AS n_docs,
+       |       sum(n_chars)::BIGINT AS shard_chars,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       |       sum(dg)::BIGINT AS digest
+       |FROM tr GROUP BY shard_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "pipeline_curate" ->
       s"""WITH $curatedCtes
@@ -244,23 +327,12 @@ object PipelineOps {
     // rollup over the surviving train docs (the oracle runs the
     // one-window global-prefix form; equality proves the composed
     // two-level scan computes identical shard boundaries)
-    "pipeline_export" ->
-      s"""WITH $curatedCtes,
-         |tr AS (
-         |  SELECT d.doc_id, d.n_chars,
-         |         (${DedupOps.h60Sql("d.text")}) % 1000000007 AS dg,
-         |         sum(d.n_chars) OVER (ORDER BY d.doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |           - d.n_chars AS start
-         |  FROM documents d JOIN cur ON d.doc_id = cur.doc_id
-         |  WHERE cur.split = 'train')
-         |SELECT (start // ${graft.sources.StorageOps.SHARD_TARGET_CHARS})::BIGINT
-         |         AS shard_id,
-         |       count(*)::BIGINT AS n_docs,
-         |       sum(n_chars)::BIGINT AS shard_chars,
-         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
-         |       sum(dg)::BIGINT AS digest
-         |FROM tr GROUP BY shard_id""".stripMargin,
+    "pipeline_export" -> exportManifestOracle,
+    // SAME oracle as pipeline_export by design: the declared relation
+    // re-derives the manifest from the payload bytes on disk, so the
+    // hash equality against the from-source manifest IS the
+    // manifest ↔ bytes agreement proof
+    "pipeline_export_files" -> exportManifestOracle,
     // the learned-gate curate: classifier training CTEs (labels → bucket
     // counts → log-ratio weights), the per-doc logit fold, the admitted
     // set, then the IDENTICAL tail fragments the heuristic pipeline's

@@ -265,7 +265,21 @@ object StorageOps {
     * shard_manifest's scaladoc for the mechanism and scale shape).
     * Shared by the standalone shard_manifest and the composed
     * pipeline_export (curated corpus → shards). */
-  private[graft] def manifestOf(src: DataFrame): DataFrame = {
+  private[graft] def manifestOf(src: DataFrame): DataFrame =
+    shardAssignments(src)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("shard_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("dg")).as("digest"))
+
+  /** The per-document shard assignment underneath [[manifestOf]] — the
+    * two-level exact prefix scan, with every OTHER column of `src`
+    * carried through (so the payload writer can ride the same
+    * assignment the manifest rolls up: one shard arithmetic, two
+    * consumers). Requires (doc_id, n_chars); appends (start, shard_id). */
+  private[graft] def shardAssignments(src: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = src.withColumn("bkt", expr("doc_id div 256"))
     val bktTot = docs.groupBy(col("bkt"))
@@ -277,15 +291,10 @@ object StorageOps {
     val inBkt = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.join(broadcast(bktPrefix), Seq("bkt"))
-      .select(col("doc_id"), col("n_chars"), col("dg"),
-        (col("bkt_start") + sum(col("n_chars")).over(inBkt)
-          - col("n_chars")).as("start"))
-      .groupBy(expr(s"start div $SHARD_TARGET_CHARS").as("shard_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("shard_chars"),
-        min(col("doc_id")).as("min_doc"),
-        max(col("doc_id")).as("max_doc"),
-        sum(col("dg")).as("digest"))
+      .withColumn("start", col("bkt_start") + sum(col("n_chars")).over(inBkt)
+        - col("n_chars"))
+      .withColumn("shard_id", expr(s"start div $SHARD_TARGET_CHARS"))
+      .drop("bkt", "bkt_start")
   }
 
   /** shard_manifest's shard payload target, in corpus characters (the

@@ -1853,6 +1853,41 @@ class OperatorSpec extends SparkSpec {
     assert(man.map(_.getLong(1)).sum < raw.map(_.getLong(1)).sum)
   }
 
+  test("pipeline_export_files: one payload file per shard; bytes == manifest") {
+    import graft.operators.PipelineOps
+    val dir = PipelineOps.ensureExportShards(spark, sf)
+    // loader-facing layout: one shard_id=N dir per manifest row, exactly
+    // ONE payload file inside each (the one-task-per-shard writer shape)
+    val shardDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("shard_id="))
+    val man = SparkEntry.queries("pipeline_export")(spark, sf).collect()
+    assert(shardDirs.length === man.length,
+      s"${shardDirs.length} shard dirs vs ${man.length} manifest rows")
+    for (sd <- shardDirs) {
+      val files = java.nio.file.Files.list(sd).toArray
+        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .filter(_.startsWith("part-"))
+      assert(files.length === 1,
+        s"shard dir ${sd.getFileName} holds ${files.length} payload files")
+    }
+    // framing is lossless on this corpus: single-line, tab-free text
+    // (the contract that makes doc_id\ttext parseable at all)
+    assert(Tables.documents(spark, sf)
+      .where(col("text").contains("\t") || col("text").contains("\n"))
+      .count() === 0L)
+    // manifest re-derived from the BYTES equals the from-source manifest
+    // (the declared query's oracle hash re-proves this vs DuckDB; this is
+    // the Spark-side row identity)
+    val fromBytes = SparkEntry.queries("pipeline_export_files")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    val fromSource = man.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(fromBytes.toSeq === fromSource.toSeq,
+      "payload bytes disagree with the manifest")
+  }
+
   test("compact_small_files: many→few on disk, content preserved, sized right") {
     import graft.sources.StorageOps
     val (small, compacted) = StorageOps.ensureCompacted(spark, sf)
