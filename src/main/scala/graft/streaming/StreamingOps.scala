@@ -254,6 +254,39 @@ object StreamingOps {
           .as("cell"))
   }
 
+  /** Streaming DOCUMENT dedup against the standing digest index — the
+    * ingest-time twin of the batch `dedup_incremental` (how a live crawl
+    * actually dedups; the event-key `streaming_dedup` covers only exact
+    * id replays): arriving documents — the delta slice of the repo's ONE
+    * deterministic base/delta hash split — project to their 16-byte
+    * content digest, a STREAM-STATIC left-anti join drops any digest the
+    * standing base index already holds, and the within-stream collapse
+    * is the SAME min-id digest aggregate the batch form runs (complete
+    * mode: the aggregate revises as arrivals land, so the final emission
+    * equals the batch answer under ANY micro-batch arrival order — a
+    * first-wins `dropDuplicates` would instead depend on partition
+    * processing order). The anti-join commutes with the collapse (both
+    * key on the digest), so stage order differing from the batch form is
+    * semantics-free. Scale shape: only digests ride the stream (text
+    * never leaves the scan projection), state is one row per distinct
+    * surviving delta digest, and the standing index joins SHUFFLED per
+    * micro-batch exactly like the batch form (broadcast would be
+    * O(corpus); a deployment buckets the digest index and co-locates
+    * this join with zero exchange — join_bucketed's shape). */
+  def dedupIngestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.DedupOps
+    val u = graft.functions.VectorOps.unitUniform(col("doc_id"))
+    val baseIdx = graft.Tables.documents(spark, sfDir).where(u < 0.7)
+      .select(DedupOps.digest(col("text")).as("h")).distinct()
+    spark.readStream.schema(docsSchema)
+      .parquet(stageDir(spark, sfDir, "documents"))
+      .where(!(u < 0.7))
+      .select(col("doc_id"), DedupOps.digest(col("text")).as("h"))
+      .join(baseIdx, Seq("h"), "left_anti")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+  }
+
   /** The learned 256-merge regex tokenizer ON the ingest stream — the
     * token-budget meter a live curation pipeline runs per arriving doc
     * (admission quotas and pack planning consume token counts, not
@@ -744,6 +777,8 @@ object StreamingOps {
       runToMemorySink(sessionCounts(s, d), "vq_stream_sess") },
     "streaming_dedup" -> { (s, d) =>
       runToMemorySink(dedupStream(s, d), "vq_stream_dedup", "append") },
+    "streaming_dedup_ingest" -> { (s, d) =>
+      runToMemorySink(dedupIngestStream(s, d), "vq_stream_dedup_ing") },
     "streaming_enrich" -> { (s, d) =>
       runToMemorySink(enrichStream(s, d), "vq_stream_enrich", "append") },
     "streaming_interval_join" -> { (s, d) =>
@@ -929,6 +964,12 @@ object StreamingOps {
     // real duplicates this oracle would need an arrival-order tiebreak.
     "streaming_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
+    // identical semantics to the batch incremental dedup (the anti-join
+    // and the min-id collapse both key on the digest, so they commute);
+    // StreamingSpec proves the stream row-identical, so the oracle is
+    // shared verbatim
+    "streaming_dedup_ingest" ->
+      graft.operators.DedupOps.oracles("dedup_incremental"),
     "streaming_enrich" ->
       """SELECT event_id, user_id, event_type, cnt AS user_total_events
         |FROM events

@@ -423,6 +423,18 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming ingest dedup matches the batch dedup_incremental") {
+    // the ingest-time twin: arriving delta docs anti-joined on the
+    // standing digest index + within-stream min-id collapse must name
+    // exactly the batch incremental form's surviving doc ids
+    val streamed = StreamingOps.runToMemorySink(
+      StreamingOps.dedupIngestStream(spark, sf), "stream_dedup_ing")
+    val batch = SparkEntry.queries("dedup_incremental")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming decontamination matches the batch decontam_report") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.decontamStream(spark, sf), "stream_decontam")
