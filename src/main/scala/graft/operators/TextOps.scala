@@ -826,6 +826,50 @@ object TextOps {
   private[graft] val UNI_FROM = "aeiou"
   private[graft] val UNI_TO = "äéíöü"
 
+  /** `bpe_train_utf8`'s bytes-rendering shim — the byte-fallback base
+    * alphabet of GPT-2/tiktoken made explicit: a string is rendered as
+    * its UTF-8 BYTE sequence, one BMP symbol per byte at
+    * `chr(0x100 + byte)` (U+0121…U+01FE — disjoint from ASCII, from Ġ,
+    * and from every merge-symbol plane), EXCEPT the space byte, which
+    * stays a literal space so the split-on-space trainer's word boundary
+    * survives (pre-tokenization precedes byte rendering in every real
+    * byte-level tokenizer). A 2-byte codepoint therefore SPLITS into its
+    * lead+continuation byte symbols and must re-merge through training —
+    * the byte-fallback behavior `bpe_train_unicode`'s codepoint
+    * granularity cannot exhibit. Mechanism is translate/replace only
+    * (no per-char lambda): the 5 shim umlauts (all U+0080–U+07FF, two
+    * UTF-8 bytes: 0xC0|cp>>6, 0x80|cp&63) expand via 5 replaces, then
+    * ONE translate shifts the remaining printable-ASCII chars
+    * (spec-pinned corpus domain 32..126) into the byte-symbol plane —
+    * a single codegen projection, identical in the SQL twin. */
+  private[graft] val UTF8_ASCII_FROM: String =
+    (33 to 126).map(_.toChar).mkString
+  private[graft] val UTF8_ASCII_TO: String =
+    (33 to 126).map(i => (0x100 + i).toChar).mkString
+
+  private[graft] def utf8ByteSyms(c: Column): Column = {
+    val expanded = UNI_TO.foldLeft(c) { (acc, ch) =>
+      val cp = ch.toInt
+      val bytes = "" + (0x100 + 0xC0 + (cp >> 6)).toChar +
+        (0x100 + 0x80 + (cp & 63)).toChar
+      org.apache.spark.sql.functions.replace(acc, lit(ch.toString),
+        lit(bytes))
+    }
+    translate(expanded, UTF8_ASCII_FROM, UTF8_ASCII_TO)
+  }
+
+  /** DuckDB twin of [[utf8ByteSyms]] over expression `e` — same 5
+    * replaces + 1 translate, byte arithmetic inlined as chr() literals. */
+  private[graft] def utf8ByteSymsSql(e: String): String = {
+    val expanded = UNI_TO.foldLeft(e) { (acc, ch) =>
+      val cp = ch.toInt
+      s"replace($acc, '$ch', chr(${0x100 + 0xC0 + (cp >> 6)}) || " +
+        s"chr(${0x100 + 0x80 + (cp & 63)}))"
+    }
+    s"translate($expanded, '${UTF8_ASCII_FROM.replace("'", "''")}', " +
+      s"'$UTF8_ASCII_TO')"
+  }
+
   private[graft] def learnedByteMergesFor(s: SparkSession,
       d: String): Seq[(Int, String, Long)] =
     learnedMergeCache.getOrElseUpdate((d, BPE_BYTES_STEPS),
@@ -1747,6 +1791,27 @@ object TextOps {
       import s.implicits._
       bpeMerges(bpeByteSample(Tables.documents(s, d))
           .select(translate(col("text"), UNI_FROM, UNI_TO).as("t")),
+          BPE_TRAIN_STEPS)
+        .toDF("step", "pair", "n_occ")
+    },
+    "bpe_train_utf8" -> { (s, d) =>
+      // TRUE byte-level BPE (r18 verdict item 5): where bpe_train_bytes
+      // rides the ASCII fixture (codepoint pairs ARE byte pairs there)
+      // and bpe_train_unicode works at codepoint granularity, this
+      // trains over the genuine UTF-8 BYTES of the unicode-shim corpus —
+      // the GPT-2/tiktoken byte-fallback base. [[utf8ByteSyms]] renders
+      // every char as its byte symbols (one codegen translate/replace
+      // projection, SQL twin shared), so each 2-byte umlaut SPLITS into
+      // lead+continuation bytes and the trainer must RE-MERGE it —
+      // byte-fallback re-learning codepoints, the behavior the spec pins
+      // on a constructed corpus and the fixture exhibits in-ladder
+      // (continuation-byte pairs win early trips). Same quarter sample,
+      // same 12-trip histogram trainer, same unrolled MATERIALIZED-CTE
+      // oracle with the bytes-rendering shim as srcText; no cache write.
+      import s.implicits._
+      bpeMerges(bpeByteSample(Tables.documents(s, d))
+          .select(utf8ByteSyms(translate(col("text"), UNI_FROM, UNI_TO))
+            .as("t")),
           BPE_TRAIN_STEPS)
         .toDF("step", "pair", "n_occ")
     },
@@ -3217,6 +3282,15 @@ object TextOps {
     "bpe_train_unicode" ->
       (bpeTrainCtes(BPE_TRAIN_STEPS, bpeSampleWhere,
         s"translate(text, '$UNI_FROM', '$UNI_TO')") + "\n" +
+        (1 to BPE_TRAIN_STEPS)
+          .map(k => s"SELECT $k AS step, pair, n_occ FROM b$k")
+          .mkString("\nUNION ALL\n")),
+    // the same CTE ladder over the BYTES-rendered shim corpus: srcText =
+    // the shared translate/replace byte renderer, so both engines train
+    // on the identical byte-symbol strings
+    "bpe_train_utf8" ->
+      (bpeTrainCtes(BPE_TRAIN_STEPS, bpeSampleWhere,
+        utf8ByteSymsSql(s"translate(text, '$UNI_FROM', '$UNI_TO')")) + "\n" +
         (1 to BPE_TRAIN_STEPS)
           .map(k => s"SELECT $k AS step, pair, n_occ FROM b$k")
           .mkString("\nUNION ALL\n")),

@@ -2408,6 +2408,38 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bpe_train_utf8: multi-byte codepoints split to bytes and re-merge") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    def bsym(b: Int): Char = (0x100 + b).toChar
+    // the rendering contract by hand: 'ä' (U+00E4, UTF-8 C3 A4) splits
+    // into its lead+continuation byte symbols; ASCII shifts into the
+    // byte-symbol plane; the space byte stays a literal space boundary
+    val rendered = Seq("pä a").toDF("t")
+      .select(TextOps.utf8ByteSyms(col("t")).as("b")).head().getString(0)
+    assert(rendered ===
+      "" + bsym('p') + bsym(0xC3) + bsym(0xA4) + " " + bsym('a'))
+    // byte-fallback RE-MERGE: on a corpus dominated by word-final 'é'
+    // (C3 A9 — final, so no competing continuation-byte+ASCII pair can
+    // tie it), the first learned merge must be exactly é's own byte
+    // pair — training reassembles the codepoint the rendering split
+    val tiny = Seq.fill(5)("café olé").toDF("t")
+      .select(TextOps.utf8ByteSyms(col("t")).as("t"))
+    val merges = TextOps.bpeMerges(tiny, 2)
+    assert(merges.head._2 === "" + bsym(0xC3) + bsym(0xA9),
+      "first merge is not the split codepoint re-merging from its bytes")
+    // and the declared fixture query: 12 merges, 2 symbols each, with a
+    // continuation-byte symbol (0x180+) participating — bytes, not
+    // codepoints, are the training alphabet
+    val full = SparkEntry.queries("bpe_train_utf8")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(full.length === 12)
+    assert(full.forall(_._2.length === 2))
+    assert(full.exists(_._2.exists(c => c >= 0x180.toChar && c < 0x1C0.toChar)),
+      "no continuation-byte symbol in any merged pair — the shim is not " +
+        "rendering bytes")
+  }
+
   test("pipeline_curate_learned composes its declared stage operators") {
     // cross-audit against the standalone stages: every curated doc must
     // pass the declared learned gate (same logit), sit past the eval-id
