@@ -239,6 +239,43 @@ object TextOps {
     * definition feeds the budget (R_MAX·Σ), the clip, and the oracle. */
   private[graft] val R_MAX_EPOCHS = 4L
 
+  /** The `epoch_plan` relation (see the query's scaladoc) — factored so
+    * `shuffle_assign_epochs` consumes the SAME repetition factors the
+    * plan reports (one plan definition, two consumers). */
+  private[graft] def epochPlanOf(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(sum(size(wordsCol(col("text"))).cast("long")).as("n_tokens"))
+    val ppm = MIX_TARGET_PPM.foldLeft(lit(null).cast("long")) {
+      case (acc, (l, p)) => when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    val budget = counts.agg((sum(col("n_tokens")) * R_MAX_EPOCHS)
+      .as("budget"))
+    val based = counts.withColumn("ppm", ppm)
+      .where(col("ppm").isNotNull)
+      .crossJoin(broadcast(budget))
+      .select(col("lang"), col("n_tokens"), col("ppm"), col("budget"),
+        expr("(budget * ppm) div 1000000").as("base"),
+        expr("(budget * ppm) % 1000000").as("rem"))
+    val leftover = based.agg((first(col("budget")) - sum(col("base")))
+      .as("leftover"))
+    val wRem = Window.orderBy(col("rem").desc, col("lang"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(wRem))
+      .select(col("lang"), col("n_tokens"), col("ppm").as("weight_ppm"),
+        (col("base") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("requested_tokens"))
+      .withColumn("planned_tokens",
+        least(col("requested_tokens"), col("n_tokens") * R_MAX_EPOCHS))
+      .withColumn("epochs_milli",
+        expr("(planned_tokens * 1000) div n_tokens"))
+      .withColumn("shortfall",
+        col("requested_tokens") - col("planned_tokens"))
+      .withColumn("capped",
+        col("requested_tokens") > col("planned_tokens"))
+  }
+
   /** `quality_calibration` bin geometry: fixed-width logit histogram in
     * integer micros, clamped to [−SPAN·W, SPAN·W). Fixed-VALUE bins (not
     * ntile): a quantile binning would need ONE global sort of the corpus;
@@ -2534,37 +2571,46 @@ object TextOps {
       // shares both sum to 1, so some domain sits above its share and
       // some below). Same pure-integer discipline and lang-bounded
       // window shape as mix_plan.
-      val counts = Tables.documents(s, d)
-        .groupBy(col("lang"))
-        .agg(sum(size(wordsCol(col("text"))).cast("long")).as("n_tokens"))
-      val ppm = MIX_TARGET_PPM.foldLeft(lit(null).cast("long")) {
-        case (acc, (l, p)) => when(col("lang") === l, lit(p)).otherwise(acc)
-      }
-      val budget = counts.agg((sum(col("n_tokens")) * R_MAX_EPOCHS)
-        .as("budget"))
-      val based = counts.withColumn("ppm", ppm)
-        .where(col("ppm").isNotNull)
-        .crossJoin(broadcast(budget))
-        .select(col("lang"), col("n_tokens"), col("ppm"), col("budget"),
-          expr("(budget * ppm) div 1000000").as("base"),
-          expr("(budget * ppm) % 1000000").as("rem"))
-      val leftover = based.agg((first(col("budget")) - sum(col("base")))
-        .as("leftover"))
-      val wRem = Window.orderBy(col("rem").desc, col("lang"))
-      based.crossJoin(broadcast(leftover))
-        .withColumn("rk", row_number().over(wRem))
-        .select(col("lang"), col("n_tokens"), col("ppm").as("weight_ppm"),
-          (col("base") +
-            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
-            .as("requested_tokens"))
-        .withColumn("planned_tokens",
-          least(col("requested_tokens"), col("n_tokens") * R_MAX_EPOCHS))
-        .withColumn("epochs_milli",
-          expr("(planned_tokens * 1000) div n_tokens"))
-        .withColumn("shortfall",
-          col("requested_tokens") - col("planned_tokens"))
-        .withColumn("capped",
-          col("requested_tokens") > col("planned_tokens"))
+      epochPlanOf(s, d)
+    },
+    "shuffle_assign_epochs" -> { (s, d) =>
+      // EPOCH-VARIED training order — what a multi-epoch run actually
+      // consumes (r18 verdict item 6; shuffle_assign is one
+      // permutation, and replaying it per epoch would feed the model the
+      // same neighbor pairs every pass): each language repeats per
+      // `epoch_plan`'s OWN repetition factor (the broadcast 5-row plan —
+      // capped langs appear in all R_MAX full epochs, under-weight langs
+      // get their fractional final epoch as a deterministic per-(doc,
+      // epoch) subsample: include iff p_e mod 1000 < the epoch's
+      // remaining milli-fraction — pure integers, so both engines name
+      // the identical sample), and EVERY epoch reshuffles: the order key
+      // p_e is the roundUniform mixed hash keyed by (doc_id, epoch), so
+      // shard assignment AND within-shard order re-randomize per epoch
+      // (the locality breakage the spec measures). Scale shape is
+      // shuffle_assign's unchanged at E× rows: per-(epoch, shard)
+      // windows, never a global-order reducer; the plan join is a
+      // 5-row broadcast.
+      val em = epochPlanOf(s, d)
+        .select(col("lang"), col("epochs_milli"))
+        .where(col("epochs_milli") > 0)
+      val p = pmod(pmod(col("doc_id") * lit(31L) + col("epoch"),
+        lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("p"), col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(broadcast(em), Seq("lang"))
+        .select(col("doc_id"), col("epochs_milli"),
+          explode(sequence(lit(0L),
+            expr("(epochs_milli + 999) div 1000 - 1"))).as("epoch"))
+        .withColumn("p", p)
+        // one condition covers both regimes: a full epoch has
+        // epochs_milli - epoch*1000 >= 1000 > p mod 1000 always
+        .where(pmod(col("p"), lit(1000L)) <
+          col("epochs_milli") - col("epoch") * 1000L)
+        .withColumn("shard", pmod(col("p"), lit(PACK_SHARDS.toLong))
+          .cast("int"))
+        .select(col("doc_id"), col("epoch"), col("shard"),
+          (row_number().over(w) - 1).as("pos"))
     },
     "mix_tempered" -> { (s, d) =>
       // temperature-scaled sampling weights (the XLM-R / mT5 α-smoothing,
@@ -3031,6 +3077,31 @@ object TextOps {
 
   private val wSql = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
 
+  /** epoch_plan's oracle chain through `pl(lang, n_tokens, ppm,
+    * requested_tokens, planned_tokens)` — shared by the plan's own
+    * oracle and `shuffle_assign_epochs`' (which consumes the plan's
+    * epochs_milli, mirroring the factored [[epochPlanOf]]). */
+  private lazy val epochPlanCtes: String =
+    s"""t(lang, ppm) AS (VALUES ${MIX_TARGET_PPM.map { case (l, p) =>
+          s"('$l', ${p}::BIGINT)" }.mkString(", ")}),
+      |c AS (SELECT lang, sum(len($wSql))::BIGINT AS n_tokens
+      |      FROM documents GROUP BY lang),
+      |bgt AS (SELECT sum(n_tokens) * $R_MAX_EPOCHS AS budget FROM c),
+      |b AS (SELECT c.lang, c.n_tokens, t.ppm, bgt.budget,
+      |        (bgt.budget * t.ppm) // 1000000 AS base,
+      |        (bgt.budget * t.ppm) % 1000000 AS rem
+      |      FROM c JOIN t USING (lang), bgt),
+      |l AS (SELECT any_value(budget) - sum(base) AS leftover FROM b),
+      |req AS (SELECT lang, n_tokens, ppm,
+      |          (base + CASE WHEN row_number()
+      |               OVER (ORDER BY rem DESC, lang) <= leftover
+      |             THEN 1 ELSE 0 END)::BIGINT AS requested_tokens
+      |        FROM b, l),
+      |pl AS (SELECT lang, n_tokens, ppm, requested_tokens,
+      |         least(requested_tokens,
+      |               n_tokens * $R_MAX_EPOCHS)::BIGINT AS planned_tokens
+      |       FROM req)""".stripMargin
+
   /** quality_classifier_train's CTE chain — proxy labels from the quality
     * CTE, bucket counts over the full CLF_BUCKETS domain, totals, and the
     * per-bucket Naive Bayes log-ratio in integer micros (dsir_sample's
@@ -3481,6 +3552,29 @@ object TextOps {
          |        ${graft.functions.VectorSql.perm("doc_id")} AS p,
          |        ${packShardSql("doc_id")} AS shard
          |      FROM documents)""".stripMargin,
+    // the plan chain through pl, each lang's epochs_milli, a correlated
+    // per-doc epoch unnest, the integer partial-epoch inclusion gate,
+    // then shuffle_assign's per-(epoch, shard) window over the mixed
+    // (doc_id, epoch) hash
+    "shuffle_assign_epochs" ->
+      s"""WITH $epochPlanCtes,
+         |em AS (SELECT lang, (planned_tokens * 1000) // n_tokens
+         |         AS epochs_milli
+         |       FROM pl
+         |       WHERE (planned_tokens * 1000) // n_tokens > 0),
+         |de AS (SELECT d.doc_id, em.epochs_milli, r.epoch,
+         |         ((((d.doc_id * 31 + r.epoch) % 2147483648)
+         |           * 2654435761) % 4294967296) AS p
+         |       FROM documents d JOIN em USING (lang),
+         |            unnest(range(0, (em.epochs_milli + 999) // 1000))
+         |              AS r(epoch)),
+         |inc AS (SELECT doc_id, epoch, p, (p % $PACK_SHARDS)::INT AS shard
+         |        FROM de
+         |        WHERE p % 1000 < epochs_milli - epoch * 1000)
+         |SELECT doc_id, epoch, shard,
+         |       (row_number() OVER (PARTITION BY epoch, shard
+         |          ORDER BY p, doc_id) - 1)::INT AS pos
+         |FROM inc""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(
@@ -3667,25 +3761,7 @@ object TextOps {
         |          THEN 1 ELSE 0 END) <= n_tokens AS feasible
         |FROM b, l""".stripMargin,
     "epoch_plan" ->
-      s"""WITH t(lang, ppm) AS (VALUES ${MIX_TARGET_PPM.map { case (l, p) =>
-            s"('$l', ${p}::BIGINT)" }.mkString(", ")}),
-        |c AS (SELECT lang, sum(len($wSql))::BIGINT AS n_tokens
-        |      FROM documents GROUP BY lang),
-        |bgt AS (SELECT sum(n_tokens) * $R_MAX_EPOCHS AS budget FROM c),
-        |b AS (SELECT c.lang, c.n_tokens, t.ppm, bgt.budget,
-        |        (bgt.budget * t.ppm) // 1000000 AS base,
-        |        (bgt.budget * t.ppm) % 1000000 AS rem
-        |      FROM c JOIN t USING (lang), bgt),
-        |l AS (SELECT any_value(budget) - sum(base) AS leftover FROM b),
-        |req AS (SELECT lang, n_tokens, ppm,
-        |          (base + CASE WHEN row_number()
-        |               OVER (ORDER BY rem DESC, lang) <= leftover
-        |             THEN 1 ELSE 0 END)::BIGINT AS requested_tokens
-        |        FROM b, l),
-        |pl AS (SELECT lang, n_tokens, ppm, requested_tokens,
-        |         least(requested_tokens,
-        |               n_tokens * $R_MAX_EPOCHS)::BIGINT AS planned_tokens
-        |       FROM req)
+      s"""WITH $epochPlanCtes
         |SELECT lang, n_tokens, ppm::BIGINT AS weight_ppm, requested_tokens,
         |       planned_tokens,
         |       (planned_tokens * 1000) // n_tokens AS epochs_milli,

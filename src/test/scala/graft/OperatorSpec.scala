@@ -1134,6 +1134,61 @@ class OperatorSpec extends SparkSpec {
       s"adjacent docs share a shard $moved times — locality not broken")
   }
 
+  test("shuffle_assign_epochs: plan-driven repetition, per-epoch reshuffle") {
+    import graft.operators.TextOps
+    val out = SparkEntry.queries("shuffle_assign_epochs")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val plan = TextOps.epochPlanOf(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        r.getAs[Long]("epochs_milli")).toMap
+    val langOf = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // repetition follows the PLAN: every doc appears in all its lang's
+    // full epochs, never past ceil(epochs), and a fractional final
+    // epoch genuinely subsamples (capped langs fire the full path,
+    // non-multiple epochs_milli langs the partial path — both exist)
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    perDoc.foreach { case (id, epochs) =>
+      val em = plan(langOf(id))
+      (0L until em / 1000).foreach(e =>
+        assert(epochs(e), s"doc $id missing full epoch $e"))
+      assert(epochs.forall(_ <= (em + 999) / 1000 - 1),
+        s"doc $id appears past its lang's epoch ceiling")
+    }
+    val partialLangs = plan.filter(p => p._2 % 1000 != 0).keySet
+    assert(plan.values.exists(_ % 1000 == 0) && partialLangs.nonEmpty,
+      "fixture must exhibit both full-only and partial-epoch langs")
+    for (pl <- partialLangs) {
+      val ids = langOf.collect { case (id, l) if l == pl => id }.toSet
+      val em = plan(pl)
+      val lastE = (em + 999) / 1000 - 1
+      val inLast = out.count(r => ids(r._1) && r._2 == lastE)
+      assert(inLast > 0 && inLast < ids.size,
+        s"$pl's fractional epoch should subsample strictly ($inLast of " +
+          s"${ids.size})")
+    }
+    // EVERY epoch reshuffles: between adjacent epochs most docs change
+    // shard (mixed (doc_id, epoch) hash ⇒ ~31/32 expected)
+    val maxE = out.map(_._2).max
+    assert(maxE >= 1, "multi-epoch never happened")
+    (0L until maxE).foreach { e =>
+      val a = out.filter(_._2 == e).map(r => r._1 -> r._3).toMap
+      val b = out.filter(_._2 == e + 1).map(r => r._1 -> r._3).toMap
+      val both = a.keySet & b.keySet
+      if (both.size >= 20) {
+        val samePct = both.count(id => a(id) == b(id)).toDouble / both.size
+        assert(samePct < 0.2,
+          f"epochs $e/${e + 1}: $samePct%.2f of docs kept their shard — " +
+            "the reshuffle is not epoch-keyed")
+      }
+    }
+    // within each (epoch, shard) lane, positions are gapless from 0
+    out.groupBy(r => (r._2, r._3)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === g.indices.toSeq)
+    }
+  }
+
   test("pack_stats agrees with pack_sequences and bounds the fill ratio") {
     val packed = SparkEntry.queries("pack_sequences")(spark, sf)
     val stats = SparkEntry.queries("pack_stats")(spark, sf)
