@@ -1,0 +1,37 @@
+// Round-19 paired scaling: the new-operator batch at its scaled fixtures.
+// Run via:
+//   sbt -batch package && /opt/spark/bin/spark-shell --master 'local[32]' \
+//     --conf spark.sql.shuffle.partitions=32 \
+//     --conf spark.sql.codegen.cache.maxEntries=5000 \
+//     --jars target/scala-2.13/apachebeamkmeansspark_2.13-0.1.0.jar \
+//     -I scripts/ab_r19_newops.scala
+// Prereqs: scripts/build_scale_fixtures.scala (scale-test15 64x docs,
+// scale-test16-emb64 64x embeddings). Results recorded in BASELINE.md
+// (paired median-of-3 noop writes; JIT/codegen + one-off index/layout/
+// export staging ETL warmed by the first untimed pass, so the timings
+// measure the declared query — the probe/read-back/plan — not the
+// ensure* staging it rides on).
+val SF = "/root/testdata/sf0.1"
+val PAIRS = Seq(
+  ("join_partitioned_dpp", "target/scale-test15", "64x"),
+  ("pipeline_export_files", "target/scale-test15", "64x"),
+  ("streaming_dedup_ingest", "target/scale-test15", "64x"),
+  ("bpe_train_utf8", "target/scale-test15", "64x"),
+  ("shuffle_assign_epochs", "target/scale-test15", "64x"),
+  ("dedup_index_compact", "target/scale-test16-emb64", "64x"))
+def run(q: String, dir: String): Double = {
+  val t0 = System.nanoTime
+  graft.SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+  (System.nanoTime - t0) / 1e9
+}
+PAIRS.foreach { case (q, big, _) => run(q, SF); run(q, big) }
+def med3(q: String, dir: String): Double = {
+  val ts = (1 to 3).map(_ => run(q, dir)).sorted
+  ts(1)
+}
+for ((q, big, tag) <- PAIRS) {
+  val a = med3(q, SF)
+  val b = med3(q, big)
+  println(f"PAIR19 $q%-22s sf0.1=$a%6.2fs $tag%s=$b%7.2fs ratio=${b / a}%5.2fx")
+}
+sys.exit(0)

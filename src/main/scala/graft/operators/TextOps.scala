@@ -907,6 +907,17 @@ object TextOps {
       s"'$UTF8_ASCII_TO')"
   }
 
+  /** Cached trainer for the utf8-bytes family (`bpe_train_utf8` is the
+    * timed build and writes the cache; `token_count_utf8` reads it,
+    * training only on a miss). Family-tagged key — can never collide
+    * with the split-on-space or regex tables at the same step count. */
+  private[graft] def learnedUtf8MergesFor(s: SparkSession,
+      d: String): Seq[(Int, String, Long)] =
+    learnedMergeCache.getOrElseUpdate((d + "#utf8", BPE_TRAIN_STEPS),
+      bpeMerges(bpeByteSample(Tables.documents(s, d))
+        .select(utf8ByteSyms(translate(col("text"), UNI_FROM, UNI_TO))
+          .as("t")), BPE_TRAIN_STEPS))
+
   private[graft] def learnedByteMergesFor(s: SparkSession,
       d: String): Seq[(Int, String, Long)] =
     learnedMergeCache.getOrElseUpdate((d, BPE_BYTES_STEPS),
@@ -1846,11 +1857,33 @@ object TextOps {
       // same 12-trip histogram trainer, same unrolled MATERIALIZED-CTE
       // oracle with the bytes-rendering shim as srcText; no cache write.
       import s.implicits._
-      bpeMerges(bpeByteSample(Tables.documents(s, d))
+      val merges = bpeMerges(bpeByteSample(Tables.documents(s, d))
           .select(utf8ByteSyms(translate(col("text"), UNI_FROM, UNI_TO))
             .as("t")),
           BPE_TRAIN_STEPS)
-        .toDF("step", "pair", "n_occ")
+      learnedMergeCache((d + "#utf8", BPE_TRAIN_STEPS)) = merges
+      merges.toDF("step", "pair", "n_occ")
+    },
+    "token_count_utf8" -> { (s, d) =>
+      // induction→application close for the BYTE-level family (every
+      // trainer carries its apply twin — token_count_learned /
+      // token_count_learned_bytes / token_count_regex): the 12 learned
+      // byte merges applied to the FULL byte-rendered corpus as one
+      // codegen projection — byte rendering (translate/replace shim) +
+      // the 12-deep replace fold + length, per doc. n_tokens is the
+      // BYTE-level token budget (bytes, not chars: a shim umlaut costs
+      // two symbols until its byte pair re-merges — the spec pins
+      // raw-bytes > n_tokens ≥ chars can break only via merges). Train
+      // on the sample, budget everything — the real pipeline split.
+      val merges = learnedUtf8MergesFor(s, d)
+      val chain = merges.foldLeft(
+        utf8ByteSyms(translate(col("text"), UNI_FROM, UNI_TO))) {
+        case (acc, (k, p, _)) =>
+          org.apache.spark.sql.functions.replace(acc, lit(p),
+            lit(learnedSym(k)))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(chain).cast("int").as("n_tokens"))
     },
     "bpe_train_regex" -> { (s, d) =>
       // the production-shaped trainer (r17 verdict item 8): GPT-2-style
@@ -3365,6 +3398,18 @@ object TextOps {
         (1 to BPE_TRAIN_STEPS)
           .map(k => s"SELECT $k AS step, pair, n_occ FROM b$k")
           .mkString("\nUNION ALL\n")),
+    // train on the sample, apply to the FULL byte-rendered corpus — the
+    // token_count_learned_bytes shape with the byte shim as the base
+    // expression of the inline 12-deep replace fold
+    "token_count_utf8" -> (
+      bpeTrainCtes(BPE_TRAIN_STEPS, bpeSampleWhere,
+        utf8ByteSymsSql(s"translate(text, '$UNI_FROM', '$UNI_TO')")) + "\n" +
+        s"SELECT doc_id, length(${
+          (1 to BPE_TRAIN_STEPS).foldLeft(
+            utf8ByteSymsSql(s"translate(text, '$UNI_FROM', '$UNI_TO')")) {
+            (acc, k) =>
+              s"replace($acc, (SELECT pair FROM b$k), chr(${57600 + k}))"
+          }})::INT AS n_tokens FROM documents"),
     "token_count_learned" -> (bpeTrainCtes(BPE_TRAIN_STEPS) +
       s"\nSELECT doc_id, length(t)::INT AS n_tokens FROM s$BPE_TRAIN_STEPS"),
     "bpe_train_bytes" -> (bpeTrainCtes(BPE_BYTES_STEPS, bpeSampleWhere) +

@@ -2493,6 +2493,25 @@ class OperatorSpec extends SparkSpec {
     assert(full.exists(_._2.exists(c => c >= 0x180.toChar && c < 0x1C0.toChar)),
       "no continuation-byte symbol in any merged pair — the shim is not " +
         "rendering bytes")
+    // the apply twin budgets in BYTES: per doc, chars ≤ n_tokens (bytes
+    // only re-merge via learned pairs) would be the unmergable floor and
+    // raw byte count the ceiling; the 12 merges must strictly bite
+    val tc = SparkEntry.queries("token_count_utf8")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(TextOps.utf8ByteSyms(
+        translate(col("text"), TextOps.UNI_FROM, TextOps.UNI_TO)))
+        .cast("int").as("nb"),
+        col("n_chars").cast("int").as("nc"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    assert(tc.keySet === raw.keySet)
+    tc.foreach { case (id, n) =>
+      assert(n <= raw(id)._1, s"doc $id: more tokens than raw bytes") }
+    assert(raw.exists { case (_, (nb, nc)) => nb > nc },
+      "no doc ever cost more bytes than chars — the shim rendered nothing")
+    assert(tc.values.map(_.toLong).sum < raw.values.map(_._1.toLong).sum,
+      "12 learned merges never reduced the byte total")
   }
 
   test("pipeline_curate_learned composes its declared stage operators") {
