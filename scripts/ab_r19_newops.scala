@@ -1,6 +1,7 @@
 // Round-19 paired scaling: the new-operator batch at its scaled fixtures.
 // Run via:
 //   sbt -batch package && /opt/spark/bin/spark-shell --master 'local[32]' \
+//     --driver-memory 24g \
 //     --conf spark.sql.shuffle.partitions=32 \
 //     --conf spark.sql.codegen.cache.maxEntries=5000 \
 //     --jars target/scala-2.13/apachebeamkmeansspark_2.13-0.1.0.jar \
