@@ -954,6 +954,33 @@ class PlanSpec extends SparkSpec {
       "bucket prefix relation is not broadcast")
   }
 
+  test("pipeline_export_files reads ONLY the payload bytes: one text scan") {
+    // the declared relation is the manifest re-derived FROM DISK — it
+    // must never re-run curation or re-touch the parquet corpus: one
+    // text scan of the shard layout, one rollup exchange
+    val plan = executed("pipeline_export_files")
+    assert(plan.split("Scan text", -1).length - 1 == 1,
+      s"expected exactly one text scan of the payload:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      "the parquet corpus must not be re-scanned — bytes are the input")
+    assert(plan.split("Exchange hashpartitioning", -1).length - 1 == 1,
+      "expected exactly the one per-shard rollup exchange")
+  }
+
+  test("shuffle_assign_epochs: plan joins broadcast; no global-order reducer") {
+    // the 5-row epoch plan must reach the docs as a broadcast (never a
+    // shuffled join of corpus rows against the plan), and the row-scaled
+    // side must see no global ORDER (rangepartitioning) — ordering is
+    // per-(epoch, shard) lane windows only
+    val plan = executed("shuffle_assign_epochs")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the epoch plan is not broadcast to the doc scan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "a global-order exchange appeared — the lane windows degenerated")
+    assert(plan.contains("hashpartitioning(epoch"),
+      "the position window is not (epoch, shard)-partitioned")
+  }
+
   test("join_partitioned_dpp: runtime partition prune lands in the fact scan") {
     // the declared path (AQE on): the fact scan must carry a
     // DynamicPruningExpression — the dim's join keys arriving as a
