@@ -756,6 +756,26 @@ object SimilarityOps {
       dedupEmbIncrementalOf(KMeansOps.points(s, d),
         dedupDeltaVectors(s, d), Some(bands))
     },
+    "dedup_index_compact_report" -> { (s, d) =>
+      // the compaction's audit ledger (ivf_refresh_report's precedent):
+      // per band table, standing rows before, compacted rows after, and
+      // rows retired — the numbers an index operator reads to confirm a
+      // takedown retired exactly its set, uniformly across tables (a
+      // skewed per-table retirement means the layout and the tombstone
+      // set disagree about ids). Both inputs are the PERSISTED layouts
+      // themselves, so the oracle's expected arithmetic (every id holds
+      // one row per table; retirement = the mod-class count) hash-proves
+      // the bytes on disk, not an in-plan recomputation. Cost: two
+      // metadata-light scans of (t) + TABLES-key aggregates.
+      val before = s.read.parquet(s"${ensureBandIndex(s, d)}/bands")
+        .groupBy(col("t")).agg(count(lit(1)).as("n_before"))
+      val after = s.read.parquet(s"${ensureBandCompacted(s, d)}/bands")
+        .groupBy(col("t")).agg(count(lit(1)).as("n_after"))
+      before.join(after, Seq("t"))
+        .select(col("t").cast("int").as("t"), col("n_before"),
+          col("n_after"),
+          (col("n_before") - col("n_after")).as("n_retired"))
+    },
     "ivf_index_refresh" -> { (s, d) =>
       // re-center + reassign over the churned standing index (see
       // [[ensureIvfRefreshed]] — the compaction step after append +
@@ -1883,6 +1903,20 @@ object SimilarityOps {
     "dedup_index_compact" -> embIncOracleFor("basekeep",
       s"basekeep AS (SELECT * FROM embeddings " +
         s"WHERE vec_id % $BAND_DELETE_MOD <> 0),\n"),
+    // expected retirement arithmetic: every id holds exactly one band
+    // row per table, so per table before = |corpus| and retired = the
+    // tombstone mod-class count — the hash equality proves the on-disk
+    // layouts' per-table accounting, since the declared relation counts
+    // the persisted files themselves
+    "dedup_index_compact_report" ->
+      s"""WITH n AS (SELECT count(*) AS nv,
+         |             count(*) FILTER (vec_id % $BAND_DELETE_MOD = 0)
+         |               AS nt
+         |           FROM embeddings)
+         |SELECT t.t::INT AS t, n.nv::BIGINT AS n_before,
+         |       (n.nv - n.nt)::BIGINT AS n_after,
+         |       n.nt::BIGINT AS n_retired
+         |FROM (SELECT unnest(range(0, $TABLES)) AS t) t, n""".stripMargin,
     // the refresh replayed end to end: churned population (base minus
     // the takedown, plus the assigned delta) at the frozen model, fresh
     // per-cell snap12 means with the LEFT JOIN + coalesce empty-cell

@@ -759,6 +759,19 @@ class OperatorSpec extends SparkSpec {
         .toMap
     assert(verdict("dedup_index_compact") === verdict("dedup_index_delete"),
       "compacted probe verdict drifted from the tombstone-filtered form")
+    // the audit ledger agrees with the layouts: one row per table,
+    // uniform retirement equal to the tombstone class size
+    val rep = SparkEntry.queries("dedup_index_compact_report")(spark, sf)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.length === SimilarityOps.TABLES)
+    val nTomb = KMeansOps.points(spark, sf)
+      .where(pmod(col("id"), lit(SimilarityOps.BAND_DELETE_MOD)) === 0)
+      .count()
+    rep.foreach { case (t, nb, na, nr) =>
+      assert(nr === nTomb, s"table $t retired $nr rows, expected $nTomb")
+      assert(nb - na === nr)
+    }
   }
 
   test("sim_topk_ivf recall@5 vs the exact top-k stays above the floor") {
