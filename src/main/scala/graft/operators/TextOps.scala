@@ -276,6 +276,35 @@ object TextOps {
         col("requested_tokens") > col("planned_tokens"))
   }
 
+  /** The epoch-varied training ORDER (doc_id, epoch, shard, pos) — the
+    * full `shuffle_assign_epochs` relation, factored so `pack_epochs`
+    * packs EXACTLY the order the shuffle declares (one order definition,
+    * two consumers — the same link discipline as [[epochPlanOf]]). See
+    * the `shuffle_assign_epochs` query scaladoc for semantics. */
+  private[graft] def epochOrderOf(s: SparkSession, d: String): DataFrame = {
+    val em = epochPlanOf(s, d)
+      .select(col("lang"), col("epochs_milli"))
+      .where(col("epochs_milli") > 0)
+    val p = pmod(pmod(col("doc_id") * lit(31L) + col("epoch"),
+      lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("p"), col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(broadcast(em), Seq("lang"))
+      .select(col("doc_id"), col("epochs_milli"),
+        explode(sequence(lit(0L),
+          expr("(epochs_milli + 999) div 1000 - 1"))).as("epoch"))
+      .withColumn("p", p)
+      // one condition covers both regimes: a full epoch has
+      // epochs_milli - epoch*1000 >= 1000 > p mod 1000 always
+      .where(pmod(col("p"), lit(1000L)) <
+        col("epochs_milli") - col("epoch") * 1000L)
+      .withColumn("shard", pmod(col("p"), lit(PACK_SHARDS.toLong))
+        .cast("int"))
+      .select(col("doc_id"), col("epoch"), col("shard"),
+        (row_number().over(w) - 1).as("pos"))
+  }
+
   /** `quality_calibration` bin geometry: fixed-width logit histogram in
     * integer micros, clamped to [−SPAN·W, SPAN·W). Fixed-VALUE bins (not
     * ntile): a quantile binning would need ONE global sort of the corpus;
@@ -1855,7 +1884,9 @@ object TextOps {
       // on a constructed corpus and the fixture exhibits in-ladder
       // (continuation-byte pairs win early trips). Same quarter sample,
       // same 12-trip histogram trainer, same unrolled MATERIALIZED-CTE
-      // oracle with the bytes-rendering shim as srcText; no cache write.
+      // oracle with the bytes-rendering shim as srcText. The trainer
+      // writes the "#utf8"-tagged cache entry that learnedUtf8MergesFor
+      // / token_count_utf8 read — the byte family's induction→apply link.
       import s.implicits._
       val merges = bpeMerges(bpeByteSample(Tables.documents(s, d))
           .select(utf8ByteSyms(translate(col("text"), UNI_FROM, UNI_TO))
@@ -2622,28 +2653,42 @@ object TextOps {
       // (the locality breakage the spec measures). Scale shape is
       // shuffle_assign's unchanged at E× rows: per-(epoch, shard)
       // windows, never a global-order reducer; the plan join is a
-      // 5-row broadcast.
-      val em = epochPlanOf(s, d)
-        .select(col("lang"), col("epochs_milli"))
-        .where(col("epochs_milli") > 0)
-      val p = pmod(pmod(col("doc_id") * lit(31L) + col("epoch"),
-        lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+      // 5-row broadcast. Relation factored as [[epochOrderOf]] so
+      // pack_epochs packs the identical order.
+      epochOrderOf(s, d)
+    },
+    "pack_epochs" -> { (s, d) =>
+      // the SHUFFLED order, PACKED (r19 verdict item 1): shuffle_assign_
+      // epochs defines what a multi-epoch trainer reads and in what
+      // order; pack_sequences packs doc_id order — neither alone is the
+      // artifact a trainer streams. This composes them: per (epoch,
+      // shard) lane, token offsets prefix-sum in `pos` order over the
+      // epoch-expanded relation ([[epochOrderOf]] — the SAME relation
+      // the shuffle declares, not a re-derivation), yielding each doc
+      // occurrence's sequence span within its epoch's shard files. A doc
+      // repeated across epochs gets a DIFFERENT span each epoch (the
+      // reshuffle is load-bearing — adjacent epochs pack different
+      // sequence compositions, spec-pinned), which is exactly why
+      // packing cannot be done once and replayed. Scale shape: the
+      // order relation's own per-(epoch, shard) windows, an id-only
+      // broadcast-sized plan join upstream, and the token counter rides
+      // the documents scan — text never shuffles; the offsets window
+      // re-runs per epoch lane, so E epochs cost E× rows, not a global
+      // reducer (the shuffle_assign funnel discipline unchanged).
       val w = Window.partitionBy(col("epoch"), col("shard"))
-        .orderBy(col("p"), col("doc_id"))
-      Tables.documents(s, d).select(col("doc_id"), col("lang"))
-        .join(broadcast(em), Seq("lang"))
-        .select(col("doc_id"), col("epochs_milli"),
-          explode(sequence(lit(0L),
-            expr("(epochs_milli + 999) div 1000 - 1"))).as("epoch"))
-        .withColumn("p", p)
-        // one condition covers both regimes: a full epoch has
-        // epochs_milli - epoch*1000 >= 1000 > p mod 1000 always
-        .where(pmod(col("p"), lit(1000L)) <
-          col("epochs_milli") - col("epoch") * 1000L)
-        .withColumn("shard", pmod(col("p"), lit(PACK_SHARDS.toLong))
-          .cast("int"))
+        .orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      epochOrderOf(s, d)
+        .join(Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(wordsCol(col("text"))).as("n_tokens")),
+          Seq("doc_id"))
+        .where(col("n_tokens") > 0)
+        .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
         .select(col("doc_id"), col("epoch"), col("shard"),
-          (row_number().over(w) - 1).as("pos"))
+          (col("cum") - col("n_tokens")).as("tok_start"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div $PACK_SEQ").as("first_seq"),
+          expr(s"(cum - 1) div $PACK_SEQ").as("last_seq"))
     },
     "mix_tempered" -> { (s, d) =>
       // temperature-scaled sampling weights (the XLM-R / mT5 α-smoothing,
@@ -3135,6 +3180,32 @@ object TextOps {
       |               n_tokens * $R_MAX_EPOCHS)::BIGINT AS planned_tokens
       |       FROM req)""".stripMargin
 
+  /** The epoch-order chain through `eord(doc_id, epoch, shard, pos)` —
+    * the plan chain through pl, each lang's epochs_milli, a correlated
+    * per-doc epoch unnest, the integer partial-epoch inclusion gate,
+    * then shuffle_assign's per-(epoch, shard) window over the mixed
+    * (doc_id, epoch) hash. Mirrors [[epochOrderOf]]; shared by the
+    * `shuffle_assign_epochs` and `pack_epochs` oracles. */
+  private lazy val epochOrderCtes: String =
+    s"""$epochPlanCtes,
+       |em AS (SELECT lang, (planned_tokens * 1000) // n_tokens
+       |         AS epochs_milli
+       |       FROM pl
+       |       WHERE (planned_tokens * 1000) // n_tokens > 0),
+       |de AS (SELECT d.doc_id, em.epochs_milli, r.epoch,
+       |         ((((d.doc_id * 31 + r.epoch) % 2147483648)
+       |           * 2654435761) % 4294967296) AS p
+       |       FROM documents d JOIN em USING (lang),
+       |            unnest(range(0, (em.epochs_milli + 999) // 1000))
+       |              AS r(epoch)),
+       |inc AS (SELECT doc_id, epoch, p, (p % $PACK_SHARDS)::INT AS shard
+       |        FROM de
+       |        WHERE p % 1000 < epochs_milli - epoch * 1000),
+       |eord AS (SELECT doc_id, epoch, shard,
+       |           (row_number() OVER (PARTITION BY epoch, shard
+       |              ORDER BY p, doc_id) - 1)::INT AS pos
+       |         FROM inc)""".stripMargin
+
   /** quality_classifier_train's CTE chain — proxy labels from the quality
     * CTE, bucket counts over the full CLF_BUCKETS domain, totals, and the
     * per-bucket Naive Bayes log-ratio in integer micros (dsir_sample's
@@ -3400,7 +3471,11 @@ object TextOps {
           .mkString("\nUNION ALL\n")),
     // train on the sample, apply to the FULL byte-rendered corpus — the
     // token_count_learned_bytes shape with the byte shim as the base
-    // expression of the inline 12-deep replace fold
+    // expression of the inline 12-deep replace fold. Like that fold,
+    // this chain is NOT coalesce-guarded against an empty b_k (the guard
+    // would duplicate the accumulator → 2^12 SQL text); it relies on the
+    // same measured merge-capacity pin — the fixture always yields 12
+    // byte merges (OperatorSpec pins the split-then-re-merge ladder)
     "token_count_utf8" -> (
       bpeTrainCtes(BPE_TRAIN_STEPS, bpeSampleWhere,
         utf8ByteSymsSql(s"translate(text, '$UNI_FROM', '$UNI_TO')")) + "\n" +
@@ -3597,29 +3672,29 @@ object TextOps {
          |        ${graft.functions.VectorSql.perm("doc_id")} AS p,
          |        ${packShardSql("doc_id")} AS shard
          |      FROM documents)""".stripMargin,
-    // the plan chain through pl, each lang's epochs_milli, a correlated
-    // per-doc epoch unnest, the integer partial-epoch inclusion gate,
-    // then shuffle_assign's per-(epoch, shard) window over the mixed
-    // (doc_id, epoch) hash
+    // the shared order chain through eord — shuffle_assign_epochs IS
+    // the order relation
     "shuffle_assign_epochs" ->
-      s"""WITH $epochPlanCtes,
-         |em AS (SELECT lang, (planned_tokens * 1000) // n_tokens
-         |         AS epochs_milli
-         |       FROM pl
-         |       WHERE (planned_tokens * 1000) // n_tokens > 0),
-         |de AS (SELECT d.doc_id, em.epochs_milli, r.epoch,
-         |         ((((d.doc_id * 31 + r.epoch) % 2147483648)
-         |           * 2654435761) % 4294967296) AS p
-         |       FROM documents d JOIN em USING (lang),
-         |            unnest(range(0, (em.epochs_milli + 999) // 1000))
-         |              AS r(epoch)),
-         |inc AS (SELECT doc_id, epoch, p, (p % $PACK_SHARDS)::INT AS shard
-         |        FROM de
-         |        WHERE p % 1000 < epochs_milli - epoch * 1000)
+      s"""WITH $epochOrderCtes
+         |SELECT doc_id, epoch, shard, pos FROM eord""".stripMargin,
+    // the order chain, then the packer's per-(epoch, shard) prefix-sum
+    // window in pos order — packCtes' cum/span arithmetic with the
+    // shuffled order as the window key instead of doc_id
+    "pack_epochs" ->
+      s"""WITH $epochOrderCtes,
+         |ptk AS (SELECT doc_id, len($wSql)::INT AS n_tokens
+         |        FROM documents),
+         |pc AS (SELECT o.doc_id, o.epoch, o.shard, ptk.n_tokens,
+         |         sum(ptk.n_tokens::BIGINT) OVER (
+         |           PARTITION BY o.epoch, o.shard
+         |           ORDER BY o.pos ROWS UNBOUNDED PRECEDING) AS cum
+         |       FROM eord o JOIN ptk USING (doc_id)
+         |       WHERE ptk.n_tokens > 0)
          |SELECT doc_id, epoch, shard,
-         |       (row_number() OVER (PARTITION BY epoch, shard
-         |          ORDER BY p, doc_id) - 1)::INT AS pos
-         |FROM inc""".stripMargin,
+         |       (cum - n_tokens)::BIGINT AS tok_start, n_tokens,
+         |       ((cum - n_tokens) // $PACK_SEQ)::BIGINT AS first_seq,
+         |       ((cum - 1) // $PACK_SEQ)::BIGINT AS last_seq
+         |FROM pc""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(

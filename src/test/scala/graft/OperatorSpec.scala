@@ -1202,6 +1202,55 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pack_epochs packs the shuffled order; adjacent epochs differ") {
+    import graft.operators.TextOps
+    val out = SparkEntry.queries("pack_epochs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getLong(5), r.getLong(6)))
+    // 1. the packed relation IS the shuffled order (token-carrying
+    //    docs): same (doc_id, epoch, shard) rows, and within each
+    //    (epoch, shard) lane tok_start ascends in the shuffle's pos
+    //    order with NO gaps — span arithmetic is the packer's
+    val order = SparkEntry.queries("shuffle_assign_epochs")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " +")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.map(t => (t._1, t._2, t._3)).toSet ===
+      order.filter(o => toks(o._1) > 0).map(o => (o._1, o._2, o._3)).toSet)
+    val posOf = order.map(o => (o._1, o._2, o._3) -> o._4).toMap
+    out.groupBy(t => (t._2, t._3)).foreach { case (_, lane) =>
+      val inPos = lane.sortBy(t => posOf((t._1, t._2, t._3)))
+      var cum = 0L
+      inPos.foreach { t =>
+        assert(t._4 === cum, s"tok_start gap at doc ${t._1}")
+        assert(t._6 === t._4 / TextOps.PACK_SEQ &&
+          t._7 === (t._4 + t._5 - 1) / TextOps.PACK_SEQ)
+        cum += t._5
+      }
+    }
+    // 2. the shuffle is LOAD-BEARING: adjacent epochs pack different
+    //    sequence compositions — fingerprint each training sequence as
+    //    its (shard, first_seq)-grouped doc set; nearly none recur
+    def seqSets(e: Long): Set[Set[Long]] =
+      out.filter(_._2 == e).groupBy(t => (t._3, t._6))
+        .values.map(_.map(_._1).toSet).filter(_.size > 1).toSet
+    val (s0, s1) = (seqSets(0L), seqSets(1L))
+    assert(s0.size > 10 && s1.size > 10, "fixture too small to pin")
+    val recur = (s0 & s1).size.toDouble / math.min(s0.size, s1.size)
+    assert(recur < 0.05,
+      f"$recur%.2f of multi-doc sequences recur across epochs 0/1 — " +
+        "the per-epoch reshuffle is not reaching the packed bytes")
+    // 3. a repeated doc's span moves between epochs (same fact, per-doc)
+    val sp0 = out.filter(_._2 == 0L).map(t => t._1 -> (t._3, t._4)).toMap
+    val sp1 = out.filter(_._2 == 1L).map(t => t._1 -> (t._3, t._4)).toMap
+    val both = sp0.keySet & sp1.keySet
+    assert(both.nonEmpty)
+    val kept = both.count(id => sp0(id) == sp1(id)).toDouble / both.size
+    assert(kept < 0.05, f"$kept%.2f of docs kept (shard, tok_start)")
+  }
+
   test("pack_stats agrees with pack_sequences and bounds the fill ratio") {
     val packed = SparkEntry.queries("pack_sequences")(spark, sf)
     val stats = SparkEntry.queries("pack_stats")(spark, sf)
