@@ -43,7 +43,8 @@ object Bench {
             s"(continuing; affected queries will fail individually): $e")
       }
     setup("bucketed layouts") {
-      graft.sources.StorageOps.ensureLayouts(spark, sfDir) }
+      graft.sources.StorageOps.ensureLayouts(spark, sfDir)
+      graft.sources.StorageOps.ensureRebucketed(spark, sfDir) }
     setup("text fixtures") { graft.sources.TextIO.ensureFixtures(spark, sfDir) }
     setup("streaming landing dir") {
       graft.streaming.StreamingOps.stageDir(spark, sfDir, "events")

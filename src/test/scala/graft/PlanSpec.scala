@@ -160,6 +160,21 @@ class PlanSpec extends SparkSpec {
       "join must not reshuffle bucketed sides")
   }
 
+  test("join_bucketed_rebucket: evolved 16-bucket layout, still no exchange") {
+    val plan = executed("join_bucketed_rebucket")
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "join must not reshuffle the re-bucketed sides")
+    // BOTH scans consume the evolved layout: 16 of 16 buckets selected
+    // (a plan that fell back to the 8-bucket tables, or to a
+    // non-bucketed read, fails here)
+    val sels = plan.split("\n").filter(_.contains("SelectedBucketsCount"))
+    assert(sels.length === 2, s"expected two bucketed scans:\n$plan")
+    sels.foreach(l => assert(l.contains("16 out of 16"),
+      s"scan not on the 16-bucket layout: $l"))
+  }
+
   test("dedup_ngram inverted-index side is a broadcast join") {
     val plan = executed("dedup_ngram")
     assert(plan.contains("BroadcastHashJoin"))
