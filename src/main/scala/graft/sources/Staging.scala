@@ -128,6 +128,102 @@ object Staging {
     }
   }
 
+  /** One root's vacuum ledger row (see [[vacuumFixture]]): removal
+    * counts feed the safety spec; the post-state counts are the
+    * deterministic declared relation (`layout_vacuum`). */
+  private[graft] case class VacuumStat(root: String, nStaleRemoved: Long,
+      nDebrisRemoved: Long, nFilesReclaimed: Long, nLive: Long,
+      nStaleAfter: Long, nDebrisAfter: Long)
+
+  /** Writer-debris age gate: a `.tmp-`/`.stale-` entry younger than this
+    * may belong to a LIVE concurrent staging write (ensureDir stages
+    * tmps as siblings of its target) — deleting it mid-write would fail
+    * that writer. Superseded-generation dirs carry no such race (a
+    * complete generation is only ever read), so they vacuum at any age. */
+  private[graft] val VACUUM_DEBRIS_MIN_AGE_MS = 60L * 60 * 1000
+
+  private def isDebrisName(n: String): Boolean =
+    n.contains(".tmp-") || n.contains(".stale-")
+
+  private def countFiles(p: Path): Long = {
+    val entries = Files.walk(p)
+    try entries.toArray.map(_.asInstanceOf[Path])
+      .count(Files.isRegularFile(_)).toLong
+    finally entries.close()
+  }
+
+  private def olderThanGate(p: Path): Boolean =
+    try Files.getLastModifiedTime(p).toMillis <
+      System.currentTimeMillis() - VACUUM_DEBRIS_MIN_AGE_MS
+    catch { case _: NoSuchFileException => false }
+
+  /** Retire THIS fixture's superseded staged generations under the given
+    * staging roots — the on-demand maintenance twin of [[sweepStaleKeys]]
+    * (which fires only on a fresh-build path; a tree whose builds all hit
+    * their markers re-stages nothing and never sweeps). Per root, a
+    * child dir belongs to this fixture iff its name is one of the two
+    * key forms every staging site derives from the fixture dir —
+    * `<basename>-<fp8>` ([[fixtureKey]]) or `<sanitized>_<hash8>_<fp8>`
+    * (StorageOps.sfName) — so another fixture's layouts are never
+    * touched. A matching dir whose trailing fingerprint differs from the
+    * CURRENT one is a superseded generation: deleted, files counted into
+    * the ledger. Writer debris (`.tmp-`/`.stale-` entries, at the root
+    * and inside the live generation) is deleted only past
+    * [[VACUUM_DEBRIS_MIN_AGE_MS]] — young debris may be a live
+    * concurrent write. Returns one ledger row per root, with post-state
+    * counts re-listed AFTER the pass (the deterministic contract:
+    * exactly one live generation, zero stale, zero aged debris). */
+  private[graft] def vacuumFixture(fixtureDir: String,
+      roots: Seq[String]): Seq[VacuumStat] = {
+    val base = Paths.get(fixtureDir).getFileName.toString
+    val san = base.replaceAll("[^A-Za-z0-9_]", "_")
+    val fp = dirFingerprint(fixtureDir)
+    val q = java.util.regex.Pattern.quote _
+    val keyRe = (s"^(?:${q(base)}-|${q(san)}_[0-9a-f]{8}_)([0-9a-f]{8})$$").r
+    def keyedFp(n: String): Option[String] =
+      keyRe.findFirstMatchIn(n).map(_.group(1))
+    // debris names are `<keyed name>.tmp-<suffix>` / `.stale-<uuid>`
+    def ownedDebris(n: String): Boolean =
+      isDebrisName(n) &&
+        keyedFp(n.substring(0, math.min(
+          Seq(n.indexOf(".tmp-"), n.indexOf(".stale-"))
+            .filter(_ >= 0).min, n.length))).isDefined
+    def classify(rootPath: Path): (Seq[Path], Seq[Path], Seq[Path]) = {
+      if (!Files.isDirectory(rootPath)) return (Nil, Nil, Nil)
+      val entries = Files.list(rootPath)
+      val kids =
+        try entries.toArray.map(_.asInstanceOf[Path]).toSeq
+        finally entries.close()
+      val live = kids.filter(k =>
+        keyedFp(k.getFileName.toString).contains(fp))
+      val stale = kids.filter { k =>
+        val f = keyedFp(k.getFileName.toString); f.isDefined && !f.contains(fp)
+      }
+      // aged debris: owned at the root level; ANY `.tmp-`/`.stale-` name
+      // inside the live generation (ownership established by the parent)
+      val debris = kids.filter(k => ownedDebris(k.getFileName.toString)) ++
+        live.flatMap { l =>
+          val walk = Files.walk(l)
+          try walk.toArray.map(_.asInstanceOf[Path])
+            .filter(p => p != l && isDebrisName(p.getFileName.toString))
+            .toSeq
+          finally walk.close()
+        }
+      (live, stale, debris.filter(olderThanGate))
+    }
+    roots.map { r =>
+      val rootPath = Paths.get(r).toAbsolutePath
+      val (_, stale, debris) = classify(rootPath)
+      val files = (stale ++ debris).map(countFiles).sum
+      stale.foreach(deleteRecursively)
+      debris.foreach(deleteRecursively)
+      val (liveAfter, staleAfter, debrisAfter) = classify(rootPath)
+      VacuumStat(rootPath.getFileName.toString, stale.size.toLong,
+        debris.size.toLong, files, liveAfter.size.toLong,
+        staleAfter.size.toLong, debrisAfter.size.toLong)
+    }
+  }
+
   /** Clear an apparently-unmarked `target` without the check-then-delete
     * TOCTOU: atomically rename it aside to a unique `.stale-` sibling, then
     * inspect the dir we ACTUALLY captured. If the marker is present (a

@@ -180,6 +180,38 @@ object StorageOps {
         .agg(count(lit(1)).as("n_items"),
           graft.operators.RelationalOps.revenueSum.as("revenue"))
     },
+    "layout_vacuum" -> { (s, d) =>
+      // RETENTION (r19 verdict item 3): the lifecycle ops (compact /
+      // refresh / delete / rebucket) stage new generations but never
+      // retire superseded ones — Staging.sweepStaleKeys fires only on a
+      // fresh-BUILD path, so a tree whose ensures all hit their markers
+      // accretes one full layout copy per fixture regeneration forever.
+      // This is the on-demand vacuum: ensure the live generations, PLANT
+      // a canonical superseded generation + aged writer debris per root
+      // (so the declared post-state is load-bearing even on a clean
+      // tree — without the vacuum the plants would surface), then
+      // [[Staging.vacuumFixture]] retires everything keyed to this
+      // fixture whose fingerprint is not the current one. The declared
+      // relation is the deterministic post-state ledger (exactly one
+      // live generation per root, zero stale, zero aged debris);
+      // OperatorSpec covers the safety half: live layouts survive
+      // byte-identically (layout-reading queries hash-stable across the
+      // vacuum), foreign fixtures' layouts are never touched, and the
+      // reclaim counts report what was actually on disk. At 100 TB this
+      // is the lake's GC: metadata-only listing, deletes proportional
+      // to retired generations, zero data moved.
+      val roots = Seq("target/bucketed", "target/ivf-index",
+        "target/band-index", "target/compact-fixtures")
+      ensureLayouts(s, d); ensureRebucketed(s, d)
+      graft.operators.SimilarityOps.ensureIvfIndex(s, d)
+      graft.operators.SimilarityOps.ensureBandIndex(s, d)
+      ensureCompacted(s, d)
+      roots.foreach(plantSuperseded(_, d))
+      val stats = Staging.vacuumFixture(d, roots)
+      import s.implicits._
+      stats.map(v => (v.root, v.nLive, v.nStaleAfter, v.nDebrisAfter))
+        .toDF("root", "n_live", "n_stale", "n_debris")
+    },
     "join_bucketed_rebucket" -> { (s, d) =>
       // join_bucketed on the EVOLVED layout: after [[ensureRebucketed]]'s
       // 8→16 doubling rewrite, the same fact-fact SortMergeJoin consumes
@@ -369,6 +401,25 @@ object StorageOps {
     finally files.close()
   }
 
+  /** Plant one superseded generation (`<base>-00000000`, one file) and
+    * one BACKDATED writer-debris dir (`<base>-00000000.tmp-plant`) under
+    * `root` — `layout_vacuum`'s canonical reclaim fodder. The zero
+    * fingerprint can never be the live one (dirFingerprint of a real
+    * fixture hashing to eight zeros aside, the plant is deleted in the
+    * same call); the debris is backdated past the vacuum's age gate so
+    * the pass provably reclaims both classes. */
+  private def plantSuperseded(root: String, d: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(d).getFileName.toString
+    val epoch = java.nio.file.attribute.FileTime.fromMillis(0L)
+    Seq(s"$base-00000000", s"$base-00000000.tmp-plant").foreach { n =>
+      val dir = Paths.get(root, n)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("orphan.bin"), Array[Byte](0, 1, 2, 3))
+      Files.setLastModifiedTime(dir, epoch)
+    }
+  }
+
   /** The small-files layout + its compaction, staged once each (the
     * compact_small_files ETL pair). Returns (smallDir, compactedDir). */
   private[graft] def ensureCompacted(s: SparkSession,
@@ -431,6 +482,18 @@ object StorageOps {
         |       ${graft.operators.RelationalOps.revenueSumSql} AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+    // the post-vacuum contract is exact and fixture-independent: every
+    // staging root holds exactly ONE live generation for the fixture,
+    // zero superseded generations, zero aged writer debris — including
+    // the generation + debris the op plants before vacuuming (a vacuum
+    // that fails to reclaim surfaces the plants here)
+    "layout_vacuum" ->
+      """SELECT * FROM (VALUES
+        |  ('bucketed', 1::BIGINT, 0::BIGINT, 0::BIGINT),
+        |  ('ivf-index', 1::BIGINT, 0::BIGINT, 0::BIGINT),
+        |  ('band-index', 1::BIGINT, 0::BIGINT, 0::BIGINT),
+        |  ('compact-fixtures', 1::BIGINT, 0::BIGINT, 0::BIGINT))
+        |  t(root, n_live, n_stale, n_debris)""".stripMargin,
     // join_bucketed's oracle VERBATIM: the 16-bucket rewrite must be
     // invisible to query semantics — same join, same hash
     "join_bucketed_rebucket" ->

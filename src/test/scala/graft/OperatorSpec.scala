@@ -2005,6 +2005,69 @@ class OperatorSpec extends SparkSpec {
       "payload bytes disagree with the manifest")
   }
 
+  test("layout_vacuum: reclaims stale + aged debris only; live layouts intact") {
+    import java.nio.file.{Files, Paths}
+    val roots = Seq("target/bucketed", "target/ivf-index",
+      "target/band-index", "target/compact-fixtures")
+    // live layouts' results BEFORE the vacuum — the safety contract is
+    // that the pass is invisible to every layout-reading query
+    def snap() = Seq("join_bucketed", "join_bucketed_rebucket",
+      "compact_small_files")
+      .map(q => q -> SparkEntry.queries(q)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq).toMap
+    val before = snap()
+    // plant: a foreign fixture's stale generation (must SURVIVE — not
+    // ours to reclaim) and fresh young debris (must survive the age
+    // gate: it could be a live concurrent staging write)
+    val foreign = Paths.get("target/bucketed/otherfix-00000000")
+    Files.createDirectories(foreign)
+    Files.write(foreign.resolve("keep.bin"), Array[Byte](9))
+    val young = Paths.get(
+      "target/ivf-index/" + Paths.get(sf).getFileName + "-00000000.tmp-young")
+    Files.createDirectories(young)
+    Files.write(young.resolve("inflight.bin"), Array[Byte](7))
+    try {
+      // the declared query plants its own superseded generation + aged
+      // debris per root, vacuums, and reports the post-state ledger
+      val out = SparkEntry.queries("layout_vacuum")(spark, sf)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(out.keySet === roots.map(_.split("/").last).toSet)
+      out.foreach { case (root, (live, stale, debris)) =>
+        assert((live, stale, debris) === ((1L, 0L, 0L)),
+          s"$root post-state not (1 live, 0 stale, 0 debris)")
+      }
+      // the plants are gone, the ledger counted them: run the mechanism
+      // again with fresh plants and read the removal columns directly
+      roots.foreach { r =>
+        val planted = Paths.get(r,
+          Paths.get(sf).getFileName.toString + "-00000000")
+        assert(!Files.exists(planted), s"planted stale dir survived in $r")
+      }
+      val replant = Paths.get("target/band-index/" +
+        Paths.get(sf).getFileName + "-00000000")
+      Files.createDirectories(replant)
+      Files.write(replant.resolve("a.bin"), Array[Byte](1))
+      Files.write(replant.resolve("b.bin"), Array[Byte](2))
+      val ledger = graft.sources.Staging
+        .vacuumFixture(sf, Seq("target/band-index"))
+      assert(ledger.head.nStaleRemoved === 1L &&
+        ledger.head.nFilesReclaimed === 2L,
+        s"ledger did not count the reclaimed generation: ${ledger.head}")
+      assert(!Files.exists(replant))
+      // safety: the foreign fixture's dir and the young debris survived
+      assert(Files.exists(foreign.resolve("keep.bin")),
+        "vacuum touched a foreign fixture's layout")
+      assert(Files.exists(young.resolve("inflight.bin")),
+        "vacuum deleted young debris — a live staging write would die")
+      // and every layout-reading query is byte-stable across the pass
+      assert(snap() === before, "a live layout changed across the vacuum")
+    } finally {
+      graft.sources.Staging.deleteRecursively(foreign)
+      graft.sources.Staging.deleteRecursively(young)
+    }
+  }
+
   test("compact_small_files: many→few on disk, content preserved, sized right") {
     import graft.sources.StorageOps
     val (small, compacted) = StorageOps.ensureCompacted(spark, sf)
