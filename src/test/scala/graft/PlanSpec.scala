@@ -160,6 +160,24 @@ class PlanSpec extends SparkSpec {
       "join must not reshuffle bucketed sides")
   }
 
+  test("join_skew_aqe: OptimizeSkewedJoin splits the constructed hot partition") {
+    import graft.operators.RelationalOps
+    // run the raw plan under the scoped thresholds and read the FINAL
+    // adaptive plan (AQE decisions only exist post-execution)
+    val df = RelationalOps.withSkewAqeConfs(spark) {
+      val q = RelationalOps.skewAqeJoin(spark, sf)
+      q.collect()
+      q
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "adaptive plan not finalized")
+    assert(plan.contains("SortMergeJoin(skew=true)"),
+      s"OptimizeSkewedJoin did not fire:\n$plan")
+    assert(plan.split("\n").exists(l =>
+      l.contains("AQEShuffleRead") && l.contains("skewed")),
+      "no skew-split shuffle read in the final plan")
+  }
+
   test("join_bucketed_rebucket: evolved 16-bucket layout, still no exchange") {
     val plan = executed("join_bucketed_rebucket")
     assert(plan.contains("SortMergeJoin"))
