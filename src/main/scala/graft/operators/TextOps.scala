@@ -1288,6 +1288,56 @@ object TextOps {
     sb.toString
   }
 
+  /** tokenizer_vocab_sweep's oracle: the training chain over the corpus
+    * (h_k/b_k) with the parallel distinct-pre-token rewrite chain (dv_k
+    * — tokenCountRegexSql's 3-named-CTEs-per-step shape, which binds
+    * under DuckDB's depth cap where 4 does not), read at EACH sweep
+    * depth: dv_64/dv_128/dv_256 are the same chain's intermediate
+    * states, so the oracle gets all three vocabularies from one unrolled
+    * training exactly as the engine takes prefixes of one merge list. */
+  private[graft] def tokenizerVocabSweepSql(depths: Seq[Int]): String = {
+    val steps = depths.max
+    val sb = new StringBuilder(
+      s"""WITH corpus AS MATERIALIZED (
+         |  $REGEX_CORPUS_SQL),
+         |h0 AS MATERIALIZED (
+         |  SELECT w, count(*)::BIGINT AS freq FROM (
+         |    SELECT replace(unnest(regexp_extract_all(t, '$GPT2_PRE_PAT_SQL')),
+         |           ' ', chr(288)) AS w FROM corpus)
+         |  WHERE length(w) >= 2
+         |  GROUP BY w ORDER BY freq DESC, w LIMIT $BPE_REGEX_VOCAB),
+         |dpre AS MATERIALIZED (
+         |  SELECT replace(tok, ' ', chr(288)) AS w FROM (
+         |    SELECT unnest(regexp_extract_all(t, '$GPT2_PRE_PAT_SQL'))
+         |      AS tok FROM corpus)),
+         |dv0 AS MATERIALIZED (SELECT DISTINCT w AS w0, w FROM dpre),
+         |ctot AS (SELECT sum(length(t))::BIGINT AS n_chars FROM corpus)""".stripMargin)
+    for (k <- 1 to steps) {
+      sb.append(s""",
+        |b$k AS (
+        |  SELECT pair, sum(freq)::BIGINT AS n_occ
+        |  FROM (SELECT substring(w, i, 2) AS pair, freq
+        |        FROM h${k - 1}, unnest(range(1, length(w))) AS r(i))
+        |  GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 1),
+        |h$k AS MATERIALIZED (
+        |  SELECT coalesce(replace(w, (SELECT pair FROM b$k),
+        |      chr(${0xE200 + k})), w)
+        |    AS w, freq FROM h${k - 1}),
+        |dv$k AS MATERIALIZED (
+        |  SELECT w0, coalesce(replace(w, (SELECT pair FROM b$k),
+        |      chr(${0xE200 + k})), w)
+        |    AS w FROM dv${k - 1})""".stripMargin)
+    }
+    sb.append("\n" + depths.map { dep =>
+      s"""SELECT $dep AS n_merges, ctot.n_chars, tk.n_tokens,
+         |       ${graft.functions.VectorSql.rIeee(
+             "ctot.n_chars::DOUBLE / tk.n_tokens", 4)} AS chars_per_token
+         |FROM ctot, (SELECT sum(length(v.w))::BIGINT AS n_tokens
+         |            FROM dpre d JOIN dv$dep v ON d.w = v.w0) tk""".stripMargin
+    }.mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
   /** token_count_regex's oracle: the training chain plus a parallel
     * rewrite chain over the DISTINCT document pre-tokens (dv_k), so the
     * apply side is replayed at vocabulary cost too — including pre-tokens
@@ -1999,6 +2049,44 @@ object TextOps {
           sum(col("nt")).as("n_tokens"))
         .select(col("dom"), col("n_texts"), col("n_chars"), col("n_tokens"),
           rIeee(col("n_chars").cast("double") / col("n_tokens"), 4)
+            .as("chars_per_token"))
+    },
+    "tokenizer_vocab_sweep" -> { (s, d) =>
+      // the "what merge budget?" ELBOW (r19 verdict item 5 —
+      // kmeans_cost_sweep's harness shape applied to the regex trainer):
+      // corpus-wide chars-per-token at merge depths {64, 128, 256}, all
+      // three from ONE training run (the cached 256-step trainer — a
+      // depth-D vocabulary IS the first D merges, so the sweep costs
+      // zero extra training) and ONE corpus pass (three codegen
+      // BpeTokens counters in a single projection — where cost_sweep
+      // amortizes its scan with a checkpoint, the tokenizer sweep can
+      // fuse the branches into one scan outright, the stronger form of
+      // the same discipline). Compression is strictly monotone in depth
+      // on this corpus (every learned merge fires somewhere — the
+      // histogram is corpus-derived), spec-pinned as the elbow's
+      // tripwire, with the 256-depth row cross-pinned to
+      // tokenizer_eval_regex's domain total (same corpus, same merges —
+      // the two reports cannot drift).
+      import graft.functions.VectorOps.rIeee
+      val merges = learnedRegexMergesFor(s, d)
+      val depths = Seq(64, 128, 256)
+      val counted = regexCorpus(s, d).select(
+        length(col("t")).as("nc") +:
+        depths.map { dep =>
+          val m = merges.takeWhile(_._1 <= dep)
+          org.apache.spark.sql.graft.BpeTokens.column(
+            regexp_extract_all(col("t"), lit(GPT2_PRE_PAT), lit(0)),
+            m.map(_._2), m.map(x => regexSym(x._1))).as(s"nt$dep")
+        }: _*)
+      val agg = counted.agg(sum(col("nc")).as("n_chars"),
+        depths.map(dep => sum(col(s"nt$dep")).as(s"t$dep")): _*)
+      agg.select(explode(array(depths.map(dep =>
+          struct(lit(dep).as("n_merges"),
+            col(s"t$dep").as("n_tokens"))): _*)).as("x"),
+          col("n_chars"))
+        .select(col("x.n_merges").as("n_merges"), col("n_chars"),
+          col("x.n_tokens").as("n_tokens"),
+          rIeee(col("n_chars").cast("double") / col("x.n_tokens"), 4)
             .as("chars_per_token"))
     },
     "pretokenize_gpt2" -> { (s, d) =>
@@ -3516,6 +3604,7 @@ object TextOps {
     "token_count_regex" -> tokenCountRegexSql(BPE_REGEX_STEPS),
     // the tagged-corpus train+apply chain rolled up per domain
     "tokenizer_eval_regex" -> tokenizerEvalRegexSql(BPE_REGEX_STEPS),
+    "tokenizer_vocab_sweep" -> tokenizerVocabSweepSql(Seq(64, 128, 256)),
     // the branch audit: same shim (a → ', via chr(39) to dodge literal
     // quoting), same pattern string, same CASE arm order
     "pretokenize_gpt2" ->

@@ -1866,6 +1866,29 @@ class OperatorSpec extends SparkSpec {
     assert(cpt.values.forall(_ >= 1.0), "a token can never cover <1 char")
   }
 
+  test("tokenizer_vocab_sweep: strictly monotone compression, eval parity") {
+    val rows = SparkEntry.queries("tokenizer_vocab_sweep")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(64, 128, 256))
+    // one corpus → one char mass on every row
+    assert(rows.map(_._2).distinct.length === 1)
+    // the elbow's tripwire: every learned merge fires somewhere on this
+    // corpus, so deeper vocabularies compress STRICTLY better
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3,
+        s"n_tokens not strictly decreasing: ${a._1}→${b._1}")
+      assert(a._4 < b._4,
+        s"chars_per_token not strictly increasing: ${a._1}→${b._1}")
+    }
+    assert(rows.forall(_._4 >= 1.0), "a token can never cover <1 char")
+    // the 256-depth row IS tokenizer_eval_regex's corpus, totalled —
+    // same merges, same corpus, two reports that cannot drift
+    val ev = SparkEntry.queries("tokenizer_eval_regex")(spark, sf)
+      .agg(sum("n_chars"), sum("n_tokens")).collect()(0)
+    assert(rows.last._2 === ev.getLong(0) && rows.last._3 === ev.getLong(1))
+  }
+
   test("pretokenize_gpt2: branch coverage, order, and losslessness") {
     import graft.operators.TextOps
     // constructed text exercises every arm INCLUDING the residual
