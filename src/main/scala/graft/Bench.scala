@@ -51,6 +51,9 @@ object Bench {
       graft.streaming.StreamingOps.stageDir(spark, sfDir, "documents"); () }
     setup("ivf index") {
       graft.operators.SimilarityOps.ensureIvfIndex(spark, sfDir); () }
+    setup("export layouts") {
+      graft.operators.PipelineOps.ensureExportShards(spark, sfDir)
+      graft.sources.StorageOps.ensureBaseManifest(spark, sfDir); () }
     setup("mllib ref warm") { graft.operators.MLlibKMeans.warmRef(spark, sfDir) }
     // de-noise the lineitem scans (round-12 verdict item 4): the fixture's
     // single 13.6 MB row group is a 1-task scan whose wall time amplifies

@@ -201,11 +201,14 @@ object StorageOps {
       // is the lake's GC: metadata-only listing, deletes proportional
       // to retired generations, zero data moved.
       val roots = Seq("target/bucketed", "target/ivf-index",
-        "target/band-index", "target/compact-fixtures")
+        "target/band-index", "target/compact-fixtures",
+        "target/export-shards", "target/export-manifest")
       ensureLayouts(s, d); ensureRebucketed(s, d)
       graft.operators.SimilarityOps.ensureIvfIndex(s, d)
       graft.operators.SimilarityOps.ensureBandIndex(s, d)
       ensureCompacted(s, d)
+      graft.operators.PipelineOps.ensureExportShards(s, d)
+      ensureBaseManifest(s, d)
       roots.foreach(plantSuperseded(_, d))
       val stats = Staging.vacuumFixture(d, roots)
       import s.implicits._
@@ -278,6 +281,59 @@ object StorageOps {
         .select(col("doc_id"), col("n_chars"),
           pmod(graft.operators.DedupOps.h60(col("text")),
             lit(1000000007L)).as("dg")))
+    },
+    "export_incremental" -> { (s, d) =>
+      // APPEND-ONLY shard extension (r19 verdict item 6 — the
+      // incremental family's discipline applied to the export): a crawl
+      // delta extends the standing shard set without re-reading, let
+      // alone rewriting, the base corpus. The standing artifact is the
+      // persisted base manifest ([[ensureBaseManifest]] — staged once,
+      // read back as bytes); offset arithmetic RESUMES from its total
+      // char mass (one metadata aggregate over the tiny manifest, never
+      // a base re-scan), the delta's own two-level prefix scan shifts by
+      // that total, and the merged manifest is the standing rows
+      // full-outer-combined with the delta rollup — pure-base shards
+      // carry byte-for-byte (ivf_index_delete's carry-over discipline,
+      // spec-pinned), the straddling boundary shard extends, new shards
+      // append. The oracle replays a FROM-SCRATCH manifest over the
+      // base-then-delta order, so the hash gate proves the incremental
+      // merge computes exactly what a full re-export would — at 100 TB
+      // the difference is reading a KB-scale manifest vs re-scanning the
+      // lake (ingest cost ∝ delta; PlanSpec pins the single fixture
+      // scan).
+      val standing = s.read.parquet(ensureBaseManifest(s, d))
+      val baseTot = standing
+        .agg(coalesce(sum(col("shard_chars")), lit(0L)).as("base_chars"))
+      val delta = Tables.documents(s, d)
+        .where(!(graft.functions.VectorOps.unitUniform(col("doc_id"))
+          < 0.7))
+        .select(col("doc_id"), col("n_chars"),
+          pmod(graft.operators.DedupOps.h60(col("text")),
+            lit(1000000007L)).as("dg"))
+      val deltaRoll = shardAssignments(delta)
+        .crossJoin(broadcast(baseTot))
+        .withColumn("start", col("start") + col("base_chars"))
+        .withColumn("shard_id", expr(s"start div $SHARD_TARGET_CHARS"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("d_docs"), sum(col("n_chars")).as("d_chars"),
+          min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"),
+          sum(col("dg")).as("d_dg"))
+      standing
+        .select(col("shard_id"), col("n_docs").as("b_docs"),
+          col("shard_chars").as("b_chars"), col("min_doc").as("b_min"),
+          col("max_doc").as("b_max"), col("digest").as("b_dg"))
+        .join(deltaRoll, Seq("shard_id"), "full_outer")
+        .select(col("shard_id"),
+          (coalesce(col("b_docs"), lit(0L)) +
+            coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+          (coalesce(col("b_chars"), lit(0L)) +
+            coalesce(col("d_chars"), lit(0L))).as("shard_chars"),
+          coalesce(least(col("b_min"), col("d_min")),
+            col("b_min"), col("d_min")).as("min_doc"),
+          coalesce(greatest(col("b_max"), col("d_max")),
+            col("b_max"), col("d_max")).as("max_doc"),
+          (coalesce(col("b_dg"), lit(0L)) +
+            coalesce(col("d_dg"), lit(0L))).as("digest"))
     },
     "join_partitioned_dpp" -> { (s, d) =>
       // DYNAMIC partition pruning — the join-driven twin of
@@ -401,6 +457,24 @@ object StorageOps {
     finally files.close()
   }
 
+  /** The STANDING export manifest for `export_incremental`: the base
+    * split's shard manifest (shard_manifest's arithmetic over the ~70%
+    * unitUniform base — the incremental family's one split convention),
+    * staged once per fixture and read back as bytes. This is the
+    * previous export run's shipped artifact; the incremental query's
+    * base knowledge comes ONLY from these rows (KB-scale at any corpus),
+    * never from re-scanning base text. */
+  private[graft] def ensureBaseManifest(s: SparkSession, d: String): String =
+    Staging.ensureDir(
+      s"target/export-manifest/${Staging.fixtureKey(d)}/base") { tmp =>
+      manifestOf(Tables.documents(s, d)
+        .where(graft.functions.VectorOps.unitUniform(col("doc_id")) < 0.7)
+        .select(col("doc_id"), col("n_chars"),
+          pmod(graft.operators.DedupOps.h60(col("text")),
+            lit(1000000007L)).as("dg")))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+
   /** Plant one superseded generation (`<base>-00000000`, one file) and
     * one BACKDATED writer-debris dir (`<base>-00000000.tmp-plant`) under
     * `root` — `layout_vacuum`'s canonical reclaim fodder. The zero
@@ -492,7 +566,9 @@ object StorageOps {
         |  ('bucketed', 1::BIGINT, 0::BIGINT, 0::BIGINT),
         |  ('ivf-index', 1::BIGINT, 0::BIGINT, 0::BIGINT),
         |  ('band-index', 1::BIGINT, 0::BIGINT, 0::BIGINT),
-        |  ('compact-fixtures', 1::BIGINT, 0::BIGINT, 0::BIGINT))
+        |  ('compact-fixtures', 1::BIGINT, 0::BIGINT, 0::BIGINT),
+        |  ('export-shards', 1::BIGINT, 0::BIGINT, 0::BIGINT),
+        |  ('export-manifest', 1::BIGINT, 0::BIGINT, 0::BIGINT))
         |  t(root, n_live, n_stale, n_debris)""".stripMargin,
     // join_bucketed's oracle VERBATIM: the 16-bucket rewrite must be
     // invisible to query semantics — same join, same hash
@@ -509,6 +585,29 @@ object StorageOps {
          |       sum((${graft.operators.DedupOps.h60Sql("text")})
          |           % 1000000007)::BIGINT AS digest
          |FROM documents GROUP BY lang""".stripMargin,
+    // the from-scratch manifest over the base-then-delta order — the
+    // incremental merge (standing rows + shifted delta rollup) must
+    // compute exactly what a full re-export would
+    "export_incremental" ->
+      s"""WITH tr AS (
+         |  SELECT doc_id, n_chars,
+         |         (${graft.operators.DedupOps.h60Sql("text")}) % 1000000007
+         |           AS dg,
+         |         (${graft.functions.VectorSql.unitUniform("doc_id")} < 0.7)
+         |           AS is_base
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_chars, dg,
+         |         sum(n_chars) OVER (ORDER BY is_base DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - n_chars AS start
+         |  FROM tr)
+         |SELECT (start // $SHARD_TARGET_CHARS)::BIGINT AS shard_id,
+         |       count(*)::BIGINT AS n_docs,
+         |       sum(n_chars)::BIGINT AS shard_chars,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |       sum(dg)::BIGINT AS digest
+         |FROM o GROUP BY shard_id""".stripMargin,
     // the oracle runs the one-window global-prefix form the Spark plan
     // deliberately avoids (fine at replay scale; the scale-killer at
     // 100 TB) — equality proves the two-level scan computes the same

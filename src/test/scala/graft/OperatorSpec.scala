@@ -2028,14 +2028,47 @@ class OperatorSpec extends SparkSpec {
       "payload bytes disagree with the manifest")
   }
 
+  test("export_incremental: pure-base shards carry verbatim, tail extends") {
+    import graft.sources.StorageOps
+    val standing = spark.read
+      .parquet(StorageOps.ensureBaseManifest(spark, sf)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val out = SparkEntry.queries("export_incremental")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val boundary = standing.keySet.max
+    assert(boundary >= 1L, "fixture too small: base spans one shard")
+    // ivf_index_delete's carry-over discipline: every shard the delta
+    // cannot reach is the STANDING manifest row, byte-for-byte
+    standing.filter(_._1 < boundary).foreach { case (id, row) =>
+      assert(out(id) === row, s"pure-base shard $id was rewritten")
+    }
+    // the boundary shard only ever EXTENDS (doc/char mass grows or
+    // holds; min/max CAN move — delta doc_ids interleave numerically
+    // with base ids even though their offsets pack after)
+    assert(out(boundary)._1 >= standing(boundary)._1 &&
+      out(boundary)._2 >= standing(boundary)._2)
+    // new shards appended past the boundary; totals are the whole corpus
+    assert(out.keySet.max > boundary, "delta appended no new shards")
+    val allChars = Tables.documents(spark, sf)
+      .agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    assert(out.values.map(_._2).sum === allChars)
+    // shard ids are gapless 0..max (offsets resumed, not restarted)
+    assert(out.keySet === (0L to out.keySet.max).toSet)
+  }
+
   test("layout_vacuum: reclaims stale + aged debris only; live layouts intact") {
     import java.nio.file.{Files, Paths}
     val roots = Seq("target/bucketed", "target/ivf-index",
-      "target/band-index", "target/compact-fixtures")
+      "target/band-index", "target/compact-fixtures",
+      "target/export-shards", "target/export-manifest")
     // live layouts' results BEFORE the vacuum — the safety contract is
     // that the pass is invisible to every layout-reading query
     def snap() = Seq("join_bucketed", "join_bucketed_rebucket",
-      "compact_small_files")
+      "compact_small_files", "export_incremental", "pipeline_export_files")
       .map(q => q -> SparkEntry.queries(q)(spark, sf)
         .collect().map(_.toString).sorted.toSeq).toMap
     val before = snap()

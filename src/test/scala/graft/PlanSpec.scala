@@ -160,6 +160,26 @@ class PlanSpec extends SparkSpec {
       "join must not reshuffle bucketed sides")
   }
 
+  test("export_incremental scans the fixture once: ingest cost ∝ delta") {
+    // the base side must come ONLY from the persisted standing manifest
+    // (KB-scale metadata) — a second documents scan means the plan is
+    // re-deriving base offsets and the 100 TB claim is void
+    graft.sources.StorageOps.ensureBaseManifest(spark, sf)
+    val plan = executed("export_incremental")
+    // the fixture appears exactly TWICE: shardAssignments' two-level
+    // prefix scan (bucket totals + offset join) over the DELTA — and the
+    // bucket-total pass must be column-pruned to (doc_id, n_chars), so
+    // no plan branch pays base text
+    val scans = plan.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("documents.parquet"))
+    assert(scans.length === 2,
+      s"expected the two-level delta scan pair, got ${scans.length}:\n$plan")
+    assert(scans.exists(l => !l.split("ReadSchema:").last.contains("text")),
+      s"bucket-total pass is not text-pruned:\n${scans.mkString("\n")}")
+    assert(plan.contains("export-manifest"),
+      "standing manifest bytes are not in the plan")
+  }
+
   test("join_skew_aqe: OptimizeSkewedJoin splits the constructed hot partition") {
     import graft.operators.RelationalOps
     // run the raw plan under the scoped thresholds and read the FINAL
