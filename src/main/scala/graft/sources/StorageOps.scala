@@ -457,6 +457,33 @@ object StorageOps {
     finally files.close()
   }
 
+  /** The zorder_layout WRITE PATH, staged for the payoff pin (r19
+    * verdict item 7 — the declared query ships the stats view; this is
+    * the physical layout those stats promise): the same Morton
+    * projection fed to `repartitionByRange(z) + sortWithinPartitions(z)`
+    * (16 files, each covering one z-range = narrow min/max footer stats
+    * on BOTH dimensions), beside an UNSORTED control of the identical
+    * rows (every file's stats span the full key ranges — nothing can
+    * skip). PlanSpec reads both under a 2-D box predicate and pins, via
+    * the scan's own numOutputRows metric, that the z layout actually
+    * skips most row groups while the control reads everything. */
+  private[graft] def ensureZorderLayouts(s: SparkSession,
+      d: String): (String, String) = {
+    def li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .withColumn("z", mortonCol(expr("l_orderkey div 3"), col("l_partkey")))
+    val zs = Staging.ensureDir(
+      s"target/zorder-fixtures/${Staging.fixtureKey(d)}/zsorted") { tmp =>
+      li.repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val us = Staging.ensureDir(
+      s"target/zorder-fixtures/${Staging.fixtureKey(d)}/unsorted") { tmp =>
+      li.repartition(16).write.mode("overwrite").parquet(tmp)
+    }
+    (zs, us)
+  }
+
   /** The STANDING export manifest for `export_incremental`: the base
     * split's shard manifest (shard_manifest's arithmetic over the ~70%
     * unitUniform base — the incremental family's one split convention),

@@ -160,6 +160,35 @@ class PlanSpec extends SparkSpec {
       "join must not reshuffle bucketed sides")
   }
 
+  test("zorder layout skips row groups under a 2-D box; unsorted cannot") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    // the payoff the declared stats view promises, measured on bytes:
+    // the z-sorted files carry narrow footer min/max on BOTH dims, so a
+    // 2-D box prunes most row groups at the parquet reader; the
+    // unsorted control's per-file stats span the full ranges and every
+    // row group survives. numOutputRows on the SCAN node (below the
+    // post-scan Filter) is exactly the rows whose row groups were read.
+    val (zs, us) = graft.sources.StorageOps.ensureZorderLayouts(spark, sf)
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .where(col("l_orderkey").between(600, 750) &&
+          col("l_partkey").between(40, 60))
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+    }
+    val total = Tables.lineitem(spark, sf).count()
+    val (zRows, uRows) = (scanRows(zs), scanRows(us))
+    assert(uRows >= (total * 0.9).toLong,
+      s"control layout unexpectedly skipped ($uRows of $total)")
+    assert(zRows <= total / 3,
+      s"z layout skipped too little: $zRows of $total row-group rows read")
+    assert(zRows * 3 <= uRows,
+      s"z layout not materially better than unsorted: $zRows vs $uRows")
+  }
+
   test("export_incremental scans the fixture once: ingest cost ∝ delta") {
     // the base side must come ONLY from the persisted standing manifest
     // (KB-scale metadata) — a second documents scan means the plan is
