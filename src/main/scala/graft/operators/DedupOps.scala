@@ -1352,6 +1352,43 @@ object DedupOps {
       // and how hard — see contamPairs for semantics and scale shape
       contamPairs(Tables.documents(s, d))
     },
+    "decontam_fuzzy" -> { (s, d) =>
+      // the decontam family's LEXICAL NEAR-DUP member (round 20): the
+      // exact 5-gram check (decontam_report) catches verbatim lifts and
+      // decontam_semantic catches paraphrase by embedding; this catches
+      // the middle case — an eval item that reached the crawl with LIGHT
+      // EDITS (the templated-benchmark-perturbation leak), reported with
+      // a bounded edit distance an auditor can action per pair. Shape is
+      // dedup_fuzzy's across the train/eval boundary: ONE signature pass
+      // over the whole corpus (the incremental family's single-pass
+      // rationale — eval and train signatures come out of the same
+      // aggregate), cells capped over the combined population, then the
+      // benchmark-sized eval band relation BROADCASTS against the train
+      // bands (the corpus never shuffles for the probe — the decontam
+      // discipline), and candidates verify by the threshold-banded
+      // levenshtein (O(len·τ) DP; kept rows carry the true distance, so
+      // the column equals DuckDB's unbounded form). OperatorSpec pins
+      // exact agreement with dedup_fuzzy's boundary-crossing pairs — two
+      // family members that cannot drift.
+      val docs = Tables.documents(s, d)
+      val capped = cappedBands(minhashBands(docs).localCheckpoint())
+      val evalB = capped.where(col("doc_id") < NEVAL)
+        .select(col("doc_id").as("eval_id"), col("band_id"),
+          col("band_hash"))
+      val cand = capped.where(col("doc_id") >= NEVAL)
+        .join(broadcast(evalB), Seq("band_id", "band_hash"))
+        .select(col("doc_id"), col("eval_id")).distinct()
+      val t = docs.select(col("doc_id"), col("text"))
+      cand
+        .join(t.select(col("doc_id"), col("text").as("tt")), "doc_id")
+        .join(t.select(col("doc_id").as("eval_id"),
+          col("text").as("te")), "eval_id")
+        .select(col("doc_id"), col("eval_id"),
+          when(col("tt") === col("te"), lit(0))
+            .otherwise(levenshtein(col("tt"), col("te"), FUZZY_TAU))
+            .as("edit_dist"))
+        .where(col("edit_dist") =!= -1)
+    },
     "decontaminate" -> { (s, d) =>
       // the keep set: training docs with NO eval n-gram collision — the
       // relation a pipeline actually trains on. Anti-join against the hit
@@ -1682,6 +1719,20 @@ object DedupOps {
          |FROM cand c JOIN documents ta ON ta.doc_id = c.doc_a
          |            JOIN documents tb ON tb.doc_id = c.doc_b
          |WHERE levenshtein(ta.text, tb.text) <= $FUZZY_TAU""".stripMargin,
+    // dedup_fuzzy's chain restricted across the train/eval boundary
+    "decontam_fuzzy" ->
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$cappedBandsSql,
+         |cand AS (SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+         |         FROM cbands t JOIN cbands e
+         |           ON t.band_id = e.band_id AND t.band_hash = e.band_hash
+         |         WHERE t.doc_id >= $NEVAL AND e.doc_id < $NEVAL)
+         |SELECT c.doc_id, c.eval_id,
+         |       levenshtein(tt.text, te.text)::INT AS edit_dist
+         |FROM cand c JOIN documents tt ON tt.doc_id = c.doc_id
+         |            JOIN documents te ON te.doc_id = c.eval_id
+         |WHERE levenshtein(tt.text, te.text) <= $FUZZY_TAU""".stripMargin,
     // the minhash-incremental split/collide/components structure with
     // dedup_fuzzy's levenshtein verify on both candidate classes
     "dedup_fuzzy_incremental" ->

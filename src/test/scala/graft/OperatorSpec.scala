@@ -1642,6 +1642,28 @@ class OperatorSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("decontam_fuzzy is dedup_fuzzy restricted to the eval boundary") {
+    import graft.operators.DedupOps
+    val out = SparkEntry.queries("decontam_fuzzy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // orientation + threshold: train side ≥ NEVAL, eval side < NEVAL,
+    // every kept pair within the verify radius
+    assert(out.nonEmpty, "fixture has no fuzzy contamination — vacuous")
+    out.foreach { case (t, e, dist) =>
+      assert(t >= DedupOps.NEVAL && e < DedupOps.NEVAL)
+      assert(dist >= 0 && dist <= DedupOps.FUZZY_TAU)
+    }
+    // two family members, one truth: the boundary-crossing subset of
+    // dedup_fuzzy's pairs (doc_a < doc_b puts eval ids on the a side)
+    // must be EXACTLY this relation, distances included
+    val crossing = SparkEntry.queries("dedup_fuzzy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => p._1 < DedupOps.NEVAL && p._2 >= DedupOps.NEVAL)
+      .map { case (e, t, dist) => (t, e, dist) }
+    assert(out.sorted.toSeq === crossing.sorted.toSeq,
+      "decontam_fuzzy drifted from dedup_fuzzy's boundary-crossing pairs")
+  }
+
   test("quality_entropy matches hand-computed histograms") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"))
