@@ -665,6 +665,75 @@ object SimilarityOps {
     }
   }
 
+  /** HOT-CELL SPLIT (round 20) — the remediation for the condition
+    * ivf_cell_stats only WARNS on (a cell breaching the within-cell
+    * self-join cap degrades its probes toward brute force; the audit
+    * surfaces it, nothing fixed it): split the heaviest cell in two and
+    * rewrite ONLY its partition — the FAISS/Milvus "split list" move,
+    * never a rebuild. Target = argmax population from the persisted
+    * layout itself (ties → min cell id, both engines); sub-model = one
+    * snap12 Lloyd step over the cell's members from two DETERMINISTIC
+    * seeds (the min-id member and the member farthest from it, max
+    * sqDist with min-id ties — init_farthest's discipline at k=2); the
+    * split cell keeps its id for sub-cell A and mints NCELLS for B, so
+    * every other cell's id — and its partition bytes, carried verbatim
+    * by the delete-op's partition surgery — is untouched. The q8
+    * codes/scale columns ride through the rewrite unrecomputed (they are
+    * per-vector, cell-independent). At 100 TB: one cell's partition
+    * rewritten, a 2-row model delta, probes elsewhere unaffected. */
+  private[graft] def ensureIvfSplit(s: SparkSession, d: String): String = {
+    val sfTag = graft.sources.Staging.fixtureKey(d)
+    graft.sources.Staging.ensureDir(
+      s"target/ivf-index/$sfTag/nc$NCELLS-q8-split",
+      marker = "vectors/_SUCCESS") { tmp =>
+      import java.nio.file.{Files, Paths}
+      val dir = ensureIvfIndex(s, d)
+      val vecs = s.read.parquet(s"$dir/vectors")
+        .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+      val hot = vecs.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("cell"))
+        .limit(1).collect()(0).getInt(0)
+      val members = vecs.where(col("cell") === hot)
+        .select(col("id"), col("v")).localCheckpoint()
+      val s1 = members.orderBy(col("id")).limit(1)
+        .collect()(0).getSeq[Double](1).toArray
+      val s2 = members
+        .withColumn("dr", graft.functions.VectorOps.sqDist(col("v"),
+          typedlit(s1.toSeq)))
+        .orderBy(col("dr").desc, col("id"))
+        .limit(1).collect()(0).getSeq[Double](1).toArray
+      // the sub-step runs on POSITIONAL ids 0/1 (the codegen argmin's
+      // contract) and maps back 0→hot, 1→NCELLS; position 0 carries s1,
+      // so the argmin's lowest-id tie rule lands on hot — exactly the
+      // oracle's min(cid) over {hot, NCELLS}
+      val sub = KMeansOps.lloydStep(members, Array((0, s1), (1, s2)))
+      val subIds = Map(0 -> hot, 1 -> NCELLS)
+      val oldCells = s.read.parquet(s"$dir/cells")
+        .where(col("cell") =!= hot)
+        .select(col("cell").cast("int").as("cell"), col("cv"))
+      oldCells.unionAll(
+          s.createDataFrame(sub.toSeq.map { case (cid, v) =>
+            (subIds(cid), v.toSeq) }).toDF("cell", "cv"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cells")
+      // partition surgery: every other cell's bytes carry verbatim; only
+      // the hot partition is re-read and re-assigned to the sub-model
+      val entries = Files.list(Paths.get(s"$dir/vectors"))
+      try entries.forEach { e =>
+        val n = e.getFileName.toString
+        if (n != s"cell=$hot" && n != "_SUCCESS")
+          graft.sources.Staging.copyRecursively(e,
+            Paths.get(s"$tmp/vectors").resolve(n))
+      } finally entries.close()
+      s.read.parquet(s"$dir/vectors")
+        .where(col("cell") === hot)
+        .select(col("id"), col("v"), col("codes"), col("scale"),
+          when(KMeansOps.nearestCol(col("v"), sub) === 0, lit(hot))
+            .otherwise(lit(NCELLS)).as("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$tmp/vectors")
+    }
+  }
+
   /** `dedup_index_delete`'s tombstone set: the standing ids a takedown
     * removes from the band index. Every 32nd id — which includes the
     * sources of the incremental delta's unchanged re-crawls (ids ≡ 0 mod
@@ -775,6 +844,22 @@ object SimilarityOps {
         .select(col("t").cast("int").as("t"), col("n_before"),
           col("n_after"),
           (col("n_before") - col("n_after")).as("n_retired"))
+    },
+    "ivf_cell_split" -> { (s, d) =>
+      // hot-cell remediation (see [[ensureIvfSplit]] — the audit-to-
+      // action close of the ivf_cell_stats story): the declared relation
+      // reads back the POST-SPLIT layout itself (id → cell straight from
+      // the partition files), so the oracle hash-verifies the bytes the
+      // split actually left behind — the DuckDB side re-derives the
+      // frozen cell model, names the same argmax cell, replays the
+      // deterministic 2-seed snap12 sub-step, and must land every vector
+      // in the identical cell. OperatorSpec pins the surgery: untouched
+      // partitions byte-identical to the standing layout, the two
+      // sub-cells exactly partition the old hot cell's members, and both
+      // are strictly smaller than the cell they replace.
+      val dir = ensureIvfSplit(s, d)
+      s.read.parquet(s"$dir/vectors")
+        .select(col("id"), col("cell").cast("int").as("cell"))
     },
     "ivf_index_refresh" -> { (s, d) =>
       // re-center + reassign over the churned standing index (see
@@ -1764,6 +1849,55 @@ object SimilarityOps {
          |  FROM embeddings WHERE vec_id % 8 = 0),
          |a AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist, "delta")})
          |SELECT vec_id AS id, cluster_id AS cell FROM a""".stripMargin,
+    // the frozen model, the same argmax hot cell (count DESC, cell —
+    // both engines' tie rule), the two deterministic seeds (min-id
+    // member; farthest-from-it, max sqDist min-id ties), ONE snap12
+    // sub-step (assign → rIeee@12 per-dim means, empty-cell coalesce —
+    // lloydStep's contract), then the final member assignment; everyone
+    // outside the hot cell keeps their trained cell
+    "ivf_cell_split" -> {
+      val snapped = (1 to 64).map(i =>
+        graft.functions.VectorSql.rIeee(s"avg(m.v[$i])", 12))
+        .mkString(",\n           ")
+      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+         |asg AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
+         |hot AS (SELECT cluster_id AS hcell FROM asg
+         |        GROUP BY cluster_id
+         |        ORDER BY count(*) DESC, cluster_id LIMIT 1),
+         |mem AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+         |        FROM embeddings e JOIN asg a USING (vec_id), hot
+         |        WHERE a.cluster_id = hot.hcell),
+         |s1 AS (SELECT v FROM mem ORDER BY vec_id LIMIT 1),
+         |s2 AS (SELECT m.v FROM mem m, s1
+         |       ORDER BY ${VectorSql.sqDist("m.v", "s1.v")} DESC,
+         |                m.vec_id LIMIT 1),
+         |seeds(cid, cv) AS (
+         |  SELECT hot.hcell, s1.v FROM s1, hot
+         |  UNION ALL SELECT $NCELLS, s2.v FROM s2),
+         |sa AS (SELECT vec_id, min(cid)::INT AS scid FROM (
+         |    SELECT vec_id, cid, dr, min(dr) OVER (PARTITION BY vec_id)
+         |      AS mdr FROM (
+         |      SELECT m.vec_id, s.cid,
+         |             ${VectorSql.sqDist("m.v", "s.cv")} AS dr
+         |      FROM mem m CROSS JOIN seeds s))
+         |  WHERE dr = mdr GROUP BY vec_id),
+         |sc AS (SELECT s.cid, coalesce(n.cv, s.cv) AS cv
+         |       FROM seeds s LEFT JOIN (
+         |         SELECT sa.scid AS cid, list_value($snapped) AS cv
+         |         FROM sa JOIN mem m USING (vec_id)
+         |         GROUP BY sa.scid) n USING (cid)),
+         |fa AS (SELECT vec_id, min(cid)::INT AS cell FROM (
+         |    SELECT vec_id, cid, dr, min(dr) OVER (PARTITION BY vec_id)
+         |      AS mdr FROM (
+         |      SELECT m.vec_id, s.cid,
+         |             ${VectorSql.sqDist("m.v", "s.cv")} AS dr
+         |      FROM mem m CROSS JOIN sc s))
+         |  WHERE dr = mdr GROUP BY vec_id)
+         |SELECT vec_id AS id, cell FROM fa
+         |UNION ALL
+         |SELECT a.vec_id, a.cluster_id AS cell
+         |FROM asg a, hot WHERE a.cluster_id != hot.hcell""".stripMargin
+    },
     // base occupancy from the trained-cell assignment (hash-proven equal
     // to the persisted layout), delta occupancy from the negated batch at
     // the same frozen model, then drift_report's exact PSI formula over

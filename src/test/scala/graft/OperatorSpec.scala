@@ -2082,6 +2082,46 @@ class OperatorSpec extends SparkSpec {
     assert(out.keySet === (0L to out.keySet.max).toSet)
   }
 
+  test("ivf_cell_split: partition surgery, exact member partition, smaller cells") {
+    import graft.operators.SimilarityOps
+    val base = SimilarityOps.ensureIvfIndex(spark, sf)
+    val split = SimilarityOps.ensureIvfSplit(spark, sf)
+    val before = spark.read.parquet(s"$base/vectors")
+      .select(col("id"), col("cell").cast("int").as("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val after = spark.read.parquet(s"$split/vectors")
+      .select(col("id"), col("cell").cast("int").as("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val hot = before.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy(p => (-p._2, p._1)).head._1
+    // the two sub-cells exactly partition the old hot cell's members...
+    val hotIds = before.filter(_._2 == hot).map(_._1).toSet
+    val aMap = after.toMap
+    assert(after.length === before.length)
+    hotIds.foreach(id => assert(aMap(id) == hot ||
+      aMap(id) == SimilarityOps.NCELLS, s"doc $id left the split pair"))
+    val (subA, subB) = (after.count(p => hotIds(p._1) && p._2 == hot),
+      after.count(p => hotIds(p._1) && p._2 == SimilarityOps.NCELLS))
+    // ...both non-empty and strictly smaller than the cell they replace
+    assert(subA > 0 && subB > 0 && subA < hotIds.size && subB < hotIds.size)
+    // everyone else keeps their cell, and their partition BYTES carry
+    // verbatim (the takedown op's surgery contract)
+    before.filter(_._2 != hot).foreach { case (id, c) =>
+      assert(aMap(id) === c, s"doc $id outside the hot cell moved")
+    }
+    import java.nio.file.{Files, Paths}
+    before.map(_._2).distinct.filter(_ != hot).foreach { c =>
+      def bytes(root: String): Map[String, Long] = {
+        val dir = Paths.get(s"$root/vectors/cell=$c")
+        val es = Files.list(dir)
+        try es.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .map(p => p.getFileName.toString -> Files.size(p)).toMap
+        finally es.close()
+      }
+      assert(bytes(split) === bytes(base), s"cell=$c bytes not carried")
+    }
+  }
+
   test("layout_vacuum: reclaims stale + aged debris only; live layouts intact") {
     import java.nio.file.{Files, Paths}
     val roots = Seq("target/bucketed", "target/ivf-index",
