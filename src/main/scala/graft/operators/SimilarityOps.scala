@@ -734,6 +734,63 @@ object SimilarityOps {
     }
   }
 
+  /** COLD-CELL MERGE (round 20) — ivf_cell_split's symmetric partner,
+    * completing the rebalance toolkit: ivf_cell_stats reports empty and
+    * under-populated cells as wasted centroids (every probe that lands
+    * on one pays a cell visit for ~no candidates); the remedy is the
+    * FAISS "merge lists" move — the two LIGHTEST cells (from the full
+    * model domain LEFT-joined with the layout's populations, so an
+    * EMPTY cell is mergeable; ties → min cell id) collapse into one
+    * list under the smaller id, the other centroid retires, and only
+    * those two partitions rewrite — everyone else's bytes carry
+    * verbatim. The merged centroid is the snapped mean of the union's
+    * members (the recompute contract; an empty union keeps the
+    * surviving seed — lloydStep's coalesce). Vectors never move or
+    * recompute their q8 codes; only the cell label changes. */
+  private[graft] def ensureIvfMerged(s: SparkSession, d: String): String = {
+    val sfTag = graft.sources.Staging.fixtureKey(d)
+    graft.sources.Staging.ensureDir(
+      s"target/ivf-index/$sfTag/nc$NCELLS-q8-merged",
+      marker = "vectors/_SUCCESS") { tmp =>
+      import java.nio.file.{Files, Paths}
+      val dir = ensureIvfIndex(s, d)
+      val vecs = s.read.parquet(s"$dir/vectors")
+        .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+      val cells = s.read.parquet(s"$dir/cells")
+        .select(col("cell").cast("int").as("cell"), col("cv"))
+      val light = cells.join(
+          vecs.groupBy(col("cell")).agg(count(lit(1)).as("n")),
+          Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("n"), col("cell")).limit(2)
+        .collect().map(_.getInt(0)).sorted
+      val (keep, retire) = (light(0), light(1))
+      val members = vecs.where(col("cell").isin(keep, retire))
+        .select(col("id"), col("v")).localCheckpoint()
+      // merged centroid: one recompute over the union (snap12 grid);
+      // empty union keeps the surviving cell's old centroid
+      val keepCv = cells.where(col("cell") === keep)
+        .collect()(0).getSeq[Double](1).toArray
+      val merged = KMeansOps.lloydStep(members, Array((0, keepCv)))(0)._2
+      cells.where(col("cell") =!= keep && col("cell") =!= retire)
+        .unionAll(s.createDataFrame(Seq((keep, merged.toSeq)))
+          .toDF("cell", "cv"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cells")
+      val entries = Files.list(Paths.get(s"$dir/vectors"))
+      try entries.forEach { e =>
+        val n = e.getFileName.toString
+        if (n != s"cell=$keep" && n != s"cell=$retire" && n != "_SUCCESS")
+          graft.sources.Staging.copyRecursively(e,
+            Paths.get(s"$tmp/vectors").resolve(n))
+      } finally entries.close()
+      s.read.parquet(s"$dir/vectors")
+        .where(col("cell").isin(keep, retire))
+        .select(col("id"), col("v"), col("codes"), col("scale"),
+          lit(keep).as("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$tmp/vectors")
+    }
+  }
+
   /** `dedup_index_delete`'s tombstone set: the standing ids a takedown
     * removes from the band index. Every 32nd id — which includes the
     * sources of the incremental delta's unchanged re-crawls (ids ≡ 0 mod
@@ -858,6 +915,21 @@ object SimilarityOps {
       // sub-cells exactly partition the old hot cell's members, and both
       // are strictly smaller than the cell they replace.
       val dir = ensureIvfSplit(s, d)
+      s.read.parquet(s"$dir/vectors")
+        .select(col("id"), col("cell").cast("int").as("cell"))
+    },
+    "ivf_cell_merge" -> { (s, d) =>
+      // cold-cell remediation (see [[ensureIvfMerged]] — ivf_cell_split's
+      // symmetric partner): the declared relation reads back the
+      // POST-MERGE layout (id → cell from the partition files); the
+      // oracle re-derives the frozen model, names the same two
+      // argmin-population cells over the FULL model domain (empty cells
+      // included — the merge's primary customers), and relabels their
+      // members to the surviving id. OperatorSpec pins the surgery:
+      // untouched partitions byte-identical, the union of the two old
+      // cells IS the merged cell, the model drops to NCELLS−1 rows with
+      // the retired id absent.
+      val dir = ensureIvfMerged(s, d)
       s.read.parquet(s"$dir/vectors")
         .select(col("id"), col("cell").cast("int").as("cell"))
     },
@@ -1898,6 +1970,22 @@ object SimilarityOps {
          |SELECT a.vec_id, a.cluster_id AS cell
          |FROM asg a, hot WHERE a.cluster_id != hot.hcell""".stripMargin
     },
+    // the frozen model, the two argmin-population cells over the FULL
+    // model domain (count ASC, cell — empty cells included via the LEFT
+    // join), members relabeled to the surviving min id
+    "ivf_cell_merge" ->
+      s"""WITH ${KMeansOps.trainedCellsSqlCtes(NCELLS, 2)},
+         |asg AS (${KMeansOps.assignSqlFor("c2", "cv", VectorSql.sqDist)}),
+         |cnt AS (SELECT c2.cid, coalesce(n.n, 0)::BIGINT AS n
+         |        FROM c2 LEFT JOIN (
+         |          SELECT cluster_id, count(*)::BIGINT AS n
+         |          FROM asg GROUP BY cluster_id) n ON n.cluster_id = c2.cid),
+         |light AS (SELECT cid FROM cnt ORDER BY n, cid LIMIT 2)
+         |SELECT vec_id AS id,
+         |       CASE WHEN cluster_id IN (SELECT cid FROM light)
+         |            THEN (SELECT min(cid) FROM light)
+         |            ELSE cluster_id END AS cell
+         |FROM asg""".stripMargin,
     // base occupancy from the trained-cell assignment (hash-proven equal
     // to the persisted layout), delta occupancy from the negated batch at
     // the same frozen model, then drift_report's exact PSI formula over

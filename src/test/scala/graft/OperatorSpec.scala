@@ -2122,6 +2122,50 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ivf_cell_merge: two lightest cells collapse; surgery carries the rest") {
+    import graft.operators.SimilarityOps
+    val base = SimilarityOps.ensureIvfIndex(spark, sf)
+    val merged = SimilarityOps.ensureIvfMerged(spark, sf)
+    val before = spark.read.parquet(s"$base/vectors")
+      .select(col("id"), col("cell").cast("int").as("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val after = spark.read.parquet(s"$merged/vectors")
+      .select(col("id"), col("cell").cast("int").as("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the same two argmin cells over the FULL model domain (empty cells
+    // are mergeable — the left-join coalesce)
+    val counts = before.groupBy(_._2).view.mapValues(_.length).toMap
+    val light = spark.read.parquet(s"$base/cells")
+      .select(col("cell").cast("int")).collect().map(_.getInt(0))
+      .map(c => c -> counts.getOrElse(c, 0))
+      .sortBy(p => (p._2, p._1)).take(2).map(_._1).sorted
+    val (keep, retire) = (light(0), light(1))
+    // union of the two old cells IS the merged cell; others unmoved
+    assert(after.size === before.length)
+    before.foreach { case (id, c) =>
+      if (c == keep || c == retire) assert(after(id) === keep)
+      else assert(after(id) === c, s"doc $id outside the merge moved")
+    }
+    // the model drops to NCELLS-1 rows, the retired id absent, and the
+    // merged centroid is the snapped mean of the union's members
+    val model = spark.read.parquet(s"$merged/cells")
+      .select(col("cell").cast("int").as("cell"), col("cv")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(model.size === SimilarityOps.NCELLS - 1 &&
+      !model.contains(retire))
+    val members = spark.read.parquet(s"$base/vectors")
+      .where(col("cell").cast("int").isin(keep, retire))
+      .select(col("id"), col("v"))
+    if (members.count() > 0) {
+      val expect = graft.operators.KMeansOps
+        .lloydStep(members, Array((0,
+          spark.read.parquet(s"$base/cells")
+            .where(col("cell").cast("int") === keep)
+            .collect()(0).getSeq[Double](1).toArray)))(0)._2
+      assert(model(keep) === expect.toSeq)
+    }
+  }
+
   test("layout_vacuum: reclaims stale + aged debris only; live layouts intact") {
     import java.nio.file.{Files, Paths}
     val roots = Seq("target/bucketed", "target/ivf-index",
