@@ -305,6 +305,30 @@ object TextOps {
         (row_number().over(w) - 1).as("pos"))
   }
 
+  /** The epoch-0 shard payload files for `pack_epochs_files` — one text
+    * file per shard directory, lines `pos\tdoc_id\ttext` in pos order
+    * (lossless by the fixture contract pipeline_export_files pins:
+    * single-line, tab-free text), written once per fixture from the
+    * SAME [[epochOrderOf]] relation the pack_epochs manifest rolls up.
+    * The writer is the standard one-task-per-shard shape: the epoch-0
+    * slice repartitions on shard (one task owns a shard's rows),
+    * sortWithinPartitions puts lines in pos order, partitionBy splits
+    * directories — text shuffles exactly once, to shard locality. */
+  private[graft] def ensureEpochShards(s: SparkSession, d: String): String =
+    graft.sources.Staging.ensureDir(
+      s"target/epoch-shards/${graft.sources.Staging.fixtureKey(d)}") { tmp =>
+      epochOrderOf(s, d).where(col("epoch") === 0L)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
+          Seq("doc_id"))
+        .select(concat(col("pos").cast("string"), lit("\t"),
+          col("doc_id").cast("string"), lit("\t"), col("text"))
+          .as("value"), col("shard"), col("pos"))
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("pos"))
+        .drop("pos")
+        .write.mode("overwrite").partitionBy("shard").text(tmp)
+    }
+
   /** `quality_calibration` bin geometry: fixed-width logit histogram in
     * integer micros, clamped to [−SPAN·W, SPAN·W). Fixed-VALUE bins (not
     * ntile): a quantile binning would need ONE global sort of the corpus;
@@ -2745,6 +2769,42 @@ object TextOps {
       // pack_epochs packs the identical order.
       epochOrderOf(s, d)
     },
+    "pack_epochs_files" -> { (s, d) =>
+      // the epoch-0 PAYLOAD BYTES (the from-bytes half of the pack_epochs
+      // story, pipeline_export_files' discipline): a real multi-epoch
+      // deployment materializes the FIRST epoch's shard files in
+      // shuffled order and replays later epochs from the order manifest
+      // (pack_epochs) against those bytes — epoch bytes beyond 0 would
+      // E×-duplicate the corpus on disk for nothing. [[ensureEpochShards]]
+      // writes one text file per epoch-0 shard dir, lines
+      // `pos\tdoc_id\ttext` in pos order (the SAME epochOrderOf relation
+      // the manifest declares — one order, two consumers); the declared
+      // relation re-derives the epoch-0 sequence spans FROM THE BYTES:
+      // read back, parse, re-count tokens, prefix-sum in the read-back
+      // pos order. It shares pack_epochs' oracle restricted to epoch 0,
+      // so the hash gate proves the trainer-facing files carry exactly
+      // the spans the manifest promises — a dropped line, a reordered
+      // doc, or a mis-sharded row all break it. Spec pins
+      // one-file-per-shard-dir and (doc_id, pos) row identity with the
+      // declared order relation.
+      val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.read.text(ensureEpochShards(s, d))
+        .select(col("shard").cast("int").as("shard"),
+          split(col("value"), "\t", 3).as("kv"))
+        .select(col("shard"),
+          element_at(col("kv"), 1).cast("int").as("pos"),
+          element_at(col("kv"), 2).cast("long").as("doc_id"),
+          element_at(col("kv"), 3).as("text"))
+        .select(col("doc_id"), col("shard"), col("pos"),
+          size(wordsCol(col("text"))).as("n_tokens"))
+        .where(col("n_tokens") > 0)
+        .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+        .select(col("doc_id"), lit(0L).as("epoch"), col("shard"),
+          (col("cum") - col("n_tokens")).as("tok_start"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div $PACK_SEQ").as("first_seq"),
+          expr(s"(cum - 1) div $PACK_SEQ").as("last_seq"))
+    },
     "pack_epochs" -> { (s, d) =>
       // the SHUFFLED order, PACKED (r19 verdict item 1): shuffle_assign_
       // epochs defines what a multi-epoch trainer reads and in what
@@ -3294,6 +3354,26 @@ object TextOps {
        |              ORDER BY p, doc_id) - 1)::INT AS pos
        |         FROM inc)""".stripMargin
 
+  /** pack_epochs' full oracle: the epoch-order chain, then the packer's
+    * per-(epoch, shard) prefix-sum window in pos order; `finalWhere`
+    * optionally restricts the final select (pack_epochs_files reads the
+    * epoch-0 slice — the bytes actually on disk). */
+  private def packEpochsSql(finalWhere: String): String =
+    s"""WITH $epochOrderCtes,
+       |ptk AS (SELECT doc_id, len($wSql)::INT AS n_tokens
+       |        FROM documents),
+       |pc AS (SELECT o.doc_id, o.epoch, o.shard, ptk.n_tokens,
+       |         sum(ptk.n_tokens::BIGINT) OVER (
+       |           PARTITION BY o.epoch, o.shard
+       |           ORDER BY o.pos ROWS UNBOUNDED PRECEDING) AS cum
+       |       FROM eord o JOIN ptk USING (doc_id)
+       |       WHERE ptk.n_tokens > 0)
+       |SELECT doc_id, epoch, shard,
+       |       (cum - n_tokens)::BIGINT AS tok_start, n_tokens,
+       |       ((cum - n_tokens) // $PACK_SEQ)::BIGINT AS first_seq,
+       |       ((cum - 1) // $PACK_SEQ)::BIGINT AS last_seq
+       |FROM pc $finalWhere""".stripMargin
+
   /** quality_classifier_train's CTE chain — proxy labels from the quality
     * CTE, bucket counts over the full CLF_BUCKETS domain, totals, and the
     * per-bucket Naive Bayes log-ratio in integer micros (dsir_sample's
@@ -3769,21 +3849,11 @@ object TextOps {
     // the order chain, then the packer's per-(epoch, shard) prefix-sum
     // window in pos order — packCtes' cum/span arithmetic with the
     // shuffled order as the window key instead of doc_id
-    "pack_epochs" ->
-      s"""WITH $epochOrderCtes,
-         |ptk AS (SELECT doc_id, len($wSql)::INT AS n_tokens
-         |        FROM documents),
-         |pc AS (SELECT o.doc_id, o.epoch, o.shard, ptk.n_tokens,
-         |         sum(ptk.n_tokens::BIGINT) OVER (
-         |           PARTITION BY o.epoch, o.shard
-         |           ORDER BY o.pos ROWS UNBOUNDED PRECEDING) AS cum
-         |       FROM eord o JOIN ptk USING (doc_id)
-         |       WHERE ptk.n_tokens > 0)
-         |SELECT doc_id, epoch, shard,
-         |       (cum - n_tokens)::BIGINT AS tok_start, n_tokens,
-         |       ((cum - n_tokens) // $PACK_SEQ)::BIGINT AS first_seq,
-         |       ((cum - 1) // $PACK_SEQ)::BIGINT AS last_seq
-         |FROM pc""".stripMargin,
+    "pack_epochs" -> packEpochsSql(""),
+    // the identical chain restricted to epoch 0 — the spans the payload
+    // bytes on disk must re-derive to (per-lane prefix sums are
+    // lane-local, so the post-filter equals an epoch-0-only derivation)
+    "pack_epochs_files" -> packEpochsSql("WHERE epoch = 0"),
     "text_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(

@@ -1251,6 +1251,40 @@ class OperatorSpec extends SparkSpec {
     assert(kept < 0.05, f"$kept%.2f of docs kept (shard, tok_start)")
   }
 
+  test("pack_epochs_files: one file per shard dir, bytes carry the order") {
+    import graft.operators.TextOps
+    import java.nio.file.{Files, Paths}
+    val dir = TextOps.ensureEpochShards(spark, sf)
+    // one payload file per shard directory (the one-task-per-shard
+    // writer shape — pipeline_export_files' pin)
+    val shards = Files.list(Paths.get(dir))
+    try shards.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("shard=")) {
+        val es = Files.list(p)
+        val files =
+          try es.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .map(_.getFileName.toString)
+            .filter(f => !f.startsWith("_") && !f.startsWith("."))
+          finally es.close()
+        assert(files.length === 1, s"$n holds ${files.length} payloads")
+      }
+    } finally shards.close()
+    // the bytes carry EXACTLY the epoch-0 order relation: (doc_id,
+    // shard, pos) parsed back from the lines equals the declared order
+    val back = spark.read.text(dir)
+      .select(col("shard").cast("int").as("shard"),
+        split(col("value"), "\t", 3).as("kv"))
+      .select(element_at(col("kv"), 2).cast("long").as("doc_id"),
+        col("shard"), element_at(col("kv"), 1).cast("int").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val order = SparkEntry.queries("shuffle_assign_epochs")(spark, sf)
+      .where(col("epoch") === 0L)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(back === order, "payload bytes drifted from the order relation")
+  }
+
   test("pack_stats agrees with pack_sequences and bounds the fill ratio") {
     val packed = SparkEntry.queries("pack_sequences")(spark, sf)
     val stats = SparkEntry.queries("pack_stats")(spark, sf)
