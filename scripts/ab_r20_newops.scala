@@ -15,13 +15,15 @@
 val SF = "/root/testdata/sf0.1"
 val PAIRS = Seq(
   ("pack_epochs", "target/scale-test15", "64x docs"),
+  ("pack_epochs_files", "target/scale-test15", "64x docs"),
   ("export_incremental", "target/scale-test15", "64x docs"),
   ("decontam_fuzzy", "target/scale-test15", "64x docs"),
   ("tokenizer_vocab_sweep", "target/scale-test15", "64x docs"),
   ("layout_vacuum", "target/scale-test15", "64x docs"),
   ("join_bucketed_rebucket", "target/scale-test16-li64", "64x li"),
   ("join_skew_aqe", "target/scale-test16-li64", "64x li"),
-  ("ivf_cell_split", "target/scale-test16-emb64", "64x emb"))
+  ("ivf_cell_split", "target/scale-test16-emb64", "64x emb"),
+  ("ivf_cell_merge", "target/scale-test16-emb64", "64x emb"))
 def run(q: String, dir: String): Double = {
   val t0 = System.nanoTime
   graft.SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
