@@ -72,6 +72,12 @@ object SimilarityOps {
   private val NCELLS_SCALED = 64
   // knn_graph: neighbors kept per source vector
   private val KNN_K = 4
+
+  /** knn_pagerank's fixed trip count — enough for the micro-integer
+    * masses to concentrate visibly on the fixture hubs; the trajectory
+    * (not a converged fixed point) is the declared artifact, exactly
+    * kmeans_lloyd's fixed-trip contract. */
+  private val PAGERANK_TRIPS = 5
   // knn_density: prune threshold on the MEAN neighbor cosine, on the
   // r4-grid ×10000 integer scale (2700 = mean cos 0.27). Sits at the
   // fixture's per-node mean-sim median (measured 0.26 at sf0.001,
@@ -1112,6 +1118,51 @@ object SimilarityOps {
       semdedupFrom(asg, pts)
     },
     "knn_graph" -> { (s, d) => knnTopK(s, d) },
+    "knn_pagerank" -> { (s, d) =>
+      // graph CENTRALITY over the kNN graph (round 20) — the
+      // data-selection signal the graph family lacked: density scores a
+      // vector by its local neighborhood alone, components only cluster;
+      // PageRank ranks by GLOBAL connectivity (a vector many
+      // well-connected vectors point at is a hub of its region — the
+      // "representative, keep at high mix weight" signal of
+      // centrality-based curation). Arithmetic is kmeans_minibatch's
+      // exact-integer discipline: mass in integer MICROS (init 1e6 per
+      // vector over the full assignment domain), per-trip contribution
+      // (pr·85) div (100·outdeg) — damping 0.85 as exact integer ratio,
+      // truncating div identical in both engines — plus the fixed
+      // 150000 teleport base, PAGERANK_TRIPS unrolled trips. Both
+      // engines walk a bit-identical trajectory; no snap/tolerance
+      // machinery. Dangling mass (edge-less vectors, capped-out cells)
+      // exits rather than redistributing — the fixed-base PageRank-lite
+      // form; deterministic, and documented divergence from the strict
+      // Markov normalization (total mass shrinks, ranking unaffected
+      // for the curation use). Scale shape: per trip ONE edge⋈mass join
+      // + map-side-combined inflow aggregate over the n·K edge relation
+      // (the standard distributed PageRank step), trips fixed — no
+      // global sort, no driver state beyond the loop counter; the
+      // per-trip localCheckpoint is the committed per-round-checkpoint
+      // loop discipline (dedup_media_apply's measured optimum).
+      val graph = knnTopK(s, d)
+        .select(col("src_id"), col("nbr_id")).localCheckpoint()
+      val ids = s.read.parquet(s"${ensureIvfIndex(s, d)}/vectors")
+        .select(col("id"))
+      val edges = graph.join(
+          graph.groupBy(col("src_id")).agg(count(lit(1)).as("outdeg")),
+          "src_id")
+        .localCheckpoint()
+      var pr = ids.select(col("id"), lit(1000000L).as("pr"))
+      for (_ <- 1 to PAGERANK_TRIPS) {
+        val inflow = edges.join(pr, edges("src_id") === pr("id"))
+          .select(col("nbr_id").as("id"),
+            expr("(pr * 85) div (100 * outdeg)").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+        pr = ids.join(inflow, Seq("id"), "left")
+          .select(col("id"),
+            (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("pr"))
+          .localCheckpoint()
+      }
+      pr.select(col("id").as("vec_id"), col("pr").as("pr_micros"))
+    },
     "knn_graph_scaled" -> { (s, d) =>
       // the k ∝ n form of knn_graph (semdedup_scaled's discipline,
       // measured motivation at 8× embeddings: 10 of the standing nc16
@@ -2070,6 +2121,31 @@ object SimilarityOps {
          |SELECT asg.vec_id,
          |       coalesce(comp.rep, asg.vec_id)::BIGINT AS cluster_rep
          |FROM asg LEFT JOIN comp ON asg.vec_id = comp.node""".stripMargin,
+    // knn_graph's CTEs, then PAGERANK_TRIPS unrolled integer-micro mass
+    // trips: per trip the (pr·85)//(100·outdeg) contribution aggregate
+    // over the edge relation, the 150000 teleport base via LEFT JOIN
+    // over the full assignment domain — the engine's loop, step for step
+    "knn_pagerank" -> {
+      val trips = (1 to PAGERANK_TRIPS).map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT a.vec_id AS id,
+           |         (150000 + coalesce(f.inflow, 0))::BIGINT AS pr
+           |  FROM asg a LEFT JOIN (
+           |    SELECT e.nbr_id AS id,
+           |           sum((p.pr * 85) // (100 * dg.outdeg))::BIGINT
+           |             AS inflow
+           |    FROM e JOIN dg USING (src_id)
+           |           JOIN p${k - 1} p ON p.id = e.src_id
+           |    GROUP BY e.nbr_id) f ON f.id = a.vec_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${knnGraphCtesFor(NCELLS)},
+         |e AS (SELECT src_id, nbr_id FROM ktop),
+         |dg AS (SELECT src_id, count(*)::BIGINT AS outdeg
+         |       FROM e GROUP BY src_id),
+         |p0 AS (SELECT vec_id AS id, 1000000::BIGINT AS pr FROM asg),
+         |$trips
+         |SELECT id AS vec_id, pr AS pr_micros FROM p$PAGERANK_TRIPS""".stripMargin
+    },
     // knn_graph's CTEs + the per-src integer density fold; the keep gate
     // is the cross-multiplied integer compare, density the truncating
     // integer division — both exact in either engine. sum(BIGINT) is

@@ -2116,6 +2116,43 @@ class OperatorSpec extends SparkSpec {
     assert(out.keySet === (0L to out.keySet.max).toSet)
   }
 
+  test("knn_pagerank: exact-integer trajectory replays; mass and hubs behave") {
+    val out = SparkEntry.queries("knn_pagerank")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = SparkEntry.queries("knn_graph")(spark, sf)
+      .select(col("src_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // bit-exact replay of the 5 integer-micro trips in plain Scala
+    // (kmeans_minibatch's discipline): same init, same (pr*85) div
+    // (100*outdeg) contribution, same 150000 base
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var pr = out.keySet.map(_ -> 1000000L).toMap
+    (1 to 5).foreach { _ =>
+      val inflow = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (u, v) =>
+        inflow(v) = inflow.getOrElse(v, 0L) + (pr(u) * 85) / (100 * outdeg(u))
+      }
+      pr = out.keySet.map(id => id -> (150000L + inflow.getOrElse(id, 0L)))
+        .toMap
+    }
+    assert(out === pr, "DataFrame loop drifted from the integer replay")
+    // mass: never created; the teleport base is the exact floor, hit
+    // exactly by (and only by) vectors with no in-edges
+    val n = out.size
+    assert(out.values.sum <= n * 1000000L && out.values.min >= 150000L)
+    val inbound = edges.map(_._2).toSet
+    out.foreach { case (id, p) =>
+      assert((p == 150000L) === !inbound(id), s"teleport-base mismatch $id")
+    }
+    // the centrality signal exists: a hub concentrated well past its
+    // init mass, and it is better-connected than the median vector
+    val indeg = edges.groupBy(_._2).view.mapValues(_.length).toMap
+    val hub = out.maxBy(_._2)._1
+    assert(out(hub) > 2000000L, "no hub concentration on the fixture")
+    val medIn = indeg.values.toSeq.sorted.apply(indeg.size / 2)
+    assert(indeg(hub) > medIn, "top-PR vector is not above-median connected")
+  }
+
   test("ivf_cell_split: partition surgery, exact member partition, smaller cells") {
     import graft.operators.SimilarityOps
     val base = SimilarityOps.ensureIvfIndex(spark, sf)
