@@ -126,9 +126,103 @@ object RetrievalOps {
     (1, "hash join"), (2, "sort merge"), (3, "the fast key"),
     (4, "group query row"))
 
+  /** The standing inverted-index layout for `bm25_incremental`:
+    * term-BUCKETED postings (term, doc_id, dl, tf partitioned by
+    * h60(term) mod [[IDX_BUCKETS]] — a query's terms prune to their
+    * buckets, the reader never scans the whole index) plus the O(1)
+    * corpus stats row, both over the ~70% unitUniform base (the
+    * incremental family's one split convention). Staged once per
+    * fixture; this is the previous indexing run's shipped artifact —
+    * the incremental query's base knowledge comes ONLY from these
+    * files, never from re-tokenizing base text. */
+  private[graft] val IDX_BUCKETS = 64
+  private[graft] def ensureBm25Index(s: SparkSession, d: String): String =
+    graft.sources.Staging.ensureDir(
+      s"target/bm25-index/${graft.sources.Staging.fixtureKey(d)}",
+      marker = "stats/_SUCCESS") { tmp =>
+      val base = Tables.documents(s, d)
+        .where(VectorOps.unitUniform(col("doc_id")) < 0.7)
+      DedupOps.spread(base)
+        .select(col("doc_id"), wordsCol(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).as("dl"),
+          explode(col("w")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bkt",
+          pmod(DedupOps.h60(col("term")), lit(IDX_BUCKETS.toLong))
+            .cast("int"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$tmp/postings")
+      base.select(size(wordsCol(col("text"))).as("dl"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    }
+
+  /** `bm25_incremental`'s matched-postings relation, PRE-checkpoint —
+    * factored so PlanSpec can pin the shape the pin would otherwise hide
+    * behind the materialization: the standing postings read under a
+    * STATIC term-bucket partition filter (the workload's h60 buckets,
+    * folded to literals by one bounded driver evaluation) unioned with
+    * the delta's in-flight termMatches. */
+  private[graft] def bm25IncrementalTm(s: SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    val idx = ensureBm25Index(s, d)
+    val q = QUERIES.toDF("qid", "term")
+    val qTerms = QUERIES.map(_._2).distinct
+    val bkts = s.createDataFrame(qTerms.map(Tuple1(_))).toDF("term")
+      .select(pmod(DedupOps.h60(col("term")), lit(IDX_BUCKETS.toLong))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val baseTm = s.read.parquet(s"$idx/postings")
+      .where(col("bkt").isin(bkts: _*))
+      .join(broadcast(q), Seq("term"))
+      .select(col("qid"), col("term"), col("doc_id"), col("dl"),
+        col("tf"))
+    baseTm.unionAll(termMatches(Tables.documents(s, d)
+      .where(!(VectorOps.unitUniform(col("doc_id")) < 0.7))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> { (s, d) =>
       topKPerQid(bm25Scored(Tables.documents(s, d)), TOPK)
+        .select(col("qid"), col("rk"), col("doc_id"), col("n_terms"),
+          col("score"))
+    },
+    "bm25_incremental" -> { (s, d) =>
+      // INCREMENTAL INDEXING (round 20) — the retrieval family's member
+      // of the incremental matrix: a crawl delta extends the standing
+      // inverted index without re-tokenizing the base corpus. Base side
+      // = the persisted postings, read TERM-BUCKET-PRUNED to the query
+      // workload's buckets (the ~8-term workload touches a handful of
+      // the 64 partitions — PlanSpec pins the PartitionFilters) plus the
+      // 1-row stats file; delta side = termMatches over the delta docs
+      // only. The union feeds the UNCHANGED scorer (bm25ScoredFrom —
+      // df comes out of the union since base and delta doc sets are
+      // disjoint; n_docs/tot_dl merge additively from the stats row +
+      // one delta aggregate), so the oracle is bm25_topk's full-corpus
+      // ranking VERBATIM: the hash gate proves the persisted-index merge
+      // computes exactly what a from-scratch index would. At 100 TB:
+      // query cost = pruned postings buckets + the delta, never a
+      // corpus re-scan — indexing cost tracks the crawl, not the lake.
+      val idx = ensureBm25Index(s, d)
+      val delta = Tables.documents(s, d)
+        .where(!(VectorOps.unitUniform(col("doc_id")) < 0.7))
+      val deltaStats = delta
+        .select(size(wordsCol(col("text"))).as("dl"))
+        .agg(count(lit(1)).as("d_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("d_dl"))
+      val stats = s.read.parquet(s"$idx/stats")
+        .crossJoin(broadcast(deltaStats))
+        .select((col("n_docs") + col("d_docs")).as("n_docs"),
+          (col("tot_dl") + col("d_dl")).as("tot_dl"))
+      // pin the matched-postings union: bm25ScoredFrom consumes it twice
+      // (the df pass and the score pass) and the relation is tiny by
+      // construction (query-term matches only) — without the pin the
+      // delta leg re-tokenizes and the index re-reads per consumer
+      val tm = bm25IncrementalTm(s, d).localCheckpoint()
+      topKPerQid(bm25ScoredFrom(tm, stats), TOPK)
         .select(col("qid"), col("rk"), col("doc_id"), col("n_terms"),
           col("score"))
     },
@@ -275,6 +369,12 @@ object RetrievalOps {
 
   val oracles: Map[String, String] = Map(
     "bm25_topk" ->
+      s"""WITH $bm25Ctes
+         |SELECT qid, rk, doc_id, n_terms, score FROM atop
+         |WHERE rk <= 10""".stripMargin,
+    // bm25_topk's full-corpus ranking VERBATIM — the persisted-index +
+    // delta merge must compute exactly what a from-scratch index would
+    "bm25_incremental" ->
       s"""WITH $bm25Ctes
          |SELECT qid, rk, doc_id, n_terms, score FROM atop
          |WHERE rk <= 10""".stripMargin,

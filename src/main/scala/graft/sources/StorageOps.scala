@@ -202,13 +202,15 @@ object StorageOps {
       // to retired generations, zero data moved.
       val roots = Seq("target/bucketed", "target/ivf-index",
         "target/band-index", "target/compact-fixtures",
-        "target/export-shards", "target/export-manifest")
+        "target/export-shards", "target/export-manifest",
+        "target/bm25-index")
       ensureLayouts(s, d); ensureRebucketed(s, d)
       graft.operators.SimilarityOps.ensureIvfIndex(s, d)
       graft.operators.SimilarityOps.ensureBandIndex(s, d)
       ensureCompacted(s, d)
       graft.operators.PipelineOps.ensureExportShards(s, d)
       ensureBaseManifest(s, d)
+      graft.operators.RetrievalOps.ensureBm25Index(s, d)
       roots.foreach(plantSuperseded(_, d))
       val stats = Staging.vacuumFixture(d, roots)
       import s.implicits._
@@ -595,7 +597,8 @@ object StorageOps {
         |  ('band-index', 1::BIGINT, 0::BIGINT, 0::BIGINT),
         |  ('compact-fixtures', 1::BIGINT, 0::BIGINT, 0::BIGINT),
         |  ('export-shards', 1::BIGINT, 0::BIGINT, 0::BIGINT),
-        |  ('export-manifest', 1::BIGINT, 0::BIGINT, 0::BIGINT))
+        |  ('export-manifest', 1::BIGINT, 0::BIGINT, 0::BIGINT),
+        |  ('bm25-index', 1::BIGINT, 0::BIGINT, 0::BIGINT))
         |  t(root, n_live, n_stale, n_debris)""".stripMargin,
     // join_bucketed's oracle VERBATIM: the 16-bucket rewrite must be
     // invisible to query semantics — same join, same hash

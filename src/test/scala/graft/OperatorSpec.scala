@@ -2241,7 +2241,8 @@ class OperatorSpec extends SparkSpec {
     import java.nio.file.{Files, Paths}
     val roots = Seq("target/bucketed", "target/ivf-index",
       "target/band-index", "target/compact-fixtures",
-      "target/export-shards", "target/export-manifest")
+      "target/export-shards", "target/export-manifest",
+      "target/bm25-index")
     // live layouts' results BEFORE the vacuum — the safety contract is
     // that the pass is invisible to every layout-reading query
     def snap() = Seq("join_bucketed", "join_bucketed_rebucket",

@@ -160,6 +160,35 @@ class PlanSpec extends SparkSpec {
       "join must not reshuffle bucketed sides")
   }
 
+  test("bm25_incremental prunes the postings index; base text never re-read") {
+    import graft.operators.RetrievalOps
+    RetrievalOps.ensureBm25Index(spark, sf)
+    // the matched-postings relation (pre-checkpoint — the declared query
+    // pins it, which hides its scans): the standing postings read under
+    // a STATIC term-bucket partition filter — the query's ~8 terms touch
+    // a handful of the 64 buckets, never the whole index — plus exactly
+    // ONE documents scan (the delta's termMatches)
+    val tmPlan = RetrievalOps.bm25IncrementalTm(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scan = tmPlan.split("\n").find(l =>
+      l.contains("PartitionFilters") && l.contains("bkt"))
+    assert(scan.isDefined, s"no partition-pruned postings scan:\n$tmPlan")
+    assert(scan.get.contains("bkt#") && scan.get.toUpperCase.contains("IN"),
+      s"bucket literals not folded into the partition filter: ${scan.get}")
+    assert(tmPlan.split("\n").count(l =>
+      l.contains("FileScan") && l.contains("documents.parquet")) === 1,
+      s"postings relation re-reads the corpus:\n$tmPlan")
+    // the declared plan adds only the 1-row delta stats aggregate on top
+    // of the pinned postings — one more documents scan, never a base
+    // re-tokenization
+    val plan = executed("bm25_incremental")
+    assert(plan.contains("Scan ExistingRDD"),
+      "matched postings are not the materialized checkpoint")
+    assert(plan.split("\n").count(l =>
+      l.contains("FileScan") && l.contains("documents.parquet")) === 1,
+      s"declared plan re-reads the corpus:\n$plan")
+  }
+
   test("zorder layout skips row groups under a 2-D box; unsorted cannot") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.col
