@@ -22,8 +22,10 @@ val PAIRS = Seq(
   ("layout_vacuum", "target/scale-test15", "64x docs"),
   ("join_bucketed_rebucket", "target/scale-test16-li64", "64x li"),
   ("join_skew_aqe", "target/scale-test16-li64", "64x li"),
+  ("bm25_incremental", "target/scale-test15", "64x docs"),
   ("ivf_cell_split", "target/scale-test16-emb64", "64x emb"),
-  ("ivf_cell_merge", "target/scale-test16-emb64", "64x emb"))
+  ("ivf_cell_merge", "target/scale-test16-emb64", "64x emb"),
+  ("knn_pagerank", "target/scale-test16-emb64", "64x emb"))
 def run(q: String, dir: String): Double = {
   val t0 = System.nanoTime
   graft.SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
