@@ -153,9 +153,9 @@ object RetrievalOps {
             .cast("int"))
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(s"$tmp/postings")
-      base.select(size(wordsCol(col("text"))).as("dl"))
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
+      // the scorer's ONE stats definition — a drifted copy here would
+      // silently desynchronize the persisted stats from the scorer
+      corpusStats(base)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
     }
 
@@ -209,10 +209,10 @@ object RetrievalOps {
       val idx = ensureBm25Index(s, d)
       val delta = Tables.documents(s, d)
         .where(!(VectorOps.unitUniform(col("doc_id")) < 0.7))
-      val deltaStats = delta
-        .select(size(wordsCol(col("text"))).as("dl"))
-        .agg(count(lit(1)).as("d_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("d_dl"))
+      // the same ONE stats definition the index persisted, renamed for
+      // the additive merge
+      val deltaStats = corpusStats(delta)
+        .select(col("n_docs").as("d_docs"), col("tot_dl").as("d_dl"))
       val stats = s.read.parquet(s"$idx/stats")
         .crossJoin(broadcast(deltaStats))
         .select((col("n_docs") + col("d_docs")).as("n_docs"),

@@ -152,10 +152,22 @@ object Staging {
     finally entries.close()
   }
 
+  /** Aged iff the NEWEST mtime anywhere in the tree is past the gate:
+    * a long-running concurrent staging write keeps landing fresh part
+    * files deep inside its tmp dir while the top-level dir's own mtime
+    * stops advancing after the first children appear — gating on the
+    * top entry alone would reclaim a >1h in-flight build mid-write. */
   private def olderThanGate(p: Path): Boolean =
-    try Files.getLastModifiedTime(p).toMillis <
-      System.currentTimeMillis() - VACUUM_DEBRIS_MIN_AGE_MS
-    catch { case _: NoSuchFileException => false }
+    try {
+      val walk = Files.walk(p)
+      val newest =
+        try walk.toArray.map(_.asInstanceOf[Path]).map { f =>
+          try Files.getLastModifiedTime(f).toMillis
+          catch { case _: NoSuchFileException => 0L }
+        }.foldLeft(0L)(math.max)
+        finally walk.close()
+      newest < System.currentTimeMillis() - VACUUM_DEBRIS_MIN_AGE_MS
+    } catch { case _: NoSuchFileException => false }
 
   /** Retire THIS fixture's superseded staged generations under the given
     * staging roots — the on-demand maintenance twin of [[sweepStaleKeys]]

@@ -200,10 +200,6 @@ object StorageOps {
       // reclaim counts report what was actually on disk. At 100 TB this
       // is the lake's GC: metadata-only listing, deletes proportional
       // to retired generations, zero data moved.
-      val roots = Seq("target/bucketed", "target/ivf-index",
-        "target/band-index", "target/compact-fixtures",
-        "target/export-shards", "target/export-manifest",
-        "target/bm25-index")
       ensureLayouts(s, d); ensureRebucketed(s, d)
       graft.operators.SimilarityOps.ensureIvfIndex(s, d)
       graft.operators.SimilarityOps.ensureBandIndex(s, d)
@@ -211,8 +207,10 @@ object StorageOps {
       graft.operators.PipelineOps.ensureExportShards(s, d)
       ensureBaseManifest(s, d)
       graft.operators.RetrievalOps.ensureBm25Index(s, d)
-      roots.foreach(plantSuperseded(_, d))
-      val stats = Staging.vacuumFixture(d, roots)
+      graft.operators.TextOps.ensureEpochShards(s, d)
+      ensureZorderLayouts(s, d)
+      VACUUM_ROOTS.foreach(plantSuperseded(_, d))
+      val stats = Staging.vacuumFixture(d, VACUUM_ROOTS)
       import s.implicits._
       stats.map(v => (v.root, v.nLive, v.nStaleAfter, v.nDebrisAfter))
         .toDF("root", "n_live", "n_stale", "n_debris")
@@ -504,6 +502,17 @@ object StorageOps {
         .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
 
+  /** The ONE staging-root list `layout_vacuum` covers — every namespace
+    * a fixture stages fingerprint-keyed generations under. Shared by the
+    * query body, its oracle (generated below), and the spec, so a new
+    * root can never be added to one consumer and silently skipped by
+    * the others. */
+  private[graft] val VACUUM_ROOTS: Seq[String] = Seq(
+    "target/bucketed", "target/ivf-index", "target/band-index",
+    "target/compact-fixtures", "target/export-shards",
+    "target/export-manifest", "target/bm25-index",
+    "target/epoch-shards", "target/zorder-fixtures")
+
   /** Plant one superseded generation (`<base>-00000000`, one file) and
     * one BACKDATED writer-debris dir (`<base>-00000000.tmp-plant`) under
     * `root` — `layout_vacuum`'s canonical reclaim fodder. The zero
@@ -518,7 +527,11 @@ object StorageOps {
     Seq(s"$base-00000000", s"$base-00000000.tmp-plant").foreach { n =>
       val dir = Paths.get(root, n)
       Files.createDirectories(dir)
-      Files.write(dir.resolve("orphan.bin"), Array[Byte](0, 1, 2, 3))
+      val f = dir.resolve("orphan.bin")
+      Files.write(f, Array[Byte](0, 1, 2, 3))
+      // backdate CONTENTS too: the age gate takes the NEWEST mtime in
+      // the tree (a fresh file inside marks the whole dir as live)
+      Files.setLastModifiedTime(f, epoch)
       Files.setLastModifiedTime(dir, epoch)
     }
   }
@@ -591,14 +604,9 @@ object StorageOps {
     // the generation + debris the op plants before vacuuming (a vacuum
     // that fails to reclaim surfaces the plants here)
     "layout_vacuum" ->
-      """SELECT * FROM (VALUES
-        |  ('bucketed', 1::BIGINT, 0::BIGINT, 0::BIGINT),
-        |  ('ivf-index', 1::BIGINT, 0::BIGINT, 0::BIGINT),
-        |  ('band-index', 1::BIGINT, 0::BIGINT, 0::BIGINT),
-        |  ('compact-fixtures', 1::BIGINT, 0::BIGINT, 0::BIGINT),
-        |  ('export-shards', 1::BIGINT, 0::BIGINT, 0::BIGINT),
-        |  ('export-manifest', 1::BIGINT, 0::BIGINT, 0::BIGINT),
-        |  ('bm25-index', 1::BIGINT, 0::BIGINT, 0::BIGINT))
+      s"""SELECT * FROM (VALUES
+        |  ${VACUUM_ROOTS.map(r => s"('${r.split('/').last}', " +
+             "1::BIGINT, 0::BIGINT, 0::BIGINT)").mkString(",\n  ")})
         |  t(root, n_live, n_stale, n_debris)""".stripMargin,
     // join_bucketed's oracle VERBATIM: the 16-bucket rewrite must be
     // invisible to query semantics — same join, same hash

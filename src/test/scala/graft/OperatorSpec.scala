@@ -1214,8 +1214,12 @@ class OperatorSpec extends SparkSpec {
     val order = SparkEntry.queries("shuffle_assign_epochs")(spark, sf)
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // the PRODUCTION tokenizer (wordsCol), not an ad-hoc split: the two
+    // diverge on empty/whitespace-only text and the expected keep set
+    // must use the operator's own n_tokens > 0 semantics
     val toks = Tables.documents(spark, sf)
-      .select(col("doc_id"), size(split(col("text"), " +")).as("n"))
+      .select(col("doc_id"),
+        size(graft.operators.DedupOps.wordsCol(col("text"))).as("n"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out.map(t => (t._1, t._2, t._3)).toSet ===
       order.filter(o => toks(o._1) > 0).map(o => (o._1, o._2, o._3)).toSet)
@@ -2239,10 +2243,9 @@ class OperatorSpec extends SparkSpec {
 
   test("layout_vacuum: reclaims stale + aged debris only; live layouts intact") {
     import java.nio.file.{Files, Paths}
-    val roots = Seq("target/bucketed", "target/ivf-index",
-      "target/band-index", "target/compact-fixtures",
-      "target/export-shards", "target/export-manifest",
-      "target/bm25-index")
+    // the production list itself — a root added to the query can never
+    // be silently skipped here
+    val roots = graft.sources.StorageOps.VACUUM_ROOTS
     // live layouts' results BEFORE the vacuum — the safety contract is
     // that the pass is invisible to every layout-reading query
     def snap() = Seq("join_bucketed", "join_bucketed_rebucket",
