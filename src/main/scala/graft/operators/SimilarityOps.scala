@@ -1150,6 +1150,15 @@ object SimilarityOps {
           graph.groupBy(col("src_id")).agg(count(lit(1)).as("outdeg")),
           "src_id")
         .localCheckpoint()
+      // trips are UNROLLED into one plan (r21 optimization, guide §2.4):
+      // the trip count is FIXED (not convergence-driven), so nothing
+      // reads per-trip driver state and the per-trip localCheckpoint
+      // bought no lineage bound — only 5 sequential driver barriers
+      // (~0.3 s each at bench scale). One plan = one job; the edge
+      // relation stays pinned (it feeds all 5 trips), the mass relation
+      // flows through 5 join⋈aggregate rounds inside the DAG. The
+      // integer trajectory is bit-identical either way — each round is
+      // exact long arithmetic, no accumulation ambiguity.
       var pr = ids.select(col("id"), lit(1000000L).as("pr"))
       for (_ <- 1 to PAGERANK_TRIPS) {
         val inflow = edges.join(pr, edges("src_id") === pr("id"))
@@ -1159,7 +1168,6 @@ object SimilarityOps {
         pr = ids.join(inflow, Seq("id"), "left")
           .select(col("id"),
             (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("pr"))
-          .localCheckpoint()
       }
       pr.select(col("id").as("vec_id"), col("pr").as("pr_micros"))
     },

@@ -838,24 +838,61 @@ object TextOps {
     * corpus-scan loop paid 64 corpus passes ≈ 33 s of the bench; the
     * histogram loop pays one).
     *
-    * The rewrite chain localCheckpoints every 8th trip: the histogram is
-    * tiny, so materialization is cheap, but a 64-deep replace chain in
-    * one codegen projection would blow the generated-method budget. */
+    * Control plane is ADAPTIVE (r21 optimization, guide §1.2 "the
+    * distributed algorithm first"): a histogram that fits the driver cap
+    * runs the merge loop IN DRIVER MEMORY ([[bpeMergesDriver]] — the
+    * HF/SentencePiece architecture bpe_train_regex already uses: one
+    * distributed corpus pass for the histogram, zero Spark jobs per
+    * trip), a histogram over the cap falls back to the per-trip
+    * distributed loop ([[bpeMergesDistributed]]). Both control planes
+    * compute the bit-identical merge list (same overlap counting, same
+    * (count DESC, pair ASC) argmax under UTF-8 byte order == codepoint
+    * order, same left-to-right non-overlapping rewrite); the DuckDB
+    * oracle and OperatorSpec's hand-computed ladder re-prove it every
+    * round. Measured motivation: the 64-step distributed loop paid a
+    * ~100 ms Spark job per trip — 6-7 s of pure scheduling in
+    * bpe_train_bytes, the bench's 2nd-priciest query — for vocab-bounded
+    * per-trip work that takes microseconds in memory. */
   private[graft] def bpeMerges(docs0: DataFrame,
       steps: Int): Seq[(Int, String, Long)] = {
     // spread once at histogram build: the single-file fixture arrives as
     // ONE partition, which would run the only corpus-scale pass here
     // single-task. 1-char words can never contribute a pair in any trip
     // (replace only shortens), so they are dropped up front.
-    // (measured: coalescing the histogram below 32 partitions does NOT
-    // move the wall — the remaining per-trip cost is the driver's
-    // collect round trip and the deepening replace-chain codegen, not
-    // task scheduling)
-    var hist = DedupOps.spread(docs0)
+    val hist = DedupOps.spread(docs0)
       .select(explode(split(col("t"), " ")).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .localCheckpoint()
+    // BOUNDED driver materialization with a distributed escape hatch:
+    // take(cap+1) stops reading past the cap, so an over-cap vocabulary
+    // (conceivable at 100 TB: the distinct-word space is corpus-scaled)
+    // costs one truncated scan of the checkpointed histogram and then
+    // runs the distributed loop unchanged — the driver never holds more
+    // than cap+1 (word, freq) rows under either plane.
+    val head = hist.take(BPE_DRIVER_HIST_CAP + 1)
+    if (head.length <= BPE_DRIVER_HIST_CAP)
+      bpeMergesDriver(
+        head.iterator.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq,
+        steps, learnedSym, skipEmptyTrips = false)
+    else bpeMergesDistributed(hist, steps)
+  }
+
+  /** Driver-cap on the histogram rows [[bpeMerges]] may collect (~1M
+    * rows ≈ tens of MB — comfortably inside any driver; the regex
+    * family's BPE_REGEX_VOCAB=1024 prune is far below it). */
+  private[graft] val BPE_DRIVER_HIST_CAP = 1 << 20
+
+  /** The per-trip DISTRIBUTED merge loop — the over-cap fallback of
+    * [[bpeMerges]] (see its scaladoc for the adaptive split). Per trip:
+    * vocab-bounded pair aggregate, (count DESC, pair ASC) argmax
+    * collect, histogram rewrite via `replace`. The rewrite chain
+    * localCheckpoints every 8th trip: the histogram is tiny, so
+    * materialization is cheap, but a 64-deep replace chain in one
+    * codegen projection would blow the generated-method budget. */
+  private[graft] def bpeMergesDistributed(hist0: DataFrame,
+      steps: Int): Seq[(Int, String, Long)] = {
+    var hist = hist0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (k <- 1 to steps) {
       val best = hist
@@ -874,6 +911,71 @@ object TextOps {
       if (k % 8 == 0 && k < steps) hist = hist.localCheckpoint()
     }
     merges.toSeq
+  }
+
+  /** Codepoint-sequence "<" — exactly UTF8String's binary sort order
+    * (UTF-8 byte order == codepoint order), so the driver argmax
+    * tie-break matches the distributed `orderBy(pair)` BIT-FOR-BIT even
+    * off the BMP, where Java String.compareTo (UTF-16 unit order) would
+    * disagree: surrogate units (0xD800+) sort below private-use BMP
+    * symbols but the astral codepoints they encode sort above. */
+  private[graft] def cpLess(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    i >= a.length && j < b.length
+  }
+
+  /** The merge loop over a COLLECTED histogram — pure driver memory,
+    * zero Spark jobs per trip (see [[bpeMerges]] for the adaptive
+    * control-plane split and [[bpeMergesInMemory]] for the architecture
+    * rationale). Semantics are the distributed loop's, codepoint-exact:
+    * pairs are 2-CODEPOINT substrings (Spark `substring`/`length` walk
+    * codepoints, so the driver walks an int[] codepoint array), the
+    * argmax is (count DESC, pair ASC) under [[cpLess]] (== UTF8String
+    * binary order), rewrites are Java `String.replace` (left-to-right
+    * non-overlapping — both engines' shared semantics; a valid-codepoint
+    * pattern can only match at codepoint boundaries, so UTF-16 search ==
+    * UTF-8 search). `skipEmptyTrips=false` mirrors the distributed
+    * loop's fail-loudly on a pair-less trip (collect()(0) there);
+    * `true` mirrors the regex family's historical skip. */
+  private[graft] def bpeMergesDriver(hist0: IndexedSeq[(String, Long)],
+      steps: Int, sym: Int => String,
+      skipEmptyTrips: Boolean): Seq[(Int, String, Long)] = {
+    var h = hist0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (k <- 1 to steps) {
+      val pc = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- h) {
+        val cps = w.codePoints.toArray
+        var i = 0
+        while (i < cps.length - 1) {
+          val p = new String(cps, i, 2)
+          pc.update(p, pc.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (pc.nonEmpty) {
+        var bp: String = null
+        var bn = 0L
+        for ((p, n) <- pc)
+          if (bp == null || n > bn || (n == bn && cpLess(p, bp))) {
+            bp = p; bn = n
+          }
+        out += ((k, bp, bn))
+        val s = sym(k)
+        h = h.map { case (w, f) => (w.replace(bp, s), f) }
+      } else if (!skipEmptyTrips)
+        throw new IllegalStateException(
+          s"BPE trip $k found no pair to merge (histogram exhausted)")
+    }
+    out.toSeq
   }
 
   /** Session cache of learned merge tables, keyed (sfDir, steps) — the
@@ -1156,24 +1258,9 @@ object TextOps {
     * rewriting (the step symbol is fresh, so `replace(w, sym, pair)`
     * inverts it), so the histogram never re-groups. */
   private[graft] def bpeMergesInMemory(hist: Seq[(String, Long)],
-      steps: Int): Seq[(Int, String, Long)] = {
-    var h = hist
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    for (k <- 1 to steps) {
-      val pc = scala.collection.mutable.HashMap.empty[String, Long]
-      for ((w, f) <- h; i <- 0 until w.length - 1) {
-        val p = w.substring(i, i + 2)
-        pc.update(p, pc.getOrElse(p, 0L) + f)
-      }
-      if (pc.nonEmpty) {
-        val (bp, bn) = pc.minBy { case (p, n) => (-n, p) }
-        out += ((k, bp, bn))
-        val sym = regexSym(k)
-        h = h.map { case (w, f) => (w.replace(bp, sym), f) }
-      }
-    }
-    out.toSeq
-  }
+      steps: Int): Seq[(Int, String, Long)] =
+    bpeMergesDriver(hist.toIndexedSeq, steps, regexSym,
+      skipEmptyTrips = true)
 
   /** Cached trainer for the regex family (the bpe_train build≠apply
     * discipline): `bpe_train_regex` is the timed build; apply-side

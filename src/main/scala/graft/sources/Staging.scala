@@ -145,12 +145,29 @@ object Staging {
   private def isDebrisName(n: String): Boolean =
     n.contains(".tmp-") || n.contains(".stale-")
 
-  private def countFiles(p: Path): Long = {
-    val entries = Files.walk(p)
-    try entries.toArray.map(_.asInstanceOf[Path])
-      .count(Files.isRegularFile(_)).toLong
-    finally entries.close()
+  /** True when `e` is a directory-stream failure caused by an entry
+    * vanishing mid-traversal: Files.walk/list surface a concurrent
+    * delete/rename either as NoSuchFileException directly (stream open)
+    * or wrapped in UncheckedIOException (lazy iteration) — both mean
+    * "the tree changed under us", never a broken disk (r20 ADVICE). */
+  private def isVanished(e: Throwable): Boolean = e match {
+    case _: NoSuchFileException => true
+    case u: java.io.UncheckedIOException =>
+      u.getCause.isInstanceOf[NoSuchFileException]
+    case _ => false
   }
+
+  private def countFiles(p: Path): Long =
+    try {
+      val entries = Files.walk(p)
+      try entries.toArray.map(_.asInstanceOf[Path])
+        .count(Files.isRegularFile(_)).toLong
+      finally entries.close()
+    } catch {
+      // a concurrently vanishing entry counts as zero files — the ledger
+      // then under-reports reclaimed files rather than the vacuum dying
+      case e if isVanished(e) => 0L
+    }
 
   /** Aged iff the NEWEST mtime anywhere in the tree is past the gate:
     * a long-running concurrent staging write keeps landing fresh part
@@ -167,7 +184,11 @@ object Staging {
         }.foldLeft(0L)(math.max)
         finally walk.close()
       newest < System.currentTimeMillis() - VACUUM_DEBRIS_MIN_AGE_MS
-    } catch { case _: NoSuchFileException => false }
+    } catch {
+      // an entry vanishing mid-walk is a live concurrent writer — treat
+      // as not-aged (skip), never as a crash
+      case e if isVanished(e) => false
+    }
 
   /** Retire THIS fixture's superseded staged generations under the given
     * staging roots — the on-demand maintenance twin of [[sweepStaleKeys]]
@@ -184,7 +205,16 @@ object Staging {
     * [[VACUUM_DEBRIS_MIN_AGE_MS]] — young debris may be a live
     * concurrent write. Returns one ledger row per root, with post-state
     * counts re-listed AFTER the pass (the deterministic contract:
-    * exactly one live generation, zero stale, zero aged debris). */
+    * exactly one live generation, zero stale, zero aged debris).
+    *
+    * CONCURRENCY CONTRACT (r20 ADVICE): single vacuum per tree at a
+    * time. Vanishing entries from concurrent STAGING writers are
+    * tolerated (the guarded walks above), but two simultaneous
+    * layout_vacuum runs on one tree are not coordinated — one JVM's
+    * post-state re-list can observe the other's in-flight work and
+    * break the deterministic ledger. This matches ensureDir's staging
+    * protocol, which serializes publication per key but has no
+    * cross-JVM story for maintenance passes. */
   private[graft] def vacuumFixture(fixtureDir: String,
       roots: Seq[String]): Seq[VacuumStat] = {
     val base = Paths.get(fixtureDir).getFileName.toString
@@ -202,24 +232,31 @@ object Staging {
             .filter(_ >= 0).min, n.length))).isDefined
     def classify(rootPath: Path): (Seq[Path], Seq[Path], Seq[Path]) = {
       if (!Files.isDirectory(rootPath)) return (Nil, Nil, Nil)
-      val entries = Files.list(rootPath)
       val kids =
-        try entries.toArray.map(_.asInstanceOf[Path]).toSeq
-        finally entries.close()
+        try {
+          val entries = Files.list(rootPath)
+          try entries.toArray.map(_.asInstanceOf[Path]).toSeq
+          finally entries.close()
+        } catch { case e if isVanished(e) => Nil }
       val live = kids.filter(k =>
         keyedFp(k.getFileName.toString).contains(fp))
       val stale = kids.filter { k =>
         val f = keyedFp(k.getFileName.toString); f.isDefined && !f.contains(fp)
       }
       // aged debris: owned at the root level; ANY `.tmp-`/`.stale-` name
-      // inside the live generation (ownership established by the parent)
+      // inside the live generation (ownership established by the parent).
+      // Each walk guards the vanished-mid-traversal case independently —
+      // a concurrent publisher renaming its tmp away must skip that
+      // entry, not kill the vacuum (r20 ADVICE).
       val debris = kids.filter(k => ownedDebris(k.getFileName.toString)) ++
         live.flatMap { l =>
-          val walk = Files.walk(l)
-          try walk.toArray.map(_.asInstanceOf[Path])
-            .filter(p => p != l && isDebrisName(p.getFileName.toString))
-            .toSeq
-          finally walk.close()
+          try {
+            val walk = Files.walk(l)
+            try walk.toArray.map(_.asInstanceOf[Path])
+              .filter(p => p != l && isDebrisName(p.getFileName.toString))
+              .toSeq
+            finally walk.close()
+          } catch { case e if isVanished(e) => Nil }
         }
       (live, stale, debris.filter(olderThanGate))
     }

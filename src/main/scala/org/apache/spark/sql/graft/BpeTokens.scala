@@ -49,6 +49,17 @@ case class BpeTokens(child: Expression, pats: IndexedSeq[String],
   @transient private lazy val patsArr: Array[String] = pats.toArray
   @transient private lazy val subsArr: Array[String] = subs.toArray
 
+  /** Per-distinct-pre-token memo (r21 optimization): pre-tokens are
+    * Zipf-distributed, so the merge fold recomputes the same answer for
+    * " the" millions of times \u2014 cache the pure token\u2192count function
+    * instead. Concurrent (local mode shares the expression instance
+    * across task threads) and CAPPED so a pathological vocabulary can
+    * never grow driver/executor state unboundedly: past the cap the
+    * fold just runs uncached, bit-identical either way. */
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val MEMO_CAP = 1 << 16
+
   /** One pass per pre-token; public because generated code calls it. */
   def compute(arr: ArrayData): Int = {
     var total = 0
@@ -56,13 +67,20 @@ case class BpeTokens(child: Expression, pats: IndexedSeq[String],
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        var t = arr.getUTF8String(i).toString.replace(' ', '\u0120')
-        var j = 0
-        while (j < patsArr.length) {
-          t = t.replace(patsArr(j), subsArr(j))
-          j += 1
+        val raw = arr.getUTF8String(i).toString
+        val cached = memo.get(raw)
+        if (cached != null) total += cached.intValue
+        else {
+          var t = raw.replace(' ', '\u0120')
+          var j = 0
+          while (j < patsArr.length) {
+            t = t.replace(patsArr(j), subsArr(j))
+            j += 1
+          }
+          val c = t.codePointCount(0, t.length)
+          if (memo.size < MEMO_CAP) memo.put(raw, Integer.valueOf(c))
+          total += c
         }
-        total += t.codePointCount(0, t.length)
       }
       i += 1
     }

@@ -242,12 +242,12 @@ class PlanSpec extends SparkSpec {
     import graft.operators.RelationalOps
     // run the raw plan under the scoped thresholds and read the FINAL
     // adaptive plan (AQE decisions only exist post-execution)
-    val df = RelationalOps.withSkewAqeConfs(spark) {
-      val q = RelationalOps.skewAqeJoin(spark, sf)
-      q.collect()
-      q
+    var q: org.apache.spark.sql.DataFrame = null
+    RelationalOps.withSkewAqeConfs(spark) {
+      q = RelationalOps.skewAqeJoin(spark, sf)
+      q // the helper's eager localCheckpoint executes it in-scope
     }
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("isFinalPlan=true"), "adaptive plan not finalized")
     assert(plan.contains("SortMergeJoin(skew=true)"),
       s"OptimizeSkewedJoin did not fire:\n$plan")

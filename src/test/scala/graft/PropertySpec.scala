@@ -231,15 +231,26 @@ class PropertySpec extends SparkSpec {
     val got = DedupOps.componentsOf(edges.toDF("doc_a", "doc_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === truth)
+    // BOTH control planes must reach the same fixed point: the r21
+    // adaptive split routes every in-cap graph (all fixtures) through
+    // driver union-find, so the distributed label-propagation fallback
+    // is driven explicitly here or nothing would cover it
+    val gotDist = DedupOps.componentsOfDistributed(
+        edges.toDF("doc_a", "doc_b").localCheckpoint())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotDist === truth)
   }
 
   test("componentsOf fails loudly instead of emitting a partial labeling") {
-    // the iteration cap is a safety rail: a run that hits it must throw,
-    // never return half-propagated cluster labels as if converged
+    // the iteration cap is a safety rail: a distributed run that hits it
+    // must throw, never return half-propagated cluster labels as if
+    // converged (driven on the distributed plane directly — the driver
+    // union-find plane always converges, so the rail lives there alone)
     val longPath = (0 until 40).map(i => (i.toLong, (i + 1).toLong))
       .toDF("doc_a", "doc_b")
     val e = intercept[IllegalArgumentException] {
-      DedupOps.componentsOf(longPath, maxIter = 2).collect()
+      DedupOps.componentsOfDistributed(longPath.localCheckpoint(),
+        maxIter = 2).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
