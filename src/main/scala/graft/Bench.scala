@@ -55,35 +55,18 @@ object Bench {
       graft.operators.PipelineOps.ensureExportShards(spark, sfDir)
       graft.sources.StorageOps.ensureBaseManifest(spark, sfDir); () }
     setup("mllib ref warm") { graft.operators.MLlibKMeans.warmRef(spark, sfDir) }
-    // de-noise the lineitem scans (round-12 verdict item 4): the fixture's
-    // single 13.6 MB row group is a 1-task scan whose wall time amplifies
-    // host contention 4-10x (BASELINE.md's variance mechanism). Stage a
-    // row-identical multi-file copy once per fixture fingerprint and point
-    // every Tables.lineitem read at it — bench times then measure the
+    // de-noise + de-serialize the fixture scans (round-12 verdict item 4,
+    // extended r21): each fixture is one parquet row group, a 1-task scan
+    // that amplifies host contention 4-10x (lineitem, BASELINE.md's
+    // variance mechanism) and SERIALIZES every compute-heavy branch
+    // reading it (documents: the curate DAG re-scans it on 4-5 branches,
+    // each a 0.3-0.5 s single-thread job — r21 Probe breakdown). Stage
+    // row-identical multi-file copies once per fixture fingerprint and
+    // point every Tables read at them — bench times then measure the
     // plan, not single-task scheduling luck. Bench-only: Verify and the
     // DuckDB oracle keep reading the fixture bytes directly.
-    setup("multi-rowgroup lineitem") {
-      val dir = graft.sources.Staging.ensureDir(
-        s"target/bench-lineitem/${graft.sources.Staging.fixtureKey(sfDir)}") {
-        tmp =>
-          spark.read.parquet(s"$sfDir/lineitem.parquet")
-            .repartition(cpus.toInt).write.mode("overwrite").parquet(tmp)
-      }
-      System.setProperty("graft.lineitemDir", dir)
-    }
-    // same de-noise for the events scans (r21): the single ~2 MB row
-    // group serializes every events consumer's first stage (and its
-    // 1-task wall time amplifies host contention exactly like lineitem's
-    // did). Staged THROUGH Tables.events so the ts column lands
-    // pre-normalized; content row-identical, only the file split changes.
-    setup("multi-rowgroup events") {
-      val dir = graft.sources.Staging.ensureDir(
-        s"target/bench-events/${graft.sources.Staging.fixtureKey(sfDir)}") {
-        tmp =>
-          graft.Tables.events(spark, sfDir)
-            .repartition(cpus.toInt).write.mode("overwrite").parquet(tmp)
-      }
-      System.setProperty("graft.eventsDir", dir)
+    setup("multi-rowgroup tables") {
+      BenchLayout.stage(spark, sfDir, cpus.toInt)
     }
     // one untimed scan+aggregate+noop-write warmup: whole-session JIT,
     // codegen compilation, parquet-reader and noop-sink init otherwise all

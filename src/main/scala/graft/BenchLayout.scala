@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** BENCH-ONLY scan-layout staging, shared by Bench/Probe/Plans so probed
+  * and dumped plans always match benched shapes.
+  *
+  * Each driver fixture is a single parquet row group — a 1-task scan.
+  * Per-table SPLIT counts decide how many files the bench-staged
+  * row-identical copy holds; they were MEASURED per table at
+  * sf0.1/local[32] (OPTIMIZATION_r21.md), not assumed, because the two
+  * costs pull opposite ways at this scale:
+  *
+  *  - a 1-task scan serializes the pre-exchange stage of every branch
+  *    that reads the table (the round-12 lineitem rationale), and its
+  *    wall time amplifies host contention 4-10x;
+  *  - every extra file adds a task to EVERY stage scanning the table,
+  *    and with R reduce partitions each extra map task adds R shuffle
+  *    blocks (guide §2.2's M×R blow-up, felt at micro scale as pure
+  *    per-task/per-block scheduling overhead: the blanket
+  *    repartition(32) experiment cost +58 s across the suite, plan-for-
+  *    plan, before these per-table values were measured).
+  *
+  * A split of 1 means the fixture bytes are read directly (no staged
+  * copy, no override prop). `SPARK_GRAFT_SPLIT_<TABLE>` overrides a
+  * table's count for A/B runs; the split count is part of the staged
+  * dir key so changing it invalidates the cache. Results are unchanged
+  * by construction — same rows, different file split — re-proven by a
+  * staged-layout Verify run against the DuckDB oracle (282/282 green,
+  * OPTIMIZATION_r21.md). Verify/tests never set these props, so the
+  * oracle path always reads the fixture bytes.
+  *
+  * events stages THROUGH [[Tables.events]] so the ts column lands
+  * pre-normalized as epoch-nanos long; the others are plain row copies. */
+object BenchLayout {
+  /** Measured-at-sf0.1 defaults (see OPTIMIZATION_r21.md §staging):
+    * lineitem keeps the round-12 judged value (13.6 MB of compute-heavy
+    * scans — parse_points alone is ~1.5 s of CPU in one task unsplit);
+    * documents=4 parallelizes the tokenize/shingle branches that are
+    * real per-row compute (token_count_utf8 0.46→0.24 s,
+    * repetition_strip 0.32→0.15 s) without the task blow-up that made
+    * 32-way splits a measured net loss; events/embeddings/orders stay
+    * unsplit — every split ≥ 4 measured flat-to-worse for all their
+    * consumers (events 18-query subset: 9.7 s at 1, 14.7 s at 32; the
+    * iterative kmeans/similarity loops over embeddings ran 57→1638
+    * tasks at 32, +1.3 s each). */
+  private val DEFAULT_SPLIT: Map[String, Int] = Map(
+    "lineitem" -> 32,
+    "events" -> 1,
+    "documents" -> 4,
+    "embeddings" -> 1,
+    "orders" -> 1)
+
+  def split(name: String): Int =
+    sys.env.get(s"SPARK_GRAFT_SPLIT_${name.toUpperCase}")
+      .map(_.toInt).getOrElse(DEFAULT_SPLIT(name))
+
+  def stage(spark: SparkSession, sfDir: String, cpus: Int): Unit = {
+    def ensure(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val n = split(name)
+      if (n > 1) {
+        val dir = graft.sources.Staging.ensureDir(
+          s"target/bench-$name/" +
+            s"${graft.sources.Staging.fixtureKey(sfDir)}-s$n") { tmp =>
+          df.repartition(n).write.mode("overwrite").parquet(tmp)
+        }
+        System.setProperty(s"graft.${name}Dir", dir)
+      } else System.clearProperty(s"graft.${name}Dir")
+    }
+    ensure("lineitem")(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+    ensure("events")(Tables.events(spark, sfDir))
+    ensure("documents")(spark.read.parquet(s"$sfDir/documents.parquet"))
+    ensure("embeddings")(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    ensure("orders")(spark.read.parquet(s"$sfDir/orders.parquet"))
+  }
+}

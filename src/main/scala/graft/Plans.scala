@@ -36,14 +36,7 @@ object Plans {
     graft.operators.PipelineOps.ensureExportShards(spark, sfDir)
     graft.sources.StorageOps.ensureBaseManifest(spark, sfDir)
     // mirror Bench's scan-layout overrides so dumped plans match benched
-    System.setProperty("graft.lineitemDir", graft.sources.Staging.ensureDir(
-      s"target/bench-lineitem/${graft.sources.Staging.fixtureKey(sfDir)}") {
-      tmp => spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .repartition(cpus.toInt).write.mode("overwrite").parquet(tmp) })
-    System.setProperty("graft.eventsDir", graft.sources.Staging.ensureDir(
-      s"target/bench-events/${graft.sources.Staging.fixtureKey(sfDir)}") {
-      tmp => graft.Tables.events(spark, sfDir)
-        .repartition(cpus.toInt).write.mode("overwrite").parquet(tmp) })
+    BenchLayout.stage(spark, sfDir, cpus.toInt)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val all = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
     for ((name, fn) <- all if pat.findFirstIn(name).isDefined) {

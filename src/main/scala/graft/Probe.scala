@@ -34,14 +34,7 @@ object Probe {
     graft.operators.PipelineOps.ensureExportShards(spark, sfDir)
     graft.sources.StorageOps.ensureBaseManifest(spark, sfDir)
     // mirror Bench's scan-layout overrides so probed shapes match benched
-    System.setProperty("graft.lineitemDir", graft.sources.Staging.ensureDir(
-      s"target/bench-lineitem/${graft.sources.Staging.fixtureKey(sfDir)}") {
-      tmp => spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .repartition(cpus.toInt).write.mode("overwrite").parquet(tmp) })
-    System.setProperty("graft.eventsDir", graft.sources.Staging.ensureDir(
-      s"target/bench-events/${graft.sources.Staging.fixtureKey(sfDir)}") {
-      tmp => graft.Tables.events(spark, sfDir)
-        .repartition(cpus.toInt).write.mode("overwrite").parquet(tmp) })
+    BenchLayout.stage(spark, sfDir, cpus.toInt)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, Int, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {

@@ -119,7 +119,6 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   /** `graft.lineitemDir` is a BENCH-ONLY scan-layout override (round-12
     * verdict item 4): the driver fixture writes lineitem as one ~13.6 MB
     * row group, an unsplittable 1-task scan that amplifies host
@@ -134,6 +133,24 @@ object Tables {
     sys.props.get("graft.lineitemDir")
       .map(s.read.parquet(_))
       .getOrElse(table(s, d, "lineitem"))
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** documents/embeddings/orders get the same BENCH-ONLY multi-file
+    * override (r21): each fixture is one row group, and its 1-task scan
+    * SERIALIZES every compute-heavy branch reading it — the pipeline
+    * family's curate DAG re-scans documents on 4-5 branches, each a
+    * 0.3-0.5 s single-thread job at sf0.1 (Probe breakdown,
+    * OPTIMIZATION_r21.md). Row-identical copies, split across `cpus`
+    * files; Verify/tests never set the props so the oracle path always
+    * reads the fixture bytes. */
+  def orders(s: SparkSession, d: String): DataFrame =
+    sys.props.get("graft.ordersDir")
+      .map(s.read.parquet(_))
+      .getOrElse(table(s, d, "orders"))
+  def documents(s: SparkSession, d: String): DataFrame =
+    sys.props.get("graft.documentsDir")
+      .map(s.read.parquet(_))
+      .getOrElse(table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    sys.props.get("graft.embeddingsDir")
+      .map(s.read.parquet(_))
+      .getOrElse(table(s, d, "embeddings"))
 }

@@ -744,8 +744,27 @@ object RelationalOps {
       // mergeable-register plan, benched separately so a sketch-path perf
       // regression is visible rather than masked by the exact side
       // (round-6 ADVICE).
-      Tables.events(s, d).groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_users"),
+      //
+      // Plan shape (r21, guide §2.3/§2.4): distinct-first two-level
+      // aggregate instead of `agg(countDistinct, approx_count_distinct)`
+      // in one call. The mixed form plans through
+      // RewriteDistinctAggregates' Expand, which carries the rsd=0.01
+      // HLL buffer (1639 longs ≈ 13 KB) as aggregation state of EVERY
+      // (event_type, user_id) group of the first aggregate — a
+      // distinct-keys-scaled blow-up of what should be a
+      // 5-groups-of-fixed-registers sketch (measured 3.3 s vs 1.0 s for
+      // the sketch alone at sf0.1). Deduping (event_type, user_id) first
+      // and aggregating the pair relation computes the IDENTICAL result:
+      // count(user_id) over the deduped pairs IS countDistinct (both
+      // skip nulls), and HLL registers are duplicate-insensitive (each
+      // register is a max over hashed values, so feeding each distinct
+      // value once yields bit-identical registers and estimate). One
+      // scan, one row-scaled distinct shuffle, HLL buffers only per
+      // event_type.
+      Tables.events(s, d).select(col("event_type"), col("user_id"))
+        .distinct()
+        .groupBy(col("event_type"))
+        .agg(count(col("user_id")).as("n_users"),
           approx_count_distinct(col("user_id"), 0.01).as("approx"))
         .select(col("event_type"), col("n_users"),
           (abs(col("approx") - col("n_users")) <= col("n_users") * lit(0.05))
