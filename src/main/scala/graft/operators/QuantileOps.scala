@@ -61,11 +61,21 @@ object QuantileOps {
     * percentile in `ps`, `n` (group count) — raw doubles; callers apply
     * their own rounding discipline (rIeee) on top. */
   private[graft] def exactPercentiles(df: DataFrame, groupCol: String,
-      valCol: String, ps: Seq[(String, Double)]): DataFrame = {
-    val spark = df.sparkSession
+      valCol: String, ps: Seq[(String, Double)]): DataFrame =
+    exactPercentilesOn(
+      rangedByGroupValue(df, groupCol, valCol).localCheckpoint(),
+      groupCol, ps)
+
+  /** The percentile computation over an ALREADY-RANGED-AND-PINNED (g, v)
+    * run — split from [[exactPercentiles]] (r21) so a caller that needs
+    * BOTH the exact cuts and another aggregate over the same rows
+    * (approx_percentile_agg's sketch side) can share one scan + one
+    * range exchange instead of re-reading the table per consumer. */
+  private[graft] def exactPercentilesOn(ranged: DataFrame, groupCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val spark = ranged.sparkSession
     import spark.implicits._
 
-    val ranged = rangedByGroupValue(df, groupCol, valCol).localCheckpoint()
     val withPid = ranged.withColumn("pid", spark_partition_id())
 
     // O(P·G) — partitions × groups, never data-scaled

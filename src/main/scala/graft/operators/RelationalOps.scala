@@ -868,19 +868,37 @@ object RelationalOps {
       // inside the 1% gate, so scheduling can't flip the flag.
       //
       // As with approx_distinct, this declared form is the VERIFICATION
-      // artifact (it runs the exact per-group value-buffer percentile
-      // beside the sketch); the production sketch-only projection is
-      // [[benchOnly]]'s `approx_percentile_sketch` (round-6 ADVICE).
+      // artifact (it runs the exact percentile beside the sketch); the
+      // production sketch-only projection is [[benchOnly]]'s
+      // `approx_percentile_sketch` (round-6 ADVICE).
+      //
+      // Plan shape (r21, guide §2.3): the exact side runs through
+      // QuantileOps' range-partitioned distributed sort — the SAME
+      // machinery (same data, same p50/p95 cut points, same
+      // interpolation formula) `percentile_agg` hash-pins against
+      // DuckDB's quantile_cont — instead of the built-in `percentile()`
+      // value-buffer aggregate, whose partial buffers shipped every
+      // value through the exchange as serialized agg state (18.6 MB
+      // shuffle vs the ranged sort's 5.3 MB for the identical rows) and
+      // funneled each group into one reducer (QuantileOps' header: the
+      // steepest scaler in BASELINE.md). The SKETCH side aggregates the
+      // SAME ranged checkpoint — one scan, one exchange for both sides;
+      // sketch merge order is partition-dependent in the last ulp
+      // exactly as it was under the old plan's scan partitioning, and
+      // the measured error is 12× inside the 1% gate, so the flag
+      // cannot flip. The two G-row relations meet in a broadcast join.
+      // The within-1% flag compares the sketch against the raw exact
+      // double — formula-identical to Percentile's (pos = p·(n−1),
+      // linear interpolation).
       import graft.functions.VectorOps.rIeee
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_extendedprice"), lit(0.5)).as("e50"),
-          percentile(col("l_extendedprice"), lit(0.95)).as("e95"),
-          percentile_approx(col("l_extendedprice"), lit(0.5),
-            lit(10000)).as("a50"),
-          percentile_approx(col("l_extendedprice"), lit(0.95),
-            lit(10000)).as("a95"),
-          count(lit(1)).as("n"))
+      val ranged = QuantileOps.rangedByGroupValue(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice").localCheckpoint()
+      val exact = QuantileOps.exactPercentilesOn(ranged,
+        "l_returnflag", Seq("e50" -> 0.5, "e95" -> 0.95))
+      val sketch = ranged.groupBy(col("g").as("l_returnflag"))
+        .agg(percentile_approx(col("v"), lit(0.5), lit(10000)).as("a50"),
+          percentile_approx(col("v"), lit(0.95), lit(10000)).as("a95"))
+      exact.join(sketch, Seq("l_returnflag"))
         .select(col("l_returnflag"),
           rIeee(col("e50"), 4).as("p50"), rIeee(col("e95"), 4).as("p95"),
           (abs(col("a50") - col("e50")) <= col("e50") * lit(0.01) &&
