@@ -19,6 +19,22 @@ object Bench {
       // suite, measured). A long-lived production driver running a
       // recurring query set would size this the same way.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // data-derived reduce parallelism (guide §2.2): with the default
+      // parallelismFirst=true, AQE coalesces post-shuffle partitions only
+      // down to the core count, so every reduce stage inherits cpus-many
+      // near-empty tasks whatever the data volume — the round-21 scaling
+      // block measured the FULL SUITE faster at 8 cores than 32 purely on
+      // that per-task fixed cost. parallelismFirst=false makes AQE honor
+      // the advisory target size instead, so reduce partition counts are
+      // a function of measured shuffle bytes — the same sizing rule that
+      // governs last-stage aggregates at 100 TB (a 6.4 TB shuffle still
+      // fans out to ~100k partitions at the 64 MB default; a 100 KB one
+      // no longer pays 32 empty tasks). Advisory size is env-overridable
+      // so cluster runs can tune bytes-per-task without a rebuild.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one-time layout ETL (bucketed tables, the IVF index), fixture

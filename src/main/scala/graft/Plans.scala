@@ -25,6 +25,11 @@ object Plans {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // mirror Bench's data-derived AQE partition sizing (guide §2.2)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the same one-time layout ETL Bench runs, so index/bucket-riding

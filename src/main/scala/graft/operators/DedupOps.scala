@@ -634,22 +634,29 @@ object DedupOps {
     * inside the scan-side projection. Docs with <L words carry no
     * windows and drop out (no spans to audit). */
   private[graft] def substringAudit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wins = spread(docs)
       .select(col("doc_id"), explode(
         org.apache.spark.sql.graft.WordShingles.all(col("text"), SUBSTR_L))
         .as("win"))
       .select(col("doc_id"), h60(col("win")).as("h"))
-      .localCheckpoint()
-    // dup has DISTINCT h (a groupBy key), so the left join marks rather
-    // than fans out, and ONE per-doc aggregate carries both counts — the
-    // oracle's own shape, one shuffle cheaper than separate total/dup
-    // aggregates reconciled by a doc_id join
-    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .where(col("c") > 1).select(col("h"), lit(1L).as("d"))
-    wins.join(dup, Seq("h"), "left")
+    // global per-hash occurrence count as ONE unordered window over the
+    // h exchange (r22, guide §2.4): the previous shape (checkpoint the
+    // hash rows, aggregate the dup set, left-join it back by h) read the
+    // checkpointed explode output twice and paid a second h-keyed
+    // exchange for the join; the window computes the same global count
+    // on the single h exchange the join needed anyway — the explode
+    // output is consumed once, no checkpoint job, one branch. Skew
+    // exposure is unchanged: a hot boilerplate hash landed in one
+    // sort-merge-join partition before and lands in one window partition
+    // now. A window whose h-count > 1 is a duplicated span — identical
+    // to the dup-set mark, and the per-doc aggregate is byte-identical.
+    val dupWin = Window.partitionBy(col("h"))
+    wins
+      .withColumn("c", count(lit(1)).over(dupWin))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(coalesce(col("d"), lit(0L))).as("n_dup_spans"))
+        count(when(col("c") > 1, 1)).as("n_dup_spans"))
   }
 
   /** The substring-removal core (see the `dedup_substring_apply` query):
@@ -704,10 +711,16 @@ object DedupOps {
       .select(col("doc_id"), posexplode(
         org.apache.spark.sql.graft.WordShingles.all(col("text"), SUBSTR_L)))
       .select(col("doc_id"), col("pos"), h60(col("col")).as("h"))
-      .localCheckpoint()
-    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .where(col("c") > 1).select(col("h"))
-    val ds = wins.join(dup, Seq("h"), "left_semi")
+    // duplicated-window starts via ONE unordered window over the h
+    // exchange (substringAudit's r22 restructure): the global per-hash
+    // count replaces the checkpoint + dup-set aggregate + semi-join —
+    // the explode output is consumed once and the semi-join's h exchange
+    // becomes the window's, so the whole candidate pass is one shuffle
+    // shorter. count > 1 ⇔ the semi-join's membership test.
+    val ds = wins
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .where(col("c") > 1)
       .select(col("doc_id"), col("pos"),
         lit(null).cast("string").as("w"), lit(1).as("ds"))
     // covered(p) ⇔ max(ds) over positions [p-L+1, p] is 1: a RANGE frame

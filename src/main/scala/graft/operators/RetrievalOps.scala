@@ -83,9 +83,18 @@ object RetrievalOps {
 
   /** BM25 (k1 = 1.2, b = 0.75, Lucene-style idf = log2(1 + (N−df+0.5)
     * /(df+0.5)) via Mitchell log2 on a 2^20-scaled integer argument)
-    * aggregated per (qid, doc) as an integer-micros sum. */
+    * aggregated per (qid, doc) as an integer-micros sum.
+    *
+    * The posting extraction is PINNED (rank_fusion/retrieval_eval's
+    * convention): [[bm25ScoredFrom]] consumes `tm` twice (the df pass
+    * and the score pass) and per-branch column pruning makes the two
+    * subtree exchanges non-identical, so ReuseExchange cannot dedupe
+    * them — unpinned, the corpus explode+aggregate ran TWICE per query
+    * (r22 Probe: two ~1 s jobs of 64 explode tasks each in bm25_topk).
+    * The pinned relation is query-term matches only — bounded, never
+    * corpus-scaled. */
   private[graft] def bm25Scored(docs: DataFrame): DataFrame =
-    bm25ScoredFrom(termMatches(docs), corpusStats(docs))
+    bm25ScoredFrom(termMatches(docs).localCheckpoint(), corpusStats(docs))
 
   /** BM25 scoring from an already-extracted posting relation — factored
     * so `rank_fusion` can share ONE [[termMatches]] pass (and its

@@ -3143,9 +3143,14 @@ object TextOps {
       val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w")).limit(V).select(col("w"))
       // pinned: ≤ V narrow rows per doc, reused by the pair self-join
-      // (both sides) and the marginal counts
-      val td = tok.select(col("doc_id"), col("w")).distinct()
-        .join(broadcast(vocab), Seq("w")).localCheckpoint()
+      // (both sides) and the marginal counts. The broadcast vocab filter
+      // runs BEFORE the distinct (r22, guide §2.3): the exchange then
+      // carries only top-V tokens instead of the full per-doc vocabulary
+      // — Catalyst cannot push a join below an aggregate itself, and
+      // filter-then-distinct ≡ distinct-then-filter when the filter is a
+      // pure function of the distinct key.
+      val td = tok.join(broadcast(vocab), Seq("w"))
+        .select(col("doc_id"), col("w")).distinct().localCheckpoint()
       val ca = td.groupBy(col("w")).agg(count(lit(1)).as("n"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val pairs = td.select(col("doc_id"), col("w").as("term_a"))

@@ -575,15 +575,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("composed pipelines keep their stages' plan shapes") {
-    // the substring stage's three joins are the only legitimate
-    // sort-merge shapes in the pipelines — all narrow (id, count-ish)
-    // relations the audit shuffles by design: wins⋈dup on the window
-    // hash (LeftOuter), apply's id⋈audit (LeftOuter), and the survivor
-    // keep semi-join (LeftSemi). Pinned as an EXACT multiset of
-    // (key, join type), not a key whitelist: a corpus-text handoff
-    // regressing from broadcast to sort-merge would ride doc_id too (the
-    // round-5 failure mode — text riding a join), but it would appear as
-    // an ADDITIONAL SortMergeJoin and fail the multiset compare.
+    // the substring stage's two joins are the only legitimate
+    // sort-merge shapes in the pipelines — both narrow (id, count-ish)
+    // relations the audit shuffles by design: apply's id⋈audit
+    // (LeftOuter) and the survivor keep semi-join (LeftSemi). (The
+    // audit's former wins⋈dup LeftOuter on the window hash became an
+    // unordered count window over the same h exchange in r22 — one
+    // consumer of the explode output instead of two.) Pinned as an
+    // EXACT multiset of (key, join type), not a key whitelist: a
+    // corpus-text handoff regressing from broadcast to sort-merge would
+    // ride doc_id too (the round-5 failure mode — text riding a join),
+    // but it would appear as an ADDITIONAL SortMergeJoin and fail the
+    // multiset compare.
     val smjRe = """SortMergeJoin \[([a-zA-Z_]+)#\d+L?\].*?, (\w+)\s*$""".r.unanchored
     def smjShapes(plan: String): Seq[(String, String)] = plan.split("\n")
       .toSeq.filter(_.contains("SortMergeJoin"))
@@ -594,7 +597,7 @@ class PlanSpec extends SparkSpec {
         }
       }
     val expected =
-      Seq(("h", "LeftOuter"), ("doc_id", "LeftOuter"), ("doc_id", "LeftSemi"))
+      Seq(("doc_id", "LeftOuter"), ("doc_id", "LeftSemi"))
     val pc = executed("pipeline_curate")
     assert(smjShapes(pc).sorted == expected.sorted &&
         !pc.contains("CartesianProduct"),
