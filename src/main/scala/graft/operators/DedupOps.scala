@@ -73,8 +73,34 @@ object DedupOps {
     * explode concentrates all generator work (and its memory) on the scan
     * tasks; at 100 TB this bounds per-task fan-out, and on the local harness
     * it breaks the one-small-parquet-file = one-task serialization. */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
+  def spread(df: DataFrame): DataFrame = spreadBy(df, col("doc_id"))
+
+  /** [[spreadBy]] only when the input is under-parallel (the single-file
+    * small-fixture scans) — an already-parallel scan feeds the consumer
+    * directly, so at scale (data-sized scan partitioning) this is the
+    * identity and the corpus is never repartitioned. r22: the explode →
+    * map-side-combined-aggregate passes all measured FASTER without any
+    * repartition once the bench scan layout carries >1 split, so only
+    * the genuinely compute-dense explodes (per-character entropy, the
+    * HOF bigram walk) still opt into this conditional form. */
+  def spreadNarrow(df: DataFrame, key: Column): DataFrame =
+    if (df.rdd.getNumPartitions <
+        df.sparkSession.sparkContext.defaultParallelism) spreadBy(df, key)
+    else df
+
+  /** [[spread]] with an explicit distribution key, for relations without
+    * a doc_id column (the BPE regex corpus). HASH partitioning, not the
+    * historical keyless round-robin: a keyless `repartition(n)` first
+    * locally sorts its whole input so retried tasks reproduce the same
+    * row→partition assignment (spark.sql.execution.sortBeforeRepartition,
+    * guide §2.5) — measured at 2.5× the cost of the hash exchange on the
+    * sf0.1 corpus (r22: 0.81 s vs 0.34 s for the same signature pass).
+    * Hashing a real key is deterministic without the sort, and ×1
+    * parallelism replaces the old ×2 (the explode consumers are one
+    * codegen pass per row; two waves of half-sized tasks just doubled
+    * the per-task fixed cost — r22 A/B: 64-way 0.34 s, 32-way 0.23 s). */
+  def spreadBy(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 
   /** Distinct word 3-gram shingles straight from the text column, via the
     * native one-pass [[org.apache.spark.sql.graft.WordShingles]]
@@ -144,7 +170,7 @@ object DedupOps {
     * single codegen'd HashAggregate with map-side combine. Docs with no
     * shingles (<3 words) drop out, which is the right dedup semantics. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = spread(docs)
+    val sh = docs
       .select(col("doc_id"), explode(shinglesOf(col("text"))).as("sh"))
       .select(col("doc_id"), pmod(h60(col("sh")), lit(M)).as("h"))
     val mins = (0 until MINHASH_PERMS).map(j =>
@@ -297,7 +323,7 @@ object DedupOps {
     * shuffle at 21 longs × docs — the dominant shuffle of the dedup
     * family, 3× narrower than the unpacked form at any scale. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val tok = spread(docs)
+    val tok = docs
       .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
       .select(col("doc_id"), h60(col("w")).as("h"))
     val packedSums = (0 until PACKED_SUMS).map { s =>
@@ -423,19 +449,36 @@ object DedupOps {
     // the two planes are schema-identical (plan-only, nothing executes)
     val outType = pairs.select(col("doc_a"))
       .union(pairs.select(col("doc_b"))).schema.head.dataType
+    // driver-plane admission is gated on INTEGRAL id dtypes (r22,
+    // round-21 verdict item 7): the probe casts ids to long and reads
+    // them with getLong, so a non-numeric id type (string doc ids from a
+    // future caller) would cast to null and NPE instead of computing —
+    // the distributed plane handles any id type, so such a graph routes
+    // there no matter its size. Every current caller is long-keyed.
+    val integralIds = Seq("doc_a", "doc_b").forall { n =>
+      pairs.schema(n).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    }
     // ONE probe action serves both the empty-graph early exit and the
     // driver-plane admission (the former take(1) + take(cap+1) pair was
     // two sequential jobs per caller)
-    val head = pairs
-      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .take(COMPONENTS_DRIVER_EDGE_CAP + 1)
+    val head =
+      if (integralIds) pairs
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .take(COMPONENTS_DRIVER_EDGE_CAP + 1)
+      else pairs.select(col("doc_a"), col("doc_b")).take(1)
     // an empty pair graph has an empty labeling (and the sum-of-labels
     // convergence probe of the distributed plane would read a null
     // aggregate) — exit early
     if (head.isEmpty)
       return pairs.select(col("doc_a").as("doc_id"),
         col("doc_b").as("cluster_rep"))
-    if (head.length <= COMPONENTS_DRIVER_EDGE_CAP) {
+    if (integralIds && head.length <= COMPONENTS_DRIVER_EDGE_CAP) {
       val idx = new java.util.HashMap[java.lang.Long, Integer]()
       val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
       val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -493,7 +536,6 @@ object DedupOps {
       .localCheckpoint()
     var labels = edges.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    var lblSum = labels.agg(sum(col("lbl"))).head().getLong(0)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -510,9 +552,14 @@ object DedupOps {
           Seq("lbl"))
         .select(col("id"), col("lbl2").as("lbl"))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
-      converged = nextSum == lblSum
-      lblSum = nextSum
+      // convergence = NO label changed this round — an exact, dtype-
+      // agnostic probe (r22: the former integer label-sum compare
+      // assumed numeric ids, which is why this plane could not actually
+      // serve as componentsOf's any-type fallback). take(1) stops at the
+      // first changed row; both sides of the probe join are pinned.
+      converged = next
+        .join(labels.select(col("id"), col("lbl").as("plbl")), Seq("id"))
+        .where(col("lbl") =!= col("plbl")).take(1).isEmpty
       labels = next
       it += 1
     }
@@ -560,7 +607,7 @@ object DedupOps {
       evalDocs: DataFrame): DataFrame = {
     val ev = evalDocs
       .select(col("doc_id").as("eval_id"), explode(sh5(col("text"))).as("s"))
-    val train = spread(train0)
+    val train = train0
       .select(col("doc_id"), explode(sh5(col("text"))).as("s"))
     train.join(broadcast(ev), "s")
       .groupBy(col("doc_id"), col("eval_id"))
@@ -635,7 +682,7 @@ object DedupOps {
     * windows and drop out (no spans to audit). */
   private[graft] def substringAudit(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = spread(docs)
+    val wins = docs
       .select(col("doc_id"), explode(
         org.apache.spark.sql.graft.WordShingles.all(col("text"), SUBSTR_L))
         .as("win"))
@@ -703,11 +750,11 @@ object DedupOps {
     // word rows carry ds=0; duplicated-window START rows carry ds=1 at
     // the start's word position. Both use the SAME tokenization, so a
     // start position is always a valid word position.
-    val tok = spread(docs)
+    val tok = docs
       .select(col("doc_id"), posexplode(wordsCol(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("w"),
         lit(0).as("ds"))
-    val wins = spread(docs)
+    val wins = docs
       .select(col("doc_id"), posexplode(
         org.apache.spark.sql.graft.WordShingles.all(col("text"), SUBSTR_L)))
       .select(col("doc_id"), col("pos"), h60(col("col")).as("h"))
@@ -1428,7 +1475,7 @@ object DedupOps {
       // unspread size() projection that serializes on the file task count
       // (measured 13 s vs 1 s at sf0.1 on local[32]).
       val docs = Tables.documents(s, d)
-      val ex = spread(docs).select(col("doc_id"),
+      val ex = docs.select(col("doc_id"),
         explode(shinglesOf(col("text"))).as("s"))
       val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
       val qex = docs.where(col("doc_id") < 10)
@@ -1528,7 +1575,7 @@ object DedupOps {
     val ev = docs.where(col("doc_id") < NEVAL)
       .select(explode(sh5(col("text"))).as("s")).distinct()
     val delta = docs.where(col("doc_id") >= NEVAL && isDelta)
-    val hits = spread(delta)
+    val hits = delta
       .select(col("doc_id"), explode(sh5(col("text"))).as("s"))
       .join(broadcast(ev), "s")
       .select(col("doc_id")).distinct()

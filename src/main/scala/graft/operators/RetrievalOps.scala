@@ -50,7 +50,16 @@ object RetrievalOps {
     val s = docs.sparkSession
     import s.implicits._
     val q = QUERIES.toDF("qid", "term")
-    DedupOps.spread(docs)
+    // no spread (r22): the scan's own partitioning is data-derived
+    // (maxPartitionBytes) and the explode+broadcast-join+aggregate pass
+    // measured equal without the repartition; more importantly a doc_id
+    // hash spread SATISFIES the aggregate's clustering requirement, so
+    // the agg exchange vanishes and the checkpointed postings inherit
+    // the pinned cpus-wide partitioning — every downstream scoring
+    // branch then pays cpus-many near-empty tasks per stage, where the
+    // ENSURE_REQUIREMENTS exchange left here coalesces under AQE to a
+    // data-sized (tiny) partition count for the bounded matched set.
+    docs
       .select(col("doc_id"), wordsCol(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).as("dl"),
         explode(col("w")).as("term"))
@@ -151,7 +160,7 @@ object RetrievalOps {
       marker = "stats/_SUCCESS") { tmp =>
       val base = Tables.documents(s, d)
         .where(VectorOps.unitUniform(col("doc_id")) < 0.7)
-      DedupOps.spread(base)
+      base
         .select(col("doc_id"), wordsCol(col("text")).as("w"))
         .select(col("doc_id"), size(col("w")).as("dl"),
           explode(col("w")).as("term"))
@@ -247,7 +256,7 @@ object RetrievalOps {
       val s2 = org.apache.spark.sql.graft.WordShingles.all(col("text"), 2)
       val s3 = org.apache.spark.sql.graft.WordShingles.all(col("text"), 3)
       val p = { import s.implicits._; PHRASES.toDF("phrase_id", "phrase") }
-      val hits = DedupOps.spread(Tables.documents(s, d))
+      val hits = Tables.documents(s, d)
         .select(col("doc_id"), explode(concat(s2, s3)).as("g"))
         .join(broadcast(p), col("g") === col("phrase"))
         .groupBy(col("phrase_id"), col("phrase"), col("doc_id"))

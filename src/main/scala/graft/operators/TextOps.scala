@@ -544,7 +544,7 @@ object TextOps {
       lmOnTrainSplit: Boolean = false): DataFrame = {
     def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
     val u = graft.functions.VectorOps.unitUniform(col("doc_id"))
-    val tok = DedupOps.spread(Tables.documents(s, d))
+    val tok = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
           .as("split"),
@@ -859,7 +859,7 @@ object TextOps {
     // ONE partition, which would run the only corpus-scale pass here
     // single-task. 1-char words can never contribute a pair in any trip
     // (replace only shortens), so they are dropped up front.
-    val hist = DedupOps.spread(docs0)
+    val hist = DedupOps.spreadNarrow(docs0, col("t"))
       .select(explode(split(col("t"), " ")).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -1233,9 +1233,7 @@ object TextOps {
     * [[regexHistogram]]'s scaladoc for the measured cost of the
     * unconditional form). */
   private[graft] def spreadIfNarrow(s: SparkSession, df: DataFrame): DataFrame =
-    if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-      DedupOps.spread(df)
-    else df
+    DedupOps.spreadNarrow(df, col("t"))
 
   /** The merge loop over a COLLECTED histogram — pure driver memory, zero
     * Spark jobs. This is deliberately a different control plane from
@@ -1500,7 +1498,7 @@ object TextOps {
     import graft.functions.VectorOps.rIeee
     // spread before the ~n_chars× explode: the single-file fixture is one
     // partition, which would run the whole histogram single-task
-    DedupOps.spread(docs)
+    DedupOps.spreadNarrow(docs, col("doc_id"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
         .as("ch"))
@@ -1889,7 +1887,7 @@ object TextOps {
       // combine reduces each partition to its distinct tokens before the
       // shuffle) → TakeOrderedAndProject. The 100 TB shape for vocabulary /
       // stopword-candidate extraction; ties broken lexically.
-      DedupOps.spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(explode(wordsCol(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w")).limit(100)
@@ -1911,7 +1909,7 @@ object TextOps {
       // exact counts. Fixture honesty: the synthetic 31-word vocabulary
       // never overflows capacity, so the decrement path + the ⊇ guarantee
       // are proven on a constructed high-vocab corpus in OperatorSpec.
-      heavyHittersOf(DedupOps.spread(Tables.documents(s, d)),
+      heavyHittersOf(Tables.documents(s, d),
         m = 399, phiDen = 200)
     },
     "filter_report" -> { (s, d) =>
@@ -2494,7 +2492,7 @@ object TextOps {
       // counts are true corpus frequencies, not per-doc-distinct ones.
       // Same 100 TB shape as token_topk: explode → map-side-combined hash
       // agg → TakeOrderedAndProject; ties break lexically.
-      DedupOps.spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(explode(
           org.apache.spark.sql.graft.WordShingles.all(col("text"), 3))
           .as("g"))
@@ -2691,7 +2689,7 @@ object TextOps {
       // unigram-LM bitlength discipline); the only row-scaled work is
       // the one map-side-combined token count — the bucket relation is
       // ≤ 64 rows at any corpus size.
-      DedupOps.spread(Tables.documents(s, d))
+      Tables.documents(s, d)
         .select(explode(wordsCol(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
         .groupBy(length(bin(col("c"))).cast("int").as("freq_bits"))
@@ -2734,7 +2732,7 @@ object TextOps {
       // score join shuffles only that same bounded relation, never raw
       // text; the final per-doc top-3 window partitions by doc_id with
       // per-partition rows bounded by each doc's distinct-token count.
-      val tok = DedupOps.spread(Tables.documents(s, d))
+      val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
       // the tf relation is (docs × per-doc distinct tokens)-bounded and
       // feeds THREE consumers (df, N, the scored join) — materialize it
@@ -3002,7 +3000,7 @@ object TextOps {
       // proven on a constructed hard-vs-typical-domain corpus in
       // OperatorSpec (the lang_id/decontam_semantic disclosure pattern).
       // Core factored ([[domainWeightsOf]]) for exactly that spec.
-      domainWeightsOf(DedupOps.spread(Tables.documents(s, d)))
+      domainWeightsOf(Tables.documents(s, d))
     },
     "pii_redact" -> { (s, d) =>
       // PII scrubbing mechanics (codegen regexp_replace/regexp_count — the
@@ -3067,7 +3065,8 @@ object TextOps {
       // OOV path is exercised under oracle parity.
       import graft.functions.VectorOps.{ilog2, rIeee}
       val M = 64
-      val bg = DedupOps.spread(Tables.documents(s, d))
+      val bg = DedupOps.spreadNarrow(Tables.documents(s, d),
+          col("doc_id"))
         .select(col("doc_id"), wordsCol(col("text")).as("w"))
         .where(size(col("w")) >= 2) // Spark sequence(1,0) DESCENDS
         .select(col("doc_id"), explode(expr(
@@ -3107,7 +3106,7 @@ object TextOps {
       // O(languages), so the final shuffle is O(1) rows per partition.
       import graft.functions.VectorOps.rIeee
       val V = 16
-      def tok = DedupOps.spread(Tables.documents(s, d))
+      def tok = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(wordsCol(col("text"))).as("w"))
       val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -3138,7 +3137,7 @@ object TextOps {
       import graft.functions.VectorOps.rIeee
       val V = 16
       val docs = Tables.documents(s, d)
-      val tok = DedupOps.spread(docs)
+      val tok = docs
         .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
       val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w")).limit(V).select(col("w"))

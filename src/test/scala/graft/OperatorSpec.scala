@@ -1804,8 +1804,8 @@ class OperatorSpec extends SparkSpec {
       "fewer than 64 ladder merges in 256 steps")
     // the prune is honest: the trained histogram is exactly the
     // (freq DESC, w ASC) top-V prefix of the full pre-token counts
-    val full = graft.operators.DedupOps.spread(
-        TextOps.regexCorpus(spark, sf))
+    val full = graft.operators.DedupOps.spreadBy(
+        TextOps.regexCorpus(spark, sf), col("t"))
       .select(explode(regexp_extract_all(col("t"),
         lit(TextOps.GPT2_PRE_PAT), lit(0))).as("tok"))
       .select(translate(col("tok"), " ", TextOps.GWORD).as("w"))

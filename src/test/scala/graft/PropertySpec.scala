@@ -775,9 +775,12 @@ class PropertySpec extends SparkSpec {
 
   test("the two BPE trainers agree on generated corpora (loop shapes differ, " +
       "semantics must not)") {
-    // The repo ships TWO trainer control planes: bpeMerges (distributed
-    // per-trip loop — bpe_train/_bytes/_unicode) and bpeMergesInMemory
-    // (histogram-collect + driver loop — bpe_train_regex). Both claim
+    // The repo ships TWO trainer control planes: bpeMerges (adaptive:
+    // driver merge loop for in-cap histograms, distributed per-trip
+    // fallback — bpe_train/_bytes/_unicode; the fallback is pinned
+    // against the driver plane in the dedicated dual-plane test below)
+    // and bpeMergesInMemory (histogram-collect + driver loop —
+    // bpe_train_regex). Both claim
     // the same textbook semantics: overlap-counted within-word pairs
     // weighted by frequency, (count DESC, pair ASC) argmax,
     // left-to-right non-overlapping rewrite. This pins them to each
@@ -816,5 +819,61 @@ class PropertySpec extends SparkSpec {
           s"case $c step $k1: ($p1, $n1) vs ($p2, $n2)")
       }
     }
+  }
+
+  test("bpeMergesDistributed agrees with the driver merge plane " +
+      "(the over-cap fallback is the only plane that runs at scale)") {
+    // bpeMerges' adaptive split routes every in-cap histogram (all
+    // fixtures AND every generated test corpus) through bpeMergesDriver,
+    // so the distributed per-trip loop must be driven DIRECTLY or its
+    // argmax / tie-break / rewrite semantics lose all coverage (the r21
+    // gap: the dual-plane test above silently became driver-vs-driver).
+    // Same discipline as componentsOfDistributed's explicit test.
+    import graft.operators.TextOps
+    val alphas = "abcde"
+    def word(i: Int, c: Int): String = {
+      val len = 4 + ((i * 2654435761L + c * 69069L) % 3L).toInt
+      (0 until len).map { j =>
+        alphas(((i * 48271L + c * 101L + j * 137L) % alphas.length).toInt)
+      }.mkString
+    }
+    // (histogram, steps) — steps chosen so every trip still has a pair
+    // (a pair-less trip fails loudly in BOTH planes by contract)
+    val cases: Seq[(IndexedSeq[(String, Long)], Int)] =
+      // generated corpora (the agreement test's shape; words of 4-6
+      // symbols keep 3 trips pair-rich)
+      (0 until 4).map { c =>
+        ((0 until 12).map(i => (word(i, c), 1L + (i % 3)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toIndexedSeq
+          .filter(_._1.length >= 2).sortBy(_._1), 3)
+      } ++ Seq(
+        // exact count tie: both planes must break on pair ASC ("ab")
+        (IndexedSeq(("ab", 2L), ("cd", 2L)), 2),
+        // off-BMP codepoints: cpLess (UTF-8 byte order) vs a UTF-16
+        // compareTo would diverge here — astral pairs tie-break against
+        // private-use BMP symbols
+        (IndexedSeq(("😀😁", 3L), ("", 3L),
+          ("a😀a", 2L)), 3))
+    for (((hist, steps), ci) <- cases.zipWithIndex) {
+      val histDf = hist.toDF("w", "freq").localCheckpoint()
+      val dist = TextOps.bpeMergesDistributed(histDf, steps)
+      val drv = TextOps.bpeMergesDriver(hist, steps, TextOps.learnedSym,
+        skipEmptyTrips = false)
+      assert(dist === drv, s"case $ci: distributed $dist vs driver $drv")
+    }
+  }
+
+  test("componentsOf routes non-integral ids through the distributed " +
+      "plane (driver union-find admission is dtype-gated)") {
+    // the driver plane's admission probe casts ids to long and reads
+    // getLong — string ids would cast to null and NPE. The dtype gate
+    // must route such graphs to label propagation, which computes the
+    // same component-min fixed point under string ordering.
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("q", "q"))
+      .toDF("doc_a", "doc_b")
+    val got = DedupOps.componentsOf(edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "q" -> "q"))
   }
 }
