@@ -93,13 +93,18 @@ object SimilarityOps {
     val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("ccnt"))
     val capped = asg.join(broadcast(counts
       .where(col("ccnt") <= BUCKET_CAP).select(col("cell"))), Seq("cell"))
-    val cand = capped.select(col("cell"), col("id").as("id_a"))
-      .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+    // vectors attach BEFORE the in-cell self-join (r22, guide §2.3): the
+    // join input carries v at O(rows·d) through the one cell exchange,
+    // where the former bare-id pair list re-joined pts TWICE — the
+    // second id-keyed exchange carried O(pairs·d) (every pair dragging
+    // its va array), the dominant shuffle of the family at any scale
+    // (pairs ≈ cell²/2 vs rows = cell). Same pairs, same cosine inputs.
+    val cappedV = capped.join(pts, Seq("id"))
+    val dropped = cappedV
+      .select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+      .join(cappedV.select(col("cell"), col("id").as("id_b"),
+        col("v").as("vb")), Seq("cell"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val dropped = cand
-      .join(pts.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .where(r4(cos(col("va"), col("vb"))) >= SEMDEDUP_TAU)
       .select(col("id_b").as("vec_id")).distinct()
     asg.select(col("id").as("vec_id"), col("cell"))
@@ -136,12 +141,16 @@ object SimilarityOps {
     val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("ccnt"))
     val capped = asg.join(broadcast(counts
       .where(col("ccnt") <= BUCKET_CAP).select(col("cell"))), Seq("cell"))
-    val half = capped.select(col("cell"), col("id").as("id_a"))
-      .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+    // vectors attach BEFORE the in-cell self-join — semdedupFrom's r22
+    // restructure (O(rows·d) through the cell exchange instead of
+    // O(pairs·d) through a second id-keyed one); pairs and cosine
+    // inputs unchanged.
+    val cappedV = capped.join(pts, Seq("id"))
+    val half = cappedV
+      .select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+      .join(cappedV.select(col("cell"), col("id").as("id_b"),
+        col("v").as("vb")), Seq("cell"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .join(pts.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(pts.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         r4(cos(col("va"), col("vb"))).as("sim"))
     val sym = half.select(col("id_a").as("src_id"),
