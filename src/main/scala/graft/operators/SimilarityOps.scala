@@ -309,7 +309,13 @@ object SimilarityOps {
     * cell-partitioned vectors under `dir`. */
   private def buildIvfIndexInto(s: SparkSession, d: String,
       dir: String): Unit = {
-    val pts = KMeansOps.points(s, d).localCheckpoint()
+    // spread an under-parallel scan before pinning (r22): the fixture's
+    // single-file embeddings checkpoint to ONE partition, which ran the
+    // whole q8-encode + assign projection (the build's per-row compute)
+    // as one task; at scale the scan is data-partitioned and this is the
+    // identity
+    val pts = DedupOps.spreadNarrow(KMeansOps.points(s, d), col("id"))
+      .localCheckpoint()
     val cells = KMeansOps.lloydStep(pts,
       KMeansOps.lloydStep(pts, KMeansOps.frozenCenters(s, d, NCELLS)))
     s.createDataFrame(cells.toSeq.map { case (cid, v) => (cid, v.toSeq) })
