@@ -61,6 +61,60 @@ object BenchLayout {
     sys.env.get(s"SPARK_GRAFT_SPLIT_${name.toUpperCase}")
       .map(_.toInt).getOrElse(DEFAULT_SPLIT(name))
 
+  /** The 8×-replicated fixture behind Bench's scale block (round-20
+    * verdict item 8 / round-21 item 10): documents/events/lineitem/
+    * embeddings each unioned 8× with per-replica id remaps (the
+    * committed scripts/build_scale_fixtures.scala conventions — ids stay
+    * join/window-valid, payload bytes repeat so the dedup families see
+    * real duplication pressure), every other table symlinked from the
+    * source fixture. Built once per source-fixture fingerprint; returns
+    * a dir shaped exactly like an sfDir so every query runs against it
+    * unchanged. */
+  def stageScaleFixture(spark: SparkSession, sfDir: String,
+      reps: Int = 8): String = {
+    import org.apache.spark.sql.functions._
+    val key = graft.sources.Staging.fixtureKey(sfDir)
+    graft.sources.Staging.ensureDir(
+      s"target/bench-scale/$key-x$reps", marker = "_STAGED") { tmp =>
+      // file counts scale the 1× split table by the replication factor
+      // (capped at 32) — data-proportional scan parallelism, the same
+      // bytes-per-task as the measured 1× splits
+      def rep(table: String, remap: (org.apache.spark.sql.DataFrame, Int)
+          => org.apache.spark.sql.DataFrame): Unit = {
+        val src =
+          if (table == "events") Tables.events(spark, sfDir)
+          else spark.read.parquet(s"$sfDir/$table.parquet")
+        (0 until reps).map(i => remap(src, i)).reduce(_ unionAll _)
+          .repartition(math.min(32, BenchLayout.split(table) * reps))
+          .write.mode("overwrite").parquet(s"$tmp/$table.parquet")
+      }
+      rep("documents", (d, i) =>
+        d.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      rep("events", (d, i) =>
+        d.withColumn("event_id", col("event_id") + lit(i * 1000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+      rep("lineitem", (d, i) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 6000000L)))
+      rep("embeddings", (d, i) =>
+        d.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders"))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(tmp, s"$t.parquet"),
+          java.nio.file.Paths.get(sfDir, s"$t.parquet").toAbsolutePath)
+      java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "_STAGED"),
+        Array.empty[Byte])
+    }
+  }
+
+  /** Drop every scan-layout override so Tables reads go straight to the
+    * given fixture dir — the scale block's fixture is written at its own
+    * data-proportional split counts, and a leftover 1×-staging property
+    * would silently point its reads back at the 1× copies. */
+  def clearOverrides(): Unit =
+    for (t <- DEFAULT_SPLIT.keys)
+      System.clearProperty(s"graft.${t}Dir")
+
   def stage(spark: SparkSession, sfDir: String, cpus: Int): Unit = {
     def ensure(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val n = split(name)
