@@ -855,11 +855,12 @@ object TextOps {
     * per-trip work that takes microseconds in memory. */
   private[graft] def bpeMerges(docs0: DataFrame,
       steps: Int): Seq[(Int, String, Long)] = {
-    // spread once at histogram build: the single-file fixture arrives as
-    // ONE partition, which would run the only corpus-scale pass here
-    // single-task. 1-char words can never contribute a pair in any trip
-    // (replace only shortens), so they are dropped up front.
-    val hist = DedupOps.spreadNarrow(docs0, col("t"))
+    // no spread (r22): the plain split+explode histogram pass is the
+    // token_topk shape — scan-partition parallelism suffices and the
+    // repartition's fixed cost measured as pure overhead. 1-char words
+    // can never contribute a pair in any trip (replace only shortens),
+    // so they are dropped up front.
+    val hist = docs0
       .select(explode(split(col("t"), " ")).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
